@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + approximate-dedup operators for LLM-scale data
+  * pipelines (builder-prompt scope extension beyond the reference:
+  * language-ID, quality scoring, token counting, fingerprinting, MinHash/
+  * SimHash/n-gram-Jaccard near-dup).
+  *
+  * Everything is Catalyst higher-order-function expressions — per-row
+  * linear work, no UDFs, no shuffle until an explicit groupBy/join. The
+  * LSH paths are the 100 TB story: candidate generation is an equi-join
+  * on (band, band-hash), never an O(n²) cross product.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation as
+    * separate tokens (a cheap proxy for a real BPE vocab).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tiny per-language stopword profiles for the heuristic language ID.
+    * Deliberately small — the operator shape (profile overlap argmax) is
+    * what matters; swap in real profiles for production.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "no"))
+
+  /** Language-ID: stopword-overlap argmax over the profiles; `und`
+    * (undetermined) when nothing matches. Deterministic tie-break:
+    * alphabetical language order wins.
+    */
+  def langId(c: Column): Column = {
+    val toks = array_distinct(tokens(lower(c)))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, typedLit(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length, punctuation ratio, stopword
+    * ratio, and mean word length plausibility — the standard cheap
+    * pre-filter shape for LLM corpus cleaning.
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val toks = tokens(c)
+    val nTok = size(toks).cast("double")
+    val meanWordLen = nChars / greatest(nTok, lit(1.0))
+    val punct = length(regexp_replace(c, "[^.,;:!?]", "")).cast("double")
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val stopSet = typedLit(stopwords.values.flatten.toSeq.distinct)
+    val stopRatio = size(array_intersect(array_distinct(tokens(lower(c))), stopSet))
+      .cast("double") / greatest(nTok, lit(1.0))
+    val lenScore = least(nChars / lit(500.0), lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.3)
+    val punctScore = when(punctRatio < 0.1, 1.0).otherwise(0.5)
+    round(lit(0.3) * lenScore + lit(0.2) * wordLenScore +
+      lit(0.2) * punctScore + lit(0.3) * least(stopRatio * 4, lit(1.0)), 4)
+  }
+
+  /** Content fingerprint (md5 — stable across engines, so oracle-able). */
+  def fingerprint(c: Column): Column = md5(c.cast("binary"))
+
+  /** Polynomial rolling hash over tokens (order-sensitive 64-bit
+    * fingerprint; engine-local — use `fingerprint` when oracle parity is
+    * needed).
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** Jaccard similarity of two token-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash signature: `k` permutations simulated by seeded xxhash64 of
+    * each shingle; signature[i] = min hash under seed i. Map-side only.
+    */
+  def minHashSignature(shinglesCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))
+
+  /** LSH band keys from a MinHash signature: `bands` groups of `rowsPerBand`
+    * signature entries, each hashed to one bucket key. Documents sharing
+    * any (band index, bucket) are near-dup candidates.
+    */
+  def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",", slice(sigCol, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+          .as("bucket")))
+
+  /** SimHash-64 over tokens: per bit, sum +1/-1 weighted by whether the
+    * token hash has that bit; sign of the sum sets the output bit.
+    */
+  def simHash(c: Column): Column = {
+    val toks = tokens(c)
+    val bits = transform(sequence(lit(0), lit(63)), i => {
+      val vote = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(call_function("shiftright", xxhash64(t), i)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc + b)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** End-to-end MinHash-LSH near-dup candidate pairs over a corpus,
+    * verified by exact shingle-Jaccard >= `threshold`.
+    *
+    * Plan shape: shingle+sign map-side → explode bands → self-equi-join on
+    * (band,bucket) → dedup candidate pairs → exact verify. At 100 TB the
+    * only shuffles are the band join and the pair dedup, both keyed.
+    */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.8): DataFrame = {
+    val rows = k / bands
+    val withBands = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("band", explode(lshBands(minHashSignature(col("sh"), k), bands, rows)))
+      .select(col("id"), col("sh"), col("band.band").as("band"),
+        col("band.bucket").as("bucket"))
+    val a = withBands.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withBands.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        array_distinct(col("sh_a")).as("sa"), array_distinct(col("sh_b")).as("sb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector / similarity-search operators (SURVEY §2.7 — V2/V3; reference
+  * surface: cosine top-k over 1024-dim embeddings,
+  * `usda-food-assistant/app.py:55-68`,
+  * `utils/upload_data_to_pinecone.py:24-32`).
+  *
+  * UDF-free: higher-order functions (`zip_with` + `aggregate`) keep the
+  * whole computation in Catalyst expressions. Elements are cast to double
+  * BEFORE multiplying so the fold is a deterministic left-to-right double
+  * sum — bit-identical with the DuckDB oracle's list fold.
+  *
+  * Scale notes: brute-force scoring is embarrassingly parallel (no
+  * shuffle); top-k is TakeOrderedAndProject (per-partition heaps, only k
+  * rows cross the wire). The ANN path (random-hyperplane LSH) turns the
+  * O(n) scan into a bucket lookup: signatures are computed map-side, the
+  * candidate fetch is a partition-pruned equi-join on the bucket key.
+  */
+object VectorOps {
+
+  /** Left-to-right double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** V2: exact cosine top-k of `vecCol` against one query vector.
+    * Returns (idCol, score) ordered desc; ties broken by id asc.
+    */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Float], k: Int, scoreScale: Int = 4): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol),
+        round(cosine(col(vecCol), q), scoreScale).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Blocked exact near-duplicate pairs: candidates restricted to equal
+    * `blockCol` (a label, an LSH bucket, ...) so the self-join is an
+    * equi-join on the block key instead of an O(n²) cross product; pairs
+    * with cosine >= threshold survive. `idA < idB` halves the pair space.
+    */
+  def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
+                    blockCol: String, threshold: Double,
+                    scoreScale: Int = 4): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), scoreScale))
+      .filter(col("score") >= lit(threshold))
+      .select(col("block"), col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Deterministic random-hyperplane signature: `nBits` hyperplanes drawn
+    * from a seeded RNG on the driver (tiny: nBits × dim doubles), dot'd
+    * against each vector; bit i = sign of the i-th projection. The plane
+    * matrix is embedded as literals — broadcast-free, codegen-folded.
+    */
+  def lshSignature(vecCol: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val proj = dot(vecCol, typedLit(plane.toSeq))
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: LSH-bucket the corpus, probe only the query's bucket
+    * (plus optional multi-probe neighbors at Hamming distance 1), rerank
+    * candidates by exact cosine. Approximate — recall measured in tests
+    * against `cosineTopK`.
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, dim: Int, nBits: Int = 8,
+              multiProbe: Boolean = true, seed: Long = 42L): DataFrame = {
+    val sigExpr = lshSignature(col(vecCol), dim, nBits, seed)
+    // query signature computed the same way on a 1-row frame (driver-side)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qSig = Seq(query).toDF(vecCol).select(sigExpr.as("sig"))
+      .head().getLong(0)
+    val probes: Seq[Long] =
+      if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
+      else Seq(qSig)
+    df.withColumn("sig", sigExpr)
+      .filter(col("sig").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

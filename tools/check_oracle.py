@@ -13,6 +13,10 @@ def norm(v):
         return round(v, 6)
     return v
 
+def key(row):
+    # None-safe total order for sorting mixed-null rows
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -35,8 +39,8 @@ def main(sf_dir, out_dir):
         # driver sorts columns by name before hashing values
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         wi = [want_cols.index(c) for c in sorted(want_cols)]
-        g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
-        w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
+        g = sorted((tuple(norm(r[i]) for i in gi) for r in got), key=key)
+        w = sorted((tuple(norm(r[i]) for i in wi) for r in want), key=key)
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
             n_fail += 1
