@@ -37,8 +37,9 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "no"))
 
   /** Language-ID: stopword-overlap argmax over the profiles; `und`
-    * (undetermined) when nothing matches. Deterministic tie-break:
-    * alphabetical language order wins.
+    * (undetermined) when nothing matches. Deterministic tie-break: the
+    * struct-greatest comparison means the lexicographically LARGEST
+    * language code wins among tied scores.
     */
   def langId(c: Column): Column = {
     val toks = array_distinct(tokens(lower(c)))

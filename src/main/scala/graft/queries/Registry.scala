@@ -356,6 +356,277 @@ object Registry {
       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------- vector / similarity search
+
+  /** DuckDB mirror of VectorOps.dot: double-cast elementwise product. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+
+  /** V2 (SURVEY §2.7): exact brute-force cosine top-k. The query vector is
+    * a 1-row driver-side collect (the reference embeds the user query
+    * externally; here it comes from the fixture).
+    */
+  private val cosineTopk: Q = (s, dir) => {
+    VectorOps.cosineTopK(
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, dir), 10)
+  }
+  private val cosineTopkSql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(${cosineSql("embedding", "qe")}, 4) AS score
+       |FROM embeddings, q WHERE vec_id <> 0
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  /** V2+V3: retrieval — top-k matches joined back to their metadata
+    * (documents on doc_id = vec_id), the assistant's query path shape.
+    */
+  private val vectorRetrieve: Q = (s, dir) => {
+    val topk = VectorOps.cosineTopK(
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, dir), 10)
+    topk.join(Tables.documents(s, dir), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("score"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+  private val vectorRetrieveSql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |topk AS (
+       |  SELECT vec_id, round(${cosineSql("embedding", "qe")}, 4) AS score
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY score DESC, vec_id LIMIT 10)
+       |SELECT vec_id, score, lang, source, n_chars
+       |FROM topk JOIN documents ON vec_id = doc_id
+       |ORDER BY score DESC, vec_id""".stripMargin
+
+  /** Embedding near-dup: label-blocked exact cosine pairs (the blocked
+    * self-equi-join shape that replaces O(n²) at scale).
+    */
+  private val nearDupEmbedding: Q = (s, dir) => {
+    VectorOps.nearDupCosine(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", 0.35)
+      .orderBy(col("block"), col("id_a"), col("id_b"))
+  }
+  private val nearDupEmbeddingSql =
+    s"""SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(${cosineSql("a.embedding", "b.embedding")}, 4) AS score
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35
+       |ORDER BY block, id_a, id_b""".stripMargin
+
+  /** ANN top-k via random-hyperplane LSH + exact rerank — approximate by
+    * design, so no SQL oracle; recall vs the exact top-k is asserted in
+    * ScalaTest.
+    */
+  private val annTopk: Q = (s, dir) => {
+    VectorOps.annTopK(Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, dir), k = 10, dim = 64, nBits = 8)
+  }
+
+  // ------------------------------------------------- text analysis / dedup
+
+  /** Token counting: whitespace + BPE-ish subword proxy. */
+  private val tokenCount: Q = (s, dir) => {
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy(col("doc_id"))
+  }
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language ID (stopword-profile argmax). */
+  private val langIdQ: Q = (s, dir) => {
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang").as("claimed"),
+      TextOps.langId(col("text")).as("detected"))
+      .orderBy(col("doc_id"))
+  }
+  private val langIdSql = {
+    def hits(lang: String): String = {
+      val words = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(toks, [$words]))"
+    }
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang, ${hits("de")} AS s_de, ${hits("en")} AS s_en,
+       |  ${hits("es")} AS s_es, ${hits("fr")} AS s_fr FROM t)
+       |SELECT doc_id, lang AS claimed,
+       |  CASE WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+       |       WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+       |       WHEN s_de > 0 THEN 'de'
+       |       ELSE 'und' END AS detected
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Integer-exact document quality points (the oracle-safe variant of
+    * TextOps.qualityScore — ratio rounding diverges between engines, so
+    * the registry query scores in pure integer space).
+    */
+  private val qualityScoreQ: Q = (s, dir) => {
+    val t = col("text")
+    val nChars = length(t)
+    val nTok = TextOps.tokenCount(t)
+    val punct = length(regexp_replace(t, "[^.,;:!?]", ""))
+    val stopSet = typedLit(TextOps.stopwords.values.flatten.toSeq.distinct)
+    val stopHits = size(array_intersect(
+      array_distinct(TextOps.tokens(lower(t))), stopSet))
+    val points =
+      when(nChars >= 400, 2).when(nChars >= 100, 1).otherwise(0) +
+      when((nChars * 10).between(nTok * 30, nTok * 100), 2).otherwise(0) +
+      when(punct * 10 <= nChars, 1).otherwise(0) +
+      least(stopHits, lit(5))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"), points.as("q_points"))
+      .orderBy(col("doc_id"))
+  }
+  private val qualityScoreSql = {
+    val stopList = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS n_chars,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+       |  len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |      [$stopList])) AS stop_hits
+       |  FROM documents)
+       |SELECT doc_id, n_tok AS n_tokens,
+       |  (CASE WHEN n_chars >= 400 THEN 2 WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN n_chars * 10 BETWEEN n_tok * 30 AND n_tok * 100 THEN 2 ELSE 0 END)
+       |  + (CASE WHEN punct * 10 <= n_chars THEN 1 ELSE 0 END)
+       |  + least(stop_hits, 5) AS q_points
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprinting (md5 — engine-portable) + dupe-group counts. */
+  private val fingerprintQ: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("fp"))
+  }
+  private val fingerprintSql =
+    """SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS first_doc
+      |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
+
+  /** Exact dedup accounting: distinct-text counts per language. */
+  private val exactDedup: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"))
+      .orderBy(col("lang"))
+  }
+  private val exactDedupSql =
+    """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** n-gram (word) Jaccard similarity over adjacent doc pairs — the
+    * verify step of near-dup detection, expressed as a keyed equi-join.
+    */
+  private val ngramJaccard: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+    val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+    val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(TextOps.jaccard(col("ta"), col("tb")), 4).as("jaccard"))
+      .orderBy(col("id_a"))
+  }
+  private val ngramJaccardSql =
+    """WITH t AS (SELECT doc_id,
+      |  list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin
+
+  /** MinHash+LSH near-dup pairs (xxhash64-based — engine-local, verified
+    * in ScalaTest against brute-force Jaccard; no SQL oracle).
+    */
+  private val minhashLsh: Q = (s, dir) => {
+    TextOps.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash-64 fingerprints (xxhash64-based — engine-local). */
+  private val simhashQ: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.simHash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A6: sparse per-row map with nulls dropped, exported as JSON. */
+  private val sparseMap: Q = (s, dir) => {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.IntegerType))
+    Tables.events(s, dir).select(
+      col("event_id"),
+      to_json(map_filter(m, (_, v) => v.isNotNull)).as("kv"))
+      .orderBy(col("event_id"))
+  }
+  private val sparseMapSql =
+    """SELECT event_id, CAST(json(props) AS VARCHAR) AS kv
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** D3: top-k densest rows (fewest nulls) over the wide pivot table. */
+  private val topkDense: Q = (s, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, dir)
+      .groupBy(col("user_id")).pivot("event_type", types)
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double"))
+    val nullCount = types.map(t => when(col(t).isNull, 1).otherwise(0)).reduce(_ + _)
+    wide.select(col("user_id"), nullCount.as("null_count"))
+      .orderBy(col("null_count").asc, col("user_id").asc)
+      .limit(10)
+  }
+  private val topkDenseSql = {
+    val cells = Seq("click", "error", "purchase", "signup", "view").map { t =>
+      s"""sum(CASE WHEN event_type = '$t' THEN 1 END) AS "$t""""
+    }.mkString(", ")
+    s"""WITH wide AS (SELECT user_id, $cells FROM events GROUP BY user_id)
+       |SELECT user_id,
+       |  (CASE WHEN click IS NULL THEN 1 ELSE 0 END) +
+       |  (CASE WHEN error IS NULL THEN 1 ELSE 0 END) +
+       |  (CASE WHEN purchase IS NULL THEN 1 ELSE 0 END) +
+       |  (CASE WHEN signup IS NULL THEN 1 ELSE 0 END) +
+       |  (CASE WHEN view IS NULL THEN 1 ELSE 0 END) AS null_count
+       |FROM wide ORDER BY null_count ASC, user_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** D4: exact-N seeded sample — engine-deterministic, not cross-engine
+    * (Spark rand ≠ DuckDB rand), so property-checked only.
+    */
+  private val exactSample: Q = (s, dir) => {
+    Sampling.exactSample(Tables.lineitem(s, dir), 1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+
+  /** Approximate distinct (HLL sketch — engine-local estimate). */
+  private val approxDistinct: Q = (s, dir) => {
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -377,7 +648,23 @@ object Registry {
     ("q_threshold_nullout", thresholdNullout, Some(thresholdNulloutSql)),
     ("q_date_trunc", dateTrunc, Some(dateTruncSql)),
     ("q_date_diff", dateDiff, Some(dateDiffSql)),
-    ("q_array_norm", arrayNorm, Some(arrayNormSql))
+    ("q_array_norm", arrayNorm, Some(arrayNormSql)),
+    ("q_cosine_topk", cosineTopk, Some(cosineTopkSql)),
+    ("q_vector_retrieve", vectorRetrieve, Some(vectorRetrieveSql)),
+    ("q_near_dup_embedding", nearDupEmbedding, Some(nearDupEmbeddingSql)),
+    ("q_ann_topk", annTopk, None),
+    ("q_token_count", tokenCount, Some(tokenCountSql)),
+    ("q_lang_id", langIdQ, Some(langIdSql)),
+    ("q_quality_score", qualityScoreQ, Some(qualityScoreSql)),
+    ("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
+    ("q_exact_dedup", exactDedup, Some(exactDedupSql)),
+    ("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    ("q_minhash_lsh", minhashLsh, None),
+    ("q_simhash", simhashQ, None),
+    ("q_sparse_map", sparseMap, Some(sparseMapSql)),
+    ("q_topk_dense", topkDense, Some(topkDenseSql)),
+    ("q_exact_sample", exactSample, None),
+    ("q_approx_distinct", approxDistinct, None)
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
