@@ -75,13 +75,16 @@ object TextOps {
   /** Content fingerprint (md5 — stable across engines, so oracle-able). */
   def fingerprint(c: Column): Column = md5(c.cast("binary"))
 
-  /** Polynomial rolling hash over tokens (order-sensitive 64-bit
-    * fingerprint; engine-local — use `fingerprint` when oracle parity is
-    * needed).
+  /** Polynomial rolling hash over tokens (order-sensitive fingerprint;
+    * engine-local — use `fingerprint` when oracle parity is needed).
+    * Modular arithmetic keeps the accumulator bounded — a raw long
+    * multiply overflows under ANSI mode.
     */
-  def rollingHash(c: Column): Column =
+  def rollingHash(c: Column): Column = {
+    val p = lit(1000000007L)
     aggregate(tokens(c), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), p), p))
+  }
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]`. */
   def shingles(c: Column, n: Int): Column = {

@@ -77,25 +77,34 @@ object VectorOps {
     bits.reduce(_ + _)
   }
 
-  /** ANN top-k: LSH-bucket the corpus, probe only the query's bucket
-    * (plus optional multi-probe neighbors at Hamming distance 1), rerank
-    * candidates by exact cosine. Approximate — recall measured in tests
-    * against `cosineTopK`.
+  /** ANN top-k: multi-table random-hyperplane LSH. Each of `tables`
+    * independent signatures buckets the corpus; the query probes its own
+    * bucket plus all Hamming-distance-1 neighbors per table; the candidate
+    * union is reranked by exact cosine.
+    *
+    * Approximate by construction — LSH recall is high for genuinely close
+    * vectors (the dedup/near-dup regime) and degrades toward random for
+    * near-orthogonal "neighbors"; tests assert recall on planted
+    * neighbors. More `tables`/fewer `nBits` trades cost for recall.
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, dim: Int, nBits: Int = 8,
-              multiProbe: Boolean = true, seed: Long = 42L): DataFrame = {
-    val sigExpr = lshSignature(col(vecCol), dim, nBits, seed)
-    // query signature computed the same way on a 1-row frame (driver-side)
+              tables: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val qSig = Seq(query).toDF(vecCol).select(sigExpr.as("sig"))
-      .head().getLong(0)
-    val probes: Seq[Long] =
-      if (multiProbe) qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
-      else Seq(qSig)
-    df.withColumn("sig", sigExpr)
-      .filter(col("sig").isin(probes: _*))
+    val qDf = Seq(query).toDF(vecCol)
+    val tableCols = (0 until tables).map { t =>
+      lshSignature(col(vecCol), dim, nBits, seed + t).as(s"sig_$t")
+    }
+    val qSigs = qDf.select(tableCols: _*).head()
+    // candidate = matches the probe set of ANY table (bucket ∪ Hamming-1)
+    val candidate = (0 until tables).map { t =>
+      val qSig = qSigs.getLong(t)
+      val probes = qSig +: (0 until nBits).map(b => qSig ^ (1L << b))
+      col(s"sig_$t").isin(probes: _*)
+    }.reduce(_ || _)
+    df.select(col(idCol) +: col(vecCol) +: tableCols: _*)
+      .filter(candidate)
       .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 4).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1L, "x1"), ("a", 3L, "x3"), ("a", 2L, "x2"),
+    ("b", 5L, "y5"), ("c", 7L, "z7")).toDF("k", "ver", "payload")
+
+  test("latestPerKey keeps the max-order row per key (deterministic)") {
+    val got = Dedup.latestPerKey(df, Seq("k"), "ver")
+      .orderBy("k").collect().toSeq
+    assert(got == Seq(Row("a", 3L, "x3"), Row("b", 5L, "y5"), Row("c", 7L, "z7")))
+  }
+
+  test("latestPerKeyAgg (max_by form) matches the window form") {
+    val w = Dedup.latestPerKey(df, Seq("k"), "ver").orderBy("k").collect().toSeq
+    val a = Dedup.latestPerKeyAgg(df, "k", "ver").orderBy("k").collect().toSeq
+    assert(w == a)
+  }
+
+  test("exact dedup leaves one row per distinct column set") {
+    val d = Seq(("a", 1), ("a", 1), ("a", 2)).toDF("x", "y")
+    assert(Dedup.exact(d, Seq("x", "y")).count() == 2)
+    assert(Dedup.exact(d, Seq("x")).count() == 1)
+  }
+}
+
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeStrings upper+trims every string column, leaves others") {
+    val df = Seq(("  a b ", 1), ("C", 2)).toDF("s", "n")
+    val got = Cleaning.normalizeStrings(df).orderBy("n").collect().toSeq
+    assert(got == Seq(Row("A B", 1), Row("C", 2)))
+  }
+
+  test("castCoerceDouble: junk → null, valid → rounded (pandas to_numeric coerce)") {
+    val df = Seq("12.345", "junk", null).toDF("v")
+    val got = Cleaning.castCoerceDouble(
+      df.withColumn("v", col("v").try_cast("double")), "v")
+      .collect().map(_.get(0)).toSet
+    assert(got == Set(12.35, null))
+  }
+
+  test("concatWithSep null-propagates (deliberate divergence from pandas 'nan G')") {
+    val df = Seq((Some(1.5), Some("G")), (None, Some("G")), (Some(2.0), None))
+      .toDF("size", "unit")
+    val got = Cleaning.concatWithSep(df, "out", "size", "unit")
+      .select("out").collect().map(_.get(0)).toSeq
+    assert(got == Seq("1.5 G", null, null))
+  }
+
+  test("filterNotContains: nulls PASS (pandas na=False semantics)") {
+    val df = Seq(Some("has IU inside"), Some("clean"), None).toDF("s")
+    val got = Cleaning.filterNotContains(df, "s", "IU")
+      .collect().map(_.get(0)).toSeq
+    assert(got == Seq("clean", null))
+  }
+}
+
+class ThresholdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cap by unit, cap by full column name, unknown unit passthrough, rounding") {
+    val df = Seq((1L, 50.123, 950.0, 123456.789, 400000.0))
+      .toDF("id", "PROTEIN (G)", "ENERGY (KCAL)", "WEIRD (GRM)", "VITAMIN A, IU (IU)")
+    val got = Thresholds(df, Seq("id")).head()
+    assert(got == Row(1L, 50.12, null, 123456.79, null))
+    // G cap 100 keeps 50.123→50.12; KCAL cap 900 nulls 950; GRM unknown
+    // → rounded only; "VITAMIN A, IU (IU)" capped by full name (333333).
+  }
+
+  test("values exactly at the cap survive") {
+    val df = Seq((1L, 100.0, 900.0)).toDF("id", "X (G)", "Y (KCAL)")
+    assert(Thresholds(df, Seq("id")).head() == Row(1L, 100.0, 900.0))
+  }
+
+  test("unitOf parses the parenthesized unit") {
+    assert(Thresholds.unitOf("ENERGY (KCAL)") == "KCAL")
+    assert(Thresholds.unitOf("A (B) (C)") == "C")
+    assert(Thresholds.unitOf("NOPAREN") == "NOPAREN")
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactSample returns exactly N rows, all from the source, deterministic") {
+    val df = (1 to 1000).toDF("n")
+    val s1 = Sampling.exactSample(df, 100, seed = 7).collect().map(_.getInt(0))
+    val s2 = Sampling.exactSample(df, 100, seed = 7).collect().map(_.getInt(0))
+    assert(s1.length == 100 && s1.distinct.length == 100)
+    assert(s1.forall(n => n >= 1 && n <= 1000))
+    assert(s1.toSeq == s2.toSeq) // seed-deterministic
+  }
+
+  test("topKDense orders by fewest nulls") {
+    val df = Seq(
+      (1, Some(1), Some(1)), (2, None, Some(1)), (3, None, None))
+      .toDF("id", "a", "b")
+    val got = Sampling.topKDense(df, 2, Seq(col("id"))).select("id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2))
+  }
+}

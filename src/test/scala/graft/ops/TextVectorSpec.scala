@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / shingles / jaccard basics") {
+    val df = Seq("a b c d").toDF("t")
+    val got = df.select(
+      TextOps.tokenCount(col("t")),
+      TextOps.shingles(col("t"), 2),
+      TextOps.shingles(col("t"), 9)).head()
+    assert(got.getInt(0) == 4)
+    assert(got.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(got.getSeq[String](2) == Seq("a b c d")) // shorter than n → whole text
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y").select(TextOps.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-9) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("langId picks the profile with most stopword hits; und when none") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "der hund ist nicht mit der katze",
+      "el gato es un animal y no es malo",
+      "xyzzy qwerty plugh").toDF("t")
+    val got = df.select(TextOps.langId(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "es", "und"))
+  }
+
+  test("fingerprint is md5 hex; rollingHash is order-sensitive") {
+    val got = Seq("abc").toDF("t").select(TextOps.fingerprint(col("t"))).head().getString(0)
+    assert(got == "900150983cd24fb0d6963f7d28e17f72")
+    val rh = Seq("a b", "b a").toDF("t")
+      .select(TextOps.rollingHash(col("t"))).collect().map(_.getLong(0))
+    assert(rh(0) != rh(1))
+  }
+
+  test("simHash: identical texts equal; similar texts closer than dissimilar") {
+    val df = Seq(
+      ("d1", "spark window join filter scan group sort merge"),
+      ("d2", "spark window join filter scan group sort merge"),
+      ("d3", "spark window join filter scan group sort hash"),
+      ("d4", "completely unrelated words about gardening tulips soil"))
+      .toDF("id", "t").select(col("id"), TextOps.simHash(col("t")).as("h"))
+    val h = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h("d1") == h("d2"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h("d1"), h("d3")) < ham(h("d1"), h("d4")))
+  }
+
+  test("minHashNearDups finds a near-identical pair, skips dissimilar docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "completely different content about databases and distributed query engines"),
+      (4L, "spark catalyst optimizer rewrites logical plans into physical plans"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.minHashNearDups(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH candidates form a superset of high-jaccard pairs (recall)") {
+    // identical docs must always collide in every band
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.minHashNearDups(docs, "doc_id", "text",
+      shingleN = 2, k = 32, bands = 8, threshold = 0.99)
+    assert(pairs.count() == 1)
+    assert(pairs.head().getDouble(2) == 1.0)
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
+    val got = df.select(round(VectorOps.cosine(col("a"), col("b")), 6))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("cosineTopK returns k rows ordered by score desc") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val top = VectorOps.cosineTopK(embs.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", q, 5).collect()
+    assert(top.length == 5)
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("annTopK finds planted near-neighbors (the LSH guarantee regime)") {
+    import spark.implicits._
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    // plant 10 close neighbors of the query (q + small noise) into the corpus
+    val rng = new scala.util.Random(7)
+    val planted = (1 to 10).map { i =>
+      (10000L + i, q.map(x => x * 0.95f + rng.nextGaussian().toFloat * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val corpus = embs.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).union(planted)
+    val exact = VectorOps.cosineTopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.forall(_ > 10000L)) // sanity: planted vectors ARE the top-10
+    val ann = VectorOps.annTopK(corpus, "vec_id", "embedding", q,
+      k = 10, dim = 64, nBits = 8).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ann).size
+    assert(recall >= 8, s"ANN recall too low on planted neighbors: $recall/10")
+  }
+
+  test("nearDupCosine finds planted near-duplicates within a block, not across") {
+    val df = Seq(
+      (1L, "blk1", Seq(1f, 0f, 0f)),
+      (2L, "blk1", Seq(0.99f, 0.1f, 0f)),
+      (3L, "blk1", Seq(0f, 1f, 0f)),
+      (4L, "blk2", Seq(1f, 0f, 0f))).toDF("id", "label", "vec")
+    val pairs = VectorOps.nearDupCosine(df, "id", "vec", "label", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // 4 is identical to 1 but in another block
+  }
+
+  test("lshSignature is deterministic and separates distant vectors") {
+    val df = Seq(Seq(1f, 2f, 3f, 4f), Seq(1f, 2f, 3f, 4f), Seq(-1f, -2f, -3f, -4f))
+      .toDF("v")
+    val sigs = df.select(VectorOps.lshSignature(col("v"), 4, 8)).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2)) // opposite vector flips every hyperplane bit
+  }
+}
