@@ -627,6 +627,35 @@ object Registry {
       approx_count_distinct(col("l_partkey")).as("approx_parts"))
   }
 
+  /** Structured Streaming: real micro-batch file stream (AvailableNow) →
+    * watermark → tumbling-window agg, drained to a queryable result. The
+    * oracle is the equivalent batch bucketing in DuckDB.
+    */
+  private val streamWindow: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    graft.streaming.EventStream.runFileStream(s, tmp.toString)
+      .orderBy(col("bucket"), col("event_type"))
+  }
+  private val streamWindowSql =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Multimodal plumbing: binary payload → partition-batched stub decode
+    * → fixed-dim feature vectors (engine-local; spec-tested).
+    */
+  private val multimodalFeatures: Q = (s, dir) => {
+    val media = Multimodal.fromDocuments(Tables.documents(s, dir))
+    Multimodal.extractFeatures(media, "media_id", "content")
+      .select(col("media_id"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .orderBy(col("media_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -664,7 +693,9 @@ object Registry {
     ("q_sparse_map", sparseMap, Some(sparseMapSql)),
     ("q_topk_dense", topkDense, Some(topkDenseSql)),
     ("q_exact_sample", exactSample, None),
-    ("q_approx_distinct", approxDistinct, None)
+    ("q_approx_distinct", approxDistinct, None),
+    ("q_stream_window", streamWindow, Some(streamWindowSql)),
+    ("q_multimodal_features", multimodalFeatures, None)
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

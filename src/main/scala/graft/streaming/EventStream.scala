@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY §2.10): the reference has no
+  * dataflow streaming, but the engine's `events` surface gets the standard
+  * micro-batch shape — file source → watermark → tumbling-window agg.
+  *
+  * Scale notes: the windowed aggregation is keyed by (window, event_type)
+  * — state is bounded by watermark expiry; at 100 TB/day the file source
+  * becomes a real bus (Kafka) with identical downstream plan.
+  */
+object EventStream {
+
+  /** Parquet file-source schema for events (ts as raw nanos long — the
+    * fixture's TIMESTAMP(NANOS) physical type, converted after load).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window aggregate — pure transform shared by the streaming
+    * and batch (equivalence-test / oracle) paths.
+    */
+  def windowedAgg(events: DataFrame, windowDur: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Run the windowed agg as a real micro-batch stream over a directory of
+    * parquet event files (Trigger.AvailableNow → drains all input, then
+    * stops) into an in-memory table; returns the final result.
+    *
+    * Watermark bounds state for continuous operation; output mode is
+    * `complete` so the drained result equals the batch answer (append
+    * would hold back unexpired windows).
+    */
+  def runFileStream(spark: SparkSession, inputDir: String,
+                    windowDur: String = "1 hour",
+                    watermark: String = "10 minutes",
+                    queryName: String = "graft_stream_window"): DataFrame = {
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", watermark)
+    val q = windowedAgg(raw, windowDur)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

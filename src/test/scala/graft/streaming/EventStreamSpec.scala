@@ -1,0 +1,27 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Streaming has no DuckDB oracle — the correctness contract is
+  * batch-equivalence: the drained stream result must equal the same
+  * windowed aggregation computed in batch (SURVEY §2.10).
+  */
+class EventStreamSpec extends SparkSpec {
+
+  test("streamed windowed agg equals batch windowed agg on the same input") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_spec")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val streamed = EventStream
+      .runFileStream(spark, tmp.toString, queryName = "spec_stream")
+      .orderBy("bucket", "event_type").collect().toSeq
+    val batch = EventStream.windowedAgg(Tables.events(spark, sf))
+      .orderBy("bucket", "event_type").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+}
