@@ -30,13 +30,16 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Aggregate form: keeps (key, max-by payload) with map-side combine.
-    * Preferred at scale when the full row isn't needed.
+  /** Aggregate form: keeps (key, max-by payload) with map-side combine —
+    * a hash aggregate instead of the window form's shuffle+sort, so it's
+    * the preferred shape at scale. `orderCols` is the lexicographic
+    * keep-rule (struct comparison), same as the window form's ORDER BY.
     */
-  def latestPerKeyAgg(df: DataFrame, key: String, orderCol: String): DataFrame = {
+  def latestPerKeyAgg(df: DataFrame, keys: Seq[String],
+                      orderCols: Seq[Column]): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
-    df.groupBy(col(key))
-      .agg(max_by(payload, col(orderCol)).as("__row"))
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(orderCols: _*)).as("__row"))
       .select(col("__row.*"))
   }
 

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Let-binding for expression trees: evaluates `c` ONCE and exposes it
+    * as a lambda variable to `f`. Without this, a Column referenced N
+    * times in one projection is N copies of the expression tree, each
+    * re-evaluated per row (an inlined `split` inside a nested transform
+    * turns O(T) tokenization into O(T²)).
+    */
+  def bind(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
@@ -41,36 +50,36 @@ object TextOps {
     * struct-greatest comparison means the lexicographically LARGEST
     * language code wins among tied scores.
     */
-  def langId(c: Column): Column = {
-    val toks = array_distinct(tokens(lower(c)))
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(array_intersect(toks, typedLit(words))).as("score"),
-        lit(lang).as("lang"))
+  def langId(c: Column): Column =
+    bind(array_distinct(tokens(lower(c)))) { toks =>
+      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(size(array_intersect(toks, typedLit(words))).as("score"),
+          lit(lang).as("lang"))
+      }
+      val best = greatest(scored: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
     }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
 
   /** Quality score in [0,1]: blend of length, punctuation ratio, stopword
     * ratio, and mean word length plausibility — the standard cheap
     * pre-filter shape for LLM corpus cleaning.
     */
-  def qualityScore(c: Column): Column = {
-    val nChars = length(c).cast("double")
-    val toks = tokens(c)
-    val nTok = size(toks).cast("double")
-    val meanWordLen = nChars / greatest(nTok, lit(1.0))
-    val punct = length(regexp_replace(c, "[^.,;:!?]", "")).cast("double")
-    val punctRatio = punct / greatest(nChars, lit(1.0))
-    val stopSet = typedLit(stopwords.values.flatten.toSeq.distinct)
-    val stopRatio = size(array_intersect(array_distinct(tokens(lower(c))), stopSet))
-      .cast("double") / greatest(nTok, lit(1.0))
-    val lenScore = least(nChars / lit(500.0), lit(1.0))
-    val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.3)
-    val punctScore = when(punctRatio < 0.1, 1.0).otherwise(0.5)
-    round(lit(0.3) * lenScore + lit(0.2) * wordLenScore +
-      lit(0.2) * punctScore + lit(0.3) * least(stopRatio * 4, lit(1.0)), 4)
-  }
+  def qualityScore(c: Column): Column =
+    bind(length(c).cast("double")) { nChars =>
+      bind(size(tokens(c)).cast("double")) { nTok =>
+        val meanWordLen = nChars / greatest(nTok, lit(1.0))
+        val punct = length(regexp_replace(c, "[^.,;:!?]", "")).cast("double")
+        val punctRatio = punct / greatest(nChars, lit(1.0))
+        val stopSet = typedLit(stopwords.values.flatten.toSeq.distinct)
+        val stopRatio = size(array_intersect(array_distinct(tokens(lower(c))), stopSet))
+          .cast("double") / greatest(nTok, lit(1.0))
+        val lenScore = least(nChars / lit(500.0), lit(1.0))
+        val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.3)
+        val punctScore = when(punctRatio < 0.1, 1.0).otherwise(0.5)
+        round(lit(0.3) * lenScore + lit(0.2) * wordLenScore +
+          lit(0.2) * punctScore + lit(0.3) * least(stopRatio * 4, lit(1.0)), 4)
+      }
+    }
 
   /** Content fingerprint (md5 — stable across engines, so oracle-able). */
   def fingerprint(c: Column): Column = md5(c.cast("binary"))
@@ -86,13 +95,15 @@ object TextOps {
       (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), p), p))
   }
 
-  /** Word n-gram shingles: `["a b c", "b c d", ...]`. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`. The token array is
+    * let-bound so tokenization runs once, not once per shingle.
+    */
+  def shingles(c: Column, n: Int): Column =
+    bind(tokens(c)) { toks =>
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    }
 
   /** Jaccard similarity of two token-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -101,33 +112,34 @@ object TextOps {
 
   /** MinHash signature: `k` permutations simulated by seeded xxhash64 of
     * each shingle; signature[i] = min hash under seed i. Map-side only.
+    * The shingle array is let-bound — evaluated once, not once per seed.
     */
   def minHashSignature(shinglesCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))
+    bind(shinglesCol) { sh =>
+      transform(sequence(lit(0), lit(k - 1)),
+        s => array_min(transform(sh, x => xxhash64(x, s))))
+    }
 
   /** LSH band keys from a MinHash signature: `bands` groups of `rowsPerBand`
     * signature entries, each hashed to one bucket key. Documents sharing
     * any (band index, bucket) are near-dup candidates.
     */
   def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(concat_ws(",", slice(sigCol, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
-          .as("bucket")))
+    bind(sigCol) { sig =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(concat_ws(",", slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+            .as("bucket")))
+    }
 
   /** SimHash-64 over tokens: per bit, sum +1/-1 weighted by whether the
     * token hash has that bit; sign of the sum sets the output bit.
+    * Implemented as the custom single-pass `SimHash64` Catalyst
+    * expression — the built-in formulation needs 64 separate folds.
     */
   def simHash(c: Column): Column = {
-    val toks = tokens(c)
-    val bits = transform(sequence(lit(0), lit(63)), i => {
-      val vote = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(call_function("shiftright", xxhash64(t), i)
-          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc + b)
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expr.SimHash64(GraftShim.expression(tokens(c))))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -145,20 +157,31 @@ object TextOps {
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.8): DataFrame = {
     val rows = k / bands
-    val withBands = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("band", explode(lshBands(minHashSignature(col("sh"), k), bands, rows)))
-      .select(col("id"), col("sh"), col("band.band").as("band"),
-        col("band.bucket").as("bucket"))
-    val a = withBands.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withBands.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    // spread the per-row shingle/hash work across all cores — small doc
+    // tables often arrive as a single parquet split
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Phase 1 — candidate pairs: only (id, band, bucket) crosses the
+    // shuffle; shingle arrays stay OUT of the band join (carrying them
+    // multiplied shuffle bytes by bands× and dominated runtime).
+    val bandKeys = spread
+      .select(col(idCol).as("id"),
+        lshBands(minHashSignature(shingles(col(textCol), shingleN), k), bands, rows)
+          .as("bands"))
+      .select(col("id"), explode(col("bands")).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = bandKeys.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bandKeys.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        array_distinct(col("sh_a")).as("sa"), array_distinct(col("sh_b")).as("sb"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Phase 2 — exact verify: join the (few) candidate pairs back to the
+    // distinct-shingle sets.
+    val shing = spread.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    candidates
+      .join(shing.select(col("id").as("id_a"), col("sh").as("sa")), Seq("id_a"))
+      .join(shing.select(col("id").as("id_b"), col("sh").as("sb")), Seq("id_b"))
       .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -51,13 +51,24 @@ object VectorOps {
   def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
                     blockCol: String, threshold: Double,
                     scoreScale: Int = 4): DataFrame = {
-    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"))
-    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"))
+    // norms are computed ONCE per row before the join — inside the pair
+    // expression they'd be folded per candidate pair (3 vector passes
+    // per pair instead of 1)
+    val withNorm = df.select(col(blockCol).as("block"), col(idCol),
+      col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("block"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("block"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), scoreScale))
+      // block cardinality may be far below the core count (10 labels →
+      // parallelism 10); spread the candidate pairs before the expensive
+      // per-pair dot products
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("score",
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")),
+          scoreScale))
       .filter(col("score") >= lit(threshold))
       .select(col("block"), col("id_a"), col("id_b"), col("score"))
   }

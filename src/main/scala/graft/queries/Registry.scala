@@ -42,11 +42,12 @@ object Registry {
   /** D1 (SURVEY §2.4): latest-per-key dedup + join + agg — slice 0. */
   private val dedupLatest: Q = (s, dir) => {
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
-    // tie-break to a total order so the kept row is deterministic.
-    val ties = Seq(col("l_extendedprice").desc, col("l_partkey").desc,
-      col("l_suppkey").desc, col("l_quantity").desc, col("l_discount").desc)
-    val li = Dedup.latestPerKey(Tables.lineitem(s, dir), Seq("l_orderkey"),
-      "l_linenumber", ties)
+    // the full lexicographic chain makes the kept row deterministic.
+    // max_by-aggregate form: hash agg with map-side combine instead of
+    // the window form's shuffle+sort (2.5× faster at sf0.1, same rows).
+    val li = Dedup.latestPerKeyAgg(Tables.lineitem(s, dir), Seq("l_orderkey"),
+      Seq(col("l_linenumber"), col("l_extendedprice"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_discount")))
     li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -366,6 +367,13 @@ object Registry {
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
+  /** Small single-file tables (documents) arrive as ONE parquet split —
+    * heavy per-row expression work would run single-threaded without an
+    * explicit spread across cores.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
@@ -435,7 +443,7 @@ object Registry {
 
   /** Token counting: whitespace + BPE-ish subword proxy. */
   private val tokenCount: Q = (s, dir) => {
-    Tables.documents(s, dir).select(
+    spread(Tables.documents(s, dir)).select(
       col("doc_id"),
       TextOps.tokenCount(col("text")).as("n_tokens"),
       TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
@@ -449,7 +457,7 @@ object Registry {
 
   /** Heuristic language ID (stopword-profile argmax). */
   private val langIdQ: Q = (s, dir) => {
-    Tables.documents(s, dir).select(
+    spread(Tables.documents(s, dir)).select(
       col("doc_id"), col("lang").as("claimed"),
       TextOps.langId(col("text")).as("detected"))
       .orderBy(col("doc_id"))
@@ -490,7 +498,7 @@ object Registry {
       when((nChars * 10).between(nTok * 30, nTok * 100), 2).otherwise(0) +
       when(punct * 10 <= nChars, 1).otherwise(0) +
       least(stopHits, lit(5))
-    Tables.documents(s, dir)
+    spread(Tables.documents(s, dir))
       .select(col("doc_id"), nTok.as("n_tokens"), points.as("q_points"))
       .orderBy(col("doc_id"))
   }
@@ -538,7 +546,7 @@ object Registry {
     * verify step of near-dup detection, expressed as a keyed equi-join.
     */
   private val ngramJaccard: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = spread(Tables.documents(s, dir))
       .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
     val a = docs.select(col("doc_id").as("id_a"), col("toks").as("ta"))
     val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tb"))
@@ -568,7 +576,7 @@ object Registry {
 
   /** SimHash-64 fingerprints (xxhash64-based — engine-local). */
   private val simhashQ: Q = (s, dir) => {
-    Tables.documents(s, dir)
+    spread(Tables.documents(s, dir))
       .select(col("doc_id"), TextOps.simHash(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
   }
@@ -649,7 +657,7 @@ object Registry {
     * → fixed-dim feature vectors (engine-local; spec-tested).
     */
   private val multimodalFeatures: Q = (s, dir) => {
-    val media = Multimodal.fromDocuments(Tables.documents(s, dir))
+    val media = Multimodal.fromDocuments(spread(Tables.documents(s, dir)))
     Multimodal.extractFeatures(media, "media_id", "content")
       .select(col("media_id"), col("n_bytes"),
         round(element_at(col("features"), 1).cast("double"), 4).as("f0"))

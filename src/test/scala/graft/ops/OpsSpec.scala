@@ -19,7 +19,8 @@ class DedupSpec extends SparkSpec {
 
   test("latestPerKeyAgg (max_by form) matches the window form") {
     val w = Dedup.latestPerKey(df, Seq("k"), "ver").orderBy("k").collect().toSeq
-    val a = Dedup.latestPerKeyAgg(df, "k", "ver").orderBy("k").collect().toSeq
+    val a = Dedup.latestPerKeyAgg(df, Seq("k"), Seq(col("ver")))
+      .orderBy("k").collect().toSeq
     assert(w == a)
   }
 
