@@ -21,15 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Left-to-right double-precision dot product of two float vectors. */
+  import org.apache.spark.sql.graftshim.GraftShim
+
+  /** Left-to-right double-precision dot product — the single-pass custom
+    * `DotProduct` expression (bit-identical to the zip_with+aggregate
+    * fold it replaces; see graft.expr.VectorExpressions).
+    */
   def dot(a: Column, b: Column): Column =
+    GraftShim.column(graft.expr.DotProduct(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Same fold expressed only with built-ins — kept as the reference
+    * formulation the custom expression is tested against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity — one pass over both arrays. */
+  def cosine(a: Column, b: Column): Column =
+    GraftShim.column(graft.expr.CosineSimilarity(
+      GraftShim.expression(a), GraftShim.expression(b)))
 
   /** V2: exact cosine top-k of `vecCol` against one query vector.
     * Returns (idCol, score) ordered desc; ties broken by id asc.

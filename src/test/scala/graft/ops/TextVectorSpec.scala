@@ -90,6 +90,14 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == Seq(1.0, 0.0, -1.0))
   }
 
+  test("custom DotProduct expression is bit-identical to the HOF fold") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val both = embs.select(
+      VectorOps.dot(col("embedding"), col("embedding")).as("native"),
+      VectorOps.dotHof(col("embedding"), col("embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("cosineTopK returns k rows ordered by score desc") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
