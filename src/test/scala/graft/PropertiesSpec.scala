@@ -1,0 +1,92 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Property-based invariants (SURVEY §5.2.3). Spark-backed properties run
+  * few cases (each case is a job); pure driver-side ones use defaults.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val kvGen = Gen.nonEmptyListOf(for {
+    k <- Gen.choose(1, 5)
+    v <- Gen.choose(1L, 100L)
+  } yield (s"k$k", v))
+
+  property("dedup output has unique keys and keeps the max order value") =
+    forAll(kvGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val out = Dedup.latestPerKeyAgg(df, Seq("k"), Seq(col("v")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      out == expected
+    }
+
+  property("thresholds never create values: null stays null, survivors unchanged mod rounding") =
+    forAll(Gen.nonEmptyListOf(Gen.option(Gen.choose(0.0, 2000.0)))) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "X (KCAL)")
+      val out = Thresholds(df, Seq("id")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      vals.zipWithIndex.forall { case (v, i) =>
+        (v, out(i.toLong)) match {
+          case (None, None)                   => true
+          case (Some(x), None)                => x > 900.0
+          case (Some(x), Some(y))             => x <= 900.0 && math.abs(y - x) <= 0.005
+          case (None, Some(_))                => false
+        }
+      }
+    }
+
+  property("cosine scores are within [-1, 1]") =
+    forAll(Gen.listOfN(8, Gen.choose(-10f, 10f)),
+           Gen.listOfN(8, Gen.choose(-10f, 10f))) { (a, b) =>
+      (a.exists(_ != 0f) && b.exists(_ != 0f)) ==> {
+        val c = Seq((a, b)).toDF("a", "b")
+          .select(VectorOps.cosine(col("a"), col("b"))).head().getDouble(0)
+        c >= -1.0000001 && c <= 1.0000001
+      }
+    }
+
+  property("exactSample returns exactly min(n, rows) rows") =
+    forAll(Gen.choose(1, 50), Gen.choose(1, 80)) { (n, total) =>
+      val df = (1 to total).toDF("x")
+      Sampling.exactSample(df, n).count() == math.min(n, total)
+    }
+
+  property("minhash signature has k entries; identical texts share all bands") =
+    forAll(Gen.choose(1, 4), Gen.nonEmptyListOf(Gen.identifier).map(_.take(20))) {
+      (bands, words) =>
+        val text = words.mkString(" ")
+        val k = bands * 4
+        val df = Seq(text).toDF("t")
+        val row = df.select(
+          TextOps.minHashSignature(TextOps.shingles(col("t"), 2), k).as("sig"),
+          TextOps.lshBands(
+            TextOps.minHashSignature(TextOps.shingles(col("t"), 2), k),
+            bands, 4).as("bk")).head()
+        row.getSeq[Long](0).length == k && row.getSeq[Any](1).length == bands
+    }
+
+  property("unitOf extracts the last parenthesized unit") =
+    forAll(Gen.identifier, Gen.oneOf("G", "MG", "UG", "KCAL", "IU")) { (name, unit) =>
+      Thresholds.unitOf(s"$name ($unit)") == unit
+    }
+
+  property("simhash of identical token lists is identical; hamming64 is 0") = {
+    forAll(Gen.nonEmptyListOf(Gen.identifier)) { words =>
+      val text = words.mkString(" ")
+      val hs = Seq(text, text).toDF("t")
+        .select(TextOps.simHash(col("t"))).collect().map(_.getLong(0))
+      hs(0) == hs(1)
+    }
+  }
+}
