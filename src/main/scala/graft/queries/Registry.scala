@@ -664,6 +664,148 @@ object Registry {
       .orderBy(col("media_id"))
   }
 
+  // ------------------------------------- coverage batch 3: joins/sets/etc
+
+  /** Left outer join with a join-side predicate (unmatched → count 0). */
+  private val outerJoin: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    Tables.orders(s, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey") && col("l_quantity") > 49,
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_big"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val outerJoinSql =
+    """SELECT o_orderkey, count(l_orderkey) AS n_big
+      |FROM orders LEFT JOIN lineitem
+      |  ON o_orderkey = l_orderkey AND l_quantity > 49
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  /** Full outer join null-side accounting (one-row summary). */
+  private val fullOuterJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val o = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .agg(
+        sum(when(col("c_custkey").isNull, 1).otherwise(0)).as("only_orders"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("only_customers"),
+        count(lit(1)).as("total"))
+  }
+  private val fullOuterJoinSql =
+    """SELECT sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS only_orders,
+      |       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS only_customers,
+      |       count(*) AS total
+      |FROM customer FULL OUTER JOIN
+      |  (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey""".stripMargin
+
+  /** Set ops: orders having both returned AND open lines (INTERSECT). */
+  private val intersectQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      .intersect(li.filter(col("l_returnflag") === "N").select(col("l_orderkey")))
+      .orderBy(col("l_orderkey"))
+  }
+  private val intersectSql =
+    """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |INTERSECT
+      |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Set ops: returned-only orders (EXCEPT). */
+  private val exceptQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      .except(li.filter(col("l_returnflag") =!= "R").select(col("l_orderkey")))
+      .orderBy(col("l_orderkey"))
+  }
+  private val exceptSql =
+    """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |EXCEPT
+      |SELECT l_orderkey FROM lineitem WHERE l_returnflag <> 'R'
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** CUBE over two grouping dimensions (rollup's superset). */
+  private val cubeAgg: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+  private val cubeAggSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** ntile quartiles (total-order ORDER BY keeps tiles deterministic). */
+  private val ntileQ: Q = (s, dir) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("o_orderkey"), col("o_totalprice"), col("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val ntileSql =
+    """SELECT o_orderkey, o_totalprice,
+      |       ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** HAVING: post-aggregation filter (exact integral sums). */
+  private val havingQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"), count(lit(1)).as("cnt"))
+      .filter(col("total_qty") > 2000)
+      .orderBy(col("l_partkey"))
+  }
+  private val havingSql =
+    """SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS cnt
+      |FROM lineitem GROUP BY l_partkey HAVING round(sum(l_quantity), 2) > 2000
+      |ORDER BY l_partkey""".stripMargin
+
+  /** LIKE + regexp filters (Spark rlike ≡ DuckDB regexp_matches for this
+    * alternation).
+    */
+  private val likeFilter: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .filter(col("p_name").like("%small%") || col("p_name").rlike("gear|bolt"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
+  }
+  private val likeFilterSql =
+    """SELECT p_partkey, p_name, p_type FROM part
+      |WHERE p_name LIKE '%small%' OR regexp_matches(p_name, 'gear|bolt')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Generator/explode: token word-count over documents (unnest parity). */
+  private val wordCount: Q = (s, dir) => {
+    spread(Tables.documents(s, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+      .orderBy(col("tok"))
+  }
+  private val wordCountSql =
+    """SELECT tok, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+      |GROUP BY tok HAVING count(*) >= 10 ORDER BY tok""".stripMargin
+
+  /** Scalar subquery: rows above the global average (broadcast 1-row). */
+  private val scalarSubquery: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val scalarSubquerySql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -703,7 +845,17 @@ object Registry {
     ("q_exact_sample", exactSample, None),
     ("q_approx_distinct", approxDistinct, None),
     ("q_stream_window", streamWindow, Some(streamWindowSql)),
-    ("q_multimodal_features", multimodalFeatures, None)
+    ("q_multimodal_features", multimodalFeatures, None),
+    ("q_outer_join", outerJoin, Some(outerJoinSql)),
+    ("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),
+    ("q_intersect", intersectQ, Some(intersectSql)),
+    ("q_except", exceptQ, Some(exceptSql)),
+    ("q_cube", cubeAgg, Some(cubeAggSql)),
+    ("q_ntile", ntileQ, Some(ntileSql)),
+    ("q_having", havingQ, Some(havingSql)),
+    ("q_like_filter", likeFilter, Some(likeFilterSql)),
+    ("q_word_count", wordCount, Some(wordCountSql)),
+    ("q_scalar_subquery", scalarSubquery, Some(scalarSubquerySql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
