@@ -135,4 +135,45 @@ object VectorOps {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** IVF (inverted-file) ANN index: k-means centroids partition the
+    * corpus; a query probes only the `nProbe` nearest partitions and
+    * reranks exactly. The scale path next to LSH: centroids are a tiny
+    * driver/broadcast artifact, the corpus is written partitioned by
+    * `centroid` so a probe is a partition-pruned scan.
+    */
+  case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("centroid")
+      .fit(feats)
+    val assigned = model.transform(feats).drop("features")
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nProbe: Int = 3): DataFrame = {
+    // nearest centroids computed driver-side (centroids are tiny)
+    val q = query.map(_.toDouble).toArray
+    val probes = index.centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < math.min(c.length, q.length)) {
+          val t = c(j) - q(j); d += t * t; j += 1
+        }
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    index.assigned
+      .filter(col("centroid").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

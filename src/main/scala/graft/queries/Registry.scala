@@ -439,6 +439,33 @@ object Registry {
       "vec_id", "embedding", queryVec(s, dir), k = 10, dim = 64, nBits = 8)
   }
 
+  /** ANN top-k via IVF (k-means partitions + nProbe) — engine-local. */
+  private val annIvf: Q = (s, dir) => {
+    val idx = VectorOps.ivfIndex(
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", nCentroids = 16)
+    VectorOps.ivfTopK(idx, "vec_id", "embedding", queryVec(s, dir), k = 10)
+  }
+
+  /** §3.2 index build: corpus ⋈ embeddings with sparse metadata payload.
+    * Oracle shapes the metadata as JSON (documents has no nulls, so
+    * ignoreNullFields ≡ plain struct serialization).
+    */
+  private val indexBuild: Q = (s, dir) => {
+    graft.pipeline.IndexBuild.build(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))
+      .select(col("id"), to_json(col("metadata")).as("metadata"),
+        size(col("embedding")).as("dim"))
+      .orderBy(col("id"))
+  }
+  private val indexBuildSql =
+    """SELECT doc_id AS id,
+      |       to_json(struct_pack(lang := lang, source := source,
+      |                           n_chars := CAST(n_chars AS VARCHAR))) AS metadata,
+      |       len(embedding) AS dim
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |ORDER BY id""".stripMargin
+
   // ------------------------------------------------- text analysis / dedup
 
   /** Token counting: whitespace + BPE-ish subword proxy. */
@@ -756,12 +783,12 @@ object Registry {
     Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"), count(lit(1)).as("cnt"))
-      .filter(col("total_qty") > 2000)
+      .filter(col("total_qty") > 500)
       .orderBy(col("l_partkey"))
   }
   private val havingSql =
     """SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS cnt
-      |FROM lineitem GROUP BY l_partkey HAVING round(sum(l_quantity), 2) > 2000
+      |FROM lineitem GROUP BY l_partkey HAVING round(sum(l_quantity), 2) > 500
       |ORDER BY l_partkey""".stripMargin
 
   /** LIKE + regexp filters (Spark rlike ≡ DuckDB regexp_matches for this
@@ -855,7 +882,9 @@ object Registry {
     ("q_having", havingQ, Some(havingSql)),
     ("q_like_filter", likeFilter, Some(likeFilterSql)),
     ("q_word_count", wordCount, Some(wordCountSql)),
-    ("q_scalar_subquery", scalarSubquery, Some(scalarSubquerySql))
+    ("q_scalar_subquery", scalarSubquery, Some(scalarSubquerySql)),
+    ("q_ann_ivf", annIvf, None),
+    ("q_index_build", indexBuild, Some(indexBuildSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
