@@ -1,12 +1,10 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass SimHash-64 over a token array (SURVEY §2.11 policy: custom
   * Catalyst `Expression` where built-ins can't express the op
@@ -18,8 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `xxhash64` (XXH64 over the UTF8String bytes), so results match the
   * HOF formulation bit-for-bit.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -33,15 +30,26 @@ case class SimHash64(child: Expression)
           s"simhash64 requires array<string>, got $other")
     }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.expr.SimHash64$$.MODULE$$.compute($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Compiled single-pass kernel, shared by eval and codegen. */
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = hashToken(s)
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -58,10 +66,4 @@ case class SimHash64(child: Expression)
     }
     out
   }
-
-  private def hashToken(s: UTF8String): Long =
-    XXH64.hashUTF8String(s, 42L)
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
 }

@@ -2,22 +2,27 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Single-pass vector kernels (SURVEY §4.3's "optional custom Expression"
   * path, promoted to default because the higher-order-function
-  * formulation is interpreted per lambda element — a native loop over the
-  * ArrayData is ~10× cheaper per pair and matters on O(n²) near-dup
+  * formulation is interpreted per lambda element — a compiled loop over
+  * the ArrayData is ~10× cheaper per pair and matters on O(n²) near-dup
   * scoring).
   *
   * Numeric contract: elements are cast to double BEFORE multiplying and
   * accumulated left-to-right — bit-identical to the `zip_with` +
   * `aggregate` fold AND to the DuckDB oracle's list fold, so swapping
   * implementations cannot move any oracle-checked value.
+  *
+  * Codegen: each expression emits one static call into the compiled
+  * kernel below, keeping the enclosing projection inside whole-stage
+  * codegen (a CodegenFallback would collapse the whole span to the
+  * interpreted path).
   */
-trait VectorBinaryBase extends BinaryExpression with CodegenFallback {
+trait VectorBinaryBase extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -30,31 +35,48 @@ trait VectorBinaryBase extends BinaryExpression with CodegenFallback {
           s"$prettyName requires two array<float|double> args, got $other")
     }
 
-  @inline protected final def elem(a: ArrayData, t: DataType, i: Int): Double =
-    t match {
-      case FloatType => a.getFloat(i).toDouble
-      case _         => a.getDouble(i)
-    }
+  protected final def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected final def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
 
-  protected final def leftType: DataType =
-    left.dataType.asInstanceOf[ArrayType].elementType
-  protected final def rightType: DataType =
-    right.dataType.asInstanceOf[ArrayType].elementType
+object VectorKernels {
+  @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def dot(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(l.numElements(), r.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += elem(l, lf, i) * elem(r, rf, i); i += 1 }
+    acc
+  }
+
+  def cosine(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
+    val n = math.min(l.numElements(), r.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(l, lf, i); val y = elem(r, rf, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
 
 /** Left-to-right double dot product of two numeric arrays. */
 case class DotProduct(left: Expression, right: Expression) extends VectorBinaryBase {
   override def prettyName: String = "dot_product"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-    val n = math.min(a.numElements(), b.numElements())
-    val (lt, rt) = (leftType, rightType)
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += elem(a, lt, i) * elem(b, rt, i); i += 1 }
-    acc
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.expr.VectorKernels$$.MODULE$$.dot($l, $r, $leftIsFloat, $rightIsFloat);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
@@ -66,19 +88,13 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryB
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryBase {
   override def prettyName: String = "cosine_similarity"
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-    val n = math.min(a.numElements(), b.numElements())
-    val (lt, rt) = (leftType, rightType)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = elem(a, lt, i); val y = elem(b, rt, i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.expr.VectorKernels$$.MODULE$$.cosine($l, $r, $leftIsFloat, $rightIsFloat);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
