@@ -833,6 +833,40 @@ object Registry {
       |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Gap sessionization (batch form — integer epoch-µs math on both
+    * engines; the streaming flatMapGroupsWithState form is
+    * equivalence-tested in SessionizeSpec).
+    */
+  private val sessionize: Q = (s, dir) =>
+    graft.streaming.Sessionize.batchSessions(Tables.events(s, dir))
+  private val sessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+      |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+      |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY us, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM l)
+      |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** Salted join: result must be identical to the plain join (the salt
+    * only respreads reducers), so the oracle is the UNsalted join.
+    */
+  private val saltedJoin: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(Tables.lineitem(s, dir), orders, "l_orderkey", factor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val saltedJoinSql =
+    """SELECT o_orderpriority, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -884,7 +918,9 @@ object Registry {
     ("q_word_count", wordCount, Some(wordCountSql)),
     ("q_scalar_subquery", scalarSubquery, Some(scalarSubquerySql)),
     ("q_ann_ivf", annIvf, None),
-    ("q_index_build", indexBuild, Some(indexBuildSql))
+    ("q_index_build", indexBuild, Some(indexBuildSql)),
+    ("q_sessionize", sessionize, Some(sessionizeSql)),
+    ("q_salted_join", saltedJoin, Some(saltedJoinSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
