@@ -150,7 +150,9 @@ object VectorOps {
     import org.apache.spark.ml.functions.array_to_vector
     val feats = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
+    // few Lloyd iterations suffice: the exact rerank over probed
+    // partitions absorbs imperfect centroid placement
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("centroid")
       .fit(feats)
     val assigned = model.transform(feats).drop("features")
