@@ -867,6 +867,24 @@ object Registry {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Exact interpolated percentiles (both engines: sort + linear
+    * interpolation at p·(n−1); integral quantities keep the arithmetic
+    * exact).
+    */
+  private val percentileQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val percentileSql =
+    """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.9) AS p90, count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -920,7 +938,8 @@ object Registry {
     ("q_ann_ivf", annIvf, None),
     ("q_index_build", indexBuild, Some(indexBuildSql)),
     ("q_sessionize", sessionize, Some(sessionizeSql)),
-    ("q_salted_join", saltedJoin, Some(saltedJoinSql))
+    ("q_salted_join", saltedJoin, Some(saltedJoinSql)),
+    ("q_percentile", percentileQ, Some(percentileSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

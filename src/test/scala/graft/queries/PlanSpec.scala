@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression tests: the optimizations the engine is
+  * designed around must be visible in the plan, not assumed (SURVEY §4).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("broadcast dim chain plans BroadcastHashJoins, not shuffles") {
+    val p = plan("q_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("top-k queries plan TakeOrderedAndProject (no total sort)") {
+    assert(plan("q_topk_order_limit").contains("TakeOrderedAndProject"))
+    assert(plan("q_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("filters push into the parquet scan") {
+    val p = Tables.lineitem(spark, sf).filter(col("l_quantity") > 45)
+      .select("l_orderkey").queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"))
+  }
+
+  test("column pruning reaches the scan (2-col projection reads 2 cols)") {
+    val p = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+
+  test("dedup-latest uses hash aggregation (max_by), not a window sort") {
+    val p = plan("q_dedup_latest")
+    assert(!p.contains("Window"))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+  }
+
+  test("semi/anti joins plan as left-semi/anti, not inner+distinct") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("partitioned write → partition-pruned scan (PartitionFilters)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$tmp/events_by_day")
+    val pruned = spark.read.parquet(s"$tmp/events_by_day")
+      .filter(col("day") === "2024-01-03")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("2024-01-03"))
+    // pruning actually cut the input: one day's files only
+    assert(pruned.count() > 0)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange on the join keys") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val p = joined.queryExecution.executedPlan.toString
+    // the join itself must not re-shuffle either bucketed side
+    val joinSection = p.substring(p.indexOf("Join"))
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+           !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles:\n$p")
+    assert(joined.count() > 0)
+  }
+}
