@@ -63,24 +63,42 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange on the join keys") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
-    Tables.lineitem(spark, sf)
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    Tables.orders(spark, sf)
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_b")
-    val joined = spark.table("li_b")
-      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority").count()
-    val p = joined.queryExecution.executedPlan.toString
-    // the join itself must not re-shuffle either bucketed side
-    val joinSection = p.substring(p.indexOf("Join"))
-    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
-           !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
-      s"bucketed join still shuffles:\n$p")
-    assert(joined.count() > 0)
+    // unique names: the managed-table location outlives the in-memory
+    // catalog across test JVMs
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (liT, ordT) = (s"li_b_$tag", s"ord_b_$tag")
+    try {
+      Tables.lineitem(spark, sf)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+      Tables.orders(spark, sf)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordT)
+      val joined = spark.table(liT)
+        .join(spark.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.executedPlan.toString
+      // the join itself must not re-shuffle either bucketed side
+      val joinSection = p.substring(p.indexOf("Join"))
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+             !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      Seq(liT, ordT).foreach { t =>
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+          .filter(col("col_name") === "Location")
+          .collect().headOption.map(_.getString(1))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        loc.map(_.stripPrefix("file:")).foreach { dir =>
+          val path = java.nio.file.Paths.get(dir)
+          if (java.nio.file.Files.exists(path)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(path).iterator().asScala.toSeq
+              .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+      }
+    }
   }
 }
