@@ -885,6 +885,44 @@ object Registry {
       |       quantile_cont(l_quantity, 0.9) AS p90, count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Sliding window (size 2 h, step 1 h) — every event lands in two
+    * buckets; oracle expands each event into both bucket starts.
+    */
+  private val slidingWindow: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("bucket_start_us"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("bucket_start_us"), col("event_type"))
+  }
+  private val slidingWindowSql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |         unnest([time_bucket(INTERVAL '1 hour', ts),
+      |                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS bucket
+      |  FROM events)
+      |SELECT epoch_us(bucket) AS bucket_start_us, event_type, count(*) AS cnt
+      |FROM b GROUP BY 1, 2 ORDER BY bucket_start_us, event_type""".stripMargin
+
+  /** Typed Dataset[T] surface: case-class encoder + groupByKey (the
+    * compile-time-checked path SURVEY §1.1 reserves for stable rows).
+    */
+  private val typedCount: Q = (s, dir) => {
+    import s.implicits._
+    val ds = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)]
+    ds.filter(_._2 > 45)
+      .groupByKey(_._1)
+      .count()
+      .toDF("l_returnflag", "cnt")
+      .orderBy(col("l_returnflag"))
+  }
+  private val typedCountSql =
+    """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+      |WHERE l_quantity > 45 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -939,7 +977,9 @@ object Registry {
     ("q_index_build", indexBuild, Some(indexBuildSql)),
     ("q_sessionize", sessionize, Some(sessionizeSql)),
     ("q_salted_join", saltedJoin, Some(saltedJoinSql)),
-    ("q_percentile", percentileQ, Some(percentileSql))
+    ("q_percentile", percentileQ, Some(percentileSql)),
+    ("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
+    ("q_typed_count", typedCount, Some(typedCountSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
