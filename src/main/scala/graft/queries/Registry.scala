@@ -923,6 +923,68 @@ object Registry {
     """SELECT l_returnflag, count(*) AS cnt FROM lineitem
       |WHERE l_quantity > 45 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Capstone: the reference ETL's full operator chain (SURVEY §3.1) on
+    * the synthetic tables — latest-per-key dedup → semi-join filter →
+    * broadcast dim label → explicit-values pivot-avg → threshold
+    * null-out + rounding → string filter → ordered export. One lazy
+    * plan, one oracle.
+    */
+  private val pipelineShape: Q = (s, dir) => {
+    // "branded" := latest line per order (D1) filtered to open orders (J1)
+    val latest = Dedup.latestPerKeyAgg(Tables.lineitem(s, dir), Seq("l_orderkey"),
+      Seq(col("l_linenumber"), col("l_extendedprice"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_discount")))
+    val open = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "F")
+    val branded = latest.join(open.select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // dim label via broadcast (J5a): supplier → nation name
+    val dim = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val labeled = branded.join(dim, col("l_suppkey") === col("s_suppkey"))
+    // pivot-avg (A1+A2) with explicit values, per nation label
+    val flags = Seq("A", "N", "R")
+    val wide = labeled.groupBy(col("n_name"))
+      .pivot("l_returnflag", flags)
+      .agg(avg(col("l_quantity")))
+    // thresholds (A5): cap per 'unit' parsed from the column label; here
+    // flag columns renamed to "FLAG (KCAL)" so the 900 cap applies
+    val renamed = wide.select(col("n_name") +:
+      flags.map(f => col(f).as(s"$f (KCAL)")): _*)
+    val capped = Thresholds(renamed, Seq("n_name"))
+    // string filter (P6 semantics) + ordered export (D2)
+    Cleaning.filterNotContains(capped, "n_name", "ANTARCTICA")
+      .orderBy(col("n_name"))
+  }
+  private val pipelineShapeSql =
+    """WITH latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber DESC, l_extendedprice DESC, l_partkey DESC,
+      |               l_suppkey DESC, l_quantity DESC, l_discount DESC) AS rn
+      |    FROM lineitem) WHERE rn = 1),
+      |branded AS (
+      |  SELECT * FROM latest WHERE l_orderkey IN
+      |    (SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F')),
+      |labeled AS (
+      |  SELECT b.*, n_name FROM branded b
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey),
+      |wide AS (
+      |  SELECT n_name,
+      |    avg(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS a_avg,
+      |    avg(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS n_avg,
+      |    avg(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS r_avg
+      |  FROM labeled GROUP BY n_name)
+      |SELECT n_name,
+      |  CASE WHEN a_avg <= 900 THEN round(a_avg, 2) END AS "A (KCAL)",
+      |  CASE WHEN n_avg <= 900 THEN round(n_avg, 2) END AS "N (KCAL)",
+      |  CASE WHEN r_avg <= 900 THEN round(r_avg, 2) END AS "R (KCAL)"
+      |FROM wide
+      |WHERE NOT coalesce(contains(n_name, 'ANTARCTICA'), false)
+      |ORDER BY n_name""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -979,7 +1041,8 @@ object Registry {
     ("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     ("q_percentile", percentileQ, Some(percentileSql)),
     ("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
-    ("q_typed_count", typedCount, Some(typedCountSql))
+    ("q_typed_count", typedCount, Some(typedCountSql)),
+    ("q_pipeline_shape", pipelineShape, Some(pipelineShapeSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
