@@ -985,6 +985,32 @@ object Registry {
       |WHERE NOT coalesce(contains(n_name, 'ANTARCTICA'), false)
       |ORDER BY n_name""".stripMargin
 
+  /** As-of join: each order matched to the user's latest event at or
+    * before the order date (union+window composition — one keyed
+    * shuffle, no pair blowup; oracle = pair join + row_number).
+    */
+  private val asofJoin: Q = (s, dir) => {
+    val matched = AsOf.joinLastBefore(
+      Tables.orders(s, dir), Tables.events(s, dir),
+      leftKey = "o_custkey", rightKey = "user_id",
+      leftTimeUs = unix_micros(col("o_orderdate").cast("timestamp")),
+      rightTimeUs = unix_micros(col("ts")),
+      rightPayload = Seq("event_id"), rightTieBreak = "event_id")
+    matched.select(col("o_orderkey"),
+        col("__match.event_id").as("last_event_id"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val asofJoinSql =
+    """WITH pairs AS (
+      |  SELECT o_orderkey, event_id,
+      |         row_number() OVER (PARTITION BY o_orderkey
+      |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM orders JOIN events
+      |    ON user_id = o_custkey AND epoch_us(ts) <= epoch_us(o_orderdate))
+      |SELECT o.o_orderkey, p.event_id AS last_event_id
+      |FROM orders o LEFT JOIN pairs p ON o.o_orderkey = p.o_orderkey AND p.rn = 1
+      |ORDER BY o.o_orderkey""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -1042,7 +1068,8 @@ object Registry {
     ("q_percentile", percentileQ, Some(percentileSql)),
     ("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
     ("q_typed_count", typedCount, Some(typedCountSql)),
-    ("q_pipeline_shape", pipelineShape, Some(pipelineShapeSql))
+    ("q_pipeline_shape", pipelineShape, Some(pipelineShapeSql)),
+    ("q_asof_join", asofJoin, Some(asofJoinSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
