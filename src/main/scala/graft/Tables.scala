@@ -14,11 +14,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
-    // spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench session
-    // builders). Convert nanos → micros with integer `div` — a double
-    // division would lose precision above 2^53.
+    // spark.sql.legacy.parquet.nanosAsLong — a runtime-settable conf, so
+    // set it here and any caller-supplied session works. Convert nanos →
+    // micros with integer `div` — a double division would lose precision
+    // above 2^53.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
