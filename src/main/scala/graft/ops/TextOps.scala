@@ -50,7 +50,15 @@ object TextOps {
     * struct-greatest comparison means the lexicographically LARGEST
     * language code wins among tied scores.
     */
-  def langId(c: Column): Column =
+  def langId(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expr.LangId(GraftShim.expression(tokens(lower(c)))))
+  }
+
+  /** Composed-builtins formulation — kept as the reference the custom
+    * expression is parity-tested against.
+    */
+  def langIdHof(c: Column): Column =
     bind(array_distinct(tokens(lower(c)))) { toks =>
       val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
         struct(size(array_intersect(toks, typedLit(words))).as("score"),

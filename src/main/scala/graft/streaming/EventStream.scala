@@ -55,14 +55,21 @@ object EventStream {
       .parquet(inputDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", watermark)
-    val q = windowedAgg(raw, windowDur)
-      .writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-store instances = shuffle partitions; the windowed state is
+    // tiny (windows × types), so a handful of partitions beats the
+    // session default (restored after the drain)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = windowedAgg(raw, windowDur)
+        .writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 }

@@ -30,6 +30,15 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "es", "und"))
   }
 
+  test("custom LangId expression matches the HOF formulation on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        TextOps.langId(col("text")).as("native"),
+        TextOps.langIdHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
   test("fingerprint is md5 hex; rollingHash is order-sensitive") {
     val got = Seq("abc").toDF("t").select(TextOps.fingerprint(col("t"))).head().getString(0)
     assert(got == "900150983cd24fb0d6963f7d28e17f72")
