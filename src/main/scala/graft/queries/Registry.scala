@@ -1011,6 +1011,27 @@ object Registry {
       |FROM orders o LEFT JOIN pairs p ON o.o_orderkey = p.o_orderkey AND p.rn = 1
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** Exact top-k via the custom typed aggregate (per-partition k-buffers,
+    * map-side merge — no sort anywhere). Same rows as
+    * q_topk_order_limit, so it shares that oracle shape.
+    */
+  private val topkAgg: Q = (s, dir) => {
+    import graft.expr.{ScoredRow, TopKByScore}
+    import s.implicits._
+    val topk = udaf(new TopKByScore(20))
+    Tables.lineitem(s, dir)
+      .agg(topk(
+        col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber").cast("long"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.k1").as("l_orderkey"),
+        col("t.k2").cast("int").as("l_linenumber"),
+        col("t.k3").as("l_partkey"), col("t.k4").as("l_suppkey"),
+        col("t.score").as("l_extendedprice"),
+        col("t.payload").as("l_quantity"))
+  }
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -1069,7 +1090,8 @@ object Registry {
     ("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
     ("q_typed_count", typedCount, Some(typedCountSql)),
     ("q_pipeline_shape", pipelineShape, Some(pipelineShapeSql)),
-    ("q_asof_join", asofJoin, Some(asofJoinSql))
+    ("q_asof_join", asofJoin, Some(asofJoinSql)),
+    ("q_topk_agg", topkAgg, Some(topkOrderLimitSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
