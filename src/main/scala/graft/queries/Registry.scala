@@ -1032,6 +1032,37 @@ object Registry {
         col("t.payload").as("l_quantity"))
   }
 
+  /** Grouped top-k via the typed aggregate — one hash agg, k rows kept
+    * per group per partition; the shape TakeOrderedAndProject cannot
+    * express (oracle: row_number PARTITION BY).
+    */
+  private val groupedTopk: Q = (s, dir) => {
+    import graft.expr.TopKByScore
+    val topk = udaf(new TopKByScore(3))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(topk(
+        col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber").cast("long"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity")).as("top"))
+      .select(col("l_returnflag"), explode(col("top")).as("t"))
+      .select(col("l_returnflag"), col("t.k1").as("l_orderkey"),
+        col("t.k2").cast("int").as("l_linenumber"),
+        col("t.score").as("l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+  }
+  private val groupedTopkSql =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+      |                    l_partkey, l_suppkey, l_quantity) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3
+      |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -1091,7 +1122,8 @@ object Registry {
     ("q_typed_count", typedCount, Some(typedCountSql)),
     ("q_pipeline_shape", pipelineShape, Some(pipelineShapeSql)),
     ("q_asof_join", asofJoin, Some(asofJoinSql)),
-    ("q_topk_agg", topkAgg, Some(topkOrderLimitSql))
+    ("q_topk_agg", topkAgg, Some(topkOrderLimitSql)),
+    ("q_grouped_topk", groupedTopk, Some(groupedTopkSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -81,6 +81,21 @@ object GraftProperties extends Properties("graft") {
       Thresholds.unitOf(s"$name ($unit)") == unit
     }
 
+  property("TopKByScore == sort-take(k) on random input") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0.0, 100.0)), Gen.choose(1, 10)) {
+      (scores, k) =>
+        import graft.expr.{ScoredRow, TopKByScore}
+        val rows = scores.zipWithIndex.map { case (sc, i) =>
+          ScoredRow(math.floor(sc * 4) / 4, i.toLong, 0, 0, 0, sc) // forced ties
+        }
+        val agg = new TopKByScore(k)
+        val viaAgg = agg.finish(
+          rows.grouped(3).map(_.foldLeft(agg.zero)(agg.reduce))
+            .foldLeft(agg.zero)(agg.merge))
+        val expected = rows.sortBy(r => (-r.score, r.k1)).take(k)
+        viaAgg == expected
+    }
+
   property("simhash of identical token lists is identical; hamming64 is 0") = {
     forAll(Gen.nonEmptyListOf(Gen.identifier)) { words =>
       val text = words.mkString(" ")

@@ -24,4 +24,30 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming dropDuplicates yields the same key set as batch distinct") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val q = spark.readStream
+      .schema(EventStream.eventsRawSchema)
+      .parquet(tmp.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamedKeys = spark.table("dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchKeys = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamedKeys == batchKeys)
+  }
 }
