@@ -1063,6 +1063,26 @@ object Registry {
       |WHERE rn <= 3
       |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
 
+  /** Array higher-order functions: filter / exists / transform parity
+    * with DuckDB list lambdas.
+    */
+  private val arrayHof: Q = (s, dir) => {
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+      exists(col("embedding"), x => abs(x) > 2).as("has_big"),
+      round(element_at(
+        transform(col("embedding"), x => x.cast("double") * 2), 1), 4)
+        .as("first_scaled"))
+      .orderBy(col("vec_id"))
+  }
+  private val arrayHofSql =
+    """SELECT vec_id,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |  len(list_filter(embedding, x -> abs(x) > 2)) > 0 AS has_big,
+      |  round(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1], 4) AS first_scaled
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   private val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -1123,7 +1143,8 @@ object Registry {
     ("q_pipeline_shape", pipelineShape, Some(pipelineShapeSql)),
     ("q_asof_join", asofJoin, Some(asofJoinSql)),
     ("q_topk_agg", topkAgg, Some(topkOrderLimitSql)),
-    ("q_grouped_topk", groupedTopk, Some(groupedTopkSql))
+    ("q_grouped_topk", groupedTopk, Some(groupedTopkSql)),
+    ("q_array_hof", arrayHof, Some(arrayHofSql))
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
