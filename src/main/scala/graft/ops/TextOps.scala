@@ -68,6 +68,34 @@ object TextOps {
       when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
     }
 
+  /** Character trigrams of a string (the n-gram alternative to token
+    * features): `"abcd"` → `["abc","bcd"]`.
+    */
+  def charTrigrams(c: Column): Column =
+    bind(c) { s =>
+      when(length(s) < 3, array(s))
+        .otherwise(transform(sequence(lit(1), length(s) - 2),
+          i => s.substr(i, lit(3))))
+    }
+
+  /** Language-ID via character n-gram profiles — the classic heuristic
+    * when token-level stopwords are unreliable (agglutinative languages,
+    * no spaces). Profile = trigram set of the language's stopword list;
+    * same argmax/tie rules as [[langId]].
+    */
+  def charNgramLangId(c: Column): Column = {
+    def trigramsOf(words: Seq[String]): Seq[String] =
+      words.flatMap(w => ("  " + w + "  ").sliding(3)).distinct
+    bind(array_distinct(charTrigrams(lower(c)))) { tris =>
+      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(size(array_intersect(tris, typedLit(trigramsOf(words)))).as("score"),
+          lit(lang).as("lang"))
+      }
+      val best = greatest(scored: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    }
+  }
+
   /** Quality score in [0,1]: blend of length, punctuation ratio, stopword
     * ratio, and mean word length plausibility — the standard cheap
     * pre-filter shape for LLM corpus cleaning.

@@ -99,6 +99,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == Seq(1.0, 0.0, -1.0))
   }
 
+  test("normalize yields unit vectors; zero vector passes through") {
+    val df = Seq(Seq(3f, 4f), Seq(0f, 0f)).toDF("v")
+    val got = df.select(round(VectorOps.l2Norm(VectorOps.normalize(col("v"))), 6))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+
+  test("charNgramLangId detects via trigram profiles; und on noise") {
+    val df = Seq(
+      "der hund ist nicht mit der katze und das haus",
+      "the cat and the dog in the house it is",
+      "zzzz qqqq xxxx").toDF("t")
+    val got = df.select(TextOps.charNgramLangId(col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "de" && got(1) == "en" && got(2) == "und")
+  }
+
   test("custom DotProduct expression is bit-identical to the HOF fold") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val both = embs.select(

@@ -46,4 +46,14 @@ class FoodPipelineSpec extends SparkSpec {
   test("leading zeros preserved in FOOD_ID (string, never numeric)") {
     assert(out.select("FOOD_ID").collect().forall(_.getString(0).startsWith("000")))
   }
+
+  test("S5 CSV sink round-trips the golden output (incl. leading zeros)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_food_csv").toString
+    FoodPipeline.writeCsv(out, s"$tmp/out")
+    val back = spark.read.option("header", "true").csv(s"$tmp/out")
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == out.columns.toSeq)
+    // values come back as strings but un-mangled
+    assert(back.select("FOOD_ID").collect().forall(_.getString(0).startsWith("000")))
+  }
 }
