@@ -50,9 +50,9 @@ object AsOf {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.select(rAligned.columns.map(col): _*).unionByName(rAligned)
+    l.select(rAligned.columns.toIndexedSeq.map(col): _*).unionByName(rAligned)
       .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) :+ col("__match"): _*)
+      .select(leftCols.toIndexedSeq.map(col) :+ col("__match"): _*)
   }
 }

@@ -37,7 +37,7 @@ object Dedup {
     */
   def latestPerKeyAgg(df: DataFrame, keys: Seq[String],
                       orderCols: Seq[Column]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, struct(orderCols: _*)).as("__row"))
       .select(col("__row.*"))
