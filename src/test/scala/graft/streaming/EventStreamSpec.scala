@@ -25,6 +25,33 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static join: streamed events enrich against a static dim") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ss_join")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val staticUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", (col("user_id") % 3).cast("int"))
+    val q = spark.readStream
+      .schema(EventStream.eventsRawSchema)
+      .parquet(tmp.toString)
+      .join(staticUsers, Seq("user_id"))
+      .groupBy("segment").count()
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ss_join").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf).join(staticUsers, Seq("user_id"))
+      .groupBy("segment").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming dropDuplicates yields the same key set as batch distinct") {
     val sf = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
