@@ -13,6 +13,10 @@ class RegistrySpec extends SparkSpec {
     assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
   }
 
+  test("driver smoke contract: SparkEntry.entry returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   Registry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       assert(fn(spark, sf).count() > 0, s"$name returned no rows")
