@@ -3,13 +3,17 @@
 engine — the engine is the Scala library). Runs DuckDB on the oracle SQL
 dumped by graft.Verify and compares against the Spark parquet outputs.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--strict]
+  --strict: exact value equality (no float rounding) — the driver's hash
+  compare may be exact, so strict must also pass.
 """
 import sys, json, glob, os
 import duckdb
 
+STRICT = "--strict" in sys.argv
+
 def norm(v):
-    if isinstance(v, float):
+    if isinstance(v, float) and not STRICT:
         return round(v, 6)
     return v
 
