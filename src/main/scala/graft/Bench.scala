@@ -40,20 +40,28 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // min of 2 runs per query: steady-state time, robust to JIT/GC noise
-    // (single-run totals vary ±10% run-to-run)
+    // (single-run totals vary ±10% run-to-run). A query that throws is
+    // reported as -1 with its error message — never as a fake timing.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try runToNoop(name)
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { runToNoop(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            None
+        }
       }
-      name -> times.min
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,11 +25,11 @@ object Cleaning {
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** E2: `pd.to_numeric(errors='coerce')` + round — cast yields null on
-    * junk, same semantics (`:76`).
+  /** E2: `pd.to_numeric(errors='coerce')` + round — try_cast yields null
+    * on junk (plain cast throws under ANSI mode), same semantics (`:76`).
     */
   def castCoerceDouble(df: DataFrame, c: String, scale: Int = 2): DataFrame =
-    df.withColumn(c, round(col(c).cast(DoubleType), scale))
+    df.withColumn(c, round(col(c).try_cast(DoubleType), scale))
 
   /** E3: `"N.NN UNIT"` concat (`:77-79`). Spark concat null-propagates —
     * deliberate divergence from pandas' `"nan G"` artifact (SURVEY §7.4).

@@ -17,13 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Thresholds {
 
-  /** The reference's caps, per 100 g (`:14-23`). */
+  /** The reference's caps, per 100 g (`:14-23`) — mirrored key-for-key:
+    * the energy caps apply only to the exact columns `ENERGY (KCAL)` /
+    * `ENERGY (KJ)` (full-name lookup), while G/MG/UG cap any column with
+    * that parsed unit (unit-level fallback), exactly as the reference's
+    * dict lookup order does.
+    */
   val defaultCaps: Map[String, Double] = Map(
+    "ENERGY (KCAL)" -> 900.0,
+    "ENERGY (KJ)" -> 3766.0,
     "VITAMIN A, IU (IU)" -> 333333.0,
     "VITAMIN D (D2 + D3), INTERNATIONAL UNITS (IU)" -> 4000000.0,
     "VITAMIN E (LABEL ENTRY PRIMARILY) (IU)" -> 1493.0,
-    "KCAL" -> 900.0,
-    "KJ" -> 3766.0,
     "G" -> 100.0,
     "MG" -> 100000.0,
     "UG" -> 100000000.0)

@@ -298,11 +298,14 @@ object Registry {
       |WHERE NOT coalesce(contains(p_type, 'BRASS'), false)
       |ORDER BY p_partkey""".stripMargin
 
-  /** A5/P8: threshold null-out via the schema-driven caps fold. */
+  /** A5/P8: threshold null-out via the schema-driven caps fold (full-name
+    * cap lookup, like the reference's energy entries).
+    */
   private val thresholdNullout: Q = (s, dir) => {
     val renamed = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_retailprice").as("RETAIL (KCAL)"))
-    Thresholds(renamed, Seq("p_partkey"))
+    Thresholds(renamed, Seq("p_partkey"),
+        Thresholds.defaultCaps + ("RETAIL (KCAL)" -> 900.0))
       .orderBy(col("p_partkey"))
   }
   private val thresholdNulloutSql =
@@ -666,12 +669,22 @@ object Registry {
     * watermark → tumbling-window agg, drained to a queryable result. The
     * oracle is the equivalent batch bucketing in DuckDB.
     */
+  /** Per-process cache of the staged stream-input directory — Bench runs
+    * each query twice; one copied fixture per source dir, not per run.
+    */
+  private val streamInputDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamWindow: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      tmp.resolve("events.parquet"))
-    graft.streaming.EventStream.runFileStream(s, tmp.toString)
+    val staged = streamInputDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        tmp.resolve("events.parquet"))
+      tmp.resolve("events.parquet").toFile.deleteOnExit()
+      tmp.toString
+    })
+    graft.streaming.EventStream.runFileStream(s, staged)
       .orderBy(col("bucket"), col("event_type"))
   }
   private val streamWindowSql =
@@ -720,8 +733,8 @@ object Registry {
         count(lit(1)).as("total"))
   }
   private val fullOuterJoinSql =
-    """SELECT sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS only_orders,
-      |       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS only_customers,
+    """SELECT CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_orders,
+      |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_customers,
       |       count(*) AS total
       |FROM customer FULL OUTER JOIN
       |  (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey""".stripMargin
@@ -948,11 +961,12 @@ object Registry {
     val wide = labeled.groupBy(col("n_name"))
       .pivot("l_returnflag", flags)
       .agg(avg(col("l_quantity")))
-    // thresholds (A5): cap per 'unit' parsed from the column label; here
-    // flag columns renamed to "FLAG (KCAL)" so the 900 cap applies
+    // thresholds (A5): full-name cap entries for the pivoted flag columns
+    // (the reference keys its energy caps by exact column name)
     val renamed = wide.select(col("n_name") +:
       flags.map(f => col(f).as(s"$f (KCAL)")): _*)
-    val capped = Thresholds(renamed, Seq("n_name"))
+    val capped = Thresholds(renamed, Seq("n_name"),
+      Thresholds.defaultCaps ++ flags.map(f => s"$f (KCAL)" -> 900.0))
     // string filter (P6 semantics) + ordered export (D2)
     Cleaning.filterNotContains(capped, "n_name", "ANTARCTICA")
       .orderBy(col("n_name"))

@@ -33,7 +33,7 @@ object GraftProperties extends Properties("graft") {
   property("thresholds never create values: null stays null, survivors unchanged mod rounding") =
     forAll(Gen.nonEmptyListOf(Gen.option(Gen.choose(0.0, 2000.0)))) { vals =>
       val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-        .toDF("id", "X (KCAL)")
+        .toDF("id", "ENERGY (KCAL)")
       val out = Thresholds(df, Seq("id")).collect()
         .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
       vals.zipWithIndex.forall { case (v, i) =>

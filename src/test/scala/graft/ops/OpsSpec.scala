@@ -41,9 +41,10 @@ class CleaningSpec extends SparkSpec {
   }
 
   test("castCoerceDouble: junk → null, valid → rounded (pandas to_numeric coerce)") {
+    // raw string column straight into the operator — must not throw under
+    // ANSI mode on the non-numeric value
     val df = Seq("12.345", "junk", null).toDF("v")
-    val got = Cleaning.castCoerceDouble(
-      df.withColumn("v", col("v").try_cast("double")), "v")
+    val got = Cleaning.castCoerceDouble(df, "v")
       .collect().map(_.get(0)).toSet
     assert(got == Set(12.35, null))
   }
@@ -77,8 +78,14 @@ class ThresholdsSpec extends SparkSpec {
   }
 
   test("values exactly at the cap survive") {
-    val df = Seq((1L, 100.0, 900.0)).toDF("id", "X (G)", "Y (KCAL)")
+    val df = Seq((1L, 100.0, 900.0)).toDF("id", "X (G)", "ENERGY (KCAL)")
     assert(Thresholds(df, Seq("id")).head() == Row(1L, 100.0, 900.0))
+  }
+
+  test("KCAL cap is keyed by full column name, not unit (reference dict order)") {
+    // a non-ENERGY column labeled with the KCAL unit is NOT capped
+    val df = Seq((1L, 5000.0, 5000.0)).toDF("id", "OTHER (KCAL)", "ENERGY (KCAL)")
+    assert(Thresholds(df, Seq("id")).head() == Row(1L, 5000.0, null))
   }
 
   test("unitOf parses the parenthesized unit") {
