@@ -1,0 +1,396 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.ops._
+
+/** Round-2 registry extension — operators widening SURVEY §2 coverage
+  * beyond the round-1 set: reshape (unpivot, grouping sets), non-equi
+  * joins (range/band, null-safe), ordered-set aggregates (collect),
+  * analytic windows (percent_rank/cume_dist), statistics, regex family,
+  * edit-distance blocking, generators (date series), histograms,
+  * union-by-name, TF-IDF scoring, stream-stream joins and stratified
+  * sampling.
+  *
+  * Same conventions as [[Registry]]: identical aliases both sides,
+  * deterministic total-order ORDER BY, exact decimal sums for money.
+  */
+object Extended {
+
+  type Q = Registry.Q
+
+  /** Exact decimal sum → double (same contract as Registry.decSum). */
+  private def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def decSumSql(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  // ------------------------------------------------------------- reshape
+
+  /** Unpivot / melt (wide→long): the inverse of the reference's pivot
+    * (`usda_branded_food_data_pipeline.py:98-105`) — measures become
+    * (measure, val) rows, then rolled up. Narrow op: no shuffle until the
+    * aggregate; the unpivot itself is a generator projection.
+    */
+  private val unpivotQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_tax"), col("l_discount")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("cnt"), decSum(col("val")).as("sum_val"))
+      .orderBy(col("measure"))
+  }
+  private val unpivotSql =
+    s"""WITH long AS (
+       |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+       |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+       |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+       |SELECT measure, count(*) AS cnt, ${decSumSql("val")} AS sum_val
+       |FROM long GROUP BY measure ORDER BY measure""".stripMargin
+
+  /** GROUPING SETS — the general form of rollup/cube (explicit set list).
+    * One shuffle: Spark expands the sets map-side then aggregates once.
+    */
+  private val groupingSetsQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), decSum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag_g"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status_g"),
+        col("cnt"), col("sum_qty"))
+      .orderBy(col("flag_g"), col("status_g"))
+  }
+  private val groupingSetsSql =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS flag_g,
+       |       coalesce(l_linestatus, 'ALL') AS status_g,
+       |       count(*) AS cnt, ${decSumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY flag_g, status_g""".stripMargin
+
+  /** Union-by-name with missing-column null-fill (schema-evolution union
+    * — heterogeneous sources into one corpus, a standard training-data
+    * ingestion step).
+    */
+  private val unionByNameQ: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("ent_key"), col("c_name").as("name"),
+      col("c_acctbal").as("bal"), lit("customer").as("src"))
+    val sup = Tables.supplier(s, dir).select(
+      col("s_suppkey").as("ent_key"), col("s_name").as("name"),
+      lit("supplier").as("src"))
+    c.unionByName(sup, allowMissingColumns = true)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("cnt"), decSum(col("bal")).as("sum_bal"))
+      .orderBy(col("src"))
+  }
+  private val unionByNameSql =
+    s"""WITH u AS (
+       |  SELECT c_custkey AS ent_key, c_name AS name, c_acctbal AS bal,
+       |         'customer' AS src FROM customer
+       |  UNION ALL BY NAME
+       |  SELECT s_suppkey AS ent_key, s_name AS name, 'supplier' AS src
+       |  FROM supplier)
+       |SELECT src, count(*) AS cnt, ${decSumSql("bal")} AS sum_bal
+       |FROM u GROUP BY src ORDER BY src""".stripMargin
+
+  // ------------------------------------------------------ non-equi joins
+
+  /** Range (band) join: fact rows matched to a broadcast tier table on a
+    * value interval — BroadcastNestedLoopJoin, the right physical plan
+    * for a tiny non-equi dim at any fact scale.
+    */
+  private val rangeJoinQ: Q = (s, dir) => {
+    val tiers = s.createDataFrame(Seq(
+      ("T1_budget", 0.0, 100000.0),
+      ("T2_mid", 100000.0, 250000.0),
+      ("T3_high", 250000.0, 1000000.0)))
+      .toDF("tier", "lo", "hi")
+    Tables.orders(s, dir)
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("cnt"), decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("tier"))
+  }
+  private val rangeJoinSql =
+    s"""WITH tiers(tier, lo, hi) AS (VALUES
+       |  ('T1_budget', 0.0, 100000.0),
+       |  ('T2_mid', 100000.0, 250000.0),
+       |  ('T3_high', 250000.0, 1000000.0))
+       |SELECT tier, count(*) AS cnt, ${decSumSql("o_totalprice")} AS sum_price
+       |FROM orders JOIN tiers
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY tier ORDER BY tier""".stripMargin
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * match each other — the semantics pandas `merge` gives NaN keys in
+    * the reference's nutrient merge would need on a nullable key.
+    */
+  private val nullSafeJoinQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val a = li.groupBy(expr("nullif(l_returnflag, 'N')").as("k"))
+      .agg(count(lit(1)).as("cnt_a")).as("a")
+    val b = li.filter(col("l_quantity") > 25)
+      .groupBy(expr("nullif(l_returnflag, 'N')").as("k"))
+      .agg(count(lit(1)).as("cnt_b")).as("b")
+    a.join(b, col("a.k") <=> col("b.k"))
+      .select(col("a.k").as("k"), col("cnt_a"), col("cnt_b"))
+      .orderBy(asc_nulls_first("k"))
+  }
+  private val nullSafeJoinSql =
+    """WITH a AS (
+      |  SELECT nullif(l_returnflag, 'N') AS k, count(*) AS cnt_a
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT nullif(l_returnflag, 'N') AS k, count(*) AS cnt_b
+      |  FROM lineitem WHERE l_quantity > 25 GROUP BY 1)
+      |SELECT a.k AS k, cnt_a, cnt_b
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |ORDER BY k NULLS FIRST""".stripMargin
+
+  // -------------------------------------------- aggregates / windows
+
+  /** Ordered-set collection: collect_set + sort + join to a stable string
+    * (collection order is engine-dependent; sorting restores a canonical
+    * form — the only safe way to emit collected lists at scale).
+    */
+  private val collectListQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        array_join(
+          transform(slice(array_sort(collect_set(col("l_suppkey"))), 1, 5),
+            x => x.cast("string")), ",").as("first_supps"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val collectListSql =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+      |  array_to_string(list_transform(list_sort(list(DISTINCT l_suppkey))[1:5],
+      |    x -> CAST(x AS VARCHAR)), ',') AS first_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Analytic ranks: percent_rank + cume_dist (rank-based → deterministic
+    * under ties, unlike row_number without a total order).
+    */
+  private val percentRankQ: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_mktsegment"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+  private val percentRankSql =
+    """SELECT c_custkey, c_mktsegment,
+      |  round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr,
+      |  round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Statistics aggregates: sample stddev/variance/correlation/covariance
+    * per group (single shuffle; Spark merges partial co-moments
+    * map-side).
+    */
+  private val statsAggQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val statsAggSql =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Fixed-width histogram binning (floor arithmetic — identical IEEE ops
+    * on both engines; the scalable form of width_bucket).
+    */
+  private val histogramQ: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).as("lo_price"),
+        max(col("o_totalprice")).as("hi_price"))
+      .orderBy(col("bucket"))
+  }
+  private val histogramSql =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |       count(*) AS cnt, min(o_totalprice) AS lo_price,
+      |       max(o_totalprice) AS hi_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------- scalars / generators
+
+  /** Regex family: extract / replace-all / match-filter flag. */
+  private val regexQ: Q = (s, dir) => {
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+      regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_norm"),
+      col("p_name").rlike("g(ear|izmo)").as("is_g"))
+      .orderBy(col("p_partkey"))
+  }
+  private val regexSql =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^[a-z]+', 0) AS first_word,
+      |  regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_norm,
+      |  regexp_matches(p_name, 'g(ear|izmo)') AS is_g
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Edit-distance blocking (fuzzy-dup candidate pairs over a distinct
+    * key domain — the classic small-domain pass of fuzzy dedup; the
+    * distinct() collapses the fact table before the quadratic step).
+    */
+  private val editDistanceQ: Q = (s, dir) => {
+    val b = Tables.part(s, dir).select(col("p_brand")).distinct()
+    b.as("x").crossJoin(b.as("y"))
+      .filter(col("x.p_brand") < col("y.p_brand") &&
+        levenshtein(col("x.p_brand"), col("y.p_brand")) <= 1)
+      .select(col("x.p_brand").as("b1"), col("y.p_brand").as("b2"))
+      .orderBy(col("b1"), col("b2"))
+  }
+  private val editDistanceSql =
+    """WITH b AS (SELECT DISTINCT p_brand FROM part)
+      |SELECT x.p_brand AS b1, y.p_brand AS b2
+      |FROM b x, b y
+      |WHERE x.p_brand < y.p_brand AND levenshtein(x.p_brand, y.p_brand) <= 1
+      |ORDER BY b1, b2""".stripMargin
+
+  /** Date-series generator (sequence+explode) LEFT-joined to facts — the
+    * gap-filling calendar-spine pattern; empty days keep cnt 0 / null sum.
+    */
+  private val dateSeriesQ: Q = (s, dir) => {
+    val days = s.range(1).select(
+      explode(expr(
+        "sequence(date'1995-01-01', date'1995-03-31', interval 1 day)"))
+        .as("day"))
+    days.join(
+        Tables.orders(s, dir).withColumn("day", to_date(col("o_orderdate"))),
+        Seq("day"), "left")
+      .groupBy(col("day"))
+      .agg(count(col("o_orderkey")).as("cnt"),
+        decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("day"))
+  }
+  private val dateSeriesSql =
+    s"""WITH days AS (
+       |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+       |    DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day)
+       |SELECT day, count(o_orderkey) AS cnt,
+       |       ${decSumSql("o_totalprice")} AS sum_price
+       |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = day
+       |GROUP BY day ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------- text / scoring
+
+  /** TF-IDF: per-(doc, term) score over the corpus, global top-20 — term
+    * stats via two shuffles on the exploded token stream, doc count as a
+    * broadcast scalar, TakeOrdered for the final k.
+    */
+  private val tfidfQ: Q = (s, dir) => {
+    val toks = spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n").cast("double") / col("df").cast("double")), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("tok"))
+      .limit(20)
+  }
+  private val tfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, tok,
+      |       round(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS score
+      |FROM tf JOIN df USING (tok) CROSS JOIN n
+      |ORDER BY score DESC, doc_id, tok LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ streaming / sampling
+
+  /** Stream-stream interval join (click→purchase attribution within
+    * 30 min), drained via AvailableNow then rolled up per user. Oracle =
+    * the equivalent batch self-join.
+    */
+  private val streamJoinQ: Q = (s, dir) => {
+    graft.streaming.EventStream
+      .runStreamJoin(s, Registry.stagedStreamDir(dir))
+      .orderBy(col("user_id"))
+  }
+  private val streamJoinSql =
+    """SELECT c.user_id AS user_id, count(*) AS pairs
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Stratified (per-key Bernoulli) sampling — `sampleBy` with fixed
+    * fractions and seed; engine-local RNG → property-tested, rows-only
+    * at the gate (like q_exact_sample).
+    */
+  private val stratifiedSampleQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .stat.sampleBy("l_returnflag",
+        Map("A" -> 0.10, "N" -> 0.05, "R" -> 0.20), 42L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("sampled"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_unpivot", unpivotQ, Some(unpivotSql)),
+    ("q_grouping_sets", groupingSetsQ, Some(groupingSetsSql)),
+    ("q_union_by_name", unionByNameQ, Some(unionByNameSql)),
+    ("q_range_join", rangeJoinQ, Some(rangeJoinSql)),
+    ("q_null_safe_join", nullSafeJoinQ, Some(nullSafeJoinSql)),
+    ("q_collect_list", collectListQ, Some(collectListSql)),
+    ("q_percent_rank", percentRankQ, Some(percentRankSql)),
+    ("q_stats_agg", statsAggQ, Some(statsAggSql)),
+    ("q_histogram", histogramQ, Some(histogramSql)),
+    ("q_regex_extract", regexQ, Some(regexSql)),
+    ("q_edit_distance", editDistanceQ, Some(editDistanceSql)),
+    ("q_date_series", dateSeriesQ, Some(dateSeriesSql)),
+    ("q_tfidf", tfidfQ, Some(tfidfSql)),
+    ("q_stream_join", streamJoinQ, Some(streamJoinSql)),
+    ("q_stratified_sample", stratifiedSampleQ, None))
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+
+  val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

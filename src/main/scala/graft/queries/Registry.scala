@@ -674,8 +674,8 @@ object Registry {
     */
   private val streamInputDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val streamWindow: Q = (s, dir) => {
-    val staged = streamInputDirs.computeIfAbsent(dir, { d =>
+  private[queries] def stagedStreamDir(dir: String): String =
+    streamInputDirs.computeIfAbsent(dir, { d =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
       tmp.toFile.deleteOnExit()
       java.nio.file.Files.copy(
@@ -684,7 +684,8 @@ object Registry {
       tmp.resolve("events.parquet").toFile.deleteOnExit()
       tmp.toString
     })
-    graft.streaming.EventStream.runFileStream(s, staged)
+  private val streamWindow: Q = (s, dir) => {
+    graft.streaming.EventStream.runFileStream(s, stagedStreamDir(dir))
       .orderBy(col("bucket"), col("event_type"))
   }
   private val streamWindowSql =

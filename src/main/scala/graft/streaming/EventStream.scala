@@ -72,4 +72,47 @@ object EventStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
+
+  /** Stream-stream interval join: click→purchase attribution within
+    * `matchWindow` per user. Both sides watermarked (the time-range
+    * condition lets Spark expire join state — without it the state store
+    * grows unboundedly); the raw matched pairs drain append-mode into a
+    * memory table and the per-user rollup happens batch-side on the
+    * drained result.
+    */
+  def runStreamJoin(spark: SparkSession, inputDir: String,
+                    matchWindow: String = "30 minutes",
+                    watermark: String = "1 hour",
+                    queryName: String = "graft_stream_join"): DataFrame = {
+    def src = spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(inputDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", watermark)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", watermark)
+    val joined = clicks.join(purchases,
+      col("p_user") === col("c_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"interval $matchWindow"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("pairs"))
+  }
 }
