@@ -282,18 +282,25 @@ object Extended {
 
   /** Date-series generator (sequence+explode) LEFT-joined to facts — the
     * gap-filling calendar-spine pattern; empty days keep cnt 0 / null sum.
+    *
+    * Scale shape: the fact table pre-aggregates per day FIRST (one
+    * keyed shuffle, map-side combine), then the tiny per-day result
+    * broadcast-joins to the spine — joining the raw fact table to the
+    * spine would shuffle the whole fact table on a 90-key join.
     */
   private val dateSeriesQ: Q = (s, dir) => {
     val days = s.range(1).select(
       explode(expr(
         "sequence(date'1995-01-01', date'1995-03-31', interval 1 day)"))
         .as("day"))
-    days.join(
-        Tables.orders(s, dir).withColumn("day", to_date(col("o_orderdate"))),
-        Seq("day"), "left")
-      .groupBy(col("day"))
-      .agg(count(col("o_orderkey")).as("cnt"),
-        decSum(col("o_totalprice")).as("sum_price"))
+    val perDay = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("day_cnt"),
+        decSum(col("o_totalprice")).as("day_sum"))
+    days.join(broadcast(perDay), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("day_cnt"), lit(0L)).as("cnt"),
+        col("day_sum").as("sum_price"))
       .orderBy(col("day"))
   }
   private val dateSeriesSql =

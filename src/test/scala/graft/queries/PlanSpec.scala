@@ -101,4 +101,31 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  private def extPlan(name: String): String =
+    Extended.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("range join broadcasts the tiny tier table (nested-loop, no shuffle of facts)") {
+    val p = extPlan("q_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("date-series spine broadcast-joins the pre-aggregated facts (no fact shuffle onto the spine)") {
+    val p = extPlan("q_date_series")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tfidf plans TakeOrderedAndProject for the global top-k") {
+    val p = extPlan("q_tfidf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("unpivot stays a narrow expand (no shuffle before the aggregate)") {
+    val p = extPlan("q_unpivot")
+    assert(p.contains("Expand"), p)
+    // exactly the aggregate's exchange — the expand itself adds none
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }
