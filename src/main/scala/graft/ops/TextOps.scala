@@ -150,7 +150,17 @@ object TextOps {
     * each shingle; signature[i] = min hash under seed i. Map-side only.
     * The shingle array is let-bound — evaluated once, not once per seed.
     */
-  def minHashSignature(shinglesCol: Column, k: Int): Column =
+  def minHashSignature(shinglesCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(
+      graft.expr.MinHashSig(GraftShim.expression(shinglesCol), k))
+  }
+
+  /** Composed-builtins formulation — kept as the reference
+    * [[minHashSignature]]'s custom expression is parity-tested against
+    * (k full byte-hashes per element vs the kernel's one).
+    */
+  def minHashSignatureHof(shinglesCol: Column, k: Int): Column =
     bind(shinglesCol) { sh =>
       transform(sequence(lit(0), lit(k - 1)),
         s => array_min(transform(sh, x => xxhash64(x, s))))

@@ -100,8 +100,10 @@ object EventStream {
       col("p_user") === col("c_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr(s"interval $matchWindow"))
+    // each shuffle partition = one state-store instance PER JOIN SIDE —
+    // the join state here is tiny, so fewer stores beat more parallelism
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = joined.writeStream
         .format("memory")

@@ -116,6 +116,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(0) == "de" && got(1) == "en" && got(2) == "und")
   }
 
+  test("custom MinHashSig expression is bit-identical to the HOF formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 32
+    val diff = docs.select(
+        TextOps.minHashSignature(TextOps.shingles(col("text"), 3), k).as("native"),
+        TextOps.minHashSignatureHof(TextOps.shingles(col("text"), 3), k).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+    // empty shingle array → all-null signature, like array_min over empty
+    import spark.implicits._
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(TextOps.minHashSignature(col("sh"), 4).as("sig"))
+      .head().getSeq[Any](0)
+    assert(empty == Seq(null, null, null, null))
+  }
+
   test("custom DotProduct expression is bit-identical to the HOF fold") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val both = embs.select(
