@@ -46,4 +46,48 @@ object Dedup {
   /** Exact duplicate removal over a chosen column set (hash-groupBy). */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
+
+  /** Connected components over an undirected pair list (near-dup
+    * candidate pairs → dedup clusters): iterative min-label propagation
+    * to a fixpoint. Each node ends labeled with the smallest id in its
+    * component — the canonical "cluster representative" for near-dup
+    * collapse.
+    *
+    * Scale shape: every iteration is one keyed join + one min-aggregate
+    * (two shuffles), converging in O(component diameter) rounds — near-dup
+    * clusters are tiny (pairs chained through a few shared neighbors), so
+    * 2-4 rounds in practice. Each round's result is `localCheckpoint`ed:
+    * iterative DataFrames MUST cut lineage per round or the logical plan
+    * doubles every iteration (plan-string rendering alone goes
+    * exponential). On a real cluster prefer `checkpoint` to a reliable
+    * store (survives executor loss); for adversarial diameters swap in
+    * the large-star/small-star variant (same per-round shape, O(log n)
+    * rounds).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // push each node's label to its neighbors, keep the min seen
+      val prop = labels.join(edges, col("id") === col("a"))
+        .select(col("b").as("id"), col("cluster"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      converged = prop.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old"))
+        .isEmpty
+      labels = prop
+      iter += 1
+    }
+    labels
+  }
 }

@@ -377,6 +377,200 @@ object Extended {
       .orderBy(col("l_returnflag"))
   }
 
+  // ------------------------------------------------- windows (batch 2)
+
+  /** Navigation window functions: lead + first/last/nth over the full
+    * partition frame (deterministic: the window order ends in the unique
+    * o_orderkey).
+    */
+  private val windowLeadQ: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      first(col("o_orderkey")).over(wFull).as("first_ok"),
+      last(col("o_orderkey")).over(wFull).as("last_ok"),
+      nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val windowLeadSql =
+    """SELECT o_orderkey, o_custkey,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_orderkey) OVER wf AS first_ok,
+      |  last_value(o_orderkey) OVER wf AS last_ok,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** RANGE-interval window frame: per-user trailing-1-hour rolling count
+    * and exact decimal sum (the value-range frame, not a row count — ties
+    * at the boundary land identically in both engines).
+    */
+  private val rollingRangeQ: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double")
+          .as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+  private val rollingRangeSql =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS cnt_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Deterministic mode (argmax aggregate): max_by over a (count, value)
+    * struct — lexicographic struct ordering gives the built-in a total
+    * order, where bare `mode()` breaks ties arbitrarily.
+    */
+  private val modeQ: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderpriority"),
+          struct(col("cnt"), col("o_orderpriority"))).as("mode_priority"),
+        max(col("cnt")).as("mode_cnt"))
+      .orderBy(col("o_orderstatus"))
+  }
+  private val modeSql =
+    """WITH counts AS (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY cnt DESC, o_orderpriority DESC) AS rn FROM counts)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt
+      |FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
+  /** Dynamic pivot: values inferred from the data (one extra distinct
+    * collect vs the explicit-values form — acceptable for low-cardinality
+    * pivot keys, which is the only regime pivot makes sense in anyway).
+    */
+  private val pivotDynamicQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag")
+      .agg(count(lit(1)))
+      .orderBy(col("l_linestatus"))
+  }
+  private val pivotDynamicSql =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS "A",
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 END) AS BIGINT) AS "N",
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS "R"
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ------------------------------------- clustering / staged sources
+
+  /** Near-dup clustering: connected components over the verified
+    * embedding near-dup pairs — each vector labeled with its cluster
+    * representative (min id). Oracle = DuckDB recursive-CTE transitive
+    * closure over the same (oracle-verified) pair set.
+    */
+  private val connectedComponentsQ: Q = (s, dir) => {
+    val pairs = VectorOps.nearDupCosine(
+      Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.35)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy(col("id"))
+  }
+  private val connectedComponentsSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round(${Registry.cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+       |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** Per-process staged copies of events as JSON-lines / lineitem as CSV
+    * — source-format coverage: the engine must read more than parquet.
+    * Timestamps travel as unix micros (format-proof); doubles round-trip
+    * via shortest-repr printing.
+    */
+  private val stagedSources =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stageJson(s: SparkSession, dir: String): String =
+    stagedSources.computeIfAbsent(s"json:$dir", { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(4).write.mode("overwrite").json(tmp)
+      tmp
+    })
+  private def stageCsv(s: SparkSession, dir: String): String =
+    stagedSources.computeIfAbsent(s"csv:$dir", { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+        .coalesce(4).write.mode("overwrite").option("header", "true").csv(tmp)
+      tmp
+    })
+
+  /** JSON-lines source with explicit schema → same aggregate the parquet
+    * path would produce (the oracle reads the original parquet).
+    */
+  private val jsonSourceQ: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).json(stageJson(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), decSum(col("value")).as("sum_value"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .orderBy(col("event_type"))
+  }
+  private val jsonSourceSql =
+    s"""SELECT event_type, count(*) AS cnt, ${decSumSql("value")} AS sum_value,
+       |       min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** CSV source (header + explicit schema) → exact decimal revenue
+    * rollup; proves the CSV reader round-trips doubles bit-exactly.
+    */
+  private val csvSourceQ: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_returnflag", StringType)))
+    s.read.schema(schema).option("header", "true").csv(stageCsv(s, dir))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val csvSourceSql =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -394,7 +588,14 @@ object Extended {
     ("q_date_series", dateSeriesQ, Some(dateSeriesSql)),
     ("q_tfidf", tfidfQ, Some(tfidfSql)),
     ("q_stream_join", streamJoinQ, Some(streamJoinSql)),
-    ("q_stratified_sample", stratifiedSampleQ, None))
+    ("q_stratified_sample", stratifiedSampleQ, None),
+    ("q_window_lead", windowLeadQ, Some(windowLeadSql)),
+    ("q_rolling_range", rollingRangeQ, Some(rollingRangeSql)),
+    ("q_mode", modeQ, Some(modeSql)),
+    ("q_pivot_dynamic", pivotDynamicQ, Some(pivotDynamicSql)),
+    ("q_connected_components", connectedComponentsQ, Some(connectedComponentsSql)),
+    ("q_json_source", jsonSourceQ, Some(jsonSourceSql)),
+    ("q_csv_source", csvSourceQ, Some(csvSourceSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -367,7 +367,7 @@ object Registry {
     s"list_sum(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
   private def normSql(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
   /** Small single-file tables (documents) arrive as ONE parquet split —

@@ -29,6 +29,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exact(d, Seq("x", "y")).count() == 2)
     assert(Dedup.exact(d, Seq("x")).count() == 1)
   }
+
+  test("connectedComponents labels chains, stars and singleton pairs with the min id") {
+    // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 2)") {
+    val path = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    val got = Dedup.connectedComponents(path, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 9 && got.values.forall(_ == 1L))
+  }
 }
 
 class CleaningSpec extends SparkSpec {
