@@ -571,6 +571,72 @@ object Extended {
       |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------- SQL text / ORC / sketches
+
+  /** Full SQL-text entry point: the engine's `spark.sql` surface over
+    * registered views. The query text is dialect-shared — the SAME string
+    * runs on Spark and DuckDB (the oracle), which is the strongest
+    * possible parity statement for the SQL API.
+    */
+  private val sqlTextShared =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1996-01-01'
+      |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+  private val sqlTextQ: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(sqlTextShared)
+  }
+
+  /** ORC source roundtrip (Spark's second first-class columnar format):
+    * write → read → exact aggregate vs the parquet-side oracle.
+    */
+  private def stageOrc(s: SparkSession, dir: String): String =
+    stagedSources.computeIfAbsent(s"orc:$dir", { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_retailprice"))
+        .coalesce(4).write.mode("overwrite").orc(tmp)
+      tmp
+    })
+  private val orcSourceQ: Q = (s, dir) => {
+    s.read.orc(stageOrc(s, dir))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"), sum(col("p_size")).as("sum_size"),
+        decSum(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+  private val orcSourceSql =
+    s"""SELECT p_brand, count(*) AS cnt, sum(p_size) AS sum_size,
+       |       ${decSumSql("p_retailprice")} AS sum_price
+       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Mergeable HLL sketches (Apache DataSketches): per-group sketch →
+    * union → estimate. THE scale pattern for distinct counts: sketches
+    * merge across partitions/groups/days without re-scanning.
+    * Engine-local estimate — accuracy bounds asserted in ExtendedSpec.
+    */
+  private val hllUnionQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
+        count(lit(1)).as("cnt"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .cast("long").as("distinct_orders_est"),
+        sum(col("cnt")).as("total_rows"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -595,7 +661,10 @@ object Extended {
     ("q_pivot_dynamic", pivotDynamicQ, Some(pivotDynamicSql)),
     ("q_connected_components", connectedComponentsQ, Some(connectedComponentsSql)),
     ("q_json_source", jsonSourceQ, Some(jsonSourceSql)),
-    ("q_csv_source", csvSourceQ, Some(csvSourceSql)))
+    ("q_csv_source", csvSourceQ, Some(csvSourceSql)),
+    ("q_sql_text", sqlTextQ, Some(sqlTextShared)),
+    ("q_orc_source", orcSourceQ, Some(orcSourceSql)),
+    ("q_hll_union", hllUnionQ, None))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -82,6 +82,30 @@ class ExtendedSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => !asSet.contains((b, a)) })
   }
 
+  test("HLL union estimate lands within 5% of the exact distinct count") {
+    val row = Extended.queries("q_hll_union")(spark, sf).head()
+    val est = row.getLong(0)
+    val exact = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"estimate $est vs exact $exact")
+    // the one-shot sketch lands in the same bound (union ≈ one-shot; not
+    // bit-equal — DataSketches HLL transitions sparse→dense differently
+    // when unioning than when streaming)
+    val direct = Tables.lineitem(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).cast("long"))
+      .head().getLong(0)
+    assert(math.abs(direct - exact).toDouble / exact < 0.05)
+  }
+
+  test("sql-text query: the same SQL string runs on spark.sql (dialect-shared subset)") {
+    val out = Extended.queries("q_sql_text")(spark, sf).collect()
+    assert(out.length == 10)
+    // revenue strictly non-increasing
+    val revs = out.map(_.getDouble(2))
+    assert(revs.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
   test("date series spine has no gaps and covers the full range") {
     val days = Extended.queries("q_date_series")(spark, sf)
       .select("day").collect().map(_.getDate(0).toLocalDate)
