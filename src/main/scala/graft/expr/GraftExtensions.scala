@@ -1,0 +1,55 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's custom Catalyst expressions
+  * (SURVEY §2.11): `simhash64`, `minhash_sig`, `dot_product`,
+  * `cosine_similarity` become callable from `spark.sql(...)` text, not
+  * just the Column API.
+  *
+  * Cluster wiring (the standard extension point):
+  * {{{
+  *   spark.sql.extensions=graft.expr.GraftExtensions
+  * }}}
+  * or `SparkSession.builder().withExtensions(new GraftExtensions()(_))`.
+  * For an already-built session, [[GraftExtensions.register]] installs
+  * the same functions imperatively (used by tests and Verify, where the
+  * session comes from the driver harness).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.expr", name)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) -> bigint"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<string>, k) -> array<bigint>"),
+      (args: Seq[Expression]) => MinHashSig(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<num>, array<num>) -> double"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    (FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(array<num>, array<num>) -> double"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+
+  /** Imperative registration into an existing session (same functions the
+    * extension injects at build time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, inf, builder)
+    }
+}

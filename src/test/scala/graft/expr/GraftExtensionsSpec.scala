@@ -1,0 +1,48 @@
+package graft.expr
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The custom expressions must be reachable from SQL text, not just the
+  * Column API — registered via the same builders GraftExtensions injects
+  * at session-build time.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions match the Column-API expressions") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  simhash64(array('a','b','c')) AS sh,
+        |  minhash_sig(array('a','b'), 4) AS mh,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  round(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)), 6) AS cs
+        |""".stripMargin).head()
+    import org.apache.spark.sql.graftshim.GraftShim
+    import spark.implicits._
+    val viaColumn = Seq(1).toDF("x").select(
+      GraftShim.column(SimHash64(GraftShim.expression(
+        array(lit("a"), lit("b"), lit("c"))))).as("sh"),
+      GraftShim.column(MinHashSig(GraftShim.expression(
+        array(lit("a"), lit("b"))), 4)).as("mh"),
+      GraftShim.column(DotProduct(
+        GraftShim.expression(array(lit(1.0), lit(2.0))),
+        GraftShim.expression(array(lit(3.0), lit(4.0))))).as("dp"),
+      round(GraftShim.column(CosineSimilarity(
+        GraftShim.expression(array(lit(1.0), lit(0.0))),
+        GraftShim.expression(array(lit(1.0), lit(0.0))))), 6).as("cs"))
+      .head()
+    assert(row.getLong(0) == viaColumn.getLong(0))
+    assert(row.getSeq[Long](1) == viaColumn.getSeq[Long](1))
+    assert(row.getDouble(2) == viaColumn.getDouble(2))
+    assert(row.getDouble(3) == viaColumn.getDouble(3))
+    assert(row.getDouble(2) == 11.0 && row.getDouble(3) == 1.0)
+  }
+
+  test("class-based extension injects the same function set") {
+    // builder-time injection can't apply to the already-built shared
+    // session; assert the extension wires every registered function
+    val ids = GraftExtensions.functions.map(_._1.funcName).toSet
+    assert(ids == Set("simhash64", "minhash_sig", "dot_product", "cosine_similarity"))
+  }
+}
