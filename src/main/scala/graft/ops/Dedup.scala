@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Exact deduplication operators.
   *
@@ -73,6 +74,13 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    // labels only ever decrease, so Σ labels strictly decreases until the
+    // fixpoint — an O(1)-output scalar agg per round instead of a
+    // join-based diff (decimal sum: exact at any id magnitude/parallelism)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -82,9 +90,9 @@ object Dedup {
         .union(labels)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
-      converged = prop.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old"))
-        .isEmpty
+      val s = labelSum(prop)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = prop
       iter += 1
     }

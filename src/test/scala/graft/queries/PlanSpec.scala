@@ -122,6 +122,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("custom expressions stay inside whole-stage codegen (starred Project)") {
+    // a CodegenFallback expression would collapse its whole span to the
+    // interpreted path — the projection containing the kernel must be
+    // codegen'd (rendered with the * marker)
+    val cos = plan("q_cosine_topk")
+    assert(cos.linesIterator.exists(l =>
+      l.contains("cosine_similarity") && l.contains("*(")), cos)
+    // adaptive plans only render codegen stars once finalized — execute,
+    // then read the final plan
+    val simDf = Registry.queries("q_simhash")(spark, sf)
+    simDf.collect()
+    val sim = simDf.queryExecution.executedPlan.toString
+    assert(sim.linesIterator.exists(l =>
+      l.contains("simhash64") && l.contains("*(")), sim)
+  }
+
   test("unpivot stays a narrow expand (no shuffle before the aggregate)") {
     val p = extPlan("q_unpivot")
     assert(p.contains("Expand"), p)
