@@ -19,8 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session comes from the driver harness).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => GraftRules.RoundRoundFold)
+  }
 }
 
 object GraftExtensions {
@@ -44,12 +46,18 @@ object GraftExtensions {
       info("cosine_similarity", "cosine_similarity(array<num>, array<num>) -> double"),
       (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
 
-  /** Imperative registration into an existing session (same functions the
-    * extension injects at build time).
+  /** Imperative registration into an existing session (same functions and
+    * optimizer rules the extension injects at build time —
+    * `experimental.extraOptimizations` is the public post-build hook for
+    * rules).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(id, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(GraftRules.RoundRoundFold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftRules.RoundRoundFold
+  }
 }

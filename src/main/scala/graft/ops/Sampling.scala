@@ -28,4 +28,15 @@ object Sampling {
     */
   def exactSample(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed)).limit(n)
+
+  /** Exact-N HASH-deterministic sample: order by md5 of the key columns —
+    * pseudo-random but engine-independent (any engine with md5 draws the
+    * SAME sample, unlike seeded RNG sampling). Same TakeOrdered scale
+    * shape as [[exactSample]]; the key columns double as tie-breakers so
+    * the cut is total-ordered.
+    */
+  def hashSample(df: DataFrame, n: Int, keyCols: Seq[Column]): DataFrame =
+    df.withColumn("h", md5(concat_ws("|", keyCols: _*)))
+      .orderBy(col("h") +: keyCols: _*)
+      .limit(n)
 }

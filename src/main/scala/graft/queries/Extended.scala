@@ -364,6 +364,26 @@ object Extended {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Hash-deterministic exact-N sample: md5-ordered draw — the
+    * cross-engine-reproducible form of q_exact_sample (any engine with
+    * md5 draws the same rows, so this one HAS an oracle).
+    */
+  private val hashSampleQ: Q = (s, dir) => {
+    Sampling.hashSample(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey")),
+      500,
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")))
+  }
+  private val hashSampleSql =
+    """SELECT md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey)) AS h,
+      |       l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |FROM lineitem
+      |ORDER BY h, l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |LIMIT 500""".stripMargin
+
   /** Stratified (per-key Bernoulli) sampling — `sampleBy` with fixed
     * fractions and seed; engine-local RNG → property-tested, rows-only
     * at the gate (like q_exact_sample).
@@ -664,7 +684,8 @@ object Extended {
     ("q_csv_source", csvSourceQ, Some(csvSourceSql)),
     ("q_sql_text", sqlTextQ, Some(sqlTextShared)),
     ("q_orc_source", orcSourceQ, Some(orcSourceSql)),
-    ("q_hll_union", hllUnionQ, None))
+    ("q_hll_union", hllUnionQ, None),
+    ("q_hash_sample", hashSampleQ, Some(hashSampleSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

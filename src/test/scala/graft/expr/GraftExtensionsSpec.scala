@@ -45,4 +45,19 @@ class GraftExtensionsSpec extends SparkSpec {
     val ids = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(ids == Set("simhash64", "minhash_sig", "dot_product", "cosine_similarity"))
   }
+
+  test("RoundRoundFold collapses redundant re-rounding, preserving values") {
+    GraftExtensions.register(spark)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val df = li.select(round(round(col("l_discount"), 1), 3).as("y"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("round\\(".r.findAllIn(optimized.toLowerCase).size == 1, optimized)
+    val single = li.select(round(col("l_discount"), 1).as("y"))
+    assert(df.collect().map(_.getDouble(0)).toSeq ==
+      single.collect().map(_.getDouble(0)).toSeq)
+    // tighter outer round must NOT fold
+    val keep = li.select(round(round(col("l_discount"), 3), 1).as("y"))
+    assert("round\\(".r.findAllIn(
+      keep.queryExecution.optimizedPlan.toString.toLowerCase).size == 2)
+  }
 }

@@ -52,6 +52,33 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch sink: per-microbatch parquet writes reassemble the batch result") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_feb")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft_feb_out").toString
+    val q = spark.readStream
+      .schema(EventStream.eventsRawSchema)
+      .parquet(tmp.toString)
+      .select("event_id", "event_type", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(out): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming dropDuplicates yields the same key set as batch distinct") {
     val sf = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
