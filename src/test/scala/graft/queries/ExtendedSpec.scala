@@ -106,6 +106,27 @@ class ExtendedSpec extends SparkSpec {
     assert(revs.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
+  test("JSON source captures malformed lines in _corrupt_record (PERMISSIVE)") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badjson")
+    java.nio.file.Files.write(tmp.resolve("part-0.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "v": 10.5}""",
+        """{"id": 2 BROKEN""",
+        """{"id": 3, "v": "not_a_number"}""",
+        """{"id": 4, "v": 2.5}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema).json(tmp.toString).cache()
+    try {
+      assert(df.count() == 4)
+      // rows 2 (syntax) and 3 (type mismatch) carry the raw line
+      assert(df.filter(col("_corrupt_record").isNotNull).count() == 2)
+      assert(df.filter(col("v").isNotNull).count() == 2)
+    } finally { df.unpersist(); () }
+  }
+
   test("date series spine has no gaps and covers the full range") {
     val days = Extended.queries("q_date_series")(spark, sf)
       .select("day").collect().map(_.getDate(0).toLocalDate)

@@ -105,6 +105,32 @@ class PlanSpec extends SparkSpec {
   private def extPlan(name: String): String =
     Extended.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~90% of the left side
+      val left = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+        .toDF("k", "v")
+      val right = (1L to 20000L).map(k => (k, s"payload_$k")).toDF("k", "p")
+      val joined = left.join(right, "k")
+      // collect() executes THIS QueryExecution, finalizing its adaptive plan
+      assert(joined.collect().length == 20000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("range join broadcasts the tiny tier table (nested-loop, no shuffle of facts)") {
     val p = extPlan("q_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
