@@ -657,6 +657,86 @@ object Extended {
         sum(col("cnt")).as("total_rows"))
   }
 
+  // ---------------------------------------- end-to-end corpus pipeline
+
+  /** The LLM-training-data path as ONE lazy plan: score quality →
+    * language-gate → exact-dedup (keep min doc id per content
+    * fingerprint, counting collapsed dups) → hash-deterministic corpus
+    * sample. Every stage is oracle-checked end-to-end — the composition
+    * statement the individual per-stage queries can't make.
+    *
+    * Scale shape: scoring/fingerprinting are map-side expression work;
+    * the dedup is one keyed shuffle with map-side combine; the sample cut
+    * is TakeOrdered on the fingerprint (pseudo-random, engine-portable).
+    */
+  private val corpusPipelineQ: Q = (s, dir) => {
+    val t = col("text")
+    val nChars = length(t)
+    val nTok = TextOps.tokenCount(t)
+    val punct = length(regexp_replace(t, "[^.,;:!?]", ""))
+    val stopSet = typedLit(TextOps.stopwords.values.flatten.toSeq.distinct)
+    val stopHits = size(array_intersect(
+      array_distinct(TextOps.tokens(lower(t))), stopSet))
+    val points =
+      when(nChars >= 400, 2).when(nChars >= 100, 1).otherwise(0) +
+      when((nChars * 10).between(nTok * 30, nTok * 100), 2).otherwise(0) +
+      when(punct * 10 <= nChars, 1).otherwise(0) +
+      least(stopHits, lit(5))
+    val scored = spread(Tables.documents(s, dir)).select(
+      col("doc_id"),
+      TextOps.langId(t).as("detected"),
+      points.as("q_points"),
+      nTok.as("n_tokens"),
+      TextOps.fingerprint(t).as("fp"))
+    val gated = scored
+      .filter(col("q_points") >= 4 && col("detected") =!= "und")
+    // all text-derived columns are constant within a fingerprint group —
+    // max() is just the deterministic pick
+    gated.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        max(col("detected")).as("lang_det"),
+        max(col("q_points")).as("q_points"),
+        max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_dups"))
+      .orderBy(col("fp"))
+      .limit(100)
+      .select(col("doc_id"), col("fp"), col("lang_det"), col("q_points"),
+        col("n_tokens"), col("n_dups"))
+  }
+  private val corpusPipelineSql = {
+    def hits(lang: String): String = {
+      val words = TextOps.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(toks, [$words]))"
+    }
+    val stopList = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS n_chars,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+       |  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+       |  FROM documents),
+       |sc AS (SELECT doc_id, text, n_tok,
+       |  (CASE WHEN n_chars >= 400 THEN 2 WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN n_chars * 10 BETWEEN n_tok * 30 AND n_tok * 100 THEN 2 ELSE 0 END)
+       |  + (CASE WHEN punct * 10 <= n_chars THEN 1 ELSE 0 END)
+       |  + least(len(list_intersect(toks, [$stopList])), 5) AS q_points,
+       |  CASE WHEN ${hits("fr")} > 0 AND ${hits("fr")} >= ${hits("es")}
+       |            AND ${hits("fr")} >= ${hits("en")} AND ${hits("fr")} >= ${hits("de")} THEN 'fr'
+       |       WHEN ${hits("es")} > 0 AND ${hits("es")} >= ${hits("en")}
+       |            AND ${hits("es")} >= ${hits("de")} THEN 'es'
+       |       WHEN ${hits("en")} > 0 AND ${hits("en")} >= ${hits("de")} THEN 'en'
+       |       WHEN ${hits("de")} > 0 THEN 'de'
+       |       ELSE 'und' END AS detected
+       |  FROM t),
+       |gated AS (SELECT * FROM sc WHERE q_points >= 4 AND detected <> 'und'),
+       |dedup AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id,
+       |  max(detected) AS lang_det, max(q_points) AS q_points,
+       |  max(n_tok) AS n_tokens, count(*) AS n_dups
+       |  FROM gated GROUP BY md5(text))
+       |SELECT doc_id, fp, lang_det, q_points, n_tokens, n_dups
+       |FROM dedup ORDER BY fp LIMIT 100""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -685,7 +765,8 @@ object Extended {
     ("q_sql_text", sqlTextQ, Some(sqlTextShared)),
     ("q_orc_source", orcSourceQ, Some(orcSourceSql)),
     ("q_hll_union", hllUnionQ, None),
-    ("q_hash_sample", hashSampleQ, Some(hashSampleSql)))
+    ("q_hash_sample", hashSampleQ, Some(hashSampleSql)),
+    ("q_corpus_pipeline", corpusPipelineQ, Some(corpusPipelineSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
