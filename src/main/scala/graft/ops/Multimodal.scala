@@ -87,6 +87,23 @@ object Multimodal {
       .drop(contentCol)
   }
 
+  /** Resize stub: pools the stub feature histogram down to `outDim` bins
+    * (adjacent-bin sums — mass-preserving, like area-averaging an image
+    * down). A real implementation swaps the pooling for a pixel resample
+    * over the decoded payload; the column contract — array in, smaller
+    * array out, meta width/height updated — is what downstream sees.
+    */
+  def resizeFeatures(df: DataFrame, featuresCol: String, outDim: Int,
+                     outCol: String = "features_resized"): DataFrame = {
+    val inSize = size(col(featuresCol))
+    val factor = inSize / outDim
+    df.withColumn(outCol,
+      transform(sequence(lit(0), lit(outDim - 1)), b =>
+        aggregate(
+          slice(col(featuresCol), b * factor + 1, factor),
+          lit(0.0f), (acc, x) => acc + x)))
+  }
+
   /** Adapter for tests/registry: fake a media table from documents (text
     * bytes as payload) so the plumbing is exercised without codecs.
     */

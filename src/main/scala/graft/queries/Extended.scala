@@ -657,6 +657,54 @@ object Extended {
         sum(col("cnt")).as("total_rows"))
   }
 
+  /** Generator with position: posexplode → (pos, token), first 3 tokens
+    * per document (DuckDB mirrors via zipped parallel unnests).
+    */
+  private val posexplodeQ: Q = (s, dir) => {
+    spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), col("tok"), (col("pos0") + 1).as("pos"))
+      .filter(col("pos") <= 3)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+  private val posexplodeSql =
+    """SELECT doc_id, tok, pos FROM (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |    unnest(generate_series(1, len(string_split_regex(trim(text), '\s+')))) AS pos
+      |  FROM documents)
+      |WHERE pos <= 3 ORDER BY doc_id, pos""".stripMargin
+
+  /** MAP-typed column family: construct a per-user event_type→count map
+    * (map_from_entries ∘ collect), then read it back through element_at /
+    * map_keys / map_values. The oracle checks the VALUES the map yields,
+    * not the container encoding.
+    */
+  private val mapFamilyQ: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt"))))
+        .as("m"))
+      .select(col("user_id"),
+        element_at(col("m"), "click").as("clicks"),
+        size(map_keys(col("m"))).as("n_types"),
+        aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x)
+          .as("total"))
+      .orderBy(col("user_id"))
+  }
+  private val mapFamilySql =
+    """WITH per AS (
+      |  SELECT user_id, event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  max(CASE WHEN event_type = 'click' THEN cnt END) AS clicks,
+      |  CAST(count(*) AS INT) AS n_types,
+      |  sum(cnt) AS total
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------- end-to-end corpus pipeline
 
   /** The LLM-training-data path as ONE lazy plan: score quality →
@@ -766,7 +814,9 @@ object Extended {
     ("q_orc_source", orcSourceQ, Some(orcSourceSql)),
     ("q_hll_union", hllUnionQ, None),
     ("q_hash_sample", hashSampleQ, Some(hashSampleSql)),
-    ("q_corpus_pipeline", corpusPipelineQ, Some(corpusPipelineSql)))
+    ("q_corpus_pipeline", corpusPipelineQ, Some(corpusPipelineSql)),
+    ("q_posexplode", posexplodeQ, Some(posexplodeSql)),
+    ("q_map_family", mapFamilyQ, Some(mapFamilySql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -28,6 +28,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(null).toSeq == Seq.fill(16)(0f))
   }
 
+  test("resizeFeatures pools adjacent bins, preserving total mass") {
+    val feats = Multimodal.extractFeatures(media, "media_id", "content")
+    val resized = Multimodal.resizeFeatures(feats, "features", 4)
+      .orderBy("media_id").collect()
+    val full = feats.orderBy("media_id").collect()
+    resized.zip(full).foreach { case (r, f) =>
+      val small = r.getSeq[Float](r.fieldIndex("features_resized"))
+      val big = f.getSeq[Float](f.fieldIndex("features"))
+      assert(small.length == 4)
+      assert(math.abs(small.sum - big.sum) < 1e-5) // mass preserved
+      // each output bin is the sum of its 4 source bins
+      assert(math.abs(small.head - big.take(4).sum) < 1e-6)
+    }
+  }
+
   test("sampleFrames yields nFrames rows per media with in-range offsets") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 1),
       "media_id", "content", nFrames = 4).collect()
