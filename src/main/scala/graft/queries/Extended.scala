@@ -314,17 +314,18 @@ object Extended {
 
   // ------------------------------------------------------- text / scoring
 
-  /** TF-IDF: per-(doc, term) score over the corpus, global top-20 — term
-    * stats via two shuffles on the exploded token stream, doc count as a
-    * broadcast scalar, TakeOrdered for the final k.
+  /** TF-IDF: per-(doc, term) score over the corpus, global top-20 — the
+    * token stream explodes ONCE into the tf aggregate; document frequency
+    * is derived from tf itself (rows per token = docs containing it), so
+    * no second pass over the corpus. Doc count broadcasts as a scalar;
+    * TakeOrdered cuts the final k.
     */
   private val tfidfQ: Q = (s, dir) => {
-    val toks = spread(Tables.documents(s, dir))
+    val tf = spread(Tables.documents(s, dir))
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
     tf.join(dfreq, "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
