@@ -658,6 +658,31 @@ object Extended {
         sum(col("cnt")).as("total_rows"))
   }
 
+  /** Forward as-of join: each order matched to the user's EARLIEST event
+    * at or after the order date (complement of q_asof_join's
+    * last-before; same union+window shape, descending scan).
+    */
+  private val asofForwardQ: Q = (s, dir) => {
+    AsOf.joinFirstAfter(
+      Tables.orders(s, dir), Tables.events(s, dir),
+      leftKey = "o_custkey", rightKey = "user_id",
+      leftTimeUs = unix_micros(col("o_orderdate").cast("timestamp")),
+      rightTimeUs = unix_micros(col("ts")),
+      rightPayload = Seq("event_id"), rightTieBreak = "event_id")
+      .select(col("o_orderkey"), col("__match.event_id").as("next_event_id"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val asofForwardSql =
+    """WITH pairs AS (
+      |  SELECT o_orderkey, event_id,
+      |         row_number() OVER (PARTITION BY o_orderkey
+      |           ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+      |  FROM orders JOIN events
+      |    ON user_id = o_custkey AND epoch_us(ts) >= epoch_us(o_orderdate))
+      |SELECT o.o_orderkey, p.event_id AS next_event_id
+      |FROM orders o LEFT JOIN pairs p ON o.o_orderkey = p.o_orderkey AND p.rn = 1
+      |ORDER BY o.o_orderkey""".stripMargin
+
   /** Generator with position: posexplode → (pos, token), first 3 tokens
     * per document (DuckDB mirrors via zipped parallel unnests).
     */
@@ -817,7 +842,8 @@ object Extended {
     ("q_hash_sample", hashSampleQ, Some(hashSampleSql)),
     ("q_corpus_pipeline", corpusPipelineQ, Some(corpusPipelineSql)),
     ("q_posexplode", posexplodeQ, Some(posexplodeSql)),
-    ("q_map_family", mapFamilyQ, Some(mapFamilySql)))
+    ("q_map_family", mapFamilyQ, Some(mapFamilySql)),
+    ("q_asof_forward", asofForwardQ, Some(asofForwardSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
