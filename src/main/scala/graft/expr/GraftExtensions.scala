@@ -27,23 +27,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.expr", name)
+  private def info(className: String, name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(className, null, name, usage, "")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(array<string>) -> bigint"),
+      info("graft.expr.SimHash64", "simhash64",
+        "simhash64(array<string>) -> bigint"),
       (args: Seq[Expression]) => SimHash64(args.head)),
     (FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "minhash_sig(array<string>, k) -> array<bigint>"),
-      (args: Seq[Expression]) => MinHashSig(args.head,
-        args(1).eval().asInstanceOf[Number].intValue())),
+      info("graft.expr.MinHashSig", "minhash_sig",
+        "minhash_sig(array<string>, k) -> array<bigint>"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case e if e.foldable => e.eval()
+          case _ => null
+        }
+        require(k.isInstanceOf[Number],
+          "minhash_sig: k must be a non-null integer literal")
+        MinHashSig(args.head, k.asInstanceOf[Number].intValue())
+      }),
     (FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(array<num>, array<num>) -> double"),
+      info("graft.expr.DotProduct", "dot_product",
+        "dot_product(array<num>, array<num>) -> double"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))),
     (FunctionIdentifier("cosine_similarity"),
-      info("cosine_similarity", "cosine_similarity(array<num>, array<num>) -> double"),
+      info("graft.expr.CosineSimilarity", "cosine_similarity",
+        "cosine_similarity(array<num>, array<num>) -> double"),
       (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
 
   /** Imperative registration into an existing session (same functions and

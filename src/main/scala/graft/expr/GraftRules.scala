@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.catalyst.expressions.{Literal, Round}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
 
 /** Optimizer rules injected by [[GraftExtensions]] (the `Rule[LogicalPlan]`
   * extension point — SURVEY §4.2's "all stock Catalyst" policy holds for
@@ -17,12 +17,18 @@ object GraftRules {
     * shortest decimal repr, so the identity holds for doubles too).
     * Arises when cleaning stages round defensively and an export rounds
     * again — e.g. Thresholds(scale=2) feeding a round(_, 4) projection.
+    *
+    * Floating types ONLY: on decimals, Round's result scale follows the
+    * literal, so removing the outer round would change the expression's
+    * data type (decimal(p,s2) → decimal(p,s1)) under the analyzed schema.
     */
   object RoundRoundFold extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       plan.transformAllExpressions {
         case Round(inner @ Round(_, Literal(s1: Int, IntegerType), _),
-            Literal(s2: Int, IntegerType), _) if s2 >= s1 =>
+            Literal(s2: Int, IntegerType), _)
+            if s2 >= s1 &&
+              (inner.dataType == DoubleType || inner.dataType == FloatType) =>
           inner
       }
   }

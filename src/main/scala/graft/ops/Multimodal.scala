@@ -96,11 +96,16 @@ object Multimodal {
   def resizeFeatures(df: DataFrame, featuresCol: String, outDim: Int,
                      outCol: String = "features_resized"): DataFrame = {
     val inSize = size(col(featuresCol))
-    val factor = inSize / outDim
+    // integer bin width; the LAST bin absorbs the remainder so every
+    // source element is pooled exactly once (mass conservation holds for
+    // any inSize >= outDim, not just exact multiples)
+    val factor = floor(inSize / lit(outDim)).cast("int")
     df.withColumn(outCol,
       transform(sequence(lit(0), lit(outDim - 1)), b =>
         aggregate(
-          slice(col(featuresCol), b * factor + 1, factor),
+          slice(col(featuresCol), b * factor + 1,
+            when(b === outDim - 1, inSize - factor * (outDim - 1))
+              .otherwise(factor)),
           lit(0.0f), (acc, x) => acc + x)))
   }
 

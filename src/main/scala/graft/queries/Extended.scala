@@ -28,8 +28,7 @@ object Extended {
   private def decSumSql(c: String): String =
     s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = Registry.spread(df)
 
   // ------------------------------------------------------------- reshape
 
@@ -639,7 +638,8 @@ object Extended {
       .orderBy(col("p_brand"))
   }
   private val orcSourceSql =
-    s"""SELECT p_brand, count(*) AS cnt, sum(p_size) AS sum_size,
+    s"""SELECT p_brand, count(*) AS cnt,
+       |       CAST(sum(p_size) AS BIGINT) AS sum_size,
        |       ${decSumSql("p_retailprice")} AS sum_price
        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
@@ -682,6 +682,23 @@ object Extended {
       |SELECT o.o_orderkey, p.event_id AS next_event_id
       |FROM orders o LEFT JOIN pairs p ON o.o_orderkey = p.o_orderkey AND p.rn = 1
       |ORDER BY o.o_orderkey""".stripMargin
+
+  /** Date formatting + month arithmetic: pattern formatting, month-end,
+    * add_months (both engines clamp month-end overflow identically).
+    */
+  private val dateFormatQ: Q = (s, dir) => {
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      last_day(to_date(col("o_orderdate"))).as("month_end"),
+      add_months(to_date(col("o_orderdate")), 3).as("plus3m"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val dateFormatSql =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Generator with position: posexplode → (pos, token), first 3 tokens
     * per document (DuckDB mirrors via zipped parallel unnests).
@@ -728,7 +745,7 @@ object Extended {
       |SELECT user_id,
       |  max(CASE WHEN event_type = 'click' THEN cnt END) AS clicks,
       |  CAST(count(*) AS INT) AS n_types,
-      |  sum(cnt) AS total
+      |  CAST(sum(cnt) AS BIGINT) AS total
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------- end-to-end corpus pipeline
@@ -843,7 +860,8 @@ object Extended {
     ("q_corpus_pipeline", corpusPipelineQ, Some(corpusPipelineSql)),
     ("q_posexplode", posexplodeQ, Some(posexplodeSql)),
     ("q_map_family", mapFamilyQ, Some(mapFamilySql)),
-    ("q_asof_forward", asofForwardQ, Some(asofForwardSql)))
+    ("q_asof_forward", asofForwardQ, Some(asofForwardSql)),
+    ("q_date_format", dateFormatQ, Some(dateFormatSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -374,7 +374,7 @@ object Registry {
     * heavy per-row expression work would run single-threaded without an
     * explicit spread across cores.
     */
-  private def spread(df: DataFrame): DataFrame =
+  private[queries] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =

@@ -59,5 +59,21 @@ class GraftExtensionsSpec extends SparkSpec {
     val keep = li.select(round(round(col("l_discount"), 3), 1).as("y"))
     assert("round\\(".r.findAllIn(
       keep.queryExecution.optimizedPlan.toString.toLowerCase).size == 2)
+    // decimals must NOT fold: Round's decimal result type (precision/
+    // scale) is position-dependent, so the rewrite would change the
+    // analyzed schema out from under the plan
+    val dec = li.select(
+      round(round(col("l_discount").cast("decimal(10,4)"), 1), 3).as("y"))
+    assert("round\\(".r.findAllIn(
+      dec.queryExecution.optimizedPlan.toString.toLowerCase).size == 2)
+  }
+
+  test("minhash_sig rejects a non-literal k with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), CAST(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
   }
 }

@@ -43,6 +43,15 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeFeatures on non-divisible sizes: last bin absorbs the remainder") {
+    val df = Seq(Tuple1((1 to 10).map(_.toFloat))).toDF("features")
+    val out = Multimodal.resizeFeatures(df, "features", 4)
+      .select("features_resized").head().getSeq[Float](0)
+    // width 2, last bin takes 4 elements: [1+2, 3+4, 5+6, 7+8+9+10]
+    assert(out == Seq(3f, 7f, 11f, 34f))
+    assert(out.sum == (1 to 10).sum.toFloat) // no element dropped
+  }
+
   test("sampleFrames yields nFrames rows per media with in-range offsets") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 1),
       "media_id", "content", nFrames = 4).collect()
