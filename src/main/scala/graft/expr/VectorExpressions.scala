@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   * `aggregate` fold AND to the DuckDB oracle's list fold, so swapping
   * implementations cannot move any oracle-checked value.
   *
+  * Degenerate inputs are NULL, never a fabricated number: mismatched
+  * array lengths → null (the zip_with fold null-poisons the same way —
+  * a truncated embedding row must not yield a plausible partial dot),
+  * and a zero-norm side in cosine → null (DuckDB's division semantics;
+  * the IEEE NaN a raw double division produces would sort ABOVE every
+  * real score in a descending top-k).
+  *
   * Codegen: each expression emits one static call into the compiled
   * kernel below, keeping the enclosing projection inside whole-stage
   * codegen (a CodegenFallback would collapse the whole span to the
@@ -24,6 +31,7 @@ import org.apache.spark.sql.types._
   */
 trait VectorBinaryBase extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // degenerate inputs yield null
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -45,16 +53,20 @@ object VectorKernels {
   @inline private def elem(a: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
-  def dot(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
-    val n = math.min(l.numElements(), r.numElements())
+  /** Boxed return: null marks a degenerate input (length mismatch). */
+  def dot(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): java.lang.Double = {
+    val n = l.numElements()
+    if (n != r.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += elem(l, lf, i) * elem(r, rf, i); i += 1 }
     acc
   }
 
-  def cosine(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): Double = {
-    val n = math.min(l.numElements(), r.numElements())
+  /** Boxed return: null on length mismatch or a zero-norm side. */
+  def cosine(l: ArrayData, r: ArrayData, lf: Boolean, rf: Boolean): java.lang.Double = {
+    val n = l.numElements()
+    if (n != r.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -62,7 +74,8 @@ object VectorKernels {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }
 
@@ -75,8 +88,12 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryB
       leftIsFloat, rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.expr.VectorKernels$$.MODULE$$.dot($l, $r, $leftIsFloat, $rightIsFloat);")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("dotBoxed")
+      s"""java.lang.Double $tmp = graft.expr.VectorKernels$$.MODULE$$.dot($l, $r, $leftIsFloat, $rightIsFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
@@ -93,8 +110,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
       leftIsFloat, rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r) =>
-      s"${ev.value} = graft.expr.VectorKernels$$.MODULE$$.cosine($l, $r, $leftIsFloat, $rightIsFloat);")
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val tmp = ctx.freshName("cosBoxed")
+      s"""java.lang.Double $tmp = graft.expr.VectorKernels$$.MODULE$$.cosine($l, $r, $leftIsFloat, $rightIsFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)

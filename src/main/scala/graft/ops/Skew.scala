@@ -16,9 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types that preserve multiplicity under replication: ones where
+    * unmatched REPLICATED-side rows never surface. A right/full outer
+    * join would emit `factor` null-extended copies of every unmatched
+    * replica.
+    */
+  private val safeJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+
   def saltedJoin(skewed: DataFrame, replicated: DataFrame, key: String,
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    require(safeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: '$joinType' would duplicate unmatched replicated-side " +
+        s"rows ${factor}x; only inner/left/semi/anti joins are salt-safe")
     val salted = skewed.withColumn("__salt",
       (rand(42) * factor).cast("int"))
     val expanded = replicated.withColumn("__salt",

@@ -202,6 +202,10 @@ object TextOps {
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0,
+      s"minHashNearDups: k=$k must be divisible by bands=$bands — the " +
+        "trailing k % bands signature entries would be computed and " +
+        "silently ignored, lowering candidate recall")
     val rows = k / bands
     // spread the per-row shingle/hash work across all cores — small doc
     // tables often arrive as a single parquet split

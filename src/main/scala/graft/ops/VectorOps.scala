@@ -53,7 +53,7 @@ object VectorOps {
     }
 
   private def bindVec(c: Column)(f: Column => Column): Column =
-    element_at(transform(array(c), f), 1)
+    TextOps.bind(c)(f)
 
   /** Cosine similarity — one pass over both arrays. */
   def cosine(a: Column, b: Column): Column =

@@ -833,18 +833,27 @@ object Registry {
       |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
       |GROUP BY tok HAVING count(*) >= 10 ORDER BY tok""".stripMargin
 
-  /** Scalar subquery: rows above the global average (broadcast 1-row). */
+  /** Scalar subquery: rows above the global average (broadcast 1-row).
+    * `price > avg` is compared as `price * n > Σprice` in exact decimal
+    * arithmetic — a double average is accumulation-order-sensitive, so a
+    * boundary row could land on different sides of it per engine.
+    */
   private val scalarSubquery: Q = (s, dir) => {
     val o = Tables.orders(s, dir)
-    val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
-    o.crossJoin(broadcast(avgPrice))
-      .filter(col("o_totalprice") > col("avg_price"))
+    val stats = o.agg(
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+      count(lit(1)).as("n"))
+    o.crossJoin(broadcast(stats))
+      .filter(col("o_totalprice").cast(DecimalType(18, 2)) * col("n") > col("total"))
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
   private val scalarSubquerySql =
-    """SELECT o_orderkey, o_totalprice FROM orders
-      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders,
+      |  (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+      |          count(*) AS n FROM orders) sstats
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > total
       |ORDER BY o_orderkey""".stripMargin
 
   /** Gap sessionization (batch form — integer epoch-µs math on both
@@ -947,7 +956,11 @@ object Registry {
     // "branded" := latest line per order (D1) filtered to open orders (J1)
     val latest = Dedup.latestPerKeyAgg(Tables.lineitem(s, dir), Seq("l_orderkey"),
       Seq(col("l_linenumber"), col("l_extendedprice"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity"), col("l_discount")))
+        col("l_suppkey"), col("l_quantity"), col("l_discount"),
+        // the pivot below groups on l_returnflag — it must be part of the
+        // tie-break or a full 6-column tie picks a different flag per
+        // engine and the kept quantity lands under a different column
+        col("l_returnflag")))
     val open = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "F")
     val branded = latest.join(open.select("o_orderkey"),
       col("l_orderkey") === col("o_orderkey"), "left_semi")
@@ -977,7 +990,8 @@ object Registry {
       |  SELECT * FROM (
       |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
       |      ORDER BY l_linenumber DESC, l_extendedprice DESC, l_partkey DESC,
-      |               l_suppkey DESC, l_quantity DESC, l_discount DESC) AS rn
+      |               l_suppkey DESC, l_quantity DESC, l_discount DESC,
+      |               l_returnflag DESC) AS rn
       |    FROM lineitem) WHERE rn = 1),
       |branded AS (
       |  SELECT * FROM latest WHERE l_orderkey IN

@@ -67,7 +67,12 @@ object Sessionize {
     sorted.foreach { e =>
       cur match {
         case Some(s) if e.us - s.last <= gapUs =>
-          cur = Some(OpenSession(s.start, e.us, s.n + 1, s.sum + e.value))
+          // a late-but-within-watermark event from a later micro-batch can
+          // precede the open session's bounds — extend, never shrink them
+          // (moving `last` backwards would re-arm the timeout early and
+          // mis-measure the next gap)
+          cur = Some(OpenSession(math.min(s.start, e.us), math.max(s.last, e.us),
+            s.n + 1, s.sum + e.value))
         case Some(s) =>
           closed :+= (e.user_id, s)
           cur = Some(OpenSession(e.us, e.us, 1, e.value))

@@ -4,6 +4,16 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class SkewSpec extends SparkSpec {
+
+  test("saltedJoin rejects replicated-side-preserving join types") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "y")).toDF("k", "w")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(a, b, "k", 4, "full_outer")
+    }
+    assert(e.getMessage.contains("salt-safe"))
+  }
   import spark.implicits._
 
   test("saltedJoin result is identical to the plain join (multiplicity preserved)") {

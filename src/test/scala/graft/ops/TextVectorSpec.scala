@@ -132,6 +132,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(empty == Seq(null, null, null, null))
   }
 
+  test("vector kernels yield null on ragged lengths and zero norms, never NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 1f, 1f)),   // ok
+      (Seq(1f, 2f, 3f), Seq(1f)),           // ragged → null (HOF null-poisons too)
+      (Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)))   // zero norm → null, not NaN
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.cosine(col("a"), col("b")).as("c")).collect()
+    assert(rows(0).getDouble(0) == 6.0 && !rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(!rows(2).isNullAt(0) && rows(2).getDouble(0) == 0.0)
+    assert(rows(2).isNullAt(1)) // cosine of the zero vector is undefined
+  }
+
   test("custom DotProduct expression is bit-identical to the HOF fold") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
     val both = embs.select(

@@ -18,6 +18,13 @@ class SessionizeSpec extends SparkSpec {
     // resuming from open state merges instead of restarting
     val (c2, o2) = Sessionize.advance(open, Seq(SessEvent(1, 300, 1.0)), gap)
     assert(c2.isEmpty && o2.contains(OpenSession(200, 300, 3, 8.0)))
+    // a late-but-within-gap event from a later batch extends bounds
+    // backwards without shrinking `last` (timeout must stay at 300+gap)
+    val (c3, o3) = Sessionize.advance(o2, Seq(SessEvent(1, 260, 1.0)), gap)
+    assert(c3.isEmpty && o3.contains(OpenSession(200, 300, 4, 9.0)))
+    // a late event before the session start extends `start` back
+    val (c4, o4) = Sessionize.advance(o3, Seq(SessEvent(1, 150, 1.0)), gap)
+    assert(c4.isEmpty && o4.contains(OpenSession(150, 300, 5, 10.0)))
   }
 
   test("streamed sessions match batch sessions (modulo final open sessions)") {
