@@ -117,6 +117,34 @@ object TextOps {
       }
     }
 
+  /** Integer-exact quality points (the oracle-safe scoring used by BOTH
+    * q_quality_score and q_corpus_pipeline — one definition so the
+    * per-stage query and the end-to-end pipeline can't drift): length
+    * tiers + mean-word-length band (in cross-multiplied integer space) +
+    * punctuation-ratio bonus + capped stopword hits.
+    */
+  def qualityPoints(t: Column): Column = {
+    val nChars = length(t)
+    val nTok = tokenCount(t)
+    val punct = length(regexp_replace(t, "[^.,;:!?]", ""))
+    val stopSet = typedLit(stopwords.values.flatten.toSeq.distinct)
+    val stopHits = size(array_intersect(array_distinct(tokens(lower(t))), stopSet))
+    when(nChars >= 400, 2).when(nChars >= 100, 1).otherwise(0) +
+      when((nChars * 10).between(nTok * 30, nTok * 100), 2).otherwise(0) +
+      when(punct * 10 <= nChars, 1).otherwise(0) +
+      least(stopHits, lit(5))
+  }
+
+  /** DuckDB fragment computing the same 4-term sum from the caller's
+    * column/expression snippets (shared by the same two oracles).
+    */
+  def qualityPointsSql(nChars: String, nTok: String, punct: String,
+                       stopHits: String): String =
+    s"""(CASE WHEN $nChars >= 400 THEN 2 WHEN $nChars >= 100 THEN 1 ELSE 0 END)
+       |  + (CASE WHEN $nChars * 10 BETWEEN $nTok * 30 AND $nTok * 100 THEN 2 ELSE 0 END)
+       |  + (CASE WHEN $punct * 10 <= $nChars THEN 1 ELSE 0 END)
+       |  + least($stopHits, 5)""".stripMargin
+
   /** Content fingerprint (md5 — stable across engines, so oracle-able). */
   def fingerprint(c: Column): Column = md5(c.cast("binary"))
 

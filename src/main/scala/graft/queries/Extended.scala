@@ -762,22 +762,11 @@ object Extended {
     */
   private val corpusPipelineQ: Q = (s, dir) => {
     val t = col("text")
-    val nChars = length(t)
-    val nTok = TextOps.tokenCount(t)
-    val punct = length(regexp_replace(t, "[^.,;:!?]", ""))
-    val stopSet = typedLit(TextOps.stopwords.values.flatten.toSeq.distinct)
-    val stopHits = size(array_intersect(
-      array_distinct(TextOps.tokens(lower(t))), stopSet))
-    val points =
-      when(nChars >= 400, 2).when(nChars >= 100, 1).otherwise(0) +
-      when((nChars * 10).between(nTok * 30, nTok * 100), 2).otherwise(0) +
-      when(punct * 10 <= nChars, 1).otherwise(0) +
-      least(stopHits, lit(5))
     val scored = spread(Tables.documents(s, dir)).select(
       col("doc_id"),
       TextOps.langId(t).as("detected"),
-      points.as("q_points"),
-      nTok.as("n_tokens"),
+      TextOps.qualityPoints(t).as("q_points"),
+      TextOps.tokenCount(t).as("n_tokens"),
       TextOps.fingerprint(t).as("fp"))
     val gated = scored
       .filter(col("q_points") >= 4 && col("detected") =!= "und")
@@ -807,10 +796,8 @@ object Extended {
        |  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
        |  FROM documents),
        |sc AS (SELECT doc_id, text, n_tok,
-       |  (CASE WHEN n_chars >= 400 THEN 2 WHEN n_chars >= 100 THEN 1 ELSE 0 END)
-       |  + (CASE WHEN n_chars * 10 BETWEEN n_tok * 30 AND n_tok * 100 THEN 2 ELSE 0 END)
-       |  + (CASE WHEN punct * 10 <= n_chars THEN 1 ELSE 0 END)
-       |  + least(len(list_intersect(toks, [$stopList])), 5) AS q_points,
+       |  ${TextOps.qualityPointsSql("n_chars", "n_tok", "punct",
+            s"len(list_intersect(toks, [$stopList]))")} AS q_points,
        |  CASE WHEN ${hits("fr")} > 0 AND ${hits("fr")} >= ${hits("es")}
        |            AND ${hits("fr")} >= ${hits("en")} AND ${hits("fr")} >= ${hits("de")} THEN 'fr'
        |       WHEN ${hits("es")} > 0 AND ${hits("es")} >= ${hits("en")}

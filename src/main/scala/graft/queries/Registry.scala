@@ -516,20 +516,10 @@ object Registry {
     * the registry query scores in pure integer space).
     */
   private val qualityScoreQ: Q = (s, dir) => {
-    val t = col("text")
-    val nChars = length(t)
-    val nTok = TextOps.tokenCount(t)
-    val punct = length(regexp_replace(t, "[^.,;:!?]", ""))
-    val stopSet = typedLit(TextOps.stopwords.values.flatten.toSeq.distinct)
-    val stopHits = size(array_intersect(
-      array_distinct(TextOps.tokens(lower(t))), stopSet))
-    val points =
-      when(nChars >= 400, 2).when(nChars >= 100, 1).otherwise(0) +
-      when((nChars * 10).between(nTok * 30, nTok * 100), 2).otherwise(0) +
-      when(punct * 10 <= nChars, 1).otherwise(0) +
-      least(stopHits, lit(5))
     spread(Tables.documents(s, dir))
-      .select(col("doc_id"), nTok.as("n_tokens"), points.as("q_points"))
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityPoints(col("text")).as("q_points"))
       .orderBy(col("doc_id"))
   }
   private val qualityScoreSql = {
@@ -542,10 +532,7 @@ object Registry {
        |      [$stopList])) AS stop_hits
        |  FROM documents)
        |SELECT doc_id, n_tok AS n_tokens,
-       |  (CASE WHEN n_chars >= 400 THEN 2 WHEN n_chars >= 100 THEN 1 ELSE 0 END)
-       |  + (CASE WHEN n_chars * 10 BETWEEN n_tok * 30 AND n_tok * 100 THEN 2 ELSE 0 END)
-       |  + (CASE WHEN punct * 10 <= n_chars THEN 1 ELSE 0 END)
-       |  + least(stop_hits, 5) AS q_points
+       |  ${TextOps.qualityPointsSql("n_chars", "n_tok", "punct", "stop_hits")} AS q_points
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
