@@ -700,6 +700,28 @@ object Extended {
       |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Null-preserving generator: explode_outer keeps a null row for
+    * parts whose filtered word list is empty (an inner explode would
+    * silently drop them — the LEFT-JOIN-shaped generator). DuckDB
+    * mirrors by padding empty lists with [NULL].
+    */
+  private val explodeOuterQ: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        explode_outer(
+          filter(split(col("p_type"), " "), w => w >= "m")).as("w"))
+      .orderBy(col("p_partkey"), col("w"))
+  }
+  private val explodeOuterSql =
+    """WITH t AS (
+      |  SELECT p_partkey,
+      |         list_filter(string_split(p_type, ' '), w -> w >= 'm') AS arr
+      |  FROM part)
+      |SELECT p_partkey,
+      |  unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)]
+      |              ELSE arr END) AS w
+      |FROM t ORDER BY p_partkey, w""".stripMargin
+
   /** Generator with position: posexplode → (pos, token), first 3 tokens
     * per document (DuckDB mirrors via zipped parallel unnests).
     */
@@ -848,7 +870,8 @@ object Extended {
     ("q_posexplode", posexplodeQ, Some(posexplodeSql)),
     ("q_map_family", mapFamilyQ, Some(mapFamilySql)),
     ("q_asof_forward", asofForwardQ, Some(asofForwardSql)),
-    ("q_date_format", dateFormatQ, Some(dateFormatSql)))
+    ("q_date_format", dateFormatQ, Some(dateFormatSql)),
+    ("q_explode_outer", explodeOuterQ, Some(explodeOuterSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
