@@ -766,11 +766,18 @@ object Registry {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
-  /** ntile quartiles (total-order ORDER BY keeps tiles deterministic). */
+  /** ntile quartiles (total-order ORDER BY keeps tiles deterministic).
+    * NOT `ntile(4).over(Window.orderBy(...))` — an unpartitioned window
+    * is a single-task total sort at scale. [[Tiling.ntileDistributed]]
+    * computes identical tile ids with bucketed prefix-offset ranking.
+    */
   private val ntileQ: Q = (s, dir) => {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, dir)
-      .withColumn("quartile", ntile(4).over(w))
+    Tiling.ntileDistributed(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+      tiles = 4,
+      rangeCol = col("o_totalprice"),
+      orderCols = Seq(col("o_totalprice"), col("o_orderkey")),
+      out = "quartile")
       .select(col("o_orderkey"), col("o_totalprice"), col("quartile"))
       .orderBy(col("o_orderkey"))
   }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[Tiling.ntileDistributed]] must be bit-identical to Spark's own
+  * `ntile(t) OVER (ORDER BY ...)` — the global window is the semantics
+  * spec; the distributed form is the scale implementation.
+  */
+class TilingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def parity(tiles: Int, buckets: Int): Unit = {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val expected = orders
+      .withColumn("t", ntile(tiles).over(
+        Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    val got = Tiling.ntileDistributed(
+      orders, tiles, col("o_totalprice"),
+      Seq(col("o_totalprice"), col("o_orderkey")), "t", buckets)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      s"ntileDistributed($tiles, buckets=$buckets) != ntile window")
+  }
+
+  test("parity with ntile window: quartiles") { parity(4, 64) }
+  test("parity with ntile window: 7 tiles, few buckets (uneven split)") {
+    parity(7, 3)
+  }
+  test("parity with ntile window: more tiles than fits evenly") {
+    parity(13, 16)
+  }
+
+  test("ties on the range column never split across tiles incorrectly") {
+    import spark.implicits._
+    // heavy ties: 100 rows, only 5 distinct values
+    val df = (1 to 100).map(i => (i.toLong, (i % 5).toDouble)).toDF("k", "v")
+    val expected = df.withColumn("t",
+      ntile(4).over(Window.orderBy(col("v"), col("k"))))
+    val got = Tiling.ntileDistributed(
+      df, 4, col("v"), Seq(col("v"), col("k")), "t", buckets = 8)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("degenerate range (all values equal) still matches") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, 3.0)).toDF("k", "v")
+    val expected = df.withColumn("t",
+      ntile(4).over(Window.orderBy(col("v"), col("k"))))
+    val got = Tiling.ntileDistributed(
+      df, 4, col("v"), Seq(col("v"), col("k")), "t", buckets = 8)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("fewer rows than tiles: each row its own tile") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val got = Tiling.ntileDistributed(
+      df, 8, col("v"), Seq(col("v"), col("k")), "t", buckets = 4)
+      .orderBy("v").select("t").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 3))
+  }
+
+  test("empty input yields empty output with the tile column") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Double)].toDF("k", "v")
+    val got = Tiling.ntileDistributed(
+      df, 4, col("v"), Seq(col("v"), col("k")), "t")
+    assert(got.columns.contains("t") && got.count() == 0)
+  }
+}

@@ -164,6 +164,26 @@ class PlanSpec extends SparkSpec {
       l.contains("simhash64") && l.contains("*(")), sim)
   }
 
+  test("q_ntile plans no single-partition window (distributed tiling)") {
+    val df = Registry.queries("q_ntile")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the old shape — Window over Exchange SinglePartition — is the
+    // scale-killer this test locks out
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p) // the per-bucket rank window IS there
+    // and it's partitioned: every WindowExec carries a partitionSpec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(plan: SparkPlan): Seq[WindowExec] = plan.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+    }.flatten
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"found ${ws.size} windows; partitionSpecs=${ws.map(_.partitionSpec)}")
+  }
+
   test("unpivot stays a narrow expand (no shuffle before the aggregate)") {
     val p = extPlan("q_unpivot")
     assert(p.contains("Expand"), p)
