@@ -98,4 +98,93 @@ object Dedup {
     }
     labels
   }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — O(log n) rounds on ANY graph shape, vs min-label
+    * propagation's O(diameter): a near-dup chain of length d needs d
+    * propagation rounds but only ~log₂ d star rounds, because each
+    * large-star hop re-points whole neighborhoods at their minimum
+    * (pointer-doubling-style contraction).
+    *
+    * Per round: two groupBy+join passes (large-star then small-star),
+    * each one hash shuffle on the center node — same per-round shape as
+    * propagation, exponentially fewer rounds. Convergence detected by an
+    * O(1) edge-set checksum (count + exact decimal hash-sum); each round
+    * `localCheckpoint`s to cut lineage (same requirement as above).
+    *
+    * Output: (id, cluster) — every node labeled with its component's
+    * minimum id; identical contract to [[connectedComponents]].
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 50): DataFrame =
+    connectedComponentsStarCounted(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] + the number of alternation rounds it
+    * took (for convergence-bound tests).
+    */
+  def connectedComponentsStarCounted(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    // Every emitted edge has a > b (m ≤ u < v), so no self-loops.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("mb"))
+        .select(col("a").as("u"), least(col("mb"), col("a")).as("m"))
+      sym.join(mins, col("a") === col("u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // small-star(u): orient edges large→small; m = min(N(u) ∪ {u});
+    // emit (v, m) for v ∈ N(u) ∪ {u}, dropping the (m, m) self-loop.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("a"),
+                         least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val mins = dir.groupBy("a").agg(min(col("b")).as("m"))
+      dir.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // O(1) set checksum: (|E|, Σ xxhash64(a,b) as exact decimal) — labels
+    // don't monotonically shrink here (edges are rewritten, not relaxed),
+    // so the propagation variant's Σ-label test doesn't apply.
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b")).cast(DecimalType(38, 0))),
+                 lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
+      .distinct()
+      .localCheckpoint()
+    var edges = pairs
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = edges.isEmpty // all input pairs were self-loops
+    while (!converged && iter < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val s = checksum(edges)
+      converged = s == prev
+      prev = s
+      iter += 1
+    }
+    // fixpoint is a star forest: (v, root) with root = component min.
+    // Union with identity labels so roots (and any self-loop-only input
+    // nodes) label themselves.
+    val labels = edges.select(col("a").as("id"), col("b").as("cluster"))
+      .union(nodes.select(col("id"), col("id").as("cluster")))
+      .groupBy("id").agg(min(col("cluster")).as("cluster"))
+    (labels, iter)
+  }
 }

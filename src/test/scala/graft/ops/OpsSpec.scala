@@ -46,6 +46,31 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 9 && got.values.forall(_ == 1L))
   }
+
+  test("star CC matches propagation CC on mixed shapes (incl. self-loops)") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L), (30L, 30L)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L))
+  }
+
+  test("star CC: path of 512 nodes converges in O(log n) rounds, not O(n)") {
+    val n = 512L
+    // shuffled ids so the min isn't an endpoint (adversarial for naive
+    // propagation direction); reversible affine permutation of 1..n
+    def perm(i: Long): Long = (i * 269 + 47) % n + 1
+    val path = (1L until n).map(i => (perm(i), perm(i + 1))).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsStarCounted(path, "a", "b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 1L))
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt // 18
+    assert(rounds <= bound,
+      s"star CC took $rounds rounds on a $n-path (bound $bound) — " +
+        "propagation would take ~510")
+  }
 }
 
 class CleaningSpec extends SparkSpec {
