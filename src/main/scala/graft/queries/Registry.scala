@@ -582,14 +582,38 @@ object Registry {
       |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
       |ORDER BY id_a""".stripMargin
 
-  /** MinHash+LSH near-dup pairs (xxhash64-based — engine-local, verified
-    * in ScalaTest against brute-force Jaccard; no SQL oracle).
+  /** MinHash+LSH near-dup pairs, exact-verified: LSH proposes candidates,
+    * exact shingle-Jaccard ≥ threshold filters them — so the OUTPUT is
+    * deterministic and oracle-able as all-pairs exact Jaccard, PROVIDED
+    * the banding misses no true pair. 32 bands × 2 rows puts the per-pair
+    * miss probability at (1−J²)³² ≤ 3e−12 for J ≥ 0.75, and the corpus'
+    * pair-similarity distribution is bimodal (nothing in [0.3, 0.75)), so
+    * recall is exactly 1 here; TextVectorSpec asserts LSH ≡ brute-force
+    * on the fixture. The oracle pays O(n²) list-intersects — fine at
+    * verify scale, and precisely the cost the LSH side avoids.
     */
   private val minhashLsh: Q = (s, dir) => {
     TextOps.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+        shingleN = 3, k = 64, bands = 32, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
+  private val minhashLshSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+2], ' ')
+      |               for i in range(1, len(toks) - 1)]
+      |    END) AS sh FROM tok)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |FROM s a JOIN s b ON b.doc_id > a.doc_id
+      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash-64 fingerprints (xxhash64-based — engine-local). */
   private val simhashQ: Q = (s, dir) => {
@@ -1138,7 +1162,7 @@ object Registry {
     ("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     ("q_exact_dedup", exactDedup, Some(exactDedupSql)),
     ("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
-    ("q_minhash_lsh", minhashLsh, None),
+    ("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("q_simhash", simhashQ, None),
     ("q_sparse_map", sparseMap, Some(sparseMapSql)),
     ("q_topk_dense", topkDense, Some(topkDenseSql)),

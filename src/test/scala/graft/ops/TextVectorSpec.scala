@@ -82,6 +82,28 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.count() == 1)
     assert(pairs.head().getDouble(2) == 1.0)
   }
+
+  test("LSH near-dups ≡ brute-force all-pairs at registry params (recall 1 on fixture)") {
+    // the q_minhash_lsh oracle (exact all-pairs Jaccard in DuckDB) is only
+    // valid if the banding misses nothing — assert that on real fixture
+    // data with the registry's exact parameters
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val lsh = TextOps.minHashNearDups(docs, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"),
+      array_distinct(TextOps.shingles(col("text"), 3)).as("sh"))
+    val brute = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(TextOps.jaccard(col("sa"), col("sb")), 4) >= 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute,
+      s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+    assert(brute.nonEmpty) // the fixture actually contains near-dups
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
