@@ -173,11 +173,13 @@ object VectorOps {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
-  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
-              query: Seq[Float], k: Int, nProbe: Int = 3): DataFrame = {
-    // nearest centroids computed driver-side (centroids are tiny)
+  /** nProbe nearest centroids to the query — driver-side over the tiny
+    * centroid array.
+    */
+  def nearestCentroids(centroids: Array[Array[Double]], query: Seq[Float],
+                       nProbe: Int): Seq[Int] = {
     val q = query.map(_.toDouble).toArray
-    val probes = index.centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < math.min(c.length, q.length)) {
@@ -185,9 +187,35 @@ object VectorOps {
         }
         (i, d)
       }
-      .sortBy(_._2).take(nProbe).map(_._1)
+      .sortBy(_._2).take(nProbe).map(_._1).toIndexedSeq
+  }
+
+  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nProbe: Int = 3): DataFrame = {
+    val probes = nearestCentroids(index.centroids, query, nProbe)
     index.assigned
-      .filter(col("centroid").isin(probes.toIndexedSeq: _*))
+      .filter(col("centroid").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Materialize the IVF index partitioned by centroid — the 100 TB
+    * layout: each centroid is a parquet partition directory, so a probe
+    * reads only nProbe directories (PartitionFilters in the scan, proven
+    * in PlanSpec) instead of filtering the whole corpus.
+    */
+  def ivfWrite(index: IvfIndex, path: String): Unit =
+    index.assigned.write.partitionBy("centroid").mode("overwrite").parquet(path)
+
+  /** Probe a written IVF index: partition-pruned scan + exact rerank. */
+  def ivfTopKFromPath(spark: org.apache.spark.sql.SparkSession, path: String,
+                      centroids: Array[Array[Double]], idCol: String,
+                      vecCol: String, query: Seq[Float], k: Int,
+                      nProbe: Int = 3): DataFrame = {
+    val probes = nearestCentroids(centroids, query, nProbe)
+    spark.read.parquet(path)
+      .filter(col("centroid").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 4).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

@@ -434,20 +434,44 @@ object Registry {
        |ORDER BY block, id_a, id_b""".stripMargin
 
   /** ANN top-k via random-hyperplane LSH + exact rerank — approximate by
-    * design, so no SQL oracle; recall vs the exact top-k is asserted in
-    * ScalaTest.
+    * design, so no SQL oracle; measured recall@10 vs the exact top-k is
+    * asserted ≥ 0.8 in ScalaTest. 16 tables × 8 bits: the fixture's
+    * embeddings are isotropic (ANN's worst case — true neighbors barely
+    * closer than noise), where recall ≈ candidate fraction; 16 tables
+    * reaches 0.8 while still skipping the majority of the corpus.
     */
   private val annTopk: Q = (s, dir) => {
     VectorOps.annTopK(Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", queryVec(s, dir), k = 10, dim = 64, nBits = 8)
+      "vec_id", "embedding", queryVec(s, dir), k = 10, dim = 64, nBits = 8,
+      tables = 16)
   }
 
-  /** ANN top-k via IVF (k-means partitions + nProbe) — engine-local. */
+  /** ANN top-k via IVF (k-means partitions + nProbe) — engine-local.
+    * The index is STAGED to disk `partitionBy(centroid)` once per
+    * process, so the probe below is a partition-pruned scan of nProbe
+    * directories (PartitionFilters — asserted in PlanSpec), the same
+    * layout a 100 TB corpus needs.
+    */
+  private[queries] val stagedIvf =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
+  private[queries] def stageIvf(s: SparkSession, dir: String): (String, Array[Array[Double]]) =
+    stagedIvf.computeIfAbsent(s"ivf:$dir", { _ =>
+      val idx = VectorOps.ivfIndex(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", nCentroids = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      VectorOps.ivfWrite(idx, tmp)
+      (tmp, idx.centroids)
+    })
+  // 6-of-8 probes: isotropic fixture vectors spread true neighbors nearly
+  // uniformly over cells (recall ≈ probed fraction — measured 1.0 at
+  // these settings, asserted ≥ 0.8 in spec). At corpus scale nCentroids
+  // grows to thousands and the probed FRACTION shrinks accordingly; the
+  // pruning SHAPE (PartitionFilters over centroid dirs) is what carries.
   private val annIvf: Q = (s, dir) => {
-    val idx = VectorOps.ivfIndex(
-      Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", nCentroids = 16)
-    VectorOps.ivfTopK(idx, "vec_id", "embedding", queryVec(s, dir), k = 10)
+    val (path, centroids) = stageIvf(s, dir)
+    VectorOps.ivfTopKFromPath(s, path, centroids, "vec_id", "embedding",
+      queryVec(s, dir), k = 10, nProbe = 6)
   }
 
   /** §3.2 index build: corpus ⋈ embeddings with sparse metadata payload.

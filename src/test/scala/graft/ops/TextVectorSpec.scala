@@ -208,6 +208,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 8, s"ANN recall too low on planted neighbors: $recall/10")
   }
 
+  test("measured recall@10 vs exact cosineTopK on the real fixture (LSH and IVF)") {
+    // not planted neighbors — the registry queries' own corpus and query
+    // vector, so this is the recall a user of q_ann_topk/q_ann_ivf gets
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val corpus = embs.filter(col("vec_id") =!= 0)
+    val exact = VectorOps.cosineTopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    // registry parameters — q_ann_topk / q_ann_ivf settings exactly
+    val lsh = VectorOps.annTopK(corpus, "vec_id", "embedding", q,
+      k = 10, dim = 64, nBits = 8, tables = 16)
+      .collect().map(_.getLong(0)).toSet
+    val idx = VectorOps.ivfIndex(corpus, "vec_id", "embedding", nCentroids = 8)
+    val ivf = VectorOps.ivfTopK(idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
+      .collect().map(_.getLong(0)).toSet
+    val (rLsh, rIvf) =
+      ((exact intersect lsh).size / 10.0, (exact intersect ivf).size / 10.0)
+    info(f"recall@10 on real corpus: LSH=$rLsh%.1f IVF=$rIvf%.1f")
+    assert(rLsh >= 0.8, s"LSH recall@10 $rLsh < 0.8 on the real fixture")
+    assert(rIvf >= 0.8, s"IVF recall@10 $rIvf < 0.8 on the real fixture")
+  }
+
   test("nearDupCosine finds planted near-duplicates within a block, not across") {
     val df = Seq(
       (1L, "blk1", Seq(1f, 0f, 0f)),

@@ -164,6 +164,16 @@ class PlanSpec extends SparkSpec {
       l.contains("simhash64") && l.contains("*(")), sim)
   }
 
+  test("IVF probe is a partition-pruned scan (PartitionFilters on centroid)") {
+    val df = Registry.queries("q_ann_ivf")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the centroid IN-list must live in PartitionFilters (directory
+    // pruning), not in a post-scan Filter over data columns
+    val pfSection = p.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pfSection.exists(_.contains("centroid")), p)
+    assert(df.count() == 10)
+  }
+
   test("q_ntile plans no single-partition window (distributed tiling)") {
     val df = Registry.queries("q_ntile")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
