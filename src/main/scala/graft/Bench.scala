@@ -39,12 +39,14 @@ object Bench {
       runToNoop("q_broadcast_dim")
     } catch { case _: Throwable => () }
 
-    // min of 2 runs per query: steady-state time, robust to JIT/GC noise
-    // (single-run totals vary ±10% run-to-run). A query that throws is
-    // reported as -1 with its error message — never as a fake timing.
+    // min of 3 runs per query: steady-state time, robust to JIT/GC noise
+    // (min-of-2 still showed ±1.5× round-over-round jitter on 0.3-0.6 s
+    // queries; the first rep doubles as per-query warmup). A query that
+    // throws is reported as -1 with its error message — never as a fake
+    // timing.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { runToNoop(name); Some((System.nanoTime() - t0) / 1e9) }
         catch {

@@ -264,4 +264,26 @@ object TextOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Fuzzy-dup candidate pairs by edit distance over the DISTINCT key
+    * domain — the classic small-domain pass of fuzzy dedup (brand/unit
+    * style vocabularies). The cross join is O(n²) BY DESIGN, so the
+    * domain cardinality is counted first and the call fails loudly past
+    * `maxDomain` — the scale contract is explicit, not an accidental
+    * quadratic blowup on an unexpectedly large domain. Large domains
+    * belong to the banded path ([[minHashNearDups]]).
+    */
+  def editDistancePairs(df: DataFrame, keyCol: String, maxDist: Int = 1,
+                        maxDomain: Long = 5000): DataFrame = {
+    val b = df.select(col(keyCol)).distinct()
+    val n = b.count() // eager tiny count — the guard IS the point
+    require(n <= maxDomain,
+      s"editDistancePairs: distinct '$keyCol' domain is $n (> $maxDomain) — " +
+        s"the O(n²) cross join would generate ${n * n} candidate pairs; " +
+        "use MinHash/n-gram blocking for large domains")
+    b.as("x").crossJoin(b.as("y"))
+      .filter(col(s"x.$keyCol") < col(s"y.$keyCol") &&
+        levenshtein(col(s"x.$keyCol"), col(s"y.$keyCol")) <= maxDist)
+      .select(col(s"x.$keyCol").as("b1"), col(s"y.$keyCol").as("b2"))
+  }
 }

@@ -262,16 +262,13 @@ object Extended {
 
   /** Edit-distance blocking (fuzzy-dup candidate pairs over a distinct
     * key domain — the classic small-domain pass of fuzzy dedup; the
-    * distinct() collapses the fact table before the quadratic step).
+    * distinct() collapses the fact table before the quadratic step, and
+    * [[TextOps.editDistancePairs]] guards the domain cardinality so the
+    * O(n²) contract is explicit).
     */
-  private val editDistanceQ: Q = (s, dir) => {
-    val b = Tables.part(s, dir).select(col("p_brand")).distinct()
-    b.as("x").crossJoin(b.as("y"))
-      .filter(col("x.p_brand") < col("y.p_brand") &&
-        levenshtein(col("x.p_brand"), col("y.p_brand")) <= 1)
-      .select(col("x.p_brand").as("b1"), col("y.p_brand").as("b2"))
+  private val editDistanceQ: Q = (s, dir) =>
+    TextOps.editDistancePairs(Tables.part(s, dir), "p_brand")
       .orderBy(col("b1"), col("b2"))
-  }
   private val editDistanceSql =
     """WITH b AS (SELECT DISTINCT p_brand FROM part)
       |SELECT x.p_brand AS b1, y.p_brand AS b2

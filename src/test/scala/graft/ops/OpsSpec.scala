@@ -149,6 +149,33 @@ class SamplingSpec extends SparkSpec {
     assert(s1.toSeq == s2.toSeq) // seed-deterministic
   }
 
+  test("exactSampleScalable: oversample path ≡ direct path (exact same rows)") {
+    val df = (1 to 20000).toDF("n")
+    val direct = Sampling.exactSample(df, 500, seed = 7)
+      .collect().map(_.getInt(0)).toSeq
+    // directLimit=0 forces the filter-then-sort scale path
+    val scaled = Sampling.exactSampleScalable(df, 500, seed = 7, directLimit = 0)
+      .collect().map(_.getInt(0)).toSeq
+    assert(scaled == direct, "scale path must pick the identical sample")
+    // n >= total short-circuits to the full input
+    assert(Sampling.exactSampleScalable(df, 30000, directLimit = 0).count() == 20000)
+    // small n stays on the direct path (same result by construction)
+    assert(Sampling.exactSampleScalable(df, 500, seed = 7).collect()
+      .map(_.getInt(0)).toSeq == direct)
+  }
+
+  test("editDistancePairs guards its quadratic domain") {
+    val small = Seq("gear", "gearx", "bolt").toDF("k")
+    val pairs = TextOps.editDistancePairs(small, "k")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("gear", "gearx")))
+    val big = (1 to 100).map(i => s"brand_$i").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.editDistancePairs(big, "k", maxDomain = 50)
+    }
+    assert(e.getMessage.contains("O(n²)") || e.getMessage.contains("candidate pairs"))
+  }
+
   test("topKDense orders by fewest nulls") {
     val df = Seq(
       (1, Some(1), Some(1)), (2, None, Some(1)), (3, None, None))
