@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps
+
+/** Training-corpus preparation operators beyond the reference surface —
+  * the large-scale LLM-data-pipeline family (decontamination, splits,
+  * mixing, packing, repetition filtering, streaming ingest dedup), each
+  * with a DuckDB oracle. Same conventions as [[Registry]]: aliased
+  * columns, total-order sorts, decimal sums, BIGINT-cast counts.
+  */
+object Corpus {
+
+  type Q = Registry.Q
+
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * 4-gram with the held-out/benchmark set (here: every 20th doc). The
+    * eval n-gram set is orders of magnitude smaller than the corpus, so
+    * it BROADCASTS — the training side never shuffles its text, only the
+    * exploded (doc_id, gram) pairs stream map-side through the hash join.
+    * The standard n-gram-overlap decontamination pass (WebText/C4-style),
+    * sized to the fixture's ~54-token docs.
+    */
+  private val decontaminateQ: Q = (s, dir) => {
+    val sh = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"), 4)).as("grams"))
+    val ev = sh.filter(col("doc_id") % 20 === 0)
+      .select(explode(col("grams")).as("g")).distinct()
+    val tr = sh.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+    tr.join(broadcast(ev), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // grams are distinct per doc
+      .orderBy(col("doc_id"))
+  }
+  private val decontaminateSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+3], ' ')
+      |               for i in range(1, len(toks) - 2)]
+      |    END) AS grams FROM tok),
+      |ev AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 20 = 0),
+      |tr AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 20 <> 0)
+      |SELECT tr.doc_id, count(*) AS n_hits
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- deterministic split
+
+  /** Train/val/test split by md5 prefix — deterministic, engine-portable
+    * (pure function of the id: any engine assigns every row the same
+    * split, no RNG state, re-runs and backfills land identically).
+    * Lexicographic hex compare: 'cc'/256 ≈ 0.80, 'e6'/256 ≈ 0.90.
+    * Map-side only — no shuffle beyond the final tiny aggregate.
+    */
+  private def splitCol(id: Column): Column = {
+    val b = substring(md5(id.cast("string")), 1, 2)
+    when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+  }
+  private val splitHashQ: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(splitCol(col("doc_id")).as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy(col("split"))
+  }
+  private val splitHashSql =
+    """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ----------------------------------------------------- domain mixing
+
+  /** Weighted domain mixing: downsample each source to a target fraction
+    * with the same md5-prefix trick (even-numbered sources keep 25%
+    * ('40'/256), odd keep 75% ('c0'/256)). Deterministic mixing is what
+    * makes corpus recipes reproducible; selection is map-side, the only
+    * shuffle is the per-source rollup.
+    */
+  private val domainMixQ: Q = (s, dir) => {
+    val tag = substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 2)
+    val thr = when(
+      regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0,
+      "40").otherwise("c0")
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total"),
+        count(when(tag < thr, 1)).as("kept"))
+      .orderBy(col("source"))
+  }
+  private val domainMixSql =
+    """SELECT source, count(*) AS total,
+      |       count(CASE WHEN substr(md5(concat_ws(':', source, doc_id)), 1, 2)
+      |                    < (CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
+      |                            THEN '40' ELSE 'c0' END)
+      |                  THEN 1 END) AS kept
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- repetition quality
+
+  /** Repetition-ratio quality gate: share of duplicated word bigrams per
+    * doc (1 − distinct/total) — the classic boilerplate/degenerate-text
+    * detector. Top-20 most repetitive, deterministic tie-break. Pure
+    * map-side scoring + TakeOrdered.
+    */
+  private val repetitionRatioQ: Q = (s, dir) => {
+    val bg = TextOps.shingles(col("text"), 2)
+    Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(bg)).cast("double") /
+          size(bg).cast("double"), 4).as("rep_ratio"))
+      .orderBy(col("rep_ratio").desc, col("doc_id"))
+      .limit(20)
+  }
+  private val repetitionRatioSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+1], ' ')
+      |               for i in range(1, len(toks))]
+      |    END AS grams FROM tok)
+      |SELECT doc_id,
+      |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+      |        / len(grams), 4) AS rep_ratio
+      |FROM bg ORDER BY rep_ratio DESC, doc_id LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------- sequence packing
+
+  /** Sequence packing: assign docs to fixed token-budget bins (256
+    * tokens) by running prefix-sum within each source — the batch
+    * formulation of greedy context-window packing for LLM training. The
+    * window is PARTITIONED by source (parallel, no global sort); output
+    * is per-bin occupancy.
+    */
+  private val packSequencesQ: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Registry.spread(Tables.documents(s, dir))
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tok"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / lit(256.0)))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+  private val packSequencesSql =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tok,
+      |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM t)
+      |SELECT source, CAST(FLOOR(cum / 256.0) AS BIGINT) AS bin,
+      |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
+  // ----------------------------------------------------- streaming dedup
+
+  /** Streaming ingest dedup: the staged input contains every event TWICE
+    * (two files, one per micro-batch), `dropDuplicatesWithinWatermark`
+    * keeps the first arrival of each event_id with state bounded by the
+    * watermark — the exactly-once-ingest shape of a streaming corpus
+    * loader. The deduped stream drains append-mode; the rollup happens
+    * batch-side on the drained table, so the oracle is a plain GROUP BY
+    * over the UNIQUE events.
+    */
+  private val dupStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDupDir(dir: String): String =
+    dupStreamDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dupstream")
+      tmp.toFile.deleteOnExit()
+      Seq("events_a.parquet", "events_b.parquet").foreach { f =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"), tmp.resolve(f))
+        tmp.resolve(f).toFile.deleteOnExit()
+      }
+      tmp.toString
+    })
+  private val streamDedupQ: Q = (s, dir) => {
+    graft.streaming.EventStream.runStreamDedup(s, stagedDupDir(dir))
+      .orderBy(col("event_type"))
+  }
+  private val streamDedupSql =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_decontaminate", decontaminateQ, Some(decontaminateSql)),
+    ("q_split_hash", splitHashQ, Some(splitHashSql)),
+    ("q_domain_mix", domainMixQ, Some(domainMixSql)),
+    ("q_repetition_ratio", repetitionRatioQ, Some(repetitionRatioSql)),
+    ("q_pack_sequences", packSequencesQ, Some(packSequencesSql)),
+    ("q_stream_dedup", streamDedupQ, Some(streamDedupSql)))
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+
+  val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

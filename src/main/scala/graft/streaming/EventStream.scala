@@ -73,6 +73,41 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming ingest dedup: first-arrival-wins on `event_id` with state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark` — re-sent
+    * events older than the watermark can't resurrect state, so the store
+    * stays O(events-per-watermark-window) at any input volume). The
+    * deduped stream drains append-mode into a memory table; the per-type
+    * rollup happens batch-side on the drained result (same split as
+    * [[runStreamJoin]] — one stateful op per stream).
+    */
+  def runStreamDedup(spark: SparkSession, inputDir: String,
+                     watermark: String = "1 hour",
+                     queryName: String = "graft_stream_dedup"): DataFrame = {
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = raw.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
   /** Stream-stream interval join: click→purchase attribution within
     * `matchWindow` per user. Both sides watermarked (the time-range
     * condition lets Spark expire join state — without it the state store

@@ -104,4 +104,20 @@ class EventStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(streamedKeys == batchKeys)
   }
+
+  test("runStreamDedup removes cross-batch duplicates (first arrival wins)") {
+    val sf = "/root/testdata/sf0.001"
+    // duplicate the whole fixture across two files = two micro-batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dup_in")
+    Seq("a.parquet", "b.parquet").foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"), tmp.resolve(f))
+    }
+    val got = EventStream.runStreamDedup(spark, tmp.toString,
+        queryName = "dedup_spec_stream")
+      .agg(sum(col("cnt"))).head().getLong(0)
+    val unique = Tables.events(spark, sf).count()
+    // without dedup the drain would see 2x unique — state dedup halves it
+    assert(got == unique, s"streamed dedup total $got != unique $unique")
+  }
 }
