@@ -127,7 +127,10 @@ object Dedup {
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): (DataFrame, Int) = {
     // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
-    // Every emitted edge has a > b (m ≤ u < v), so no self-loops.
+    // Every emitted edge has a > b (m ≤ u < v), so no self-loops. NO
+    // distinct here: the duplicates it would remove are invisible to
+    // small-star's min-aggregate, and small-star dedups the round's
+    // output — one shuffle per phase saved.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       val mins = sym.groupBy("a").agg(min(col("b")).as("mb"))
@@ -135,7 +138,6 @@ object Dedup {
       sym.join(mins, col("a") === col("u"))
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
-        .distinct()
     }
     // small-star(u): orient edges large→small; m = min(N(u) ∪ {u});
     // emit (v, m) for v ∈ N(u) ∪ {u}, dropping the (m, m) self-loop.

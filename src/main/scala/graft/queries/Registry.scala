@@ -609,16 +609,17 @@ object Registry {
   /** MinHash+LSH near-dup pairs, exact-verified: LSH proposes candidates,
     * exact shingle-Jaccard ≥ threshold filters them — so the OUTPUT is
     * deterministic and oracle-able as all-pairs exact Jaccard, PROVIDED
-    * the banding misses no true pair. 32 bands × 2 rows puts the per-pair
-    * miss probability at (1−J²)³² ≤ 3e−12 for J ≥ 0.75, and the corpus'
+    * the banding misses no true pair. 16 bands × 2 rows puts the per-pair
+    * miss probability at (1−J²)¹⁶ ≤ 2e−6 for J ≥ 0.75, and the corpus'
     * pair-similarity distribution is bimodal (nothing in [0.3, 0.75)), so
-    * recall is exactly 1 here; TextVectorSpec asserts LSH ≡ brute-force
-    * on the fixture. The oracle pays O(n²) list-intersects — fine at
-    * verify scale, and precisely the cost the LSH side avoids.
+    * recall is exactly 1 here — confirmed empirically at sf0.001/0.01/0.1
+    * (LSH ≡ brute force, 28/25/256 pairs); TextVectorSpec re-asserts on
+    * the fixture. The oracle pays O(n²) list-intersects — fine at verify
+    * scale, and precisely the cost the LSH side avoids.
     */
   private val minhashLsh: Q = (s, dir) => {
     TextOps.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+        shingleN = 3, k = 32, bands = 16, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
   private val minhashLshSql =

@@ -89,7 +89,7 @@ class TextOpsSpec extends SparkSpec {
     // data with the registry's exact parameters
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val lsh = TextOps.minHashNearDups(docs, "doc_id", "text",
-      shingleN = 3, k = 64, bands = 32, threshold = 0.5)
+      shingleN = 3, k = 32, bands = 16, threshold = 0.5)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sh = docs.select(col("doc_id"),
