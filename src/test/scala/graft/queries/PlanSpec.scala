@@ -194,6 +194,27 @@ class PlanSpec extends SparkSpec {
       s"found ${ws.size} windows; partitionSpecs=${ws.map(_.partitionSpec)}")
   }
 
+  test("decontamination broadcasts the eval-gram set (training side never shuffles text)") {
+    val p = Corpus.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sequence packing windows stay partitioned by source (no global sort of docs)") {
+    val p = Corpus.queries("q_pack_sequences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("hash split/mix aggregate map-side (single exchange to the rollup)") {
+    val p = Corpus.queries("q_split_hash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // scan -> partial agg -> one exchange -> final agg -> sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("unpivot stays a narrow expand (no shuffle before the aggregate)") {
     val p = extPlan("q_unpivot")
     assert(p.contains("Expand"), p)
