@@ -34,26 +34,28 @@ import org.apache.spark.sql.functions._
   */
 object Tiling {
 
-  /** @param rangeCol  first column of the order — numeric, non-null; used
+  /** Global 0-based rank over a total order, distributed — the scale-safe
+    * replacement for `row_number() OVER (ORDER BY ...)` (which Spark
+    * plans as an Exchange SinglePartition + one-task sort). Returns the
+    * input plus `out` (LongType rank, 0-based) and the total row count.
+    *
+    * @param rangeCol  first column of the order — numeric, non-null; used
     *                  for bucketing (must be `orderCols.head` semantically)
     * @param orderCols total order (include a unique tie-break key)
     */
-  def ntileDistributed(
+  def withGlobalRank(
       df: DataFrame,
-      tiles: Int,
       rangeCol: Column,
       orderCols: Seq[Column],
       out: String,
-      buckets: Int = 64): DataFrame = {
-    require(tiles > 0, s"tiles must be positive, got $tiles")
-
+      buckets: Int = 64): (DataFrame, Long) = {
     val Array(stats) =
       df.agg(min(rangeCol).cast("double").as("mn"),
              max(rangeCol).cast("double").as("mx"),
              count(lit(1)).as("n"))
         .collect()
     val total = stats.getLong(2)
-    if (total == 0L) return df.withColumn(out, lit(null).cast("int"))
+    if (total == 0L) return (df.withColumn(out, lit(null).cast("long")), 0L)
     val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
 
     // width_bucket yields 1..B, and B+1 for v == mx — fold into B.
@@ -74,7 +76,29 @@ object Tiling {
     val rank0 = element_at(offsetMap, col("__graft_b")) +
       row_number().over(w).cast("long") - lit(1L)
 
-    // Exact ntile: first (total % tiles) tiles get (total/tiles + 1) rows.
+    val ranked = df.withColumn("__graft_b", bucket.cast("long"))
+      .withColumn(out, rank0)
+      .drop("__graft_b")
+    (ranked, total)
+  }
+
+  /** Exact `ntile(t) OVER (ORDER BY ...)` on top of [[withGlobalRank]]:
+    * first (total % tiles) tiles get one extra row, assigned map-side
+    * from the rank.
+    */
+  def ntileDistributed(
+      df: DataFrame,
+      tiles: Int,
+      rangeCol: Column,
+      orderCols: Seq[Column],
+      out: String,
+      buckets: Int = 64): DataFrame = {
+    require(tiles > 0, s"tiles must be positive, got $tiles")
+    val (ranked, total) =
+      withGlobalRank(df, rangeCol, orderCols, "__graft_rank", buckets)
+    if (total == 0L)
+      return ranked.withColumn(out, lit(null).cast("int")).drop("__graft_rank")
+    val rank0 = col("__graft_rank")
     val base = total / tiles
     val rem = total % tiles
     val tile: Column =
@@ -85,9 +109,6 @@ object Tiling {
           .otherwise(lit(rem) + floor((rank0 - lit(bigSpan)) / lit(base)) + lit(1L))
           .cast("int")
       }
-
-    df.withColumn("__graft_b", bucket.cast("long"))
-      .withColumn(out, tile)
-      .drop("__graft_b")
+    ranked.withColumn(out, tile).drop("__graft_rank")
   }
 }

@@ -45,7 +45,14 @@ object Registry {
     // the full lexicographic chain makes the kept row deterministic.
     // max_by-aggregate form: hash agg with map-side combine instead of
     // the window form's shuffle+sort (2.5× faster at sf0.1, same rows).
-    val li = Dedup.latestPerKeyAgg(Tables.lineitem(s, dir), Seq("l_orderkey"),
+    // project BEFORE the agg: max_by carries its payload struct through
+    // the shuffle, and Catalyst does not prune struct fields out of an
+    // aggregate buffer — 7 needed columns, not all 16
+    val li = Dedup.latestPerKeyAgg(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_partkey", "l_suppkey", "l_quantity",
+        "l_discount"),
+      Seq("l_orderkey"),
       Seq(col("l_linenumber"), col("l_extendedprice"), col("l_partkey"),
         col("l_suppkey"), col("l_quantity"), col("l_discount")))
     li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -835,6 +842,25 @@ object Registry {
       |       ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Global row_number over a total order — distributed
+    * ([[Tiling.withGlobalRank]]): bucketed prefix-offset ranking, never
+    * an Exchange SinglePartition (PlanSpec-locked alongside q_ntile).
+    */
+  private val globalRankQ: Q = (s, dir) => {
+    val (ranked, _) = Tiling.withGlobalRank(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+      rangeCol = col("o_totalprice"),
+      orderCols = Seq(col("o_totalprice"), col("o_orderkey")),
+      out = "rn")
+    ranked.select(col("o_orderkey"), col("o_totalprice"),
+        (col("rn") + 1).as("rn"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val globalRankSql =
+    """SELECT o_orderkey, o_totalprice,
+      |       row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** HAVING: post-aggregation filter (exact integral sums). */
   private val havingQ: Q = (s, dir) => {
     Tables.lineitem(s, dir)
@@ -1201,6 +1227,7 @@ object Registry {
     ("q_except", exceptQ, Some(exceptSql)),
     ("q_cube", cubeAgg, Some(cubeAggSql)),
     ("q_ntile", ntileQ, Some(ntileSql)),
+    ("q_global_rank", globalRankQ, Some(globalRankSql)),
     ("q_having", havingQ, Some(havingSql)),
     ("q_like_filter", likeFilter, Some(likeFilterSql)),
     ("q_word_count", wordCount, Some(wordCountSql)),

@@ -25,6 +25,17 @@ class TilingSpec extends SparkSpec {
   }
 
   test("parity with ntile window: quartiles") { parity(4, 64) }
+
+  test("withGlobalRank parity with row_number window") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val expected = orders.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+        .cast("long") - 1)
+    val (got, total) = Tiling.withGlobalRank(orders, col("o_totalprice"),
+      Seq(col("o_totalprice"), col("o_orderkey")), "rn", buckets = 16)
+    assert(total == orders.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
   test("parity with ntile window: 7 tiles, few buckets (uneven split)") {
     parity(7, 3)
   }

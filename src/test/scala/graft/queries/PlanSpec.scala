@@ -174,8 +174,9 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
-  test("q_ntile plans no single-partition window (distributed tiling)") {
-    val df = Registry.queries("q_ntile")(spark, sf)
+  test("q_ntile and q_global_rank plan no single-partition window (distributed tiling)") {
+    for (q <- Seq("q_ntile", "q_global_rank")) {
+    val df = Registry.queries(q)(spark, sf)
     val p = df.queryExecution.executedPlan.toString
     // the old shape — Window over Exchange SinglePartition — is the
     // scale-killer this test locks out
@@ -192,6 +193,7 @@ class PlanSpec extends SparkSpec {
     val ws = windows(df.queryExecution.executedPlan)
     assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
       s"found ${ws.size} windows; partitionSpecs=${ws.map(_.partitionSpec)}")
+    }
   }
 
   test("decontamination broadcasts the eval-gram set (training side never shuffles text)") {
