@@ -82,6 +82,47 @@ object Tiling {
     (ranked, total)
   }
 
+  /** Exact interpolated percentiles WITHOUT a global sort or a
+    * driver-side value map — the 100 TB path for exact quantiles.
+    * Spark's `percentile` aggregate buffers per-value counts (memory ∝
+    * value cardinality); a global sort is a single-task bottleneck. Here:
+    * rank the values with [[withGlobalRank]] (ties need no tie-break —
+    * the value AT a rank is unique even when rank assignment among equal
+    * values isn't), filter to the ≤ 2·|ps| boundary ranks (map-side,
+    * pruned scan of the ranked set), and interpolate driver-side.
+    * Returns one row with a DoubleType column per requested percentile,
+    * matching `percentile()`/DuckDB `quantile_cont` linear interpolation.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      valueCol: Column,
+      ps: Seq[(String, Double)],
+      buckets: Int = 64): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
+    val spark = df.sparkSession
+    val (ranked, n) =
+      withGlobalRank(df.select(valueCol.cast("double").as("__v")),
+        col("__v"), Seq(col("__v")), "__rn", buckets)
+    require(n > 0, "exactPercentiles on empty input")
+    val targets = ps.map { case (name, p) =>
+      val h = p * (n - 1)
+      (name, h, math.floor(h).toLong, math.ceil(h).toLong)
+    }
+    val need = targets.flatMap(t => Seq(t._3, t._4)).distinct
+    val at = ranked.filter(col("__rn").isin(need: _*))
+      .collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
+    val row = targets.map { case (name, h, lo, hi) =>
+      val v = at(lo) + (h - lo) * (at(hi) - at(lo))
+      (name, v)
+    }
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(row.map(_._2))),
+      org.apache.spark.sql.types.StructType(row.map { case (name, _) =>
+        org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.DoubleType, nullable = false)
+      }))
+  }
+
   /** Exact `ntile(t) OVER (ORDER BY ...)` on top of [[withGlobalRank]]:
     * first (total % tiles) tiles get one extra row, assigned map-side
     * from the rank.

@@ -977,6 +977,24 @@ object Registry {
       |       quantile_cont(l_quantity, 0.9) AS p90, count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact global percentiles via distributed ranking
+    * ([[Tiling.exactPercentiles]]) — no global sort, no per-value count
+    * map: the quantile path that survives 100 TB. Same interpolation as
+    * `percentile()`/`quantile_cont`; rounded to 4 on both sides so the
+    * lerp's float-op ORDER can't flip the last bit.
+    */
+  private val percentileDistQ: Q = (s, dir) => {
+    Tiling.exactPercentiles(Tables.lineitem(s, dir), col("l_quantity"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .select(round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+        round(col("p99"), 4).as("p99"))
+  }
+  private val percentileDistSql =
+    """SELECT round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+      |       round(quantile_cont(l_quantity, 0.99), 4) AS p99
+      |FROM lineitem""".stripMargin
+
   /** Sliding window (size 2 h, step 1 h) — every event lands in two
     * buckets; oracle expands each event into both bucket starts.
     */
@@ -1237,6 +1255,7 @@ object Registry {
     ("q_sessionize", sessionize, Some(sessionizeSql)),
     ("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     ("q_percentile", percentileQ, Some(percentileSql)),
+    ("q_percentile_dist", percentileDistQ, Some(percentileDistSql)),
     ("q_sliding_window", slidingWindow, Some(slidingWindowSql)),
     ("q_typed_count", typedCount, Some(typedCountSql)),
     ("q_pipeline_shape", pipelineShape, Some(pipelineShapeSql)),

@@ -43,6 +43,25 @@ class TilingSpec extends SparkSpec {
     parity(13, 16)
   }
 
+  test("exactPercentiles matches Spark's percentile aggregate (interpolated)") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val got = Tiling.exactPercentiles(li, col("l_quantity"),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9), buckets = 16)
+      .head()
+    val exp = li.agg(
+      expr("percentile(l_quantity, 0.25)"),
+      expr("percentile(l_quantity, 0.5)"),
+      expr("percentile(l_quantity, 0.9)")).head()
+    for (i <- 0 until 3)
+      assert(math.abs(got.getDouble(i) - exp.getDouble(i)) < 1e-9,
+        s"p[$i]: ${got.getDouble(i)} != ${exp.getDouble(i)}")
+    // fractional interpolation on a tiny known set: p50 of [1,2,10,20] = 6
+    val small = Seq(1.0, 2.0, 10.0, 20.0).toDF("v")
+    val g2 = Tiling.exactPercentiles(small, col("v"), Seq("p50" -> 0.5)).head()
+    assert(g2.getDouble(0) == 6.0)
+  }
+
   test("ties on the range column never split across tiles incorrectly") {
     import spark.implicits._
     // heavy ties: 100 rows, only 5 distinct values
