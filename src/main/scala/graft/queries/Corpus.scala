@@ -206,6 +206,91 @@ object Corpus {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------- incremental merge
+
+  /** Incremental refresh (SCD1 upsert): a delta batch overrides matching
+    * keys in the base snapshot — `union` + priority `max_by`, ONE hash
+    * shuffle on the key, no join (the merge-into shape without a table
+    * format). Delta rows re-price every 5th order; rollup by key bucket
+    * keeps the oracle compact.
+    */
+  private val upsertQ: Q = (s, dir) => {
+    import graft.ops.Dedup
+    val orders = Tables.orders(s, dir)
+    val base = orders.select(col("o_orderkey"), col("o_totalprice"),
+      lit(0).as("__prio"))
+    // re-price in DECIMAL: round(double * 1.1, 2) is engine-divergent on
+    // half-cases (binary doubles round differently than decimal math)
+    val dec = org.apache.spark.sql.types.DecimalType
+    val delta = orders.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast(dec(18, 2)) * lit("1.1").cast(dec(3, 1)))
+          .cast(dec(18, 2)).cast("double").as("o_totalprice"),
+        lit(1).as("__prio"))
+    val merged = Dedup.latestPerKeyAgg(base.unionByName(delta),
+      Seq("o_orderkey"), Seq(col("__prio")))
+    merged
+      .groupBy((col("o_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+  private val upsertSql =
+    """WITH delta AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+      |         AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |merged AS (
+      |  SELECT o_orderkey, o_totalprice FROM delta
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey))
+      |SELECT o_orderkey % 10 AS bucket, count(*) AS cnt,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 quantization of embeddings (q = round(127·v/scale),
+    * scale = max |v|) — the memory-4×-reduction step before ANN serving.
+    * Map-side only; output is scalar probe columns (first components +
+    * L1 mass) so the oracle compares exactly. Zero vectors quantize to
+    * zeros (guarded division).
+    */
+  private val quantizeQ: Q = (s, dir) => {
+    val emb = col("embedding")
+    val sc = array_max(transform(emb, x => abs(x))).cast("double")
+    def qAt(i: Int): Column =
+      when(col("scale") === 0, lit(0))
+        .otherwise(round(emb(i).cast("double") * 127.0 / col("scale"))
+          .cast("int")).as(s"q$i")
+    Tables.embeddings(s, dir)
+      .withColumn("scale", sc)
+      .select(col("vec_id") +: round(col("scale"), 6).as("scale_r") +:
+        (0 to 3).map(qAt) :+
+        when(col("scale") === 0, lit(0L)).otherwise(
+          aggregate(emb, lit(0L), (acc, x) =>
+            acc + abs(round(x.cast("double") * 127.0 / col("scale")))
+              .cast("long"))).as("l1q"): _*)
+      .withColumnRenamed("scale_r", "scale")
+      .orderBy(col("vec_id"))
+  }
+  private val quantizeSql =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS sc
+      |  FROM embeddings)
+      |SELECT vec_id, round(sc, 6) AS scale,
+      |  CASE WHEN sc = 0 THEN 0 ELSE CAST(round(CAST(embedding[1] AS DOUBLE) * 127.0 / sc) AS INTEGER) END AS q0,
+      |  CASE WHEN sc = 0 THEN 0 ELSE CAST(round(CAST(embedding[2] AS DOUBLE) * 127.0 / sc) AS INTEGER) END AS q1,
+      |  CASE WHEN sc = 0 THEN 0 ELSE CAST(round(CAST(embedding[3] AS DOUBLE) * 127.0 / sc) AS INTEGER) END AS q2,
+      |  CASE WHEN sc = 0 THEN 0 ELSE CAST(round(CAST(embedding[4] AS DOUBLE) * 127.0 / sc) AS INTEGER) END AS q3,
+      |  CASE WHEN sc = 0 THEN 0 ELSE CAST(list_sum(list_transform(embedding,
+      |    x -> abs(round(CAST(x AS DOUBLE) * 127.0 / sc)))) AS BIGINT) END AS l1q
+      |FROM s ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -214,7 +299,9 @@ object Corpus {
     ("q_domain_mix", domainMixQ, Some(domainMixSql)),
     ("q_repetition_ratio", repetitionRatioQ, Some(repetitionRatioSql)),
     ("q_pack_sequences", packSequencesQ, Some(packSequencesSql)),
-    ("q_stream_dedup", streamDedupQ, Some(streamDedupSql)))
+    ("q_stream_dedup", streamDedupQ, Some(streamDedupSql)),
+    ("q_upsert", upsertQ, Some(upsertSql)),
+    ("q_quantize_embeddings", quantizeQ, Some(quantizeSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
