@@ -39,8 +39,10 @@ object Tiling {
     * plans as an Exchange SinglePartition + one-task sort). Returns the
     * input plus `out` (LongType rank, 0-based) and the total row count.
     *
-    * @param rangeCol  first column of the order — numeric, non-null; used
-    *                  for bucketing (must be `orderCols.head` semantically)
+    * @param rangeCol  first column of the order — numeric; used for
+    *                  bucketing (must be `orderCols.head` semantically).
+    *                  NULLs bucket first, matching Spark's
+    *                  asc_nulls_first window ordering.
     * @param orderCols total order (include a unique tie-break key)
     */
   def withGlobalRank(
@@ -56,13 +58,20 @@ object Tiling {
         .collect()
     val total = stats.getLong(2)
     if (total == 0L) return (df.withColumn(out, lit(null).cast("long")), 0L)
-    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+    // all-null range column: min/max are null — everything lands in the
+    // null bucket below
+    val allNull = stats.isNullAt(0)
+    val (mn, mx) =
+      if (allNull) (0.0, 0.0) else (stats.getDouble(0), stats.getDouble(1))
 
     // width_bucket yields 1..B, and B+1 for v == mx — fold into B.
-    // Degenerate range (mn == mx) → single bucket.
-    val bucket: Column =
+    // Degenerate range (mn == mx) → single bucket. NULL range values
+    // sort first in Spark (asc_nulls_first default) → bucket 0, so the
+    // rank honors the same NULLS FIRST order the window form would use.
+    val nonNullBucket: Column =
       if (mn == mx) lit(1)
       else least(width_bucket(rangeCol.cast("double"), lit(mn), lit(mx), lit(buckets)), lit(buckets.toLong))
+    val bucket: Column = when(rangeCol.isNull, lit(0)).otherwise(nonNullBucket)
 
     // Per-bucket counts → prefix offsets (tiny driver collect, ≤ B rows).
     val counts = df.groupBy(bucket.as("__b")).count().collect()
@@ -100,10 +109,12 @@ object Tiling {
       buckets: Int = 64): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
     val spark = df.sparkSession
+    // percentile()/quantile_cont ignore NULLs — mirror that here
     val (ranked, n) =
-      withGlobalRank(df.select(valueCol.cast("double").as("__v")),
+      withGlobalRank(
+        df.select(valueCol.cast("double").as("__v")).filter(col("__v").isNotNull),
         col("__v"), Seq(col("__v")), "__rn", buckets)
-    require(n > 0, "exactPercentiles on empty input")
+    require(n > 0, "exactPercentiles on empty (or all-null) input")
     val targets = ps.map { case (name, p) =>
       val h = p * (n - 1)
       (name, h, math.floor(h).toLong, math.ceil(h).toLong)

@@ -92,8 +92,11 @@ object Corpus {
     */
   private val domainMixQ: Q = (s, dir) => {
     val tag = substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 2)
+    // try_cast: a digit-less source name must fall to the default
+    // threshold, not throw under ANSI mode (and the oracle mirrors with
+    // TRY_CAST so both engines agree on such names)
     val thr = when(
-      regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0,
+      regexp_extract(col("source"), "(\\d+)", 1).try_cast("int") % 2 === 0,
       "40").otherwise("c0")
     Tables.documents(s, dir)
       .groupBy(col("source"))
@@ -104,7 +107,7 @@ object Corpus {
   private val domainMixSql =
     """SELECT source, count(*) AS total,
       |       count(CASE WHEN substr(md5(concat_ws(':', source, doc_id)), 1, 2)
-      |                    < (CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
+      |                    < (CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
       |                            THEN '40' ELSE 'c0' END)
       |                  THEN 1 END) AS kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
@@ -184,19 +187,14 @@ object Corpus {
     * batch-side on the drained table, so the oracle is a plain GROUP BY
     * over the UNIQUE events.
     */
-  private val dupStreamDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedDupDir(dir: String): String =
-    dupStreamDirs.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dupstream")
-      tmp.toFile.deleteOnExit()
+    graft.ops.Staging.cached(s"dup:$dir") { tmp =>
       Seq("events_a.parquet", "events_b.parquet").foreach { f =>
         java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"), tmp.resolve(f))
-        tmp.resolve(f).toFile.deleteOnExit()
+          java.nio.file.Paths.get(s"$dir/events.parquet"), tmp.resolve(f))
       }
       tmp.toString
-    })
+    }
   private val streamDedupQ: Q = (s, dir) => {
     graft.streaming.EventStream.runStreamDedup(s, stagedDupDir(dir))
       .orderBy(col("event_type"))

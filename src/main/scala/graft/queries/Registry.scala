@@ -459,17 +459,15 @@ object Registry {
     * directories (PartitionFilters — asserted in PlanSpec), the same
     * layout a 100 TB corpus needs.
     */
-  private[queries] val stagedIvf =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
   private[queries] def stageIvf(s: SparkSession, dir: String): (String, Array[Array[Double]]) =
-    stagedIvf.computeIfAbsent(s"ivf:$dir", { _ =>
+    Staging.cached(s"ivf:$dir") { tmp =>
       val idx = VectorOps.ivfIndex(
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", nCentroids = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-      VectorOps.ivfWrite(idx, tmp)
-      (tmp, idx.centroids)
-    })
+      val path = tmp.resolve("index").toString
+      VectorOps.ivfWrite(idx, path)
+      (path, idx.centroids)
+    }
   // 6-of-8 probes: isotropic fixture vectors spread true neighbors nearly
   // uniformly over cells (recall ≈ probed fraction — measured 1.0 at
   // these settings, asserted ≥ 0.8 in spec). At corpus scale nCentroids
@@ -712,21 +710,16 @@ object Registry {
     * watermark → tumbling-window agg, drained to a queryable result. The
     * oracle is the equivalent batch bucketing in DuckDB.
     */
-  /** Per-process cache of the staged stream-input directory — Bench runs
-    * each query twice; one copied fixture per source dir, not per run.
+  /** Per-process staged stream-input directory ([[graft.ops.Staging]] —
+    * one copied fixture per source dir, not per Bench rep).
     */
-  private val streamInputDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[queries] def stagedStreamDir(dir: String): String =
-    streamInputDirs.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
-      tmp.toFile.deleteOnExit()
+    Staging.cached(s"stream:$dir") { tmp =>
       java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
         tmp.resolve("events.parquet"))
-      tmp.resolve("events.parquet").toFile.deleteOnExit()
       tmp.toString
-    })
+    }
   private val streamWindow: Q = (s, dir) => {
     graft.streaming.EventStream.runFileStream(s, stagedStreamDir(dir))
       .orderBy(col("bucket"), col("event_type"))

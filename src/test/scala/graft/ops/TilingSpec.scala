@@ -73,6 +73,26 @@ class TilingSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("null range values rank first, matching the window's asc_nulls_first") {
+    import spark.implicits._
+    val df = (1 to 60).map(i =>
+      (i.toLong, if (i % 7 == 0) None else Some(i.toDouble % 11)))
+      .toDF("k", "v")
+    val expected = df.withColumn("t",
+      ntile(4).over(Window.orderBy(col("v"), col("k"))))
+    val got = Tiling.ntileDistributed(
+      df, 4, col("v"), Seq(col("v"), col("k")), "t", buckets = 8)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("exactPercentiles ignores nulls like the percentile aggregate") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(None) ++ (1 to 99).map(i => Some(i.toDouble)))
+      .toDF("v")
+    val got = Tiling.exactPercentiles(df, col("v"), Seq("p50" -> 0.5)).head()
+    assert(got.getDouble(0) == 50.0) // median of 1..99, nulls excluded
+  }
+
   test("degenerate range (all values equal) still matches") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, 3.0)).toDF("k", "v")
