@@ -149,7 +149,10 @@ object Corpus {
     * tokens) by running prefix-sum within each source — the batch
     * formulation of greedy context-window packing for LLM training. The
     * window is PARTITIONED by source (parallel, no global sort); output
-    * is per-bin occupancy.
+    * is per-bin occupancy. Scale note: parallelism is bounded by source
+    * cardinality — for few huge sources, pack per (source, shard) with a
+    * hash shard key instead (packing is shard-local in practice; bins
+    * just get a composite id).
     */
   private val packSequencesQ: Q = (s, dir) => {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
