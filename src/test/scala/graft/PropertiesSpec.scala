@@ -104,4 +104,43 @@ object GraftProperties extends Properties("graft") {
       hs(0) == hs(1)
     }
   }
+
+  // random sizes, tile counts, bucket counts, heavy tie densities —
+  // distributed tiling must equal the window ntile on every draw
+  property("ntileDistributed == ntile window on random tied data") = {
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      tiles <- Gen.choose(1, 12)
+      buckets <- Gen.choose(1, 16)
+      distinctVals <- Gen.choose(1, 8) // few values → heavy ties
+    } yield (n, tiles, buckets, distinctVals)
+    forAll(gen) { case (n, tiles, buckets, distinctVals) =>
+      val df = (1 to n).map(i => (i.toLong, (i % distinctVals).toDouble))
+        .toDF("k", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"), col("k"))
+      val expected = df.withColumn("t", ntile(tiles).over(w))
+      val got = Tiling.ntileDistributed(
+        df, tiles, col("v"), Seq(col("v"), col("k")), "t", buckets)
+      got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty
+    }
+  }
+
+  property("star CC labels == propagation CC labels on random graphs") = {
+    val edgeGen = Gen.choose(1, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        a <- Gen.choose(1L, 30L); b <- Gen.choose(1L, 30L)
+      } yield (a, b))
+    }
+    forAll(edgeGen) { edges =>
+      edges.nonEmpty ==> {
+        val df = edges.toDF("a", "b")
+        def toMap(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val prop = toMap(Dedup.connectedComponents(df, "a", "b"))
+        val star = toMap(Dedup.connectedComponentsStar(df, "a", "b"))
+        star == prop
+      }
+    }
+  }
 }
