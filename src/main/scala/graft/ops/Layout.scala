@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: z-order (Morton) clustering for multi-column
+  * scan pruning. Rows adjacent in z-value are close in BOTH dimensions,
+  * so a range-partitioned, sorted-within-partition write by z yields
+  * parquet row-group min/max statistics that are selective for filters
+  * on EITHER column — the standard lakehouse technique for multi-dim
+  * pruning without maintaining two sort orders.
+  *
+  * Everything is built-in bitwise expressions (codegen-friendly, no
+  * UDFs): quantize each dimension to `bits` levels over its driver-known
+  * range (tiny 1-row agg), then interleave bit i of x to position 2i and
+  * bit i of y to position 2i+1.
+  */
+object Layout {
+
+  /** Quantize `v` into [0, 2^bits) over [mn, mx]; values at mx clamp to
+    * the top cell. Degenerate range (mn == mx) → cell 0.
+    */
+  def quantize(v: Column, mn: Double, mx: Double, bits: Int): Column = {
+    val cells = 1L << bits
+    if (mn == mx) lit(0L)
+    else least(
+      greatest(floor((v.cast("double") - mn) / (mx - mn) * cells), lit(0.0)),
+      lit((cells - 1).toDouble)).cast("long")
+  }
+
+  /** Morton interleave of two quantized values (bit i of x → 2i, bit i
+    * of y → 2i+1). `bits` ≤ 31 per dimension.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      val xi = shiftleft(x.bitwiseAND(lit(1L << i)), i)
+      val yi = shiftleft(y.bitwiseAND(lit(1L << i)), i + 1)
+      xi.bitwiseOR(yi)
+    }.reduce(_ bitwiseOR _)
+
+  /** The same interleave as ANSI SQL (for the DuckDB oracle) — kept
+    * beside [[zValue]] so the two formulations can't drift.
+    */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x & ${1L << i}) << $i) | (($y & ${1L << i}) << ${i + 1}))"
+    }.mkString("(", " | ", ")")
+
+  /** De-interleave: recover dimension 0 (or 1) from a z-value — the
+    * round-trip inverse used by the layout invariant tests.
+    */
+  def unInterleave(z: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftright(z.bitwiseAND(lit(1L << (2 * i + dim))), i + dim)
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order-cluster `df` by two numeric columns and write parquet:
+    * range-partition on z (balanced output files), sort within
+    * partitions (monotone z per file → tight row-group stats on both
+    * source columns).
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+                  bits: Int = 16, numFiles: Int = 8): Unit = {
+    val Array(r) = df.agg(
+      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).collect()
+    val z = zValue(
+      quantize(col(xCol), r.getDouble(0), r.getDouble(1), bits),
+      quantize(col(yCol), r.getDouble(2), r.getDouble(3), bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

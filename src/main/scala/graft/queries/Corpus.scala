@@ -292,6 +292,44 @@ object Corpus {
       |    x -> abs(round(CAST(x AS DOUBLE) * 127.0 / sc)))) AS BIGINT) END AS l1q
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // ----------------------------------------------------------- z-order
+
+  /** Z-order (Morton) clustering key over two measures — the multi-dim
+    * layout key [[graft.ops.Layout.zorderWrite]] partitions and sorts by
+    * so parquet row-group stats prune on EITHER column. The query
+    * oracles the bit math itself (quantize + interleave) — the part that
+    * must be exactly right for the layout to mean anything.
+    */
+  private val zorderQ: Q = (s, dir) => {
+    import graft.ops.Layout
+    val li = Tables.lineitem(s, dir)
+    val Array(r) = li.agg(
+      min(col("l_extendedprice")).cast("double"), max(col("l_extendedprice")).cast("double"),
+      min(col("l_quantity")).cast("double"), max(col("l_quantity")).cast("double")).collect()
+    val z = Layout.zValue(
+      Layout.quantize(col("l_extendedprice"), r.getDouble(0), r.getDouble(1), 8),
+      Layout.quantize(col("l_quantity"), r.getDouble(2), r.getDouble(3), 8), 8)
+    li.select(col("l_orderkey"), col("l_linenumber"), z.as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+  private val zorderSql = {
+    val zbits = graft.ops.Layout.zValueSql("qx", "qy", 8)
+    s"""WITH r AS (
+       |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS pmn,
+       |         CAST(max(l_extendedprice) AS DOUBLE) AS pmx,
+       |         CAST(min(l_quantity) AS DOUBLE) AS qmn,
+       |         CAST(max(l_quantity) AS DOUBLE) AS qmx
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - pmn) / (pmx - pmn) * 256), 0), 255) AS BIGINT) AS qx,
+       |    CAST(least(greatest(floor((CAST(l_quantity AS DOUBLE) - qmn) / (qmx - qmn) * 256), 0), 255) AS BIGINT) AS qy
+       |  FROM lineitem, r)
+       |SELECT l_orderkey, l_linenumber, $zbits AS z
+       |FROM q ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -302,7 +340,8 @@ object Corpus {
     ("q_pack_sequences", packSequencesQ, Some(packSequencesSql)),
     ("q_stream_dedup", streamDedupQ, Some(streamDedupSql)),
     ("q_upsert", upsertQ, Some(upsertSql)),
-    ("q_quantize_embeddings", quantizeQ, Some(quantizeSql)))
+    ("q_quantize_embeddings", quantizeQ, Some(quantizeSql)),
+    ("q_zorder", zorderQ, Some(zorderSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
