@@ -615,6 +615,68 @@ object Extended {
     s.sql(sqlTextShared)
   }
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): tree-depth histogram over a
+    * floor-division parent edge set — the SAME SQL text runs in both
+    * engines (dialect-shared like q_sql_text). Depth ≤ 10, far under the
+    * recursion-level limit.
+    */
+  private val recursiveCteShared =
+    """WITH RECURSIVE edges AS (
+      |  SELECT o_orderkey AS child,
+      |         CAST(floor(o_orderkey / 2.0) AS BIGINT) AS parent
+      |  FROM orders WHERE o_orderkey BETWEEN 2 AND 1024),
+      |d(n, depth) AS (
+      |  SELECT CAST(1 AS BIGINT), 0
+      |  UNION ALL
+      |  SELECT e.child, d.depth + 1 FROM edges e JOIN d ON e.parent = d.n)
+      |SELECT depth, count(*) AS cnt FROM d GROUP BY depth ORDER BY depth""".stripMargin
+  private val recursiveCteQ: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(recursiveCteShared)
+  }
+
+  /** Correlated LATERAL subquery: per-nation argmax customer — the
+    * lateral top-1 idiom, dialect-shared text.
+    */
+  private val lateralShared =
+    """SELECT n.n_name, x.c_name, x.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 1) x
+      |ORDER BY n_name""".stripMargin
+  private val lateralQ: Q = (s, dir) => {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(lateralShared)
+  }
+
+  /** Multiset set-ops: EXCEPT ALL / INTERSECT ALL preserve duplicate
+    * counts (bag semantics) — the DF `exceptAll`/`intersectAll` forms.
+    */
+  private val exceptAllQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      .exceptAll(li.filter(col("l_linestatus") === "F").select(col("l_orderkey")))
+      .orderBy(col("l_orderkey"))
+  }
+  private val exceptAllSql =
+    """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |EXCEPT ALL
+      |SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+      |ORDER BY l_orderkey""".stripMargin
+  private val intersectAllQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      .intersectAll(li.filter(col("l_quantity") > 25).select(col("l_orderkey")))
+      .orderBy(col("l_orderkey"))
+  }
+  private val intersectAllSql =
+    """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |INTERSECT ALL
+      |SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+      |ORDER BY l_orderkey""".stripMargin
+
   /** ORC source roundtrip (Spark's second first-class columnar format):
     * write → read → exact aggregate vs the parquet-side oracle.
     */
@@ -868,7 +930,11 @@ object Extended {
     ("q_map_family", mapFamilyQ, Some(mapFamilySql)),
     ("q_asof_forward", asofForwardQ, Some(asofForwardSql)),
     ("q_date_format", dateFormatQ, Some(dateFormatSql)),
-    ("q_explode_outer", explodeOuterQ, Some(explodeOuterSql)))
+    ("q_explode_outer", explodeOuterQ, Some(explodeOuterSql)),
+    ("q_recursive_cte", recursiveCteQ, Some(recursiveCteShared)),
+    ("q_lateral", lateralQ, Some(lateralShared)),
+    ("q_except_all", exceptAllQ, Some(exceptAllSql)),
+    ("q_intersect_all", intersectAllQ, Some(intersectAllSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
