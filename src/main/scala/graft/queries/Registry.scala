@@ -936,6 +936,34 @@ object Registry {
       |FROM s GROUP BY user_id, sess_id
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Built-in `session_window` (gap-based session aggregation as a
+    * native windowed groupBy) — complements the custom
+    * flatMapGroupsWithState sessionizer (q_sessionize): same session
+    * ASSIGNMENT, so the same lag/cumsum oracle applies; the output keeps
+    * session start (first event) and drops `window.end`, which
+    * session_window defines as last event + gap.
+    */
+  private val sessionWindowQ: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+  private val sessionWindowSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+      |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+      |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY us, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM l)
+      |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   /** Salted join: result must be identical to the plain join (the salt
     * only respreads reducers), so the oracle is the UNsalted join.
     */
@@ -1246,6 +1274,7 @@ object Registry {
     ("q_ann_ivf", annIvf, None),
     ("q_index_build", indexBuild, Some(indexBuildSql)),
     ("q_sessionize", sessionize, Some(sessionizeSql)),
+    ("q_session_window", sessionWindowQ, Some(sessionWindowSql)),
     ("q_salted_join", saltedJoin, Some(saltedJoinSql)),
     ("q_percentile", percentileQ, Some(percentileSql)),
     ("q_percentile_dist", percentileDistQ, Some(percentileDistSql)),
