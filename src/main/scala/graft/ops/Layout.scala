@@ -46,6 +46,19 @@ object Layout {
       s"((($x & ${1L << i}) << $i) | (($y & ${1L << i}) << ${i + 1}))"
     }.mkString("(", " | ", ")")
 
+  /** [[quantize]] as ANSI SQL with driver-free range terms (`mn`/`mx`
+    * are SQL expressions, e.g. scalar-subquery columns) — shared with
+    * the oracle for the same no-drift reason as [[zValueSql]]. The
+    * CASE guard mirrors the Scala mn == mx branch explicitly instead of
+    * relying on division-by-zero semantics.
+    */
+  def quantizeSql(v: String, mn: String, mx: String, bits: Int): String = {
+    val cells = 1L << bits
+    s"CAST(CASE WHEN $mn = $mx THEN 0 ELSE " +
+      s"least(greatest(floor((CAST($v AS DOUBLE) - $mn) / ($mx - $mn) * $cells), 0), ${cells - 1}) " +
+      s"END AS BIGINT)"
+  }
+
   /** De-interleave: recover dimension 0 (or 1) from a z-value — the
     * round-trip inverse used by the layout invariant tests.
     */
@@ -64,6 +77,12 @@ object Layout {
     val Array(r) = df.agg(
       min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
       min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).collect()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input or an all-null dimension: no z-range to cluster by —
+      // write as-is rather than NPE on the missing stats
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zValue(
       quantize(col(xCol), r.getDouble(0), r.getDouble(1), bits),
       quantize(col(yCol), r.getDouble(2), r.getDouble(3), bits), bits)

@@ -51,27 +51,33 @@ object Tiling {
       orderCols: Seq[Column],
       out: String,
       buckets: Int = 64): (DataFrame, Long) = {
+    // nanvl: one NaN would otherwise poison max() (NaN compares largest)
+    // and turn EVERY width_bucket into NULL; NaN rows instead get their
+    // own top bucket below, mirroring how Spark ordering sorts NaN last.
+    val rangeDbl = nanvl(rangeCol.cast("double"), lit(null).cast("double"))
     val Array(stats) =
-      df.agg(min(rangeCol).cast("double").as("mn"),
-             max(rangeCol).cast("double").as("mx"),
+      df.agg(min(rangeDbl).as("mn"), max(rangeDbl).as("mx"),
              count(lit(1)).as("n"))
         .collect()
     val total = stats.getLong(2)
     if (total == 0L) return (df.withColumn(out, lit(null).cast("long")), 0L)
-    // all-null range column: min/max are null — everything lands in the
-    // null bucket below
+    // all-null/all-NaN range column: min/max are null — finite rows
+    // can't exist, the null/NaN buckets below cover everything
     val allNull = stats.isNullAt(0)
     val (mn, mx) =
       if (allNull) (0.0, 0.0) else (stats.getDouble(0), stats.getDouble(1))
 
     // width_bucket yields 1..B, and B+1 for v == mx — fold into B.
     // Degenerate range (mn == mx) → single bucket. NULL range values
-    // sort first in Spark (asc_nulls_first default) → bucket 0, so the
-    // rank honors the same NULLS FIRST order the window form would use.
-    val nonNullBucket: Column =
+    // sort first in Spark (asc_nulls_first default) → bucket 0, and NaN
+    // sorts LAST (after +Inf) → bucket B+1, so the rank honors the same
+    // order the window form would use.
+    val finiteBucket: Column =
       if (mn == mx) lit(1)
       else least(width_bucket(rangeCol.cast("double"), lit(mn), lit(mx), lit(buckets)), lit(buckets.toLong))
-    val bucket: Column = when(rangeCol.isNull, lit(0)).otherwise(nonNullBucket)
+    val bucket: Column = when(rangeCol.isNull, lit(0))
+      .when(isnan(rangeCol.cast("double")), lit(buckets + 1))
+      .otherwise(finiteBucket)
 
     // Per-bucket counts → prefix offsets (tiny driver collect, ≤ B rows).
     val counts = df.groupBy(bucket.as("__b")).count().collect()
@@ -109,10 +115,12 @@ object Tiling {
       buckets: Int = 64): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
     val spark = df.sparkSession
-    // percentile()/quantile_cont ignore NULLs — mirror that here
+    // percentile()/quantile_cont ignore NULLs (and NaN has no place on a
+    // quantile axis) — drop both before ranking
     val (ranked, n) =
       withGlobalRank(
-        df.select(valueCol.cast("double").as("__v")).filter(col("__v").isNotNull),
+        df.select(valueCol.cast("double").as("__v"))
+          .filter(col("__v").isNotNull && !isnan(col("__v"))),
         col("__v"), Seq(col("__v")), "__rn", buckets)
     require(n > 0, "exactPercentiles on empty (or all-null) input")
     val targets = ps.map { case (name, p) =>

@@ -314,7 +314,7 @@ object Corpus {
       .limit(100)
   }
   private val zorderSql = {
-    val zbits = graft.ops.Layout.zValueSql("qx", "qy", 8)
+    import graft.ops.Layout
     s"""WITH r AS (
        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS pmn,
        |         CAST(max(l_extendedprice) AS DOUBLE) AS pmx,
@@ -323,10 +323,10 @@ object Corpus {
        |  FROM lineitem),
        |q AS (
        |  SELECT l_orderkey, l_linenumber,
-       |    CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - pmn) / (pmx - pmn) * 256), 0), 255) AS BIGINT) AS qx,
-       |    CAST(least(greatest(floor((CAST(l_quantity AS DOUBLE) - qmn) / (qmx - qmn) * 256), 0), 255) AS BIGINT) AS qy
+       |    ${Layout.quantizeSql("l_extendedprice", "pmn", "pmx", 8)} AS qx,
+       |    ${Layout.quantizeSql("l_quantity", "qmn", "qmx", 8)} AS qy
        |  FROM lineitem, r)
-       |SELECT l_orderkey, l_linenumber, $zbits AS z
+       |SELECT l_orderkey, l_linenumber, ${Layout.zValueSql("qx", "qy", 8)} AS z
        |FROM q ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin
   }
 

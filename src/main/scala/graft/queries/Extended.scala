@@ -524,26 +524,22 @@ object Extended {
     * Timestamps travel as unix micros (format-proof); doubles round-trip
     * via shortest-repr printing.
     */
-  private val stagedSources =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stageJson(s: SparkSession, dir: String): String =
-    stagedSources.computeIfAbsent(s"json:$dir", { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Staging.cached(s"json:$dir") { tmp =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_micros(col("ts")).as("us"),
           col("user_id"), col("event_type"), col("value"))
-        .coalesce(4).write.mode("overwrite").json(tmp)
-      tmp
-    })
+        .coalesce(4).write.mode("overwrite").json(tmp.toString)
+      tmp.toString
+    }
   private def stageCsv(s: SparkSession, dir: String): String =
-    stagedSources.computeIfAbsent(s"csv:$dir", { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Staging.cached(s"csv:$dir") { tmp =>
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
-        .coalesce(4).write.mode("overwrite").option("header", "true").csv(tmp)
-      tmp
-    })
+        .coalesce(4).write.mode("overwrite").option("header", "true").csv(tmp.toString)
+      tmp.toString
+    }
 
   /** JSON-lines source with explicit schema → same aggregate the parquet
     * path would produce (the oracle reads the original parquet).
@@ -681,14 +677,13 @@ object Extended {
     * write → read → exact aggregate vs the parquet-side oracle.
     */
   private def stageOrc(s: SparkSession, dir: String): String =
-    stagedSources.computeIfAbsent(s"orc:$dir", { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Staging.cached(s"orc:$dir") { tmp =>
       Tables.part(s, dir)
         .select(col("p_partkey"), col("p_brand"), col("p_size"),
           col("p_retailprice"))
-        .coalesce(4).write.mode("overwrite").orc(tmp)
-      tmp
-    })
+        .coalesce(4).write.mode("overwrite").orc(tmp.toString)
+      tmp.toString
+    }
   private val orcSourceQ: Q = (s, dir) => {
     s.read.orc(stageOrc(s, dir))
       .groupBy(col("p_brand"))

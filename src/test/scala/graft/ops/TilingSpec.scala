@@ -85,6 +85,22 @@ class TilingSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("NaN range values rank last (window NaN order), no stats poisoning") {
+    import spark.implicits._
+    val df = (1 to 40).map(i =>
+      (i.toLong, if (i % 9 == 0) Double.NaN else i.toDouble % 7))
+      .toDF("k", "v")
+    val expected = df.withColumn("t",
+      ntile(3).over(Window.orderBy(col("v"), col("k"))))
+    val got = Tiling.ntileDistributed(
+      df, 3, col("v"), Seq(col("v"), col("k")), "t", buckets = 4)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // exactPercentiles drops NaN: median of 1..9 with NaNs mixed in
+    val vs = ((1 to 9).map(_.toDouble) ++ Seq(Double.NaN, Double.NaN)).toDF("v")
+    assert(Tiling.exactPercentiles(vs, col("v"), Seq("p50" -> 0.5))
+      .head().getDouble(0) == 5.0)
+  }
+
   test("exactPercentiles ignores nulls like the percentile aggregate") {
     import spark.implicits._
     val df = (Seq.fill(5)(None) ++ (1 to 99).map(i => Some(i.toDouble)))
