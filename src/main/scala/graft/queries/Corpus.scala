@@ -292,6 +292,78 @@ object Corpus {
       |    x -> abs(round(CAST(x AS DOUBLE) * 127.0 / sc)))) AS BIGINT) END AS l1q
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------- forward fill
+
+  /** Forward-fill imputation (pandas `ffill` per key, ordered by time):
+    * `last_value(..., ignoreNulls)` over a partitioned running window —
+    * the standard gap-repair step before feature extraction. Nulls are
+    * synthesized on every 7th event so the fill is actually exercised;
+    * partitioned window → parallel, no global sort.
+    */
+  private val forwardFillQ: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("v",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      // raw pass-through value — no arithmetic, so no rounding needed for
+      // cross-engine equality
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("v_filled"))
+      .orderBy(col("event_id"))
+  }
+  private val forwardFillSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM e ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------- chunking
+
+  /** Document chunking for embedding/RAG: overlapping token windows
+    * (size 64, stride 32) per doc — one generator expression and a
+    * posexplode, all map-side; the chunk count formula and slicing are
+    * mirrored exactly in the oracle. Output keeps the chunk fingerprint
+    * rather than the text so the compare stays compact.
+    */
+  private val chunkQ: Q = (s, dir) => {
+    val (sz, st) = (64, 32)
+    Registry.spread(Tables.documents(s, dir))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("nc",
+        when(size(col("toks")) <= sz, lit(1))
+          .otherwise(ceil((size(col("toks")) - sz) / lit(st.toDouble)).cast("int") + 1))
+      .select(col("doc_id"), col("toks"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * st + 1, lit(sz)))))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(sz), size(col("toks")) - col("chunk_id") * st).as("n_tok"),
+        md5(col("chunk")).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+  private val chunkSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) <= 64 THEN 1
+      |         ELSE CAST(ceil((len(toks) - 64) / 32.0) AS INTEGER) + 1 END AS nc
+      |  FROM tok),
+      |c AS (
+      |  SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
+      |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+      |  CAST(least(64, len(toks) - chunk_id * 32) AS INTEGER) AS n_tok,
+      |  md5(array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 64], ' ')) AS fp
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // ----------------------------------------------------------- z-order
 
   /** Z-order (Morton) clustering key over two measures — the multi-dim
@@ -341,7 +413,9 @@ object Corpus {
     ("q_stream_dedup", streamDedupQ, Some(streamDedupSql)),
     ("q_upsert", upsertQ, Some(upsertSql)),
     ("q_quantize_embeddings", quantizeQ, Some(quantizeSql)),
-    ("q_zorder", zorderQ, Some(zorderSql)))
+    ("q_zorder", zorderQ, Some(zorderSql)),
+    ("q_forward_fill", forwardFillQ, Some(forwardFillSql)),
+    ("q_chunk_documents", chunkQ, Some(chunkSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
