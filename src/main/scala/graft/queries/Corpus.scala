@@ -402,6 +402,46 @@ object Corpus {
        |FROM q ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin
   }
 
+  // --------------------------------------------------- data-quality audit
+
+  /** Column-profile report (the pre-ingest data-quality gate): null
+    * count, exact distinct count, range, and a domain-violation count
+    * per audited column — one aggregate pass over the table, one row per
+    * column via an unpivot-style union of tiny agg results.
+    */
+  private val dqReportQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    def profile(c: String, violation: Column): DataFrame =
+      li.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"),
+        sum(when(violation, 1).otherwise(0)).as("n_violation"))
+    profile("l_quantity", col("l_quantity") < 1 || col("l_quantity") > 50)
+      .unionByName(profile("l_discount",
+        col("l_discount") < 0 || col("l_discount") > 0.1))
+      .unionByName(profile("l_linenumber", col("l_linenumber") < 1))
+      .orderBy(col("column"))
+  }
+  private val dqReportSql = {
+    def p(c: String, violation: String) =
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+         |  CAST(sum(CASE WHEN $violation THEN 1 ELSE 0 END) AS BIGINT) AS n_violation
+         |FROM lineitem""".stripMargin
+    p("l_quantity", "l_quantity < 1 OR l_quantity > 50") +
+      "\nUNION ALL\n" +
+      p("l_discount", "l_discount < 0 OR l_discount > 0.1") +
+      "\nUNION ALL\n" +
+      p("l_linenumber", "l_linenumber < 1") +
+      "\nORDER BY \"column\""
+  }
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -415,7 +455,8 @@ object Corpus {
     ("q_quantize_embeddings", quantizeQ, Some(quantizeSql)),
     ("q_zorder", zorderQ, Some(zorderSql)),
     ("q_forward_fill", forwardFillQ, Some(forwardFillSql)),
-    ("q_chunk_documents", chunkQ, Some(chunkSql)))
+    ("q_chunk_documents", chunkQ, Some(chunkSql)),
+    ("q_dq_report", dqReportQ, Some(dqReportSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
