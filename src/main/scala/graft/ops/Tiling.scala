@@ -51,12 +51,18 @@ object Tiling {
       orderCols: Seq[Column],
       out: String,
       buckets: Int = 64): (DataFrame, Long) = {
-    // nanvl: one NaN would otherwise poison max() (NaN compares largest)
-    // and turn EVERY width_bucket into NULL; NaN rows instead get their
-    // own top bucket below, mirroring how Spark ordering sorts NaN last.
-    val rangeDbl = nanvl(rangeCol.cast("double"), lit(null).cast("double"))
+    // stats over FINITE values only: one NaN poisons max() (NaN compares
+    // largest) and one ±Inf bound makes width_bucket return NULL for
+    // every row — either way bucketing collapses. With finite bounds,
+    // -Inf naturally falls in bucket 0 (before mn) and +Inf in the top
+    // bucket (after mx); NaN gets its own trailing bucket below,
+    // mirroring how Spark ordering sorts NaN last.
+    val d = rangeCol.cast("double")
+    val rangeFinite = when(
+      isnan(d) || d === Double.PositiveInfinity || d === Double.NegativeInfinity,
+      lit(null).cast("double")).otherwise(d)
     val Array(stats) =
-      df.agg(min(rangeDbl).as("mn"), max(rangeDbl).as("mx"),
+      df.agg(min(rangeFinite).as("mn"), max(rangeFinite).as("mx"),
              count(lit(1)).as("n"))
         .collect()
     val total = stats.getLong(2)
@@ -67,16 +73,17 @@ object Tiling {
     val (mn, mx) =
       if (allNull) (0.0, 0.0) else (stats.getDouble(0), stats.getDouble(1))
 
-    // width_bucket yields 1..B, and B+1 for v == mx — fold into B.
-    // Degenerate range (mn == mx) → single bucket. NULL range values
-    // sort first in Spark (asc_nulls_first default) → bucket 0, and NaN
-    // sorts LAST (after +Inf) → bucket B+1, so the rank honors the same
-    // order the window form would use.
+    // width_bucket yields 0 for v < mn (incl. -Inf), 1..B in range, and
+    // B+1 for v ≥ mx (incl. +Inf) — fold B+1 into B (within-bucket order
+    // still separates mx from +Inf). Degenerate range (mn == mx) →
+    // single bucket. NULL sorts first in Spark (asc_nulls_first default)
+    // → bucket 0 (shared with -Inf; within-bucket order separates them),
+    // NaN sorts LAST (after +Inf) → its own trailing bucket.
     val finiteBucket: Column =
       if (mn == mx) lit(1)
-      else least(width_bucket(rangeCol.cast("double"), lit(mn), lit(mx), lit(buckets)), lit(buckets.toLong))
+      else least(width_bucket(d, lit(mn), lit(mx), lit(buckets)), lit(buckets.toLong))
     val bucket: Column = when(rangeCol.isNull, lit(0))
-      .when(isnan(rangeCol.cast("double")), lit(buckets + 1))
+      .when(isnan(d), lit(buckets + 1))
       .otherwise(finiteBucket)
 
     // Per-bucket counts → prefix offsets (tiny driver collect, ≤ B rows).
@@ -131,7 +138,10 @@ object Tiling {
     val at = ranked.filter(col("__rn").isin(need: _*))
       .collect().map(r => r.getLong(1) -> r.getDouble(0)).toMap
     val row = targets.map { case (name, h, lo, hi) =>
-      val v = at(lo) + (h - lo) * (at(hi) - at(lo))
+      // lo == hi must short-circuit: interpolating at an infinite value
+      // would compute Inf - Inf = NaN where percentile()/quantile_cont
+      // return the value itself
+      val v = if (lo == hi) at(lo) else at(lo) + (h - lo) * (at(hi) - at(lo))
       (name, v)
     }
     spark.createDataFrame(

@@ -406,24 +406,30 @@ object Corpus {
 
   /** Column-profile report (the pre-ingest data-quality gate): null
     * count, exact distinct count, range, and a domain-violation count
-    * per audited column — one aggregate pass over the table, one row per
-    * column via an unpivot-style union of tiny agg results.
+    * per audited column — ONE aggregate pass computes all 18 measures,
+    * then a driver-free `stack` unpivots the 1-row result into one row
+    * per column (three separate agg jobs would scan the table thrice).
     */
   private val dqReportQ: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-    def profile(c: String, violation: Column): DataFrame =
-      li.agg(
-        lit(c).as("column"),
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
-        count_distinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("double").as("min_v"),
-        max(col(c)).cast("double").as("max_v"),
-        sum(when(violation, 1).otherwise(0)).as("n_violation"))
-    profile("l_quantity", col("l_quantity") < 1 || col("l_quantity") > 50)
-      .unionByName(profile("l_discount",
-        col("l_discount") < 0 || col("l_discount") > 0.1))
-      .unionByName(profile("l_linenumber", col("l_linenumber") < 1))
+    val cols = Seq(
+      ("l_quantity", col("l_quantity") < 1 || col("l_quantity") > 50),
+      ("l_discount", col("l_discount") < 0 || col("l_discount") > 0.1),
+      ("l_linenumber", col("l_linenumber") < 1))
+    val aggs = cols.flatMap { case (c, violation) => Seq(
+      count(lit(1)).as(s"${c}_rows"),
+      sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_null"),
+      count_distinct(col(c)).as(s"${c}_dist"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max"),
+      sum(when(violation, 1).otherwise(0)).as(s"${c}_viol"))
+    }
+    val stackArgs = cols.map { case (c, _) =>
+      s"'$c', ${c}_rows, ${c}_null, ${c}_dist, ${c}_min, ${c}_max, ${c}_viol"
+    }.mkString(", ")
+    Tables.lineitem(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column, n_rows, n_null, n_distinct, min_v, max_v, n_violation)"))
       .orderBy(col("column"))
   }
   private val dqReportSql = {

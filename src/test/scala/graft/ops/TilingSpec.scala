@@ -101,6 +101,28 @@ class TilingSpec extends SparkSpec {
       .head().getDouble(0) == 5.0)
   }
 
+  test("±Infinity neither collapses buckets nor NaNs a boundary percentile") {
+    import spark.implicits._
+    val df = ((1 to 30).map(i => (i.toLong, i.toDouble % 5)) ++
+      Seq((97L, Double.PositiveInfinity), (98L, Double.NegativeInfinity)))
+      .toDF("k", "v")
+    val expected = df.withColumn("t",
+      ntile(4).over(Window.orderBy(col("v"), col("k"))))
+    val got = Tiling.ntileDistributed(
+      df, 4, col("v"), Seq(col("v"), col("k")), "t", buckets = 8)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // bucketing must stay spread — Inf previously nulled width_bucket for
+    // every row, silently re-creating the single-partition sort
+    val (ranked, _) = Tiling.withGlobalRank(df, col("v"),
+      Seq(col("v"), col("k")), "rn", buckets = 8)
+    assert(ranked.count() == 32)
+    // percentile landing exactly on the Inf value: Inf, not NaN
+    val pv = Tiling.exactPercentiles(
+      Seq(1.0, Double.PositiveInfinity).toDF("v"), col("v"),
+      Seq("p100" -> 1.0)).head().getDouble(0)
+    assert(pv.isPosInfinity)
+  }
+
   test("exactPercentiles ignores nulls like the percentile aggregate") {
     import spark.implicits._
     val df = (Seq.fill(5)(None) ++ (1 to 99).map(i => Some(i.toDouble)))
