@@ -66,7 +66,15 @@ object Dedup {
     * rounds).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    connectedComponentsCounted(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] + whether it converged within `maxIter`
+    * (drives the hybrid's fallback decision).
+    */
+  def connectedComponentsCounted(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): (DataFrame, Boolean) = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
@@ -96,7 +104,26 @@ object Dedup {
       labels = prop
       iter += 1
     }
-    labels
+    (labels, converged)
+  }
+
+  /** Hybrid CC: min-label propagation for up to `propRounds` rounds —
+    * the cheap path (2 shuffles/round) that finishes near-dup graphs
+    * (diameter 2-4) — falling back to [[connectedComponentsStar]] when
+    * the graph turns out deep, bounding the worst case at O(log n)
+    * rounds. The wasted propagation on adversarial shapes is a constant
+    * `propRounds` of the cheaper round type.
+    */
+  def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
+                              propRounds: Int = 6,
+                              maxIter: Int = 50): DataFrame = {
+    // pairs may be an expensive upstream (e.g. a verified near-dup
+    // join) — materialize once so a fallback never recomputes it
+    val p = pairs.localCheckpoint()
+    val (labels, converged) =
+      connectedComponentsCounted(p, aCol, bCol, propRounds)
+    if (converged) labels
+    else connectedComponentsStar(p, aCol, bCol, maxIter)
   }
 
   /** Connected components via alternating large-star / small-star

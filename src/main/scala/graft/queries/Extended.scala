@@ -501,7 +501,7 @@ object Extended {
   private val connectedComponentsQ: Q = (s, dir) => {
     val pairs = VectorOps.nearDupCosine(
       Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.35)
-    Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+    Dedup.connectedComponentsAuto(pairs, "id_a", "id_b")
       .orderBy(col("id"))
   }
   private val connectedComponentsSql =

@@ -47,6 +47,19 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 9 && got.values.forall(_ == 1L))
   }
 
+  test("auto CC: propagation path on shallow graphs, star fallback on deep ones — same labels") {
+    // shallow: converges within propRounds → propagation path
+    val shallow = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val gotShallow = Dedup.connectedComponentsAuto(shallow, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotShallow == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // deep: 64-node path exceeds propRounds=2 → star fallback
+    val path = (1L to 64L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    val gotDeep = Dedup.connectedComponentsAuto(path, "a", "b", propRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDeep.size == 64 && gotDeep.values.forall(_ == 1L))
+  }
+
   test("star CC matches propagation CC on mixed shapes (incl. self-loops)") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
       (20L, 21L), (30L, 30L)).toDF("a", "b")
