@@ -217,6 +217,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("forward-fill window is partitioned; chunking generates map-side") {
+    val ff = Corpus.queries("q_forward_fill")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ff.contains("SinglePartition"), ff)
+    assert(ff.contains("Window"), ff)
+    val ch = Corpus.queries("q_chunk_documents")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ch.contains("Generate"), ch)
+    // the deliberate core-spreading repartition + the presentation sort —
+    // generation itself adds no shuffle
+    assert("Exchange".r.findAllIn(ch).size <= 2, ch)
+  }
+
   test("unpivot stays a narrow expand (no shuffle before the aggregate)") {
     val p = extPlan("q_unpivot")
     assert(p.contains("Expand"), p)
