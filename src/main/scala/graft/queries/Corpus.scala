@@ -448,6 +448,71 @@ object Corpus {
       "\nORDER BY \"column\""
   }
 
+  // ------------------------------------------------------- raw sources
+
+  /** Raw text-line source (log-ingestion shape): lineitem staged as
+    * pipe-delimited lines, re-parsed with split + element_at + casts —
+    * schema applied in the query, not the reader. Oracle reads the
+    * original parquet.
+    */
+  private def stageText(s: SparkSession, dir: String): String =
+    graft.ops.Staging.cached(s"text:$dir") { tmp =>
+      Tables.lineitem(s, dir)
+        .select(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity")).as("value"))
+        .coalesce(4).write.mode("overwrite").text(tmp.toString)
+      tmp.toString
+    }
+  private val textSourceQ: Q = (s, dir) => {
+    val parts = split(col("value"), "\\|")
+    s.read.text(stageText(s, dir))
+      .select(
+        element_at(parts, 1).cast("long").as("l_orderkey"),
+        element_at(parts, 3).as("l_returnflag"),
+        element_at(parts, 4).cast("double").as("l_quantity"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count_distinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val textSourceSql =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Binary-file source — the multimodal ingestion path made concrete:
+    * documents staged as one .bin per doc (UTF-8 text bytes stand in for
+    * media blobs; the fixture is ASCII so byte length == n_chars), read
+    * back with Spark's binaryFile source, fingerprinted from the raw
+    * bytes. The oracle recomputes length/md5 from the documents TABLE —
+    * proving the bytes round-tripped exactly.
+    */
+  private def stageBinary(s: SparkSession, dir: String): String =
+    graft.ops.Staging.cached(s"bin:$dir") { tmp =>
+      Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            tmp.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      tmp.toString
+    }
+  private val binarySourceQ: Q = (s, dir) => {
+    s.read.format("binaryFile").load(stageBinary(s, dir))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val binarySourceSql =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS fp
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -462,7 +527,9 @@ object Corpus {
     ("q_zorder", zorderQ, Some(zorderSql)),
     ("q_forward_fill", forwardFillQ, Some(forwardFillSql)),
     ("q_chunk_documents", chunkQ, Some(chunkSql)),
-    ("q_dq_report", dqReportQ, Some(dqReportSql)))
+    ("q_dq_report", dqReportQ, Some(dqReportSql)),
+    ("q_text_source", textSourceQ, Some(textSourceSql)),
+    ("q_binary_source", binarySourceQ, Some(binarySourceSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
