@@ -84,9 +84,12 @@ object Dedup {
       .localCheckpoint()
     // labels only ever decrease, so Σ labels strictly decreases until the
     // fixpoint — an O(1)-output scalar agg per round instead of a
-    // join-based diff (decimal sum: exact at any id magnitude/parallelism)
+    // join-based diff (decimal sum: exact at any id magnitude/parallelism).
+    // coalesce: sum over an EMPTY frame is null — an empty pair set must
+    // converge on round 1 (0 == 0), not NPE in compareTo.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head()
+      df.agg(coalesce(sum(col("cluster").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0)))).head()
         .getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0

@@ -457,9 +457,14 @@ object Corpus {
     */
   private def stageText(s: SparkSession, dir: String): String =
     graft.ops.Staging.cached(s"text:$dir") { tmp =>
+      // concat_ws SKIPS nulls (shifting later fields left), so each field
+      // is coalesced to "" — the positional layout survives null inputs
+      // (these four lineitem columns are non-null, but the staged format
+      // must not depend on that)
+      val fields = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity").map(c => coalesce(col(c).cast("string"), lit("")))
       Tables.lineitem(s, dir)
-        .select(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
-          col("l_returnflag"), col("l_quantity")).as("value"))
+        .select(concat_ws("|", fields: _*).as("value"))
         .coalesce(4).write.mode("overwrite").text(tmp.toString)
       tmp.toString
     }
@@ -467,9 +472,9 @@ object Corpus {
     val parts = split(col("value"), "\\|")
     s.read.text(stageText(s, dir))
       .select(
-        element_at(parts, 1).cast("long").as("l_orderkey"),
+        element_at(parts, 1).try_cast("long").as("l_orderkey"),
         element_at(parts, 3).as("l_returnflag"),
-        element_at(parts, 4).cast("double").as("l_quantity"))
+        element_at(parts, 4).try_cast("double").as("l_quantity"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),

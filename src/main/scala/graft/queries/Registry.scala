@@ -1222,7 +1222,7 @@ object Registry {
 
   // ------------------------------------------------------------- registry
 
-  private val entries: Seq[(String, Q, Option[String])] = Seq(
+  val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_dedup_latest", dedupLatest, Some(dedupLatestSql)),
     ("q_semi_join", semiJoin, Some(semiJoinSql)),
     ("q_anti_join", antiJoin, Some(antiJoinSql)),

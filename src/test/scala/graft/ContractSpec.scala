@@ -1,9 +1,11 @@
 package graft
 class ContractSpec extends SparkSpec {
   test("driver contract: no registry name collisions, entry returns rows") {
-    val maps = Seq(graft.queries.Registry.queries,
-      graft.queries.Extended.queries, graft.queries.Corpus.queries)
-    val all = maps.flatMap(_.keys)
+    // iterate the entries Seqs, not the derived Maps — .toMap silently
+    // collapses a within-registry duplicate before any Map-level check
+    val entrySeqs = Seq(graft.queries.Registry.entries,
+      graft.queries.Extended.entries, graft.queries.Corpus.entries)
+    val all = entrySeqs.flatMap(_.map(_._1))
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
     assert(SparkEntry.queries.size == all.size)

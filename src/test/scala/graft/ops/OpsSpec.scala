@@ -60,6 +60,14 @@ class DedupSpec extends SparkSpec {
     assert(gotDeep.size == 64 && gotDeep.values.forall(_ == 1L))
   }
 
+  test("auto CC: empty pair set yields empty labels, no crash") {
+    // a near-dup pass can legitimately find zero pairs; the propagation
+    // path's Σ-label convergence check must treat the null sum as 0
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponentsAuto(empty, "a", "b").count() == 0L)
+    assert(Dedup.connectedComponents(empty, "a", "b").count() == 0L)
+  }
+
   test("star CC matches propagation CC on mixed shapes (incl. self-loops)") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
       (20L, 21L), (30L, 30L)).toDF("a", "b")
