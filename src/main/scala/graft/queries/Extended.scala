@@ -891,6 +891,146 @@ object Extended {
        |FROM dedup ORDER BY fp LIMIT 100""".stripMargin
   }
 
+  // ------------------------------------- exact correlation / regression
+
+  /** Pearson correlation + least-squares slope/intercept per group,
+    * computed from EXACT decimal co-moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    * instead of `corr()`'s streaming double moments: decimal addition is
+    * associative, so the co-moments — and therefore the final doubles —
+    * are bit-identical at ANY partitioning/merge order. That's what makes
+    * a distributed corr hash-match a single-threaded oracle, and it's the
+    * scale-safe formulation (one map-side-combinable agg pass, O(groups)
+    * output). The closing arithmetic is plain IEEE doubles on identical
+    * inputs — deterministic on both engines without rounding.
+    *
+    * Oracle note: DuckDB's int128-backed DECIMAL→DOUBLE cast is not
+    * correctly rounded (1-ulp error observed); the SQL routes the cast
+    * through VARCHAR (decimal printed exactly, strtod rounds correctly)
+    * to match Spark's BigDecimal.doubleValue.
+    */
+  private val corrStatsQ: Q = (s, dir) => {
+    val x = col("l_quantity").cast(DecimalType(18, 4))
+    val y = col("l_extendedprice").cast(DecimalType(18, 4))
+    def d(c: String) = col(c).cast("double")
+    val m = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val nd = d("n")
+    val cov = nd * d("sxy") - d("sx") * d("sy")
+    val vx = nd * d("sxx") - d("sx") * d("sx")
+    val vy = nd * d("syy") - d("sy") * d("sy")
+    m.select(col("l_returnflag"), col("n"),
+        (cov / sqrt(vx * vy)).as("corr_qty_price"),
+        (cov / vx).as("slope"),
+        ((d("sy") - cov / vx * d("sx")) / nd).as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val corrStatsSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) *
+      |             CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) *
+      |             CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) *
+      |             CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy)
+      |    / sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy))
+      |    AS corr_qty_price,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx) AS slope,
+      |  (sy - (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx) * sx)
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------- running distinct count
+
+  /** Running distinct-count over an ordered stream WITHOUT a growing
+    * collect_set window: mark each (user, event_type)'s first occurrence
+    * with row_number()=1, then running-sum the flags. Two window passes
+    * with O(1) state per row — the shape that survives long histories,
+    * vs `size(collect_set() OVER w)` whose per-row state grows with
+    * cardinality. Ordering is by unique event_id, so ties can't diverge.
+    */
+  private val runningDistinctQ: Q = (s, dir) => {
+    val first = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one explicit hash(user_id) exchange serves BOTH windows: hash(user)
+    // satisfies the (user, event_type) clustering (subset rule), so the
+    // per-type pass only re-sorts — without this, each window spec plans
+    // its own full shuffle
+    Tables.events(s, dir)
+      .repartition(col("user_id"))
+      .withColumn("is_first",
+        when(row_number().over(first) === 1, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"),
+        sum(col("is_first")).over(run).as("n_types_seen"))
+      .orderBy(col("event_id"))
+  }
+  private val runningDistinctSql =
+    """WITH f AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY event_id) = 1
+      |         THEN 1 ELSE 0 END AS is_first
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_types_seen
+      |FROM f ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------- run-length encoding
+
+  /** Run-length encoding of per-user event-type streaks (gaps-and-islands
+    * with an equality predicate): a lag-mismatch flag starts a new run,
+    * its running sum numbers the runs, and a single groupBy collapses each
+    * run to one row. Three shuffle-free-after-the-first-sort window passes
+    * over the same (user_id, event_id) ordering — Catalyst reuses one
+    * Exchange+Sort for all of them.
+    */
+  private val rleEventsQ: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("brk",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_seq", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("run_seq"), col("event_type"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("event_id")).as("first_event"))
+      .filter(col("run_len") >= 2)
+      .orderBy(col("user_id"), col("run_seq"))
+  }
+  private val rleEventsSql =
+    """WITH b AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+      |r AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS run_seq
+      |  FROM b)
+      |SELECT user_id, run_seq, event_type,
+      |  count(*) AS run_len, min(event_id) AS first_event
+      |FROM r GROUP BY user_id, run_seq, event_type
+      |HAVING count(*) >= 2
+      |ORDER BY user_id, run_seq""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -929,7 +1069,10 @@ object Extended {
     ("q_recursive_cte", recursiveCteQ, Some(recursiveCteShared)),
     ("q_lateral", lateralQ, Some(lateralShared)),
     ("q_except_all", exceptAllQ, Some(exceptAllSql)),
-    ("q_intersect_all", intersectAllQ, Some(intersectAllSql)))
+    ("q_intersect_all", intersectAllQ, Some(intersectAllSql)),
+    ("q_corr_stats", corrStatsQ, Some(corrStatsSql)),
+    ("q_running_distinct", runningDistinctQ, Some(runningDistinctSql)),
+    ("q_rle_events", rleEventsQ, Some(rleEventsSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -236,4 +236,23 @@ class PlanSpec extends SparkSpec {
     // exactly the aggregate's exchange — the expand itself adds none
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
+
+  test("corr co-moments aggregate map-side (partial+final, one exchange)") {
+    val p = extPlan("q_corr_stats")
+    // scan -> partial HashAggregate -> exchange -> final -> sort exchange
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("running-distinct and RLE share one hash exchange across window passes") {
+    // hash(user_id) satisfies the (user_id, event_type) clustering, so
+    // the two window specs re-sort within the same exchange; only the
+    // presentation orderBy adds a second (range) one
+    for (q <- Seq("q_running_distinct", "q_rle_events")) {
+      val p = extPlan(q)
+      assert("Exchange".r.findAllIn(p).size <= 2, s"$q: $p")
+      assert(!p.contains("SinglePartition"), s"$q: $p")
+    }
+  }
 }
