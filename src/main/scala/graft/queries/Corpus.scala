@@ -518,6 +518,97 @@ object Corpus {
     """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS fp
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- PII redaction
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scrub (training-corpus privacy pass): count and redact email /
+    * phone patterns. The fixture corpus carries no PII, so the query
+    * first INJECTS synthetic addresses/numbers on deterministic doc_id
+    * rules — both engines inject identically, so detection and redaction
+    * are fully oracle-checkable. All map-side (scan → project), no
+    * shuffle until the presentation sort; regexes are RE2∩Java-safe
+    * (char classes + bounded repetition only, no lookaround).
+    */
+  private val piiRedactQ: Q = (s, dir) => {
+    val id = col("doc_id").cast("string")
+    val injected = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), id,
+          lit("@mail.example.com or user"), id, lit("@backup.example.org")))
+      .when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    Registry.spread(Tables.documents(s, dir))
+      .withColumn("txt", injected)
+      .select(col("doc_id"),
+        regexp_count(col("txt"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("txt"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("red"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("red")).cast("long").as("n_chars_red"),
+        md5(col("red")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+  private val piiRedactSql =
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+       |           CAST(doc_id AS VARCHAR) || '@mail.example.com or user' ||
+       |           CAST(doc_id AS VARCHAR) || '@backup.example.org'
+       |         WHEN doc_id % 11 = 0 THEN text || ' call 415-555-' ||
+       |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE text END AS txt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(txt, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(txt, '$phoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(length(regexp_replace(regexp_replace(txt, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g')) AS BIGINT) AS n_chars_red,
+       |  md5(regexp_replace(regexp_replace(txt, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g')) AS fp
+       |FROM inj ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------- cross-document shingle dedup
+
+  /** Paragraph-dedup semantics at shingle granularity: an 8-gram that
+    * already appeared in an earlier document (min doc_id wins) is a
+    * duplicate span. ONE hash shuffle on the gram key carrying only
+    * (doc_id, gram) — a window min per gram, never all-pairs — then a
+    * per-doc rollup. This is the scan-shaped core of suffix-array /
+    * exact-substring dedup passes at corpus scale.
+    */
+  private val shingleDedupQ: Q = (s, dir) => {
+    val sh = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("text"), 8))).as("g"))
+    val w = Window.partitionBy(col("g"))
+    sh.withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+  private val shingleDedupSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+7], ' ')
+      |               for i in range(1, len(toks) - 6)]
+      |    END)) AS g FROM tok),
+      |f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS first_doc
+      |      FROM sh)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -534,7 +625,9 @@ object Corpus {
     ("q_chunk_documents", chunkQ, Some(chunkSql)),
     ("q_dq_report", dqReportQ, Some(dqReportSql)),
     ("q_text_source", textSourceQ, Some(textSourceSql)),
-    ("q_binary_source", binarySourceQ, Some(binarySourceSql)))
+    ("q_binary_source", binarySourceQ, Some(binarySourceSql)),
+    ("q_pii_redact", piiRedactQ, Some(piiRedactSql)),
+    ("q_shingle_dedup", shingleDedupQ, Some(shingleDedupSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
