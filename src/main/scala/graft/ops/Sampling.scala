@@ -66,4 +66,47 @@ object Sampling {
     df.withColumn("h", md5(concat_ws("|", keyCols: _*)))
       .orderBy(col("h") +: keyCols: _*)
       .limit(n)
+
+  /** Exact-N-per-stratum sample, hash-deterministic: within each stratum,
+    * rank rows by (md5(key), key) and keep the first `n`. ONE shuffle on
+    * the stratum key; the window is PARTITIONED (parallel across strata,
+    * never a global sort). Strata are typically few and bounded
+    * (languages, sources, label buckets), so per-stratum task memory is
+    * the stratum's row width × its partition share — a heavily skewed
+    * stratum is still a single window partition; salt-and-restitch or
+    * [[graft.ops.Tiling.withGlobalRank]] per stratum if one stratum is
+    * itself 100 TB-sized.
+    */
+  def stratifiedHashSample(df: DataFrame, n: Int, stratumCol: Column,
+                           keyCols: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(concat_ws("|", keyCols: _*)) +: keyCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Weighted sample without replacement (Efraimidis–Spirtakis A-Res),
+    * hash-deterministic: each row draws u ∈ (0,1) from the md5 of its key
+    * (engine-portable, unlike seeded RNG) and scores pow(u, 1/w); the n
+    * largest scores win. Heavier rows draw systematically larger scores —
+    * inclusion probability ∝ weight, exactly the A-Res guarantee. The
+    * score is map-side arithmetic; selection is orderBy+limit →
+    * TakeOrderedAndProject (per-partition n-row heap, single n-row
+    * merge — no shuffle of the data). Non-positive weights are excluded
+    * (A-Res domain), nulls too.
+    */
+  def weightedHashSample(df: DataFrame, n: Int, weightCol: Column,
+                         keyCols: Seq[Column]): DataFrame = {
+    // u = (first 8 md5 hex digits + 0.5) / 2^32 — strictly inside (0,1),
+    // so ln/pow never see 0; +0.5 and the division are exact in binary.
+    val u = (conv(substring(md5(concat_ws("|", keyCols: _*)), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__ares", pow(u, lit(1.0) / weightCol.cast("double")))
+      .orderBy(col("__ares").desc +: keyCols: _*)
+      .limit(n)
+      .drop("__ares")
+  }
 }
