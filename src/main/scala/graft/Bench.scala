@@ -63,7 +63,16 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full line to the repo root: the driver's BENCH
+    // tail window truncates long per-query maps, which makes exact
+    // round-over-round totals unrecoverable from the artifact alone.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

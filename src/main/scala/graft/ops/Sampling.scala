@@ -56,6 +56,16 @@ object Sampling {
     picked.drop("__r")
   }
 
+  /** Null-safe hash key: concat_ws SKIPS nulls, so ('a', null, 'b') and
+    * ('a', 'b') would hash identically; coalescing every key to a NUL
+    * sentinel keeps distinct key tuples distinct. For non-null keys the
+    * string is unchanged, so oracles over non-null fixtures are
+    * unaffected. (DuckDB concat_ws skips nulls the same way — the
+    * sentinel form mirrors verbatim when an oracle needs it.)
+    */
+  private def hashKey(keyCols: Seq[Column]): Column =
+    md5(concat_ws("|", keyCols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+
   /** Exact-N HASH-deterministic sample: order by md5 of the key columns —
     * pseudo-random but engine-independent (any engine with md5 draws the
     * SAME sample, unlike seeded RNG sampling). Same TakeOrdered scale
@@ -63,7 +73,7 @@ object Sampling {
     * the cut is total-ordered.
     */
   def hashSample(df: DataFrame, n: Int, keyCols: Seq[Column]): DataFrame =
-    df.withColumn("h", md5(concat_ws("|", keyCols: _*)))
+    df.withColumn("h", hashKey(keyCols))
       .orderBy(col("h") +: keyCols: _*)
       .limit(n)
 
@@ -81,7 +91,7 @@ object Sampling {
                            keyCols: Seq[Column]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol)
-      .orderBy(md5(concat_ws("|", keyCols: _*)) +: keyCols: _*)
+      .orderBy(hashKey(keyCols) +: keyCols: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")
@@ -101,7 +111,7 @@ object Sampling {
                          keyCols: Seq[Column]): DataFrame = {
     // u = (first 8 md5 hex digits + 0.5) / 2^32 — strictly inside (0,1),
     // so ln/pow never see 0; +0.5 and the division are exact in binary.
-    val u = (conv(substring(md5(concat_ws("|", keyCols: _*)), 1, 8), 16, 10)
+    val u = (conv(substring(hashKey(keyCols), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     df.filter(weightCol.isNotNull && weightCol > 0)
       .withColumn("__ares", pow(u, lit(1.0) / weightCol.cast("double")))

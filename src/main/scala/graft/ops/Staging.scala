@@ -11,21 +11,44 @@ object Staging {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Any]()
 
+  // ONE shutdown hook draining every staged root (one Thread per key
+  // would pile up hooks and race each other); registered lazily on first
+  // staging so library users who never stage pay nothing.
+  private val roots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var root = roots.poll()
+      while (root != null) { deleteRecursively(root); root = roots.poll() }
+    }))
+
   /** Build-once per (key, JVM): `build` gets a fresh temp directory that
     * is deleted (recursively) at exit; its result is cached.
     */
   def cached[A](key: String)(build: java.nio.file.Path => A): A =
     cache.computeIfAbsent(key, { _ =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
-      removeOnExit(tmp)
+      hookInstalled
+      roots.add(tmp)
       build(tmp)
     }).asInstanceOf[A]
 
-  private def removeOnExit(root: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }))
+  /** Best-effort recursive delete: the walk stream is closed (it holds a
+    * directory handle), and a per-path failure — e.g. Spark's own
+    * shutdown hooks still touching a file, which would otherwise throw
+    * DirectoryNotEmptyException — skips that path instead of aborting
+    * the remaining deletions.
+    */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val stream = java.nio.file.Files.walk(root)
+      val paths =
+        try stream.iterator().asScala.toSeq.reverse
+        finally stream.close()
+      paths.foreach { p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
 }

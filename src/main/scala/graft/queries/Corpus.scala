@@ -575,17 +575,21 @@ object Corpus {
 
   /** Paragraph-dedup semantics at shingle granularity: an 8-gram that
     * already appeared in an earlier document (min doc_id wins) is a
-    * duplicate span. ONE hash shuffle on the gram key carrying only
-    * (doc_id, gram) — a window min per gram, never all-pairs — then a
-    * per-doc rollup. This is the scan-shaped core of suffix-array /
-    * exact-substring dedup passes at corpus scale.
+    * duplicate span. The per-gram min is a `groupBy(g).agg(min)` — it
+    * map-side combines, so a stop-word-like ubiquitous gram arrives at
+    * the reducer as one partial per upstream partition, never as the
+    * full posting list (the window-min form would sort the hot gram's
+    * whole group in one task). The postings join back on the gram key —
+    * the same single hash shuffle, skew-safe. This is the scan-shaped
+    * core of suffix-array / exact-substring dedup passes at corpus
+    * scale.
     */
   private val shingleDedupQ: Q = (s, dir) => {
     val sh = Registry.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
         explode(array_distinct(TextOps.shingles(col("text"), 8))).as("g"))
-    val w = Window.partitionBy(col("g"))
-    sh.withColumn("first_doc", min(col("doc_id")).over(w))
+    val firstDocs = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstDocs, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))

@@ -383,7 +383,9 @@ object Extended {
 
   /** Stratified (per-key Bernoulli) sampling — `sampleBy` with fixed
     * fractions and seed; engine-local RNG → property-tested, rows-only
-    * at the gate (like q_exact_sample).
+    * at the gate (like q_exact_sample). Coverage for the built-in; the
+    * HEADLINE stratified form is q_stratified_exact below (exact-N per
+    * stratum AND fully oracled).
     */
   private val stratifiedSampleQ: Q = (s, dir) => {
     Tables.lineitem(s, dir)
@@ -393,6 +395,65 @@ object Extended {
       .agg(count(lit(1)).as("sampled"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Exact-N-per-stratum hash-deterministic sample
+    * ([[graft.ops.Sampling.stratifiedHashSample]]): unlike
+    * q_stratified_sample's Bernoulli `sampleBy` (approximate-N,
+    * engine-local RNG), this draws exactly `n` rows per stratum from the
+    * md5 order, so any engine with md5 reproduces the draw — fully
+    * oracled. One shuffle on the stratum key; the rank window is
+    * partitioned per stratum, never global.
+    */
+  private val stratifiedExactQ: Q = (s, dir) => {
+    Sampling.stratifiedHashSample(
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+      50, col("l_returnflag"),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+  }
+  private val stratifiedExactSql =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |           ORDER BY md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey)),
+      |                    l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 50
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  /** Weighted sample without replacement (Efraimidis–Spirtakis A-Res,
+    * [[graft.ops.Sampling.weightedHashSample]]): md5-derived uniform draw
+    * + pow(u, 1/w) score, n largest win — engine-portable arithmetic, so
+    * the weighted selection itself is oracled (DuckDB rebuilds the
+    * identical scores; '0x' || hex cast stands in for Spark's conv).
+    */
+  private val weightedSampleQ: Q = (s, dir) => {
+    Sampling.weightedHashSample(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+      200, col("l_quantity"),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+  }
+  private val weightedSampleSql =
+    """WITH scored AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+      |    pow((('0x' || substring(md5(concat_ws('|', l_orderkey, l_linenumber,
+      |           l_partkey, l_suppkey)), 1, 8))::BIGINT + 0.5) / 4294967296.0,
+      |        1.0 / CAST(l_quantity AS DOUBLE)) AS ares
+      |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 0),
+      |top AS (
+      |  SELECT * FROM scored
+      |  ORDER BY ares DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |  LIMIT 200)
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+      |FROM top ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
   // ------------------------------------------------- windows (batch 2)
 
@@ -1049,6 +1110,8 @@ object Extended {
     ("q_tfidf", tfidfQ, Some(tfidfSql)),
     ("q_stream_join", streamJoinQ, Some(streamJoinSql)),
     ("q_stratified_sample", stratifiedSampleQ, None),
+    ("q_stratified_exact", stratifiedExactQ, Some(stratifiedExactSql)),
+    ("q_weighted_sample", weightedSampleQ, Some(weightedSampleSql)),
     ("q_window_lead", windowLeadQ, Some(windowLeadSql)),
     ("q_rolling_range", rollingRangeQ, Some(rollingRangeSql)),
     ("q_mode", modeQ, Some(modeSql)),

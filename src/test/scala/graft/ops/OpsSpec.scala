@@ -205,4 +205,58 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(1, 2))
   }
+
+  test("stratifiedHashSample: exactly n per stratum, deterministic, members of stratum") {
+    val df = (1 to 3000).map(i => (s"s${i % 3}", i.toLong)).toDF("stratum", "id")
+    val got = Sampling.stratifiedHashSample(df, 40, col("stratum"), Seq(col("id")))
+    val counts = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 40L, "s1" -> 40L, "s2" -> 40L))
+    // every sampled row really belongs to its stratum, and the draw is stable
+    assert(got.filter(col("stratum") =!= concat(lit("s"), pmod(col("id"), lit(3)))).isEmpty)
+    val again = Sampling.stratifiedHashSample(df, 40, col("stratum"), Seq(col("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // a stratum smaller than n yields all its rows, not an error
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("stratum", "id")
+    assert(Sampling.stratifiedHashSample(tiny, 40, col("stratum"), Seq(col("id")))
+      .count() == 3)
+  }
+
+  test("weightedHashSample: inclusion tracks weight (A-Res), excludes non-positive weights") {
+    // 2000 light rows (w=1) + 2000 heavy rows (w=10): in a 400-draw A-Res
+    // sample the heavy class should dominate — its expected share is far
+    // above half; assert a conservative 2:1 to keep the test robust
+    val df = (1 to 4000).map { i =>
+      val heavy = i > 2000
+      (i.toLong, if (heavy) 10.0 else 1.0)
+    }.toDF("id", "w")
+    val got = Sampling.weightedHashSample(df, 400, col("w"), Seq(col("id")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 400)
+    val heavyN = got.count(_._2 == 10.0)
+    assert(heavyN > 2 * (400 - heavyN),
+      s"heavy rows under-sampled: $heavyN of 400")
+    // zero/negative/null weights never selected
+    val withBad = df.union(Seq((9001L, 0.0), (9002L, -3.0)).toDF("id", "w"))
+      .union(Seq((9003L, Option.empty[Double])).toDF("id", "w"))
+    val ids = Sampling.weightedHashSample(withBad, 4000, col("w"), Seq(col("id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(_ >= 9001L))
+    assert(ids.size == 4000) // all positive-weight rows when n >= domain
+  }
+
+  test("hash-sample keys are null-safe: ('a', null, 'b') hashes apart from ('a|b', null)") {
+    // concat_ws alone would render both key tuples as "a|b"; the NUL
+    // sentinel keeps them distinct, so a 2-row domain sampled at n=1
+    // must pick deterministically BETWEEN two distinct hashes (and both
+    // rows must carry different h values)
+    val df = Seq(
+      (1L, Some("a"), Option.empty[String], Some("b")),
+      (2L, Some("a|b"), Option.empty[String], Option.empty[String]))
+      .toDF("id", "k1", "k2", "k3")
+    val hashes = Sampling.hashSample(df, 2, Seq(col("k1"), col("k2"), col("k3")))
+      .select("h").collect().map(_.getString(0)).toSet
+    assert(hashes.size == 2, "null-skipping concat collapsed distinct key tuples")
+  }
 }

@@ -245,6 +245,58 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("shingle dedup takes the per-gram min as a map-side-combinable aggregate (no window)") {
+    val p = Corpus.queries("q_shingle_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the skew-hostile shape — a Window.partitionBy(g) sorting each
+    // gram's full posting list in one task — must not come back; the
+    // partial_min on the gram key is the proof the hot-gram reduction
+    // happens map-side
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min(doc_id"), p)
+  }
+
+  test("z-ordered layout actually prunes row groups on EITHER dimension") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanRows(df: DataFrame): Long = {
+      df.collect() // execute so scan metrics are populated
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case _ => p.collectLeaves().flatMap {
+          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+          case l => Seq(l)
+        }
+      }
+      leaves(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    }
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    graft.ops.Layout.zorderWrite(li, "l_extendedprice", "l_quantity", tmp,
+      bits = 8, numFiles = 4)
+    val back = spark.read.parquet(tmp)
+    // filters on both clustered columns reach the parquet reader
+    val p = back.filter(col("l_extendedprice") < 2000)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_extendedprice"), p)
+    // ...and the reader's row-group min/max stats actually skip data: a
+    // bottom-slice predicate on EITHER dimension reads strictly fewer
+    // rows than the table holds (interleaved bits put each dimension's
+    // MSB in the file-level z-range, so half the files are skippable
+    // per dimension — the whole point of the layout)
+    val Array(stats) = li.agg(
+      min(col("l_extendedprice")), max(col("l_extendedprice")),
+      min(col("l_quantity")), max(col("l_quantity"))).collect()
+    val xCut = stats.getDouble(0) + (stats.getDouble(1) - stats.getDouble(0)) * 0.2
+    val yCut = stats.getDouble(2) + (stats.getDouble(3) - stats.getDouble(2)) * 0.2
+    val xRead = scanRows(back.filter(col("l_extendedprice") < xCut))
+    val yRead = scanRows(back.filter(col("l_quantity") < yCut))
+    assert(xRead < total, s"price-slice scan read all $total rows (no pruning)")
+    assert(yRead < total, s"qty-slice scan read all $total rows (no pruning)")
+  }
+
   test("running-distinct and RLE share one hash exchange across window passes") {
     // hash(user_id) satisfies the (user_id, event_type) clustering, so
     // the two window specs re-sort within the same exchange; only the
