@@ -119,14 +119,27 @@ object Dedup {
     */
   def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
                               propRounds: Int = 6,
-                              maxIter: Int = 50): DataFrame = {
+                              maxIter: Int = 50): DataFrame =
+    connectedComponentsAutoCounted(pairs, aCol, bCol, propRounds, maxIter)._1
+
+  /** [[connectedComponentsAuto]] + (fellBack, starRounds) — the hybrid's
+    * observable worst-case bound (propRounds propagation rounds, then
+    * ≤ ~2·log₂ n star rounds) is asserted end-to-end in OpsSpec.
+    */
+  def connectedComponentsAutoCounted(
+      pairs: DataFrame, aCol: String, bCol: String,
+      propRounds: Int = 6, maxIter: Int = 50): (DataFrame, Boolean, Int) = {
     // pairs may be an expensive upstream (e.g. a verified near-dup
     // join) — materialize once so a fallback never recomputes it
     val p = pairs.localCheckpoint()
     val (labels, converged) =
       connectedComponentsCounted(p, aCol, bCol, propRounds)
-    if (converged) labels
-    else connectedComponentsStar(p, aCol, bCol, maxIter)
+    if (converged) (labels, false, 0)
+    else {
+      val (starLabels, rounds) =
+        connectedComponentsStarCounted(p, aCol, bCol, maxIter)
+      (starLabels, true, rounds)
+    }
   }
 
   /** Connected components via alternating large-star / small-star
@@ -201,14 +214,22 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    var prevEdges = edges
     var prev = checksum(edges)
     var iter = 0
     var converged = edges.isEmpty // all input pairs were self-loops
     while (!converged && iter < maxIter) {
       edges = smallStar(largeStar(edges)).localCheckpoint()
       val s = checksum(edges)
-      converged = s == prev
+      // checksum equality is necessary but not sufficient (a ~2^-64
+      // 64-bit sum collision between distinct consecutive edge sets
+      // would stop early with wrong labels) — confirm the fixpoint with
+      // ONE exact set-difference check, paid only on the round the
+      // checksum first repeats: counts match and both sides are distinct
+      // sets, so one-sided emptiness ⇒ equality.
+      converged = s == prev && edges.exceptAll(prevEdges).isEmpty
       prev = s
+      prevEdges = edges
       iter += 1
     }
     // fixpoint is a star forest: (v, root) with root = component min.

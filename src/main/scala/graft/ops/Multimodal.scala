@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * metadata, and run decode / feature-extract / frame-sample as
   * partition-batched transforms.
   *
-  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
-  * so `decodeStub` derives a deterministic fake feature vector (a
-  * normalized byte histogram) from the payload bytes. Everything around
-  * it — schema, batch shape, partition-parallel execution, null
-  * handling — is the real Spark plumbing a production codec would plug
-  * into (the Scala analogue of a pandas-UDF/`mapInPandas` batch loop:
-  * `mapPartitions` over an iterator, one JVM-side batch per partition).
+  * The decode step is REAL: payloads are PNG images encoded and decoded
+  * with JVM-built-in `javax.imageio` (no external codec). Fixture
+  * payloads are deterministic synthetic images — width/height/pixels are
+  * pure functions of the media id — so an oracle can recompute every
+  * decoded statistic arithmetically while the engine path exercises a
+  * genuine bytes→codec→pixels round trip. The execution shape is the
+  * Scala analogue of a pandas-UDF/`mapInPandas` batch loop:
+  * `mapPartitions` over an iterator, per-partition codec setup amortized
+  * across the batch.
   */
 object Multimodal {
 
@@ -30,26 +32,101 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("duration_ms", LongType))))))
 
-  /** Deterministic fake decoder: 16-bin byte histogram, L1-normalized.
-    * A real implementation replaces ONLY this function (e.g. JPEG decode →
-    * pooled CNN features); the signature — bytes in, fixed-dim floats
-    * out — is the contract.
+  // Deterministic synthetic-image law, shared by the Scala generator and
+  // any SQL oracle: dimensions and every channel value are pure integer
+  // functions of (media_id, x, y, channel), so decoded stats are
+  // recomputable without a codec.
+  def synthWidth(id: Long): Int = (8 + (id % 9)).toInt
+  def synthHeight(id: Long): Int = (8 + (id % 7)).toInt
+  def synthChannel(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + x * 7L + y * 13L + c * 101L) % 256).toInt
+
+  /** Encode ONE deterministic RGB image as real PNG bytes
+    * (`javax.imageio` — lossless, so decode recovers the exact pixels).
     */
-  def decodeStub(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
-    val hist = new Array[Float](dim)
-    if (bytes != null && bytes.nonEmpty) {
-      bytes.foreach { b => hist(((b & 0xFF) * dim) / 256) += 1f }
-      val n = bytes.length.toFloat
-      var i = 0
-      while (i < dim) { hist(i) /= n; i += 1 }
+  def synthPng(id: Long): Array[Byte] = {
+    val w = synthWidth(id); val h = synthHeight(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (synthChannel(id, x, y, 0) << 16) |
+          (synthChannel(id, x, y, 1) << 8) |
+          synthChannel(id, x, y, 2))
+        x += 1
+      }
+      y += 1
     }
-    hist
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Partition-batched feature extraction over a binary column.
-    * `mapPartitions` keeps per-partition setup (a real codec's native
-    * context) amortized across the batch — the Scala shape of
-    * `mapInPandas`.
+  /** Decoded-pixel statistics over a binary image column — REAL
+    * `ImageIO.read` per payload, partition-batched. Integer outputs only
+    * (dimensions + per-channel sums), so comparisons are exact — no
+    * float tolerance anywhere. Undecodable/null payloads yield null
+    * stats rather than failing the batch (a corrupt blob in a 100 TB
+    * corpus must not kill the job).
+    */
+  def decodeImageStats(df: DataFrame, idCol: String,
+                       contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_pixels", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(contentCol)).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          decodeOne(bytes) match {
+            case Some((w, h, sr, sg, sb)) =>
+              Row(r.getLong(0), w, h, w.toLong * h, sr, sg, sb)
+            case None =>
+              Row(r.getLong(0), null, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** One real decode: bytes → BufferedImage → (w, h, channel sums).
+    * None for null/empty/undecodable payloads.
+    */
+  private def decodeOne(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, sr, sg, sb))
+  }
+
+  /** Partition-batched feature extraction over a binary image column:
+    * decode (real `ImageIO`), then a `dim`-bin luminance histogram over
+    * the DECODED pixels, L1-normalized. Undecodable payloads → zero
+    * vector. The signature — bytes in, fixed-dim floats out — is the
+    * contract a learned encoder would slot into.
     */
   def extractFeatures(df: DataFrame, idCol: String, contentCol: String,
                       dim: Int = 16): DataFrame = {
@@ -60,20 +137,50 @@ object Multimodal {
       StructField("n_bytes", LongType)))
     val rdd = df.select(col(idCol).cast(LongType), col(contentCol)).rdd
       .mapPartitions { rows =>
-        // per-partition setup happens here (codec init in a real system)
+        // per-partition setup happens here (codec context in a real system)
         rows.map { r =>
           val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           Row(r.getLong(0),
-            decodeStub(bytes, dim).toSeq,
+            luminanceHistogram(bytes, dim).toSeq,
             if (bytes == null) 0L else bytes.length.toLong)
         }
       }
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Frame-sampling stub for video payloads: deterministic offsets into
-    * the byte stream stand in for decoded frames — the partitioning and
-    * explode shape are what a real frame sampler uses.
+  /** Decode + pool: per-pixel luminance ((r+g+b)/3, integer) binned into
+    * `dim` buckets, normalized by pixel count.
+    */
+  private def luminanceHistogram(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val hist = new Array[Float](dim)
+    val img =
+      if (bytes == null || bytes.isEmpty) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+    if (img == null) return hist
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        hist((lum * dim) / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    var i = 0
+    while (i < dim) { hist(i) /= n; i += 1 }
+    hist
+  }
+
+  /** Frame-sampling for video payloads: deterministic offsets into the
+    * byte stream stand in for decoded frames (no video codec in-JVM) —
+    * the partitioning and explode shape are what a real frame sampler
+    * uses.
     */
   def sampleFrames(df: DataFrame, idCol: String, contentCol: String,
                    nFrames: Int = 4): DataFrame = {
@@ -82,16 +189,14 @@ object Multimodal {
       .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
       .withColumn("frame_offset",
         (col("frame_idx") * col("n_bytes") / nFrames).cast(LongType))
-      .withColumn("frame_byte", // one sampled byte per "frame" (stub decode)
+      .withColumn("frame_byte", // one sampled byte per "frame"
         col(contentCol).substr(col("frame_offset").cast("int") + 1, lit(1)))
       .drop(contentCol)
   }
 
-  /** Resize stub: pools the stub feature histogram down to `outDim` bins
-    * (adjacent-bin sums — mass-preserving, like area-averaging an image
-    * down). A real implementation swaps the pooling for a pixel resample
-    * over the decoded payload; the column contract — array in, smaller
-    * array out, meta width/height updated — is what downstream sees.
+  /** Pools a feature histogram down to `outDim` bins (adjacent-bin sums —
+    * mass-preserving, like area-averaging an image down). The column
+    * contract — array in, smaller array out — is what downstream sees.
     */
   def resizeFeatures(df: DataFrame, featuresCol: String, outDim: Int,
                      outCol: String = "features_resized"): DataFrame = {
@@ -109,14 +214,19 @@ object Multimodal {
           lit(0.0f), (acc, x) => acc + x)))
   }
 
-  /** Adapter for tests/registry: fake a media table from documents (text
-    * bytes as payload) so the plumbing is exercised without codecs.
+  /** Media table with REAL PNG payloads, one per document id: content is
+    * `synthPng(doc_id)` (encoded on executors, partition-batched), meta
+    * carries the true decoded dimensions.
     */
-  def fromDocuments(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id").as("media_id"),
-      lit("image").as("modality"),
-      col("text").cast(BinaryType).as("content"),
-      struct(lit("fake").as("format"), lit(64).as("width"),
-        lit(64).as("height"), lit(0L).as("duration_ms")).as("meta"))
+  def fromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val rdd = documents.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, "image", synthPng(id),
+          Row("png", synthWidth(id), synthHeight(id), 0L))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
 }

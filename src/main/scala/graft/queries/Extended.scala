@@ -760,18 +760,32 @@ object Extended {
 
   /** Mergeable HLL sketches (Apache DataSketches): per-group sketch →
     * union → estimate. THE scale pattern for distinct counts: sketches
-    * merge across partitions/groups/days without re-scanning.
-    * Engine-local estimate — accuracy bounds asserted in ExtendedSpec.
+    * merge across partitions/groups/days without re-scanning. The
+    * estimate is engine-local, so the row carries the exact distinct
+    * (oracle-recomputable) plus a bound boolean the oracle states as a
+    * constant — the union path drifting past 5% flips it and fails the
+    * hash gate.
     */
   private val hllUnionQ: Q = (s, dir) => {
-    Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val est = li
       .groupBy(col("l_linestatus"))
       .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
         count(lit(1)).as("cnt"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-          .cast("long").as("distinct_orders_est"),
+          .cast("long").as("est"),
         sum(col("cnt")).as("total_rows"))
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    est.crossJoin(exact) // 1 row × 1 row
+      .select(col("exact_orders"), col("total_rows"),
+        (abs(col("est") - col("exact_orders")).cast("double")
+          / col("exact_orders") <= 0.05).as("union_within_5pct"))
   }
+  private val hllUnionSql =
+    """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |       CAST(count(*) AS BIGINT) AS total_rows,
+      |       TRUE AS union_within_5pct
+      |FROM lineitem""".stripMargin
 
   /** Forward as-of join: each order matched to the user's EARLIEST event
     * at or after the order date (complement of q_asof_join's
@@ -1121,7 +1135,7 @@ object Extended {
     ("q_csv_source", csvSourceQ, Some(csvSourceSql)),
     ("q_sql_text", sqlTextQ, Some(sqlTextShared)),
     ("q_orc_source", orcSourceQ, Some(orcSourceSql)),
-    ("q_hll_union", hllUnionQ, None),
+    ("q_hll_union", hllUnionQ, Some(hllUnionSql)),
     ("q_hash_sample", hashSampleQ, Some(hashSampleSql)),
     ("q_corpus_pipeline", corpusPipelineQ, Some(corpusPipelineSql)),
     ("q_posexplode", posexplodeQ, Some(posexplodeSql)),

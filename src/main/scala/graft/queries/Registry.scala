@@ -441,17 +441,28 @@ object Registry {
        |ORDER BY block, id_a, id_b""".stripMargin
 
   /** ANN top-k via random-hyperplane LSH + exact rerank — approximate by
-    * design, so no SQL oracle; measured recall@10 vs the exact top-k is
-    * asserted ≥ 0.8 in ScalaTest. 16 tables × 8 bits: the fixture's
-    * embeddings are isotropic (ANN's worst case — true neighbors barely
-    * closer than noise), where recall ≈ candidate fraction; 16 tables
-    * reaches 0.8 while still skipping the majority of the corpus.
+    * design, but DRIVER-CHECKABLE: the query computes recall@10 against
+    * the exact top-k in the same plan and emits a threshold boolean the
+    * oracle states as a constant, so an LSH regression (recall < 0.8)
+    * flips the row and fails the hash gate. The exact ids are not
+    * compared directly — that would pin recall to exactly 1 and turn an
+    * approximate-by-design op into a fixture-fragile one. 16 tables × 8
+    * bits: the fixture's embeddings are isotropic (ANN's worst case —
+    * true neighbors barely closer than noise), where recall ≈ candidate
+    * fraction; 16 tables reaches 0.8 while still skipping the majority
+    * of the corpus.
     */
   private val annTopk: Q = (s, dir) => {
-    VectorOps.annTopK(Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", queryVec(s, dir), k = 10, dim = 64, nBits = 8,
-      tables = 16)
+    val base = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val qv = queryVec(s, dir)
+    val ann = VectorOps.annTopK(base, "vec_id", "embedding", qv,
+      k = 10, dim = 64, nBits = 8, tables = 16)
+    VectorOps.cosineTopK(base, "vec_id", "embedding", qv, 10)
+      .join(ann.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(10).as("k"), (col("n_hit") >= 8).as("recall_ge_08"))
   }
+  private val annTopkSql = "SELECT 10 AS k, TRUE AS recall_ge_08"
 
   /** ANN top-k via IVF (k-means partitions + nProbe) — engine-local.
     * The index is STAGED to disk `partitionBy(centroid)` once per
@@ -473,11 +484,21 @@ object Registry {
   // these settings, asserted ≥ 0.8 in spec). At corpus scale nCentroids
   // grows to thousands and the probed FRACTION shrinks accordingly; the
   // pruning SHAPE (PartitionFilters over centroid dirs) is what carries.
+  // Emits the same recall-threshold summary as q_ann_topk (and for the
+  // same reason): the probe itself stays partition-pruned — PlanSpec
+  // asserts PartitionFilters on the centroid directories under the agg.
   private val annIvf: Q = (s, dir) => {
     val (path, centroids) = stageIvf(s, dir)
-    VectorOps.ivfTopKFromPath(s, path, centroids, "vec_id", "embedding",
-      queryVec(s, dir), k = 10, nProbe = 6)
+    val qv = queryVec(s, dir)
+    val ivf = VectorOps.ivfTopKFromPath(s, path, centroids, "vec_id",
+      "embedding", qv, k = 10, nProbe = 6)
+    VectorOps.cosineTopK(Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", qv, 10)
+      .join(ivf.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(10).as("k"), (col("n_hit") >= 8).as("recall_ge_08"))
   }
+  private val annIvfSql = "SELECT 10 AS k, TRUE AS recall_ge_08"
 
   /** §3.2 index build: corpus ⋈ embeddings with sparse metadata payload.
     * Oracle shapes the metadata as JSON (documents has no nulls, so
@@ -699,12 +720,30 @@ object Registry {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
   }
 
-  /** Approximate distinct (HLL sketch — engine-local estimate). */
+  /** Approximate distinct (HLL++ sketch). The estimate itself is
+    * engine-local, so the emitted row carries the EXACT counts (which
+    * the oracle recomputes) plus error-bound booleans the oracle states
+    * as constants — an estimator drifting past its advertised rsd flips
+    * a boolean and fails the hash gate. One pass computes sketches and
+    * exact distincts together.
+    */
   private val approxDistinct: Q = (s, dir) => {
     Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        approx_count_distinct(col("l_orderkey")).as("a_o"),
+        approx_count_distinct(col("l_partkey")).as("a_p"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("exact_orders"), col("exact_parts"),
+        (abs(col("a_o") - col("exact_orders")).cast("double")
+          / col("exact_orders") <= 0.05).as("orders_within_5pct"),
+        (abs(col("a_p") - col("exact_parts")).cast("double")
+          / col("exact_parts") <= 0.05).as("parts_within_5pct"))
   }
+  private val approxDistinctSql =
+    """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |       TRUE AS orders_within_5pct, TRUE AS parts_within_5pct
+      |FROM lineitem""".stripMargin
 
   /** Structured Streaming: real micro-batch file stream (AvailableNow) →
     * watermark → tumbling-window agg, drained to a queryable result. The
@@ -730,16 +769,29 @@ object Registry {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Multimodal plumbing: binary payload → partition-batched stub decode
-    * → fixed-dim feature vectors (engine-local; spec-tested).
+  /** Multimodal decode — REAL `javax.imageio` round trip: deterministic
+    * synthetic PNGs (dimensions and pixels are pure functions of doc_id)
+    * are encoded AND decoded on executors, partition-batched; the output
+    * is integer decoded-pixel statistics the oracle recomputes
+    * arithmetically (per-channel sums over the same pixel law), so a
+    * codec regression on either side of the round trip breaks the hash.
     */
   private val multimodalFeatures: Q = (s, dir) => {
     val media = Multimodal.fromDocuments(spread(Tables.documents(s, dir)))
-    Multimodal.extractFeatures(media, "media_id", "content")
-      .select(col("media_id"), col("n_bytes"),
-        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    Multimodal.decodeImageStats(media, "media_id", "content")
       .orderBy(col("media_id"))
   }
+  private val multimodalFeaturesSql =
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+      |                  CAST(8 + doc_id % 7 AS INT) AS h FROM documents),
+      |dx AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM dx)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |       CAST(w * h AS BIGINT) AS n_pixels,
+      |       CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+      |       CAST(sum((doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS BIGINT) AS sum_g,
+      |       CAST(sum((doc_id * 31 + x * 7 + y * 13 + 202) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
 
   // ------------------------------------- coverage batch 3: joins/sets/etc
 
@@ -1245,7 +1297,7 @@ object Registry {
     ("q_cosine_topk", cosineTopk, Some(cosineTopkSql)),
     ("q_vector_retrieve", vectorRetrieve, Some(vectorRetrieveSql)),
     ("q_near_dup_embedding", nearDupEmbedding, Some(nearDupEmbeddingSql)),
-    ("q_ann_topk", annTopk, None),
+    ("q_ann_topk", annTopk, Some(annTopkSql)),
     ("q_token_count", tokenCount, Some(tokenCountSql)),
     ("q_lang_id", langIdQ, Some(langIdSql)),
     ("q_quality_score", qualityScoreQ, Some(qualityScoreSql)),
@@ -1257,9 +1309,9 @@ object Registry {
     ("q_sparse_map", sparseMap, Some(sparseMapSql)),
     ("q_topk_dense", topkDense, Some(topkDenseSql)),
     ("q_exact_sample", exactSample, None),
-    ("q_approx_distinct", approxDistinct, None),
+    ("q_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     ("q_stream_window", streamWindow, Some(streamWindowSql)),
-    ("q_multimodal_features", multimodalFeatures, None),
+    ("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     ("q_outer_join", outerJoin, Some(outerJoinSql)),
     ("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),
     ("q_intersect", intersectQ, Some(intersectSql)),
@@ -1271,7 +1323,7 @@ object Registry {
     ("q_like_filter", likeFilter, Some(likeFilterSql)),
     ("q_word_count", wordCount, Some(wordCountSql)),
     ("q_scalar_subquery", scalarSubquery, Some(scalarSubquerySql)),
-    ("q_ann_ivf", annIvf, None),
+    ("q_ann_ivf", annIvf, Some(annIvfSql)),
     ("q_index_build", indexBuild, Some(indexBuildSql)),
     ("q_sessionize", sessionize, Some(sessionizeSql)),
     ("q_session_window", sessionWindowQ, Some(sessionWindowSql)),

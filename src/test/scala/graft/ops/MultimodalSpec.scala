@@ -7,25 +7,71 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val media = Multimodal.fromDocuments(
-    Seq((1L, "hello world"), (2L, ""), (3L, "aaaa"))
-      .toDF("doc_id", "text"))
+    Seq(1L, 2L, 3L).toDF("doc_id"))
 
-  test("extractFeatures: fixed-dim L1-normalized histograms, batch-shaped") {
+  test("synthPng → decodeImageStats is a real codec round trip: stats match the pixel law") {
+    val stats = Multimodal.decodeImageStats(media, "media_id", "content")
+      .orderBy("media_id").collect()
+    assert(stats.length == 3)
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val w = Multimodal.synthWidth(id); val h = Multimodal.synthHeight(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getLong(3) == w.toLong * h)
+      // per-channel sums recomputed directly from the law — the decode
+      // must recover the EXACT pixels (PNG is lossless)
+      val expect = (0 until 3).map { c =>
+        (for (x <- 0 until w; y <- 0 until h)
+          yield Multimodal.synthChannel(id, x, y, c).toLong).sum
+      }
+      assert(Seq(r.getLong(4), r.getLong(5), r.getLong(6)) == expect)
+    }
+  }
+
+  test("the payload really is PNG bytes, decodable by ImageIO alone") {
+    val bytes = Multimodal.synthPng(7L)
+    assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == Multimodal.synthWidth(7L))
+    assert(img.getHeight == Multimodal.synthHeight(7L))
+    assert((img.getRGB(3, 2) & 0xFF) == Multimodal.synthChannel(7L, 3, 2, 2))
+  }
+
+  test("undecodable and null payloads yield null stats, not failures") {
+    val bad = Seq(
+      (10L, Some("not an image".getBytes("UTF-8"))),
+      (11L, Option.empty[Array[Byte]]),
+      (12L, Some(Array.empty[Byte]))).toDF("media_id", "content")
+    val stats = Multimodal.decodeImageStats(bad, "media_id", "content")
+      .orderBy("media_id").collect()
+    assert(stats.length == 3)
+    assert(stats.forall(r => r.isNullAt(1) && r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("extractFeatures: L1-normalized luminance histogram over DECODED pixels") {
     val feats = Multimodal.extractFeatures(media, "media_id", "content")
       .orderBy("media_id").collect()
     assert(feats.length == 3)
-    val f1 = feats(0).getSeq[Float](1)
-    assert(f1.length == 16)
-    assert(math.abs(f1.sum - 1.0) < 1e-5) // normalized
-    assert(feats(1).getSeq[Float](1).sum == 0f) // empty payload → zero vector
-    // 'aaaa' → all mass in one bin
-    assert(feats(2).getSeq[Float](1).max == 1.0f)
-  }
-
-  test("decodeStub is deterministic") {
-    val b = "payload".getBytes("UTF-8")
-    assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
-    assert(Multimodal.decodeStub(null).toSeq == Seq.fill(16)(0f))
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getSeq[Float](1)
+      assert(f.length == 16)
+      assert(math.abs(f.sum - 1.0) < 1e-5) // normalized over n_pixels
+      // recompute the histogram from the pixel law — must match exactly
+      val w = Multimodal.synthWidth(id); val h = Multimodal.synthHeight(id)
+      val expect = new Array[Float](16)
+      for (x <- 0 until w; y <- 0 until h) {
+        val lum = (0 until 3).map(Multimodal.synthChannel(id, x, y, _)).sum / 3
+        expect((lum * 16) / 256) += 1f / (w * h)
+      }
+      f.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+      assert(r.getLong(2) > 0) // n_bytes = real PNG payload size
+    }
+    // undecodable payload → zero vector
+    val junk = Seq((99L, "junk".getBytes("UTF-8"))).toDF("media_id", "content")
+    val z = Multimodal.extractFeatures(junk, "media_id", "content")
+      .head().getSeq[Float](1)
+    assert(z.forall(_ == 0f))
   }
 
   test("resizeFeatures pools adjacent bins, preserving total mass") {
@@ -53,11 +99,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("sampleFrames yields nFrames rows per media with in-range offsets") {
+    val nBytes = Multimodal.synthPng(1L).length
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 1),
       "media_id", "content", nFrames = 4).collect()
     assert(frames.length == 4)
     val offsets = frames.map(_.getAs[Long]("frame_offset"))
-    assert(offsets.forall(o => o >= 0 && o < 11))
+    assert(offsets.forall(o => o >= 0 && o < nBytes))
     assert(offsets.distinct.length == 4)
   }
 }

@@ -78,6 +78,23 @@ class DedupSpec extends SparkSpec {
       30L -> 30L))
   }
 
+  test("auto CC end-to-end: adversarial 512-path falls back and stays within the hybrid bound") {
+    // the DEFAULT entry point (propagation probe → star fallback), not
+    // the star variant directly: worst case is propRounds propagation
+    // rounds that fail to converge plus ≤ 2·log₂(n) star rounds
+    val n = 512L
+    def perm(i: Long): Long = (i * 269 + 47) % n + 1
+    val path = (1L until n).map(i => (perm(i), perm(i + 1))).toDF("a", "b")
+    val (labels, fellBack, starRounds) =
+      Dedup.connectedComponentsAutoCounted(path, "a", "b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 1L))
+    assert(fellBack, "a 512-path must exceed the propagation probe")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 6
+    assert(starRounds + 6 <= bound,
+      s"hybrid took 6+$starRounds rounds on a $n-path (bound $bound)")
+  }
+
   test("star CC: path of 512 nodes converges in O(log n) rounds, not O(n)") {
     val n = 512L
     // shuffled ids so the min isn't an endpoint (adversarial for naive

@@ -86,23 +86,26 @@ class TextOpsSpec extends SparkSpec {
   test("LSH near-dups ≡ brute-force all-pairs at registry params (recall 1 on fixture)") {
     // the q_minhash_lsh oracle (exact all-pairs Jaccard in DuckDB) is only
     // valid if the banding misses nothing — assert that on real fixture
-    // data with the registry's exact parameters
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    val lsh = TextOps.minHashNearDups(docs, "doc_id", "text",
-      shingleN = 3, k = 32, bands = 16, threshold = 0.5)
-      .select("id_a", "id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sh = docs.select(col("doc_id"),
-      array_distinct(TextOps.shingles(col("text"), 3)).as("sh"))
-    val brute = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
-      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(TextOps.jaccard(col("sa"), col("sb")), 4) >= 0.5)
-      .select("id_a", "id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh == brute,
-      s"missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
-    assert(brute.nonEmpty) // the fixture actually contains near-dups
+    // data with the registry's exact parameters, at EVERY sf the driver's
+    // correctness gate runs (sf0.01 is the gate; sf0.001 is the test sf)
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val lsh = TextOps.minHashNearDups(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = docs.select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("sh"))
+      val brute = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+        .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(TextOps.jaccard(col("sa"), col("sb")), 4) >= 0.5)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh == brute,
+        s"$sfDir: missed=${(brute -- lsh).take(5)} extra=${(lsh -- brute).take(5)}")
+      assert(brute.nonEmpty) // the fixture actually contains near-dups
+    }
   }
 }
 
@@ -210,24 +213,29 @@ class VectorOpsSpec extends SparkSpec {
 
   test("measured recall@10 vs exact cosineTopK on the real fixture (LSH and IVF)") {
     // not planted neighbors — the registry queries' own corpus and query
-    // vector, so this is the recall a user of q_ann_topk/q_ann_ivf gets
-    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
-    val q = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
-    val corpus = embs.filter(col("vec_id") =!= 0)
-    val exact = VectorOps.cosineTopK(corpus, "vec_id", "embedding", q, 10)
-      .collect().map(_.getLong(0)).toSet
-    // registry parameters — q_ann_topk / q_ann_ivf settings exactly
-    val lsh = VectorOps.annTopK(corpus, "vec_id", "embedding", q,
-      k = 10, dim = 64, nBits = 8, tables = 16)
-      .collect().map(_.getLong(0)).toSet
-    val idx = VectorOps.ivfIndex(corpus, "vec_id", "embedding", nCentroids = 8)
-    val ivf = VectorOps.ivfTopK(idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
-      .collect().map(_.getLong(0)).toSet
-    val (rLsh, rIvf) =
-      ((exact intersect lsh).size / 10.0, (exact intersect ivf).size / 10.0)
-    info(f"recall@10 on real corpus: LSH=$rLsh%.1f IVF=$rIvf%.1f")
-    assert(rLsh >= 0.8, s"LSH recall@10 $rLsh < 0.8 on the real fixture")
-    assert(rIvf >= 0.8, s"IVF recall@10 $rIvf < 0.8 on the real fixture")
+    // vector, so this is the recall a user of q_ann_topk/q_ann_ivf gets.
+    // Pinned at BOTH the test sf and the driver's correctness-gate sf
+    // (sf0.01): the q_ann_* oracles assert recall_ge_08 there, so a
+    // recall dip below 0.8 at the gate must be caught here first.
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      val corpus = embs.filter(col("vec_id") =!= 0)
+      val exact = VectorOps.cosineTopK(corpus, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      // registry parameters — q_ann_topk / q_ann_ivf settings exactly
+      val lsh = VectorOps.annTopK(corpus, "vec_id", "embedding", q,
+        k = 10, dim = 64, nBits = 8, tables = 16)
+        .collect().map(_.getLong(0)).toSet
+      val idx = VectorOps.ivfIndex(corpus, "vec_id", "embedding", nCentroids = 8)
+      val ivf = VectorOps.ivfTopK(idx, "vec_id", "embedding", q, k = 10, nProbe = 6)
+        .collect().map(_.getLong(0)).toSet
+      val (rLsh, rIvf) =
+        ((exact intersect lsh).size / 10.0, (exact intersect ivf).size / 10.0)
+      info(f"recall@10 on $sfDir: LSH=$rLsh%.1f IVF=$rIvf%.1f")
+      assert(rLsh >= 0.8, s"LSH recall@10 $rLsh < 0.8 at $sfDir")
+      assert(rIvf >= 0.8, s"IVF recall@10 $rIvf < 0.8 at $sfDir")
+    }
   }
 
   test("nearDupCosine finds planted near-duplicates within a block, not across") {
