@@ -78,21 +78,33 @@ object Sampling {
       .limit(n)
 
   /** Exact-N-per-stratum sample, hash-deterministic: within each stratum,
-    * rank rows by (md5(key), key) and keep the first `n`. ONE shuffle on
-    * the stratum key; the window is PARTITIONED (parallel across strata,
-    * never a global sort). Strata are typically few and bounded
-    * (languages, sources, label buckets), so per-stratum task memory is
-    * the stratum's row width × its partition share — a heavily skewed
-    * stratum is still a single window partition; salt-and-restitch or
-    * [[graft.ops.Tiling.withGlobalRank]] per stratum if one stratum is
-    * itself 100 TB-sized.
+    * rank rows by (md5(key), key) and keep the first `n`.
+    *
+    * Two-phase salted pruning, because strata are typically FEW (languages,
+    * return flags, label buckets) — a plain `Window.partitionBy(stratum)`
+    * would funnel the whole table through |strata| tasks (the same class
+    * of scale-killer as an unpartitioned global window). Phase 1 ranks
+    * within (stratum, salt) — the salt is a deterministic hash of the key
+    * columns, so the shuffle spreads over |strata|×`saltBuckets` groups
+    * and each keeps only its local top-n. Any stratum-global top-n row is
+    * outranked by at most n-1 rows in ANY subgroup it lands in, so phase
+    * 1 always preserves a superset. Phase 2 ranks per stratum over the
+    * ≤ n×saltBuckets survivors — negligible. Result is identical to the
+    * single-window form for any input partitioning.
     */
   def stratifiedHashSample(df: DataFrame, n: Int, stratumCol: Column,
-                           keyCols: Seq[Column]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratumCol)
-      .orderBy(hashKey(keyCols) +: keyCols: _*)
-    df.withColumn("__rn", row_number().over(w))
+                           keyCols: Seq[Column],
+                           saltBuckets: Int = 64): DataFrame = {
+    val salt = pmod(xxhash64(keyCols: _*), lit(saltBuckets))
+    val ord = hashKey(keyCols) +: keyCols
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol, salt).orderBy(ord: _*)
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(wLocal))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+      .withColumn("__rn", row_number().over(wGlobal))
       .filter(col("__rn") <= n)
       .drop("__rn")
   }

@@ -728,11 +728,17 @@ object Registry {
     * exact distincts together.
     */
   private val approxDistinct: Q = (s, dir) => {
-    Tables.lineitem(s, dir).agg(
-        approx_count_distinct(col("l_orderkey")).as("a_o"),
-        approx_count_distinct(col("l_partkey")).as("a_p"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+    val li = Tables.lineitem(s, dir)
+    // sketches in one pass; each exact distinct in its OWN single-column
+    // agg (pruned scan, map-side partial distinct) — putting two
+    // countDistincts in one agg would Expand every row ×3 through the
+    // shuffle, tripling shuffled bytes for no benefit
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("a_o"),
+      approx_count_distinct(col("l_partkey")).as("a_p"))
+    val exactO = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    val exactP = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    approx.crossJoin(exactO).crossJoin(exactP) // all 1-row frames
       .select(col("exact_orders"), col("exact_parts"),
         (abs(col("a_o") - col("exact_orders")).cast("double")
           / col("exact_orders") <= 0.05).as("orders_within_5pct"),

@@ -249,6 +249,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("stratified sample pre-prunes in salted subgroups (no few-strata window bottleneck)") {
+    val p = Extended.queries("q_stratified_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // phase 1 must partition on (stratum, salt) — l_returnflag has 3
+    // values, so a single Window.partitionBy(stratum) would funnel the
+    // whole table through 3 tasks; the salt reaches the exchange as a
+    // projected _wN attribute
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.exists(l => l.contains("l_returnflag") && l.contains(", _w")), p)
+    assert(p.contains("pmod(xxhash64"), p) // the salt really is the key hash
+    // ...and the per-stratum window runs after the salted prune (plan
+    // lines carry +-/:- prefixes, so match the operator text itself)
+    assert(p.linesIterator.count(_.contains("Window [row_number()")) >= 2, p)
+  }
+
+  test("approx-distinct pairs sketches with exact counts without an Expand") {
+    val p = Registry.queries("q_approx_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // two countDistincts in one agg would Expand every row ×3 through
+    // the shuffle; the split-agg shape must keep the plan Expand-free
+    assert(!p.contains("Expand"), p)
+  }
+
   test("shingle dedup takes the per-gram min as a map-side-combinable aggregate (no window)") {
     val p = Corpus.queries("q_shingle_dedup")(spark, sf)
       .queryExecution.executedPlan.toString
