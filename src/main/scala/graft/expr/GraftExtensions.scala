@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL-surface registration for graft's custom Catalyst expressions
-  * (SURVEY §2.11): `simhash64`, `minhash_sig`, `dot_product`,
+  * (SURVEY §2.11): `simhash64`, `simhash_md5`, `minhash_sig`, `dot_product`,
   * `cosine_similarity` become callable from `spark.sql(...)` text, not
   * just the Column API.
   *
@@ -36,6 +36,10 @@ object GraftExtensions {
       info("graft.expr.SimHash64", "simhash64",
         "simhash64(array<string>) -> bigint"),
       (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("simhash_md5"),
+      info("graft.expr.SimHashMd5", "simhash_md5",
+        "simhash_md5(array<string>) -> bigint"),
+      (args: Seq[Expression]) => SimHashMd5(args.head)),
     (FunctionIdentifier("minhash_sig"),
       info("graft.expr.MinHashSig", "minhash_sig",
         "minhash_sig(array<string>, k) -> array<bigint>"),

@@ -216,6 +216,18 @@ object TextOps {
     GraftShim.column(graft.expr.SimHash64(GraftShim.expression(tokens(c))))
   }
 
+  /** Cross-engine-verifiable SimHash-64 ([[graft.expr.SimHashMd5]]):
+    * per-token hash = first 64 bits of md5(token), so every bit of the
+    * fingerprint is recomputable from any engine's md5() built-in.
+    * Rendered as 16 lowercase hex chars — the string form sidesteps
+    * 64-bit signedness differences between engines.
+    */
+  def simHashMd5Hex(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    lpad(lower(hex(GraftShim.column(
+      graft.expr.SimHashMd5(GraftShim.expression(tokens(c)))))), 16, "0")
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

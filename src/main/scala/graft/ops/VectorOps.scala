@@ -102,19 +102,58 @@ object VectorOps {
       .select(col("block"), col("id_a"), col("id_b"), col("score"))
   }
 
+  /** The seeded hyperplane matrix behind [[lshSignature]] — exposed so an
+    * external oracle can embed the IDENTICAL doubles as literals and
+    * reproduce every signature bit (Double.toString is shortest
+    * round-trip form: any correct decimal parser recovers the exact
+    * bits).
+    */
+  def lshPlanes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rng.nextGaussian())
+  }
+
   /** Deterministic random-hyperplane signature: `nBits` hyperplanes drawn
     * from a seeded RNG on the driver (tiny: nBits × dim doubles), dot'd
     * against each vector; bit i = sign of the i-th projection. The plane
     * matrix is embedded as literals — broadcast-free, codegen-folded.
     */
   def lshSignature(vecCol: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
-    val bits = planes.zipWithIndex.map { case (plane, i) =>
+    val bits = lshPlanes(dim, nBits, seed).zipWithIndex.map { case (plane, i) =>
       val proj = dot(vecCol, typedLit(plane.toSeq))
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** SemDeDup-style semantic near-duplicate removal: deterministic
+    * hyperplane signatures bucket the corpus map-side (O(n), no
+    * pairwise work), then an intra-bucket exact-cosine pass marks every
+    * vector that has a more-senior (lower-id) semantic twin. Returns one
+    * row per REMOVED vector: (dup_id, kept_id = its lowest-id twin,
+    * n_twins, score_kept = cosine to kept_id); survivors are
+    * `df.join(result, df(id) === dup_id, "left_anti")`.
+    *
+    * Approximate by construction (a twin pair split across buckets is
+    * missed — the standard SemDeDup trade) but fully DETERMINISTIC: the
+    * planes are seeded and the cosine is exact, so an oracle embedding
+    * the same plane literals reproduces the result bit-for-bit.
+    *
+    * At 100 TB: the only shuffle is the bucket equi-join; `nBits` tunes
+    * bucket size (each extra bit halves expected pair work). Skewed
+    * buckets (dense semantic clusters) are exactly the rows semantic
+    * dedup is after — cap with more bits, not sampling.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    nBits: Int, threshold: Double,
+                    seed: Long = 42L): DataFrame = {
+    val withSig = df.select(col(idCol), col(vecCol),
+      lshSignature(col(vecCol), dim, nBits, seed).as("bucket"))
+    val pairs = nearDupCosine(withSig, idCol, vecCol, "bucket", threshold)
+    pairs.groupBy(col("id_b").as("dup_id"))
+      .agg(min(col("id_a")).as("kept_id"),
+        count(lit(1)).as("n_twins"),
+        min_by(col("score"), col("id_a")).as("score_kept"))
   }
 
   /** ANN top-k: multi-table random-hyperplane LSH. Each of `tables`

@@ -382,19 +382,35 @@ object Extended {
       |LIMIT 500""".stripMargin
 
   /** Stratified (per-key Bernoulli) sampling — `sampleBy` with fixed
-    * fractions and seed; engine-local RNG → property-tested, rows-only
-    * at the gate (like q_exact_sample). Coverage for the built-in; the
+    * fractions and seed. The per-stratum sample COUNT is engine-local
+    * RNG, so the emitted row carries what the driver CAN check: the
+    * exact stratum population (oracle recomputes it) and a 5σ-binomial
+    * concentration boolean the oracle states as `true` — a sampler that
+    * ignores its fractions (or a fraction map typo) lands tens of σ out
+    * and flips the column, failing the hash gate. The ±fraction
+    * closeness itself is also property-locked in ExtendedSpec. The
     * HEADLINE stratified form is q_stratified_exact below (exact-N per
-    * stratum AND fully oracled).
+    * stratum AND value-level oracled).
     */
   private val stratifiedSampleQ: Q = (s, dir) => {
-    Tables.lineitem(s, dir)
-      .stat.sampleBy("l_returnflag",
-        Map("A" -> 0.10, "N" -> 0.05, "R" -> 0.20), 42L)
+    val fractions = Map("A" -> 0.10, "N" -> 0.05, "R" -> 0.20)
+    val li = Tables.lineitem(s, dir)
+    val sampled = li.stat.sampleBy("l_returnflag", fractions, 42L)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("sampled"))
+    val f = element_at(typedLit(fractions), col("l_returnflag"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .join(sampled, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n_stratum"),
+        (abs(coalesce(col("sampled"), lit(0L)) - f * col("n_stratum")) <=
+          lit(5.0) * sqrt(f * (lit(1.0) - f) * col("n_stratum")) + lit(1.0))
+          .as("within_5_sigma"))
       .orderBy(col("l_returnflag"))
   }
+  private val stratifiedSampleSql =
+    """SELECT l_returnflag, count(*) AS n_stratum, TRUE AS within_5_sigma
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Exact-N-per-stratum hash-deterministic sample
     * ([[graft.ops.Sampling.stratifiedHashSample]]): unlike
@@ -1123,7 +1139,7 @@ object Extended {
     ("q_date_series", dateSeriesQ, Some(dateSeriesSql)),
     ("q_tfidf", tfidfQ, Some(tfidfSql)),
     ("q_stream_join", streamJoinQ, Some(streamJoinSql)),
-    ("q_stratified_sample", stratifiedSampleQ, None),
+    ("q_stratified_sample", stratifiedSampleQ, Some(stratifiedSampleSql)),
     ("q_stratified_exact", stratifiedExactQ, Some(stratifiedExactSql)),
     ("q_weighted_sample", weightedSampleQ, Some(weightedSampleSql)),
     ("q_window_lead", windowLeadQ, Some(windowLeadSql)),

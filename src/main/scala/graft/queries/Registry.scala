@@ -440,6 +440,37 @@ object Registry {
        |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35
        |ORDER BY block, id_a, id_b""".stripMargin
 
+  /** SemDeDup-style semantic dedup ([[VectorOps.semanticDedup]]):
+    * hyperplane-bucketed exact-cosine twin removal. Fully value-oracled
+    * — the oracle SQL embeds the SAME seeded plane doubles as literals
+    * (Double.toString round-trips exactly), rebuilds each signature
+    * bit with the same left-to-right double fold, and replays the
+    * bucket self-join + min-id survivor rule.
+    */
+  private val semanticDedupQ: Q = (s, dir) => {
+    VectorOps.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nBits = 4, threshold = 0.35)
+      .orderBy(col("dup_id"))
+  }
+  private val semanticDedupSql = {
+    val bucket = VectorOps.lshPlanes(64, 4).zipWithIndex.map { case (p, i) =>
+      val planeLit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql("embedding", planeLit)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |    $bucket AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS score
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35)
+       |SELECT id_b AS dup_id, min(id_a) AS kept_id, count(*) AS n_twins,
+       |       arg_min(score, id_a) AS score_kept
+       |FROM pairs GROUP BY id_b ORDER BY dup_id""".stripMargin
+  }
+
   /** ANN top-k via random-hyperplane LSH + exact rerank — approximate by
     * design, but DRIVER-CHECKABLE: the query computes recall@10 against
     * the exact top-k in the same plan and emits a threshold boolean the
@@ -666,12 +697,39 @@ object Registry {
       |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash-64 fingerprints (xxhash64-based — engine-local). */
+  /** SimHash-64 fingerprints — md5-token-hash variant
+    * ([[TextOps.simHashMd5Hex]]), so every bit of every fingerprint is
+    * cross-engine: the oracle rebuilds each of the 64 bit votes from
+    * `md5(token)` hex nibbles and reassembles the identical hex string.
+    * The xxhash64 fast path ([[TextOps.simHash]]) stays parity- and
+    * codegen-locked in GraftExtensionsSpec/PlanSpec.
+    */
   private val simhashQ: Q = (s, dir) => {
     spread(Tables.documents(s, dir))
-      .select(col("doc_id"), TextOps.simHash(col("text")).as("simhash"))
+      .select(col("doc_id"), TextOps.simHashMd5Hex(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
   }
+  private val simhashSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |bit AS (SELECT unnest(range(64)) AS b),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef',
+      |            substr(md5(t), CAST(16 - b // 4 AS INT), 1)) - 1)
+      |          >> (b % 4)) & 1 = 1
+      |        THEN 1 ELSE -1 END) AS s
+      |  FROM tok CROSS JOIN bit
+      |  GROUP BY doc_id, b),
+      |nib AS (
+      |  SELECT doc_id, 15 - (b // 4) AS p,
+      |    sum(CASE WHEN s > 0 THEN 1 << CAST(b % 4 AS INT) ELSE 0 END) AS v
+      |  FROM votes GROUP BY doc_id, 15 - (b // 4))
+      |SELECT doc_id,
+      |  string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1),
+      |             '' ORDER BY p) AS simhash
+      |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** A6: sparse per-row map with nulls dropped, exported as JSON. */
   private val sparseMap: Q = (s, dir) => {
@@ -712,13 +770,33 @@ object Registry {
        |FROM wide ORDER BY null_count ASC, user_id ASC LIMIT 10""".stripMargin
   }
 
-  /** D4: exact-N seeded sample — engine-deterministic, not cross-engine
-    * (Spark rand ≠ DuckDB rand), so property-checked only.
+  /** D4: exact-N seeded sample — WHICH rows land in the sample is
+    * engine-local RNG (Spark rand ≠ DuckDB rand), so the emitted row
+    * carries the driver-checkable invariants instead: exact sample
+    * size, distinct-key count (without-replacement ⇒ no primary key
+    * repeats), and the count of sampled keys absent from the source
+    * (anti-join, must be 0) — each a value the oracle states exactly. A
+    * sampler returning the wrong N, repeating rows, or fabricating rows
+    * flips a column and fails the hash gate; the seeded determinism and
+    * membership themselves are additionally property-locked in OpsSpec.
     */
   private val exactSample: Q = (s, dir) => {
-    Sampling.exactSample(Tables.lineitem(s, dir), 1000)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    // (orderkey, linenumber, partkey, suppkey) is the fixture's unique
+    // row key — orderkey+linenumber alone repeats in the synthetic data
+    val key = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val li = Tables.lineitem(s, dir)
+    val sample = Sampling.exactSample(li, 1000).select(key.map(col): _*)
+    val stats = sample.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(key.head, key.tail: _*).as("n_distinct"))
+    val outside = sample
+      .join(li, key, "left_anti")
+      .agg(count(lit(1)).as("n_outside"))
+    stats.crossJoin(outside) // two 1-row frames
   }
+  private val exactSampleSql =
+    """SELECT CAST(1000 AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS n_distinct,
+      |       CAST(0 AS BIGINT) AS n_outside""".stripMargin
 
   /** Approximate distinct (HLL++ sketch). The estimate itself is
     * engine-local, so the emitted row carries the EXACT counts (which
@@ -1303,6 +1381,7 @@ object Registry {
     ("q_cosine_topk", cosineTopk, Some(cosineTopkSql)),
     ("q_vector_retrieve", vectorRetrieve, Some(vectorRetrieveSql)),
     ("q_near_dup_embedding", nearDupEmbedding, Some(nearDupEmbeddingSql)),
+    ("q_semantic_dedup", semanticDedupQ, Some(semanticDedupSql)),
     ("q_ann_topk", annTopk, Some(annTopkSql)),
     ("q_token_count", tokenCount, Some(tokenCountSql)),
     ("q_lang_id", langIdQ, Some(langIdSql)),
@@ -1311,10 +1390,10 @@ object Registry {
     ("q_exact_dedup", exactDedup, Some(exactDedupSql)),
     ("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
-    ("q_simhash", simhashQ, None),
+    ("q_simhash", simhashQ, Some(simhashSql)),
     ("q_sparse_map", sparseMap, Some(sparseMapSql)),
     ("q_topk_dense", topkDense, Some(topkDenseSql)),
-    ("q_exact_sample", exactSample, None),
+    ("q_exact_sample", exactSample, Some(exactSampleSql)),
     ("q_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     ("q_stream_window", streamWindow, Some(streamWindowSql)),
     ("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),

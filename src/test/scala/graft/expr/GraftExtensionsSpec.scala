@@ -43,7 +43,40 @@ class GraftExtensionsSpec extends SparkSpec {
     // builder-time injection can't apply to the already-built shared
     // session; assert the extension wires every registered function
     val ids = GraftExtensions.functions.map(_._1.funcName).toSet
-    assert(ids == Set("simhash64", "minhash_sig", "dot_product", "cosine_similarity"))
+    assert(ids == Set("simhash64", "simhash_md5", "minhash_sig",
+      "dot_product", "cosine_similarity"))
+  }
+
+  test("simhash_md5 matches an independent reimplementation, bit for bit") {
+    // reference: votes over the first 8 md5 digest bytes, big-endian —
+    // written WITHOUT the expression's kernel so a kernel bug can't
+    // self-certify
+    def reference(tokens: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = Array.fill(64)(0)
+      tokens.foreach { t =>
+        val h = BigInt(1, md.digest(t.getBytes("UTF-8")).take(8))
+        (0 until 64).foreach { b =>
+          if (h.testBit(b)) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq("the quick brown fox", "a", "the the the unique",
+      "päättäjäinen unicode ünïcodé", "x y z w v u t s r q p")
+    val got = docs.toDF("text")
+      .selectExpr("simhash_md5(split(trim(text), '\\\\s+')) AS h")
+      .collect().map(_.getLong(0)).toSeq
+    val want = docs.map(d => reference(d.trim.split("\\s+").toSeq))
+    assert(got == want)
+    // hex rendering used by q_simhash: 16 lowercase chars, zero-padded
+    val hexed = docs.toDF("text")
+      .select(graft.ops.TextOps.simHashMd5Hex(col("text")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    assert(hexed == want.map(w => f"$w%016x"))
   }
 
   test("RoundRoundFold collapses redundant re-rounding, preserving values") {

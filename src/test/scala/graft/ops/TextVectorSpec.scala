@@ -256,4 +256,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
     assert(sigs(0) != sigs(2)) // opposite vector flips every hyperplane bit
   }
+
+  test("semanticDedup: removed rows have a lower-id twin above threshold; " +
+      "survivors have none within their bucket") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val removed = VectorOps.semanticDedup(emb, "vec_id", "embedding",
+      dim = 64, nBits = 4, threshold = 0.35)
+    val rows = removed.collect()
+    assert(rows.nonEmpty)
+    // every removed row names a senior twin and a qualifying score
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0), s"kept_id !< dup_id: $r")
+      assert(r.getDouble(3) >= 0.35, s"score below threshold: $r")
+    }
+    // ground truth from first principles: recompute buckets + exact
+    // cosine with the OTHER formulations (HOF dot, brute-force pairs)
+    val withSig = emb.select(col("vec_id"),
+      VectorOps.lshSignature(col("embedding"), 64, 4).as("bucket"),
+      col("embedding"))
+    val a = withSig.select(col("bucket"), col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = withSig.select(col("bucket"), col("vec_id").as("ib"), col("embedding").as("eb"))
+    val truth = a.join(b, "bucket").filter(col("ia") < col("ib"))
+      .filter(round(VectorOps.dotHof(col("ea"), col("eb")) /
+        (sqrt(VectorOps.dotHof(col("ea"), col("ea"))) *
+         sqrt(VectorOps.dotHof(col("eb"), col("eb")))), 4) >= 0.35)
+      .select(col("ib")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == truth)
+  }
 }

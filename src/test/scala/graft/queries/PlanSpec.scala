@@ -161,7 +161,7 @@ class PlanSpec extends SparkSpec {
     simDf.collect()
     val sim = simDf.queryExecution.executedPlan.toString
     assert(sim.linesIterator.exists(l =>
-      l.contains("simhash64") && l.contains("*(")), sim)
+      l.contains("simhash_md5") && l.contains("*(")), sim)
   }
 
   test("IVF probe is a partition-pruned scan (PartitionFilters on centroid)") {
