@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list, in EXACT integer
+  * arithmetic: ranks are BIGINT "micro-rank" units (1e6 = mass 1.0) and
+  * every step is integer division/multiplication, so the result is
+  * bit-identical regardless of partitioning, execution order, or engine
+  * — floating-point PageRank sums contributions in nondeterministic
+  * order and can't be value-oracled; this one can.
+  *
+  * Update rule per iteration (damping d = num/den, default 850/1000):
+  *   contrib(e) = pr(src) div out_deg(src)          (integer floor)
+  *   pr'(v)     = teleport + (num · Σ contrib) div den
+  * where teleport = microInit·(den−num) div den. Dangling nodes are the
+  * caller's concern — feed a symmetrized edge list (every node then has
+  * out-degree ≥ 1), the standard trick for undirected link graphs.
+  *
+  * Scale shape: `edgesDeg` (edges + out-degree) is computed once and
+  * persisted; each iteration is ONE equi-join on src (rank is small —
+  * one row per node — and broadcastable at moderate node counts) plus
+  * ONE hash aggregation on dst. Lineage is cut per iteration with
+  * `localCheckpoint` (cluster equivalent: `checkpoint`), so the plan
+  * stays O(1) deep at any iteration count. At 100 TB of edges:
+  * pre-bucket edges by src so the per-iteration join is co-located, and
+  * the only cross-network traffic left is the dst aggregation.
+  */
+object PageRank {
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, microInit: Long = 1000000L,
+               dampingNum: Long = 850L, dampingDen: Long = 1000L): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    val teleport = microInit * (dampingDen - dampingNum) / dampingDen
+    val deg = edges.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("out_deg"))
+    val edgesDeg = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(deg, "src")
+      .localCheckpoint() // computed once, reused every iteration
+    // init: every node with out-edges starts at microInit; a symmetrized
+    // graph has every node on both sides, so this is every node
+    var rank = deg.select(col("src").as("node"), lit(microInit).as("pr"))
+    for (_ <- 1 to iterations) {
+      rank = edgesDeg.join(rank, edgesDeg("src") === rank("node"))
+        .select(col("dst"), expr("pr div out_deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("mass"))
+        .select(col("dst").as("node"),
+          (lit(teleport) + expr(s"($dampingNum * mass) div $dampingDen"))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    rank
+  }
+}

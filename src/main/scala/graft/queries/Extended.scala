@@ -596,6 +596,76 @@ object Extended {
        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
        |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Fixed-iteration PageRank ([[graft.ops.PageRank]]) over the
+    * supplier↔part bipartite graph from lineitem, symmetrized so no
+    * node dangles. EXACT integer micro-rank arithmetic makes the result
+    * bit-identical across engines — the oracle replays all 5 iterations
+    * with DuckDB integer division and hash-compares every rank.
+    * Node ids are namespaced (2·suppkey even, 2·partkey+1 odd) so the
+    * two key spaces can share one graph.
+    */
+  private val pagerankQ: Q = (s, dir) => {
+    val base = Tables.lineitem(s, dir)
+      .select((col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      .distinct()
+    // both orientations; even/odd namespaces are disjoint → no dedup
+    val edges = base.union(
+      base.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ops.PageRank.pageRank(edges, "src", "dst", iterations = 5)
+      .orderBy(col("node"))
+  }
+  private val pagerankSql = {
+    val teleport = 1000000L * (1000L - 850L) / 1000L
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    $teleport + (850 * CAST(sum(r.pr // e.out_deg) AS BIGINT)) // 1000
+         |      AS pr
+         |  FROM ed e JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT CAST(2 * l_suppkey AS BIGINT) AS src,
+       |         CAST(2 * l_partkey + 1 AS BIGINT) AS dst
+       |  FROM lineitem),
+       |edges AS (SELECT src, dst FROM base
+       |          UNION ALL SELECT dst, src FROM base),
+       |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.out_deg
+       |       FROM edges e JOIN deg d USING (src)),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |$iters
+       |SELECT node, pr FROM r5 ORDER BY node""".stripMargin
+  }
+
+  /** SCD Type-2 dimension build ([[graft.ops.Scd.scd2]]): customer
+    * order-status history collapsed into versioned validity intervals.
+    * (o_orderdate, o_orderkey) is the total order — orderdate alone has
+    * ties, the §7-documented nondeterminism trap.
+    */
+  private val scd2Q: Q = (s, dir) => {
+    graft.ops.Scd.scd2(Tables.orders(s, dir), Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"), Seq("o_orderstatus"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+  private val scd2Sql =
+    """WITH marked AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |v AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+      |    lead(o_orderdate) OVER w2 AS valid_to,
+      |    CAST(row_number() OVER w2 AS INT) AS version
+      |  FROM marked WHERE chg = 1
+      |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, o_orderstatus, valid_from, valid_to, version,
+      |       valid_to IS NULL AS is_current
+      |FROM v ORDER BY o_custkey, version""".stripMargin
+
   /** Per-process staged copies of events as JSON-lines / lineitem as CSV
     * — source-format coverage: the engine must read more than parquet.
     * Timestamps travel as unix micros (format-proof); doubles round-trip
@@ -1147,6 +1217,8 @@ object Extended {
     ("q_mode", modeQ, Some(modeSql)),
     ("q_pivot_dynamic", pivotDynamicQ, Some(pivotDynamicSql)),
     ("q_connected_components", connectedComponentsQ, Some(connectedComponentsSql)),
+    ("q_pagerank", pagerankQ, Some(pagerankSql)),
+    ("q_scd2", scd2Q, Some(scd2Sql)),
     ("q_json_source", jsonSourceQ, Some(jsonSourceSql)),
     ("q_csv_source", csvSourceQ, Some(csvSourceSql)),
     ("q_sql_text", sqlTextQ, Some(sqlTextShared)),

@@ -277,3 +277,76 @@ class SamplingSpec extends SparkSpec {
     assert(hashes.size == 2, "null-skipping concat collapsed distinct key tuples")
   }
 }
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-computed star graph, 2 iterations, exact integers") {
+    // star 1—2, 1—3 symmetrized: deg(1)=2, deg(2)=deg(3)=1
+    // iter1: pr(1)=150000+850*(1e6+1e6)/1000=1850000
+    //        pr(2)=pr(3)=150000+850*(1e6 div 2)/1000=575000
+    // iter2: pr(1)=150000+850*(575000+575000)/1000=1127500
+    //        pr(2)=pr(3)=150000+850*(1850000 div 2)/1000=936250
+    val base = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val edges = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+    val got = PageRank.pageRank(edges, "src", "dst", iterations = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1127500L), (2L, 936250L), (3L, 936250L)))
+  }
+
+  test("pageRank: symmetric pair is a fixed point; teleport is the floor") {
+    val base = Seq((10L, 20L)).toDF("src", "dst")
+    val edges = base.union(base.select(col("dst").as("src"), col("src").as("dst")))
+    val got = PageRank.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1000000L, 20L -> 1000000L))
+    // every rank is bounded below by the teleport mass
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val b2 = li.select((col("l_suppkey").cast("long") * 2).as("src"),
+      (col("l_partkey").cast("long") * 2 + 1).as("dst")).distinct()
+    val e2 = b2.union(b2.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = PageRank.pageRank(e2, "src", "dst", iterations = 3)
+    assert(ranks.filter(col("pr") < 150000L).count() == 0)
+    // mass is conserved up to integer-floor loss: sum(pr) <= n * microInit
+    val Array(row) = ranks.agg(sum("pr"), count(lit(1))).collect()
+    assert(row.getLong(0) <= row.getLong(1) * 1000000L)
+  }
+}
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scd2 collapses unchanged runs into half-open versioned intervals") {
+    val log = Seq(
+      (1L, 10L, "A"), (1L, 11L, "A"), (1L, 12L, "B"), (1L, 13L, "A"),
+      (2L, 20L, "X")).toDF("k", "t", "status")
+    val got = Scd.scd2(log, Seq("k"), Seq("t"), Seq("status"))
+      .orderBy("k", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4), r.getBoolean(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "A", 10L, 12L, 1, false), // 10-11 collapsed, closed by B at 12
+      (1L, "B", 12L, 13L, 2, false),
+      (1L, "A", 13L, -1L, 3, true),  // A returns: NEW version, open-ended
+      (2L, "X", 20L, -1L, 1, true)))
+  }
+
+  test("scd2 intervals tile each key's history: no gaps, no overlaps") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val v = Scd.scd2(orders, Seq("o_custkey"),
+      Seq("o_orderdate", "o_orderkey"), Seq("o_orderstatus"))
+    // exactly one current version per key
+    val multiCurrent = v.filter(col("is_current"))
+      .groupBy("o_custkey").count().filter(col("count") =!= 1).count()
+    assert(multiCurrent == 0)
+    // valid_to of version n == valid_from of version n+1 (half-open tiling)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("version")
+    val gaps = v.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        !(col("valid_to") <=> col("next_from")))
+      .count()
+    assert(gaps == 0)
+  }
+}

@@ -334,4 +334,12 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SinglePartition"), s"$q: $p")
     }
   }
+
+  test("scd2 runs both window passes in one hash exchange (plus presentation sort)") {
+    // boundary-mark, collapse-filter, lead/row_number all cluster on
+    // hash(o_custkey); only the final orderBy may add a range exchange
+    val p = extPlan("q_scd2")
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
