@@ -48,6 +48,43 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** Incremental EXACT dedup of a new batch against a (huge) history:
+    * returns the batch rows whose `fpCol` does NOT already occur in
+    * history. Semantics are exactly `batch ANTI JOIN history ON fp` —
+    * but the history side is never shuffled. A Bloom filter over the
+    * BATCH keys (built with the distributed partial-merge aggregate that
+    * powers Spark's own runtime filters) is applied map-side to the
+    * history scan; only the candidate rows that might match (dup hits +
+    * a fpp-bounded trickle of false positives) survive to the exact
+    * confirm join, which broadcasts them. Bloom false positives are
+    * removed by the confirm join; false negatives don't exist — the
+    * result is exact, so it's value-oracle-able as a plain anti join.
+    *
+    * At 100 TB of history and a millions-row batch this is the
+    * difference between a full-history shuffle and a map-only scan: the
+    * filter is a bounded artifact (~1.2 bytes/key at the default bits),
+    * the broadcast is ~batch-sized. `expectedBatchKeys` sizes the
+    * filter; oversizing costs bytes, undersizing costs only extra
+    * confirm-join work (false-positive rate rises, results unchanged).
+    */
+  def incrementalDedup(batch: DataFrame, history: DataFrame, fpCol: String,
+                       expectedBatchKeys: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = GraftShim.column(
+      new BloomFilterAggregate(GraftShim.expression(xxhash64(col(fpCol))),
+        expectedBatchKeys).toAggregateExpression())
+    // one binary row — bounded like a broadcast artifact, not data
+    val filterBytes = batch.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (filterBytes == null) return batch // empty batch: nothing to dedup
+    val mightContain = GraftShim.column(BloomFilterMightContain(
+      Literal(filterBytes, org.apache.spark.sql.types.BinaryType),
+      GraftShim.expression(xxhash64(col(fpCol)))))
+    val candidates = history.filter(mightContain).select(col(fpCol)).distinct()
+    batch.join(broadcast(candidates), Seq(fpCol), "left_anti")
+  }
+
   /** Connected components over an undirected pair list (near-dup
     * candidate pairs → dedup clusters): iterative min-label propagation
     * to a fixpoint. Each node ends labeled with the smallest id in its

@@ -177,10 +177,103 @@ object Multimodal {
     hist
   }
 
-  /** Frame-sampling for video payloads: deterministic offsets into the
-    * byte stream stand in for decoded frames (no video codec in-JVM) —
-    * the partitioning and explode shape are what a real frame sampler
-    * uses.
+  // ------------------------------------------------------------- video
+
+  /** Frames per synthetic video — pure function of the media id. */
+  def synthFrameCount(id: Long): Int = (3 + (id % 4)).toInt
+
+  /** Frame id law: each frame of video `id` is the synthetic image with
+    * id `id * 100 + frameIdx` (frame counts stay < 100, so frame ids
+    * never collide across videos). Shared with the SQL oracle.
+    */
+  def synthFrameId(id: Long, frameIdx: Int): Long = id * 100 + frameIdx
+
+  /** Deterministic multi-frame "video": a length-prefixed container of
+    * REAL PNG frames — [nFrames:int32][len_i:int32]×n[png bytes]×n.
+    * Parsing it back and decoding individual frames exercises the same
+    * container-seek + per-frame-decode path a real video pipeline runs,
+    * without an external codec.
+    */
+  def synthVideo(id: Long): Array[Byte] = {
+    val frames = (0 until synthFrameCount(id)).map(f => synthPng(synthFrameId(id, f)))
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(frames.length)
+    frames.foreach(f => dos.writeInt(f.length))
+    frames.foreach(dos.write)
+    dos.flush()
+    bos.toByteArray
+  }
+
+  /** Media table with container-of-PNGs video payloads, one per document
+    * id (the video sibling of [[fromDocuments]]).
+    */
+  def videosFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val rdd = documents.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, "video", synthVideo(id),
+          Row("graft-frames", null, null, synthFrameCount(id) * 40L))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL frame sampling + decode: parse the frame container, seek to
+    * every `stride`-th frame, `ImageIO.read` JUST those frames, and emit
+    * integer pixel stats per sampled frame. Skipped frames are never
+    * decoded — the point of stride sampling at 100 TB: container
+    * indexes make decode cost proportional to frames KEPT, not frames
+    * stored. Corrupt/undecodable containers yield zero rows for that
+    * media id instead of failing the batch.
+    */
+  def sampleFrameStats(df: DataFrame, idCol: String, contentCol: String,
+                       stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"sampleFrameStats: stride must be >= 1, got $stride")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(contentCol)).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          parseFrames(bytes).zipWithIndex.collect {
+            // seek past skipped frames; decode only the sampled ones
+            case (frame, idx) if idx % stride == 0 =>
+              decodeOne(frame).map { case (w, h, sr, sg, sb) =>
+                Row(r.getLong(0), idx, w, h, sr, sg, sb)
+              }
+          }.flatten
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Container parse: frame byte ranges without decoding any of them.
+    * Empty for null/truncated/malformed containers.
+    */
+  private def parseFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 4) return Seq.empty
+    try {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      if (n < 0 || n > 10000) return Seq.empty
+      val lens = (0 until n).map(_ => in.readInt())
+      if (lens.exists(l => l < 0) || lens.map(_.toLong).sum > bytes.length)
+        return Seq.empty
+      lens.map { l => val b = new Array[Byte](l); in.readFully(b); b }
+    } catch { case _: java.io.IOException => Seq.empty }
+  }
+
+  /** Byte-offset frame sampling (no decode): deterministic offsets into
+    * the raw stream — the cheap shape for formats without an index.
     */
   def sampleFrames(df: DataFrame, idCol: String, contentCol: String,
                    nFrames: Int = 4): DataFrame = {

@@ -30,8 +30,11 @@ object PageRank {
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, microInit: Long = 1000000L,
-               dampingNum: Long = 850L, dampingDen: Long = 1000L): DataFrame = {
+               dampingNum: Long = 850L, dampingDen: Long = 1000L,
+               checkpointInterval: Int = 8): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(checkpointInterval >= 1,
+      "pageRank: checkpointInterval must be >= 1")
     val teleport = microInit * (dampingDen - dampingNum) / dampingDen
     val deg = edges.groupBy(col(srcCol).as("src"))
       .agg(count(lit(1)).as("out_deg"))
@@ -41,7 +44,7 @@ object PageRank {
     // init: every node with out-edges starts at microInit; a symmetrized
     // graph has every node on both sides, so this is every node
     var rank = deg.select(col("src").as("node"), lit(microInit).as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       rank = edgesDeg.join(rank, edgesDeg("src") === rank("node"))
         .select(col("dst"), expr("pr div out_deg").as("contrib"))
         .groupBy(col("dst"))
@@ -49,7 +52,12 @@ object PageRank {
         .select(col("dst").as("node"),
           (lit(teleport) + expr(s"($dampingNum * mass) div $dampingDen"))
             .as("pr"))
-        .localCheckpoint()
+      // lineage grows one join+agg per iteration; an EAGER materialization
+      // every iteration would cost more than the plan depth it saves —
+      // checkpoint only every `checkpointInterval` rounds (and skip the
+      // final round: the caller's action materializes it anyway)
+      if (i % checkpointInterval == 0 && i < iterations)
+        rank = rank.localCheckpoint()
     }
     rank
   }

@@ -731,6 +731,37 @@ object Registry {
       |             '' ORDER BY p) AS simhash
       |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup of a new document batch against the corpus
+    * ([[Dedup.incrementalDedup]]): bloom-pruned map-side history scan +
+    * exact broadcast confirm join — history is never shuffled. The
+    * batch is built deterministically from the fixture (every 3rd doc
+    * re-submitted verbatim → duplicate, and once with an edit → novel),
+    * and the bloom stage never changes RESULTS (false positives are
+    * confirmed away), so the oracle is the plain anti join.
+    */
+  private val incrementalDedupQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val history = docs.select(md5(col("text")).as("fp"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val batch = base
+      .select((col("doc_id") + 1000000L).as("new_id"), col("text"))
+      .union(base.select((col("doc_id") + 2000000L).as("new_id"),
+        concat(col("text"), lit(" :v2")).as("text")))
+      .select(col("new_id"), md5(col("text")).as("fp"))
+    Dedup.incrementalDedup(batch, history, "fp")
+      .orderBy(col("new_id"))
+  }
+  private val incrementalDedupSql =
+    """WITH history AS (SELECT md5(text) AS fp FROM documents),
+      |base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |batch AS (
+      |  SELECT doc_id + 1000000 AS new_id, md5(text) AS fp FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, md5(text || ' :v2') FROM base)
+      |SELECT b.new_id, b.fp FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.fp = b.fp)
+      |ORDER BY b.new_id""".stripMargin
+
   /** A6: sparse per-row map with nulls dropped, exported as JSON. */
   private val sparseMap: Q = (s, dir) => {
     val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
@@ -876,6 +907,38 @@ object Registry {
       |       CAST(sum((doc_id * 31 + x * 7 + y * 13 + 101) % 256) AS BIGINT) AS sum_g,
       |       CAST(sum((doc_id * 31 + x * 7 + y * 13 + 202) % 256) AS BIGINT) AS sum_b
       |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
+  /** Video frame sampling — REAL container parse + per-frame decode:
+    * each payload is a length-prefixed container of PNG frames
+    * ([[Multimodal.synthVideo]]); every 2nd frame is seeked to and
+    * `ImageIO`-decoded (skipped frames are never decoded). The oracle
+    * replays the frame-id law and pixel law arithmetically per SAMPLED
+    * frame, so both the container index math and the frame decode are
+    * hash-gated.
+    */
+  private val videoFrames: Q = (s, dir) => {
+    val media = Multimodal.videosFromDocuments(spread(Tables.documents(s, dir)))
+    Multimodal.sampleFrameStats(media, "media_id", "content", stride = 2)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+  private val videoFramesSql =
+    """WITH v AS (SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS nf FROM documents),
+      |f AS (SELECT doc_id, unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+      |      FROM v),
+      |fd AS (SELECT doc_id, frame_idx, doc_id * 100 + frame_idx AS fid FROM f),
+      |d AS (SELECT doc_id, frame_idx, fid,
+      |             CAST(8 + fid % 9 AS INT) AS w,
+      |             CAST(8 + fid % 7 AS INT) AS h FROM fd),
+      |dx AS (SELECT doc_id, frame_idx, fid, w, h,
+      |              unnest(generate_series(0, w - 1)) AS x FROM d),
+      |px AS (SELECT doc_id, frame_idx, fid, w, h, x,
+      |              unnest(generate_series(0, h - 1)) AS y FROM dx)
+      |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       w AS width, h AS height,
+      |       CAST(sum((fid * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+      |       CAST(sum((fid * 31 + x * 7 + y * 13 + 101) % 256) AS BIGINT) AS sum_g,
+      |       CAST(sum((fid * 31 + x * 7 + y * 13 + 202) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------- coverage batch 3: joins/sets/etc
 
@@ -1388,6 +1451,7 @@ object Registry {
     ("q_quality_score", qualityScoreQ, Some(qualityScoreSql)),
     ("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     ("q_exact_dedup", exactDedup, Some(exactDedupSql)),
+    ("q_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)),
     ("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("q_simhash", simhashQ, Some(simhashSql)),
@@ -1397,6 +1461,7 @@ object Registry {
     ("q_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     ("q_stream_window", streamWindow, Some(streamWindowSql)),
     ("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
+    ("q_video_frames", videoFrames, Some(videoFramesSql)),
     ("q_outer_join", outerJoin, Some(outerJoinSql)),
     ("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),
     ("q_intersect", intersectQ, Some(intersectSql)),

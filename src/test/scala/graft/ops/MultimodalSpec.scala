@@ -107,4 +107,39 @@ class MultimodalSpec extends SparkSpec {
     assert(offsets.forall(o => o >= 0 && o < nBytes))
     assert(offsets.distinct.length == 4)
   }
+
+  test("video container round-trips: sampled frames decode to the exact pixel law") {
+    import spark.implicits._
+    val vids = Seq(5L, 6L, 7L).toDF("doc_id")
+    val media = Multimodal.videosFromDocuments(vids)
+    val got = Multimodal.sampleFrameStats(media, "media_id", "content", stride = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    // expected rows: every 2nd frame of each video, stats from the law
+    val want = Seq(5L, 6L, 7L).flatMap { id =>
+      (0 until Multimodal.synthFrameCount(id) by 2).map { f =>
+        val fid = Multimodal.synthFrameId(id, f)
+        val w = Multimodal.synthWidth(fid); val h = Multimodal.synthHeight(fid)
+        def sum(c: Int) = (for (x <- 0 until w; y <- 0 until h)
+          yield Multimodal.synthChannel(fid, x, y, c).toLong).sum
+        (id, f, w, h, sum(0), sum(1), sum(2))
+      }
+    }
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))).toSeq == want)
+    // skipped (odd) frames never appear
+    assert(got.forall(_.getInt(1) % 2 == 0))
+  }
+
+  test("frame sampling survives corrupt containers (zero rows, no failure)") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, Array[Byte](0, 0, 0, 99)),            // claims 99 frames, has none
+      (2L, Array[Byte](1, 2)),                   // shorter than the header
+      (3L, null.asInstanceOf[Array[Byte]]),      // null payload
+      (4L, Multimodal.synthVideo(4L))            // one good row among them
+    ).toDF("media_id", "content")
+    val got = Multimodal.sampleFrameStats(bad, "media_id", "content", stride = 2)
+      .select("media_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L))
+  }
 }

@@ -350,3 +350,31 @@ class ScdSpec extends SparkSpec {
     assert(gaps == 0)
   }
 }
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incrementalDedup drops exactly the batch rows whose key exists in history") {
+    val history = Seq("a", "b", "c").toDF("fp")
+    val batch = Seq(("b", 1), ("d", 2), ("e", 3)).toDF("fp", "v")
+    val got = Dedup.incrementalDedup(batch, history, "fp")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("d", 2), ("e", 3)))
+    // empty batch short-circuits (null aggregate) without failing
+    assert(Dedup.incrementalDedup(batch.filter(lit(false)), history, "fp")
+      .count() == 0)
+  }
+
+  test("incrementalDedup ≡ plain anti join on the real corpus (bloom changes cost, not results)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.select(md5(col("text")).as("fp"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("new_id"), md5(concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" edited")).otherwise(lit(""))))
+        .as("fp"))
+    val viaBloom = Dedup.incrementalDedup(batch, history, "fp")
+    val plain = batch.join(history, Seq("fp"), "left_anti")
+    assert(viaBloom.count() > 0)
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+  }
+}

@@ -335,6 +335,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: bloom prune reaches the history scan; confirm join broadcasts") {
+    val df = Registry.queries("q_incremental_dedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the history side is filtered map-side by the bloom predicate...
+    assert(p.contains("might_contain"), p)
+    // ...and the exact confirm is a broadcast anti join — the history
+    // is never shuffled (no sort-merge anywhere in the plan)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("scd2 runs both window passes in one hash exchange (plus presentation sort)") {
     // boundary-mark, collapse-filter, lead/row_number all cluster on
     // hash(o_custkey); only the final orderBy may add a range exchange
