@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => GraftRules.RoundRoundFold)
+    // builder-time only (NOT in the imperative register()): injecting an
+    // optimizer rule into a session mid-flight would silently change the
+    // plans of sibling queries already running on it
+    ext.injectOptimizerRule(_ => GraftRules.WindowTopKToAggregate)
   }
 }
 

@@ -1,7 +1,8 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.expressions.{Literal, Round}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Ascending, Attribute, AttributeReference, CreateNamedStruct, EqualTo, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NullsFirst, PosExplode, Round, RowNumber, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
 
@@ -31,5 +32,86 @@ object GraftRules {
               (inner.dataType == DoubleType || inner.dataType == FloatType) =>
           inner
       }
+  }
+
+  /** Rewrites the ubiquitous grouped-top-k idiom
+    *
+    *   `Filter(rn <= k, Window(row_number() OVER (PARTITION BY p ORDER BY o)))`
+    *
+    * into a bounded per-group heap aggregation
+    * ([[BoundedTopKRows]]) + posexplode — same rows, same row-number
+    * column, radically different cost model: the window form must SORT
+    * EVERY ROW of every partition before the filter throws almost all
+    * of them away; the aggregate keeps k rows per group, merges partial
+    * buffers map-side, and moves only k rows per group through the
+    * shuffle. On 100 TB this turns a full-data sort into a streaming
+    * pass.
+    *
+    * Applies only when the pattern is exact: a single row_number window
+    * expression, a deterministic partition/order spec, a literal bound
+    * (`rn <= k`, `rn < k`, `rn = 1`, or the flipped forms), and
+    * k ≤ `maxK` (a huge k would make the "bounded" buffer a lie — the
+    * window form is the right plan there). Ties: row_number's contract
+    * under a non-total order is already arbitrary; the rewrite keeps an
+    * arbitrary-but-valid k, identical to the contract (and identical
+    * VALUES whenever the order is total — which any deterministic
+    * pipeline needs anyway).
+    */
+  object WindowTopKToAggregate extends Rule[LogicalPlan] {
+
+    private val maxK = 10000
+
+    private def bound(cond: Expression, rn: Attribute): Option[Int] = cond match {
+      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
+      case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
+      case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) && v == 1 => Some(1)
+      case EqualTo(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) && v == 1 => Some(1)
+      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v)
+      case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v - 1)
+      case _ => None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case f @ Filter(cond,
+          Window(Seq(alias @ Alias(
+            WindowExpression(_: RowNumber, WindowSpecDefinition(part, order, _)),
+            rnName)), _, _, child, _))
+          if order.nonEmpty && order.forall(_.child.deterministic) &&
+            part.forall(_.deterministic) &&
+            bound(cond, alias.toAttribute).exists(k => k >= 1 && k <= maxK) =>
+        val k = bound(cond, alias.toAttribute).get
+        val nKeys = order.length
+        // struct = (sort keys..., payload struct of the full child row)
+        val structExpr = CreateNamedStruct(
+          order.zipWithIndex.flatMap { case (so, i) =>
+            Seq(Literal(s"_k$i"), so.child)
+          } ++ Seq(Literal("_payload"),
+            CreateNamedStruct(child.output.flatMap(a =>
+              Seq(Literal(a.name), a)))))
+        val topk = BoundedTopKRows(structExpr, k, nKeys,
+          order.map(_.direction == Ascending),
+          order.map(_.nullOrdering == NullsFirst))
+        val aggAlias = Alias(
+          AggregateExpression(topk, org.apache.spark.sql.catalyst.expressions.aggregate.Complete, isDistinct = false),
+          "_graft_topk")()
+        val aggregate = Aggregate(part, Seq(aggAlias), child)
+        val posAttr = AttributeReference("_graft_pos", IntegerType, nullable = false)()
+        val elemAttr = AttributeReference("_graft_elem", structExpr.dataType,
+          nullable = false)()
+        val generate = Generate(PosExplode(aggAlias.toAttribute),
+          unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+          generatorOutput = Seq(posAttr, elemAttr), aggregate)
+        // rebind the original output attribute ids: downstream operators
+        // keep referencing the same columns they always did
+        val payloadField = GetStructField(elemAttr, nKeys, Some("_payload"))
+        val restored = child.output.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(payloadField, i, Some(a.name)), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        }
+        val rnCol = Alias(Add(posAttr, Literal(1)), rnName)(
+          exprId = alias.exprId, qualifier = alias.qualifier)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          restored :+ rnCol, generate)
+    }
   }
 }
