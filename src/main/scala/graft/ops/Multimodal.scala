@@ -21,6 +21,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates a temp file, and 32 concurrent decoder threads serialize on
+  // temp-file creation (measured 8× slowdown at local[32] vs local[4]).
+  // These payloads are small in-memory byte arrays — cache in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media schema: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
