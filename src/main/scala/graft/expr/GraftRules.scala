@@ -75,11 +75,21 @@ object GraftRules {
       case f @ Filter(cond,
           Window(Seq(alias @ Alias(
             WindowExpression(_: RowNumber, WindowSpecDefinition(part, order, _)),
-            rnName)), _, _, child, _))
+            rnName)), _, _, rawChild, _))
           if order.nonEmpty && order.forall(_.child.deterministic) &&
             part.forall(_.deterministic) &&
             bound(cond, alias.toAttribute).exists(k => k >= 1 && k <= maxK) =>
         val k = bound(cond, alias.toAttribute).get
+        // InferWindowGroupLimit (main optimizer batch, runs before
+        // extension rules) may already have inserted a WindowGroupLimit
+        // pre-filter under the window; the bounded aggregate subsumes it
+        // — keeping it would keep its two per-partition SORTS, the very
+        // cost this rewrite removes. Outputs are identical, so strip it.
+        val child = rawChild match {
+          case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+            wgl.child
+          case c => c
+        }
         val nKeys = order.length
         // struct = (sort keys..., payload struct of the full child row)
         val structExpr = CreateNamedStruct(

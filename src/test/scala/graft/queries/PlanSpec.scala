@@ -335,6 +335,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("topk rewrite plans a bounded object-hash aggregate, no window, no per-group sort") {
+    val df = Registry.queries("q_topk_rewrite")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate") && p.contains("bounded_topk_rows"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Window"), p)
+    // partial aggregation runs map-side: two ObjectHashAggregate stages
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("incremental dedup: bloom prune reaches the history scan; confirm join broadcasts") {
     val df = Registry.queries("q_incremental_dedup")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
