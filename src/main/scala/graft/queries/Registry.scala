@@ -731,6 +731,41 @@ object Registry {
       |             '' ORDER BY p) AS simhash
       |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary heavy hitters via the Misra–Gries sketch
+    * ([[graft.expr.FreqItemsAgg]]): capacity-bounded one-pass frequent
+    * tokens next to the exact top-10 (computed in-query). The emitted
+    * booleans check the sketch against MG's PROVABLE bound
+    * (true − N/(m+1) ≤ est ≤ true), so they are TRUE by theorem — the
+    * oracle states them as constants and recomputes the exact counts;
+    * a sketch implementation bug (overcount, broken merge) flips a row
+    * and fails the hash gate.
+    */
+  private val heavyHitters: Q = (s, dir) => {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val toks = spread(Tables.documents(s, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val sk = GraftShim.column(
+      graft.expr.FreqItemsAgg(GraftShim.expression(col("tok")), 256)
+        .toAggregateExpression())
+    val sketchRow = toks.agg(sk.as("sk"), count(lit(1)).as("n"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(10)
+    val est = coalesce(element_at(col("sk"), col("tok")), lit(0L))
+    exact.crossJoin(broadcast(sketchRow)) // 1-row sketch frame
+      .select(col("tok"), col("c"),
+        (est <= col("c") &&
+          est >= col("c") - ceil(col("n") / lit(257.0)).cast("long"))
+          .as("within_bound"))
+      .orderBy(col("c").desc, col("tok"))
+  }
+  private val heavyHittersSql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |ex AS (SELECT tok, count(*) AS c FROM tok
+      |       GROUP BY tok ORDER BY c DESC, tok LIMIT 10)
+      |SELECT tok, c, TRUE AS within_bound FROM ex ORDER BY c DESC, tok""".stripMargin
+
   /** Incremental dedup of a new document batch against the corpus
     * ([[Dedup.incrementalDedup]]): bloom-pruned map-side history scan +
     * exact broadcast confirm join — history is never shuffled. The
@@ -1506,6 +1541,7 @@ object Registry {
     ("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     ("q_exact_dedup", exactDedup, Some(exactDedupSql)),
     ("q_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)),
+    ("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     ("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("q_simhash", simhashQ, Some(simhashSql)),
