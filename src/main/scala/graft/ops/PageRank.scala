@@ -31,7 +31,8 @@ object PageRank {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, microInit: Long = 1000000L,
                dampingNum: Long = 850L, dampingDen: Long = 1000L,
-               checkpointInterval: Int = 8): DataFrame = {
+               checkpointInterval: Int = 8,
+               broadcastRanks: Boolean = true): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(checkpointInterval >= 1,
       "pageRank: checkpointInterval must be >= 1")
@@ -45,7 +46,13 @@ object PageRank {
     // graph has every node on both sides, so this is every node
     var rank = deg.select(col("src").as("node"), lit(microInit).as("pr"))
     for (i <- 1 to iterations) {
-      rank = edgesDeg.join(rank, edgesDeg("src") === rank("node"))
+      // rank is node-count-sized (orders of magnitude below the edge
+      // list); broadcasting it makes every iteration's join map-side and
+      // leaves the dst aggregation as the only shuffle. For graphs whose
+      // NODE set outgrows the broadcast budget, disable and pre-bucket
+      // edges by src instead (see scaladoc).
+      val rankSide = if (broadcastRanks) broadcast(rank) else rank
+      rank = edgesDeg.join(rankSide, edgesDeg("src") === rankSide("node"))
         .select(col("dst"), expr("pr div out_deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("mass"))
