@@ -63,7 +63,20 @@ object GraftExtensions {
     (FunctionIdentifier("cosine_similarity"),
       info("graft.expr.CosineSimilarity", "cosine_similarity",
         "cosine_similarity(array<num>, array<num>) -> double"),
-      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    (FunctionIdentifier("freq_items_sketch"),
+      info("graft.expr.FreqItemsAgg", "freq_items_sketch",
+        "freq_items_sketch(col, capacity) -> map<string,bigint> (Misra-Gries)"),
+      (args: Seq[Expression]) => {
+        val cap = args(1) match {
+          case e if e.foldable => e.eval()
+          case _ => null
+        }
+        require(cap.isInstanceOf[Number],
+          "freq_items_sketch: capacity must be a non-null integer literal")
+        // the analyzer wraps a bare AggregateFunction in Complete mode
+        FreqItemsAgg(args.head, cap.asInstanceOf[Number].intValue())
+      }))
 
   /** Imperative registration into an existing session (same functions and
     * optimizer rules the extension injects at build time —

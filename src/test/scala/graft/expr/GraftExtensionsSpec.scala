@@ -44,7 +44,18 @@ class GraftExtensionsSpec extends SparkSpec {
     // session; assert the extension wires every registered function
     val ids = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(ids == Set("simhash64", "simhash_md5", "minhash_sig",
-      "dot_product", "cosine_similarity"))
+      "dot_product", "cosine_similarity", "freq_items_sketch"))
+  }
+
+  test("freq_items_sketch is callable from SQL and matches the Column path") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (Seq.fill(9)("x") ++ Seq.fill(4)("y") ++ Seq("z")).toDF("t")
+      .createOrReplaceTempView("freq_items_input")
+    val viaSql = spark.sql(
+      "SELECT freq_items_sketch(t, 8) FROM freq_items_input")
+      .head().getMap[String, Long](0)
+    assert(viaSql == Map("x" -> 9L, "y" -> 4L, "z" -> 1L))
   }
 
   test("simhash_md5 matches an independent reimplementation, bit for bit") {
