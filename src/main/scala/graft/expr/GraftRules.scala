@@ -61,14 +61,36 @@ object GraftRules {
 
     private val maxK = 10000
 
-    private def bound(cond: Expression, rn: Attribute): Option[Int] = cond match {
-      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
-      case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
-      case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) && v == 1 => Some(1)
-      case EqualTo(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) && v == 1 => Some(1)
-      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v)
-      case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v - 1)
+    // a LONG literal bound analyzes as Cast(rn AS BIGINT) <= 5L — treat
+    // the lossless upcast of the row-number attribute as the attribute
+    private def strip(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType == org.apache.spark.sql.types.LongType &&
+            c.child.dataType == IntegerType => c.child
+      case other => other
+    }
+
+    private def intOf(l: Expression): Option[Int] = l match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, org.apache.spark.sql.types.LongType)
+          if v <= Int.MaxValue && v >= Int.MinValue => Some(v.toInt)
       case _ => None
+    }
+
+    private def bound(cond: Expression, rn: Attribute): Option[Int] = {
+      def attr(e: Expression): Boolean = strip(e) match {
+        case a: Attribute => a.semanticEquals(rn)
+        case _ => false
+      }
+      cond match {
+        case LessThanOrEqual(a, l) if attr(a) => intOf(l)
+        case LessThan(a, l) if attr(a) => intOf(l).map(_ - 1)
+        case EqualTo(a, l) if attr(a) => intOf(l).filter(_ == 1)
+        case EqualTo(l, a) if attr(a) => intOf(l).filter(_ == 1)
+        case GreaterThanOrEqual(l, a) if attr(a) => intOf(l)
+        case GreaterThan(l, a) if attr(a) => intOf(l).map(_ - 1)
+        case _ => None
+      }
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -228,6 +228,36 @@ object TextOps {
       graft.expr.SimHashMd5(GraftShim.expression(tokens(c)))))), 16, "0")
   }
 
+  /** CCNet-style perplexity proxy: per-document mean token
+    * log-probability under the corpus's own unigram distribution — the
+    * classic cheap quality signal (rare-token-heavy / garbled docs score
+    * low; docs of common well-formed text score high). No external model:
+    * the unigram table IS the corpus's token counts, computed in the same
+    * plan.
+    *
+    * Arithmetic is FIXED-POINT: each token contributes
+    * round(ln(count/N)·1e6) as a BIGINT, so the per-doc sum is exact and
+    * order-independent (a double sum would vary with partitioning), and
+    * the mean is integer division — cross-engine reproducible.
+    *
+    * Scale shape: one explode, one hash join tokens⋈vocab (vocab is
+    * heavy-tailed but count-bounded; broadcast when it fits), one
+    * aggregation on the doc key.
+    */
+  def unigramLogProbScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_count"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(n)) // 1-row total frame
+      .select(col(idCol),
+        round(log(col("tok_count").cast("double") / col("n_total")) * 1e6, 0)
+          .cast("long").as("lp_micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(lp_micro) div count(1)").as("avg_logprob_micro"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -731,6 +731,29 @@ object Registry {
       |             '' ORDER BY p) AS simhash
       |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Unigram log-prob quality scoring ([[TextOps.unigramLogProbScore]]):
+    * CCNet-style perplexity proxy in fixed-point micro-nats, so every
+    * sum is exact integer arithmetic and the oracle reproduces it
+    * bit-for-bit (per-token ln rounds once to 1e-6, then all math is
+    * BIGINT).
+    */
+  private val qualityLogprob: Q = (s, dir) => {
+    TextOps.unigramLogProbScore(spread(Tables.documents(s, dir)),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+  private val qualityLogprobSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_total FROM tok),
+      |vocab AS (SELECT tok, count(*) AS tok_count FROM tok GROUP BY tok)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CAST(round(ln(CAST(tok_count AS DOUBLE) / n_total) * 1e6, 0)
+      |               AS BIGINT)) AS BIGINT) // count(*) AS avg_logprob_micro
+      |FROM tok JOIN vocab USING (tok), n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Vocabulary heavy hitters via the Misra–Gries sketch
     * ([[graft.expr.FreqItemsAgg]]): capacity-bounded one-pass frequent
     * tokens next to the exact top-10 (computed in-query). The emitted
@@ -1542,6 +1565,7 @@ object Registry {
     ("q_exact_dedup", exactDedup, Some(exactDedupSql)),
     ("q_incremental_dedup", incrementalDedupQ, Some(incrementalDedupSql)),
     ("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    ("q_quality_logprob", qualityLogprob, Some(qualityLogprobSql)),
     ("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     ("q_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     ("q_simhash", simhashQ, Some(simhashSql)),

@@ -60,6 +60,17 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a Long-literal bound (rn <= 5L, analyzed as a cast) still fires") {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+    val df = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(5L))
+    val plan = rewrite(df)
+    assert(!plan.exists(_.isInstanceOf[LWindow]), plan.toString)
+    assert(GraftShim.ofRows(spark, plan).count() == df.count())
+  }
+
   test("non-matching shapes are left untouched") {
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))
     // rank() is not row_number: ties share numbers, the rewrite's k-cut

@@ -60,6 +60,22 @@ class TextOpsSpec extends SparkSpec {
     assert(ham(h("d1"), h("d3")) < ham(h("d1"), h("d4")))
   }
 
+  test("unigramLogProbScore: hand-computed micro-nat means; rare-token doc scores lowest") {
+    // corpus: "a a a b" + "a b" + "z" → N=7, counts a:4 b:2 z:1
+    val df = Seq((1L, "a a a b"), (2L, "a b"), (3L, "z")).toDF("id", "text")
+    val got = TextOps.unigramLogProbScore(df, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def lp(c: Long) = math.round(math.log(c / 7.0) * 1e6)
+    val want = Seq(
+      (1L, 4L, (3 * lp(4) + lp(2)) / 4),
+      (2L, 2L, (lp(4) + lp(2)) / 2),
+      (3L, 1L, lp(1)))
+    assert(got == want)
+    // the all-rare doc is the worst-scoring — the quality-gate contract
+    assert(got.minBy(_._3)._1 == 3L)
+  }
+
   test("minHashNearDups finds a near-identical pair, skips dissimilar docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
