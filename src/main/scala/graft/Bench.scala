@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: every registry query against
@@ -9,8 +9,115 @@ import org.apache.spark.sql.functions._
   * collect/write cost — `count()` would let Catalyst prune away the
   * projections of narrow queries). A warmup pass primes JIT/codegen and
   * the parquet reader before anything is timed.
+  *
+  * Robustness (r4 postmortem — BENCH_r04 rc=124 lost the whole round's
+  * perf artifact to one stall): the harness is built so a single wedged
+  * query can never lose the run again.
+  *   - every rep runs under a hard WATCHDOG timeout: on expiry the rep's
+  *     job group is cancelled (plus cancelAllJobs as backstop), the query
+  *     is recorded as -1 with a "timeout" error, and the loop moves on;
+  *   - a `[bench] <name> rep <n>` stderr line precedes every rep, so a
+  *     killed run localizes its culprit from the tail alone;
+  *   - the summary JSON is rewritten after EVERY query, so even a
+  *     hard-killed run leaves all completed timings on disk.
   */
 object Bench {
+
+  /** Per-rep hard timeout. Generous: the slowest r4 query (q_pagerank)
+    * ran 3.1 s at sf0.1; 60 s is 20× headroom, while still bounding a
+    * 127-query run's worst case far under the driver's global limit.
+    */
+  val DefaultRepTimeoutMs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_MS", "60000").toLong
+
+  /** One benchmarked rep executed on a daemon thread under a watchdog.
+    * On timeout: cancel the rep's job group (and all jobs — nothing else
+    * is running), abandon the (daemon) thread, report failure. A rep
+    * wedged inside a Spark job fails fast — cancellation fails the job
+    * and the awaiting action throws without waiting for straggler tasks.
+    */
+  private def timedRep(spark: SparkSession, name: String, rep: Int,
+                       timeoutMs: Long)(body: => Unit): Either[String, Double] = {
+    System.err.println(s"[bench] $name rep $rep")
+    val group = s"graft_bench_$name"
+    val result = new java.util.concurrent.CompletableFuture[Either[String, Double]]()
+    val t = new Thread(() => {
+      val out =
+        try {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          val t0 = System.nanoTime()
+          body
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+        } finally spark.sparkContext.clearJobGroup()
+      result.complete(out): Unit
+    }, s"bench-$name-$rep")
+    t.setDaemon(true) // a truly wedged rep must not block JVM exit
+    t.start()
+    try result.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(s"[bench] $name rep $rep TIMEOUT after ${timeoutMs}ms")
+        spark.sparkContext.cancelJobGroup(group)
+        spark.sparkContext.cancelAllJobs()
+        // brief grace: if cancellation unwedged the thread, collect its
+        // (failed) outcome so the session is quiet before the next query
+        try result.get(5000, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { case _: java.util.concurrent.TimeoutException => () }
+        Left(s"timeout after ${timeoutMs}ms")
+    }
+  }
+
+  private def summaryLine(results: Seq[(String, Double)],
+                          errors: collection.Map[String, String],
+                          sfDir: String): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      s"\"" + k + "\":\"" +
+        v.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+  }
+
+  private def writeSummary(line: String): Unit =
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
+
+  /** The benchmark loop, factored for tests: min-of-`reps` per query with
+    * a per-rep watchdog; a query whose FIRST rep fails (error or timeout)
+    * is recorded -1 and skipped — later reps of a wedged query would
+    * stall the run 3×, and a steady-state rep after a failed warmup rep
+    * isn't comparable anyway. `onQuery` fires after each query with the
+    * running summary line (Bench.main persists it; tests observe it).
+    */
+  def run(spark: SparkSession, queries: Seq[String],
+          runOne: String => Unit, sfDir: String,
+          timeoutMs: Long = DefaultRepTimeoutMs, reps: Int = 3,
+          onQuery: String => Unit = _ => ()): (Seq[(String, Double)], Map[String, String]) = {
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    queries.foreach { name =>
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      (1 to reps).foreach { rep =>
+        if (!failed) timedRep(spark, name, rep, timeoutMs)(runOne(name)) match {
+          case Right(sec) => times += sec
+          case Left(msg) => errors(name) = msg; failed = true
+        }
+      }
+      results += name -> (if (times.isEmpty) -1.0 else times.min)
+      onQuery(summaryLine(results.toSeq, errors, sfDir))
+    }
+    (results.toSeq, errors.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,37 +149,16 @@ object Bench {
     // min of 3 runs per query: steady-state time, robust to JIT/GC noise
     // (min-of-2 still showed ±1.5× round-over-round jitter on 0.3-0.6 s
     // queries; the first rep doubles as per-query warmup). A query that
-    // throws is reported as -1 with its error message — never as a fake
-    // timing.
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to 3).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { runToNoop(name); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-            None
-        }
-      }
-      name -> (if (times.isEmpty) -1.0 else times.min)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // throws or times out is reported as -1 with its error — never as a
+    // fake timing.
+    val (results, errors) = run(spark, SparkEntry.queries.keys.toSeq.sorted,
+      runToNoop, sfDir, onQuery = writeSummary)
+    val line = summaryLine(results, errors, sfDir)
     println(line)
     // Also persist the full line to the repo root: the driver's BENCH
     // tail window truncates long per-query maps, which makes exact
     // round-over-round totals unrecoverable from the artifact alone.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: java.io.IOException => () }
+    writeSummary(line)
     spark.stop()
   }
 }

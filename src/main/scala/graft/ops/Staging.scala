@@ -23,14 +23,31 @@ object Staging {
 
   /** Build-once per (key, JVM): `build` gets a fresh temp directory that
     * is deleted (recursively) at exit; its result is cached.
+    *
+    * NOT `computeIfAbsent`: `build` runs Spark actions (collects, parquet
+    * writes) that must never execute while holding a ConcurrentHashMap
+    * bin lock — two concurrent callers whose keys share a hash bin would
+    * serialize (or, if a build re-enters Staging, deadlock). Instead the
+    * slow path races: both callers may build, `putIfAbsent` picks one
+    * winner, and the loser's directory is released immediately. Duplicate
+    * build work in the race window is bounded and harmless; a held lock
+    * across a Spark job is not.
     */
-  def cached[A](key: String)(build: java.nio.file.Path => A): A =
-    cache.computeIfAbsent(key, { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
-      hookInstalled
-      roots.add(tmp)
-      build(tmp)
-    }).asInstanceOf[A]
+  def cached[A](key: String)(build: java.nio.file.Path => A): A = {
+    val hit = cache.get(key)
+    if (hit != null) return hit.asInstanceOf[A]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
+    hookInstalled
+    roots.add(tmp)
+    val built = build(tmp)
+    val prior = cache.putIfAbsent(key, built)
+    if (prior != null) {
+      // lost the race: drop this build's directory now rather than at exit
+      roots.remove(tmp)
+      deleteRecursively(tmp)
+      prior.asInstanceOf[A]
+    } else built
+  }
 
   /** Best-effort recursive delete: the walk stream is closed (it holds a
     * directory handle), and a per-path failure — e.g. Spark's own

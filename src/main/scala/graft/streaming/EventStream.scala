@@ -15,6 +15,29 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Hard cap on any AvailableNow drain. The fixture drains finish in
+    * seconds; a drain that outlives this is a wedged query, not a longer
+    * wait — and an unbounded `awaitTermination()` here is what turned one
+    * environmental stall into a lost whole-run bench artifact (r4).
+    */
+  val DrainTimeoutMs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_TIMEOUT_MS", "120000").toLong
+
+  /** Await an AvailableNow drain with a hard timeout: on expiry the query
+    * is stopped (releasing its state stores) and a loud exception names
+    * it — never silently returning a partial table.
+    */
+  def awaitDrain(q: org.apache.spark.sql.streaming.StreamingQuery,
+                 timeoutMs: Long = DrainTimeoutMs): Unit = {
+    val finished = q.awaitTermination(timeoutMs)
+    if (!finished) {
+      try q.stop() finally {}
+      throw new IllegalStateException(
+        s"streaming drain '${q.name}' exceeded ${timeoutMs}ms (AvailableNow " +
+          "should terminate on its own; a longer wait would not help)")
+    }
+  }
+
   /** Parquet file-source schema for events (ts as raw nanos long — the
     * fixture's TIMESTAMP(NANOS) physical type, converted after load).
     */
@@ -68,7 +91,7 @@ object EventStream {
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
@@ -100,7 +123,7 @@ object EventStream {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
       .groupBy(col("event_type"))
@@ -146,7 +169,7 @@ object EventStream {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrain(q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
       .groupBy(col("c_user").as("user_id"))

@@ -128,7 +128,7 @@ object Sessionize {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    EventStream.awaitDrain(q)
     spark.table(queryName)
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+/** The r5 contract for the bench harness (r4 postmortem: BENCH_r04
+  * rc=124 lost the whole round's perf artifact to ONE stall): a wedged
+  * query must be reported as an error while every other query still
+  * completes and the incremental summary survives on disk.
+  */
+class BenchSpec extends SparkSpec {
+
+  test("watchdog: a wedged query times out; the others complete; summary grows incrementally") {
+    val runOne: String => Unit = {
+      case "q_wedged" =>
+        // wedged INSIDE a Spark job — the shape a real stall takes; the
+        // watchdog must cancel the job group and move on
+        spark.range(1).foreach(_ => Thread.sleep(600000L))
+      case _ =>
+        spark.range(100).write.format("noop").mode("overwrite").save()
+    }
+    val summaries = scala.collection.mutable.ArrayBuffer[String]()
+    val (results, errors) = Bench.run(spark,
+      Seq("q_fast_a", "q_wedged", "q_fast_b"), runOne, "spec_sf",
+      // wide enough that a cold-JIT fast query can't trip it (a 3 s cap
+      // flaked once when this suite ran first in the JVM)
+      timeoutMs = 8000, reps = 2, onQuery = s => summaries += s)
+
+    val byName = results.toMap
+    assert(byName("q_wedged") == -1.0)
+    assert(errors("q_wedged").contains("timeout"))
+    assert(byName("q_fast_a") > 0 && byName("q_fast_b") > 0,
+      s"queries after the wedge must still run: $results")
+    assert(errors.keySet == Set("q_wedged"))
+    // incremental persistence: one summary per query, each parseable and
+    // containing everything benched so far
+    assert(summaries.size == 3)
+    assert(summaries(0).contains("q_fast_a") && !summaries(0).contains("q_wedged"))
+    assert(summaries(2).contains("q_fast_a") && summaries(2).contains("q_wedged")
+      && summaries(2).contains("q_fast_b"))
+    assert(summaries.last.contains("\"q_wedged\":-1.0"))
+  }
+
+  test("a throwing query is recorded as an error, not a fake timing") {
+    val runOne: String => Unit = {
+      case "q_boom" => throw new RuntimeException("boom")
+      case _ => spark.range(10).write.format("noop").mode("overwrite").save()
+    }
+    val (results, errors) = Bench.run(spark, Seq("q_boom", "q_ok"), runOne,
+      "spec_sf", timeoutMs = 30000, reps = 2)
+    assert(results.toMap.apply("q_boom") == -1.0)
+    assert(errors("q_boom").contains("boom"))
+    assert(results.toMap.apply("q_ok") > 0)
+  }
+}

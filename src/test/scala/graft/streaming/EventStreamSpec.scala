@@ -43,7 +43,7 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    EventStream.awaitDrain(q)
     val streamed = spark.table("ss_join").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val batch = Tables.events(spark, sf).join(staticUsers, Seq("user_id"))
@@ -69,7 +69,7 @@ class EventStreamSpec extends SparkSpec {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    EventStream.awaitDrain(q)
     val streamed = spark.read.parquet(out)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -96,13 +96,29 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    EventStream.awaitDrain(q)
     val streamedKeys = spark.table("dedup_stream").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     val batchKeys = Tables.events(spark, sf)
       .select("user_id", "event_type").distinct().collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(streamedKeys == batchKeys)
+  }
+
+  test("awaitDrain stops and reports a query that outlives its timeout") {
+    // a rate source never terminates — exactly the wedged-drain shape the
+    // r4 bench lost its artifact to; the bounded wait must stop it and
+    // throw, not hang
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .writeStream.format("memory").queryName("wedged_drain")
+      .outputMode("append")
+      .start()
+    val ex = intercept[IllegalStateException] {
+      EventStream.awaitDrain(q, timeoutMs = 1500)
+    }
+    assert(ex.getMessage.contains("wedged_drain"))
+    assert(!q.isActive, "awaitDrain must stop the wedged query")
   }
 
   test("runStreamDedup removes cross-batch duplicates (first arrival wins)") {
