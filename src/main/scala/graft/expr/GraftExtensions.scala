@@ -34,6 +34,35 @@ object GraftExtensions {
   private def info(className: String, name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(className, null, name, usage, "")
 
+  /** Validate-and-extract for SQL builders that need a literal integral
+    * parameter (k, capacity): a wrong arity or a non-integral/non-foldable
+    * argument must surface as a descriptive analysis-time error, not a raw
+    * IndexOutOfBoundsException or a silently-truncated 3.9 → 3.
+    */
+  private def literalInt(fn: String, param: String, args: Seq[Expression],
+                         arity: Int, idx: Int): Int = {
+    // IllegalArgumentException from a function builder surfaces at
+    // analysis time with the message intact (no matching registered
+    // error class exists for a plain-text AnalysisException here)
+    require(args.length == arity,
+      s"$fn expects $arity arguments, got ${args.length}")
+    val e = args(idx)
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    val v = if (ok) e.eval() else null
+    require(v != null,
+      s"$fn: $param must be a non-null integer literal, got ${e.sql}")
+    val long = v.asInstanceOf[Number].longValue()
+    require(long >= 1 && long <= Int.MaxValue,
+      s"$fn: $param must be in [1, ${Int.MaxValue}], got $long")
+    long.toInt
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash64"),
@@ -47,15 +76,8 @@ object GraftExtensions {
     (FunctionIdentifier("minhash_sig"),
       info("graft.expr.MinHashSig", "minhash_sig",
         "minhash_sig(array<string>, k) -> array<bigint>"),
-      (args: Seq[Expression]) => {
-        val k = args(1) match {
-          case e if e.foldable => e.eval()
-          case _ => null
-        }
-        require(k.isInstanceOf[Number],
-          "minhash_sig: k must be a non-null integer literal")
-        MinHashSig(args.head, k.asInstanceOf[Number].intValue())
-      }),
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head, literalInt("minhash_sig", "k", args, 2, 1))),
     (FunctionIdentifier("dot_product"),
       info("graft.expr.DotProduct", "dot_product",
         "dot_product(array<num>, array<num>) -> double"),
@@ -67,21 +89,19 @@ object GraftExtensions {
     (FunctionIdentifier("freq_items_sketch"),
       info("graft.expr.FreqItemsAgg", "freq_items_sketch",
         "freq_items_sketch(col, capacity) -> map<string,bigint> (Misra-Gries)"),
-      (args: Seq[Expression]) => {
-        val cap = args(1) match {
-          case e if e.foldable => e.eval()
-          case _ => null
-        }
-        require(cap.isInstanceOf[Number],
-          "freq_items_sketch: capacity must be a non-null integer literal")
+      (args: Seq[Expression]) =>
         // the analyzer wraps a bare AggregateFunction in Complete mode
-        FreqItemsAgg(args.head, cap.asInstanceOf[Number].intValue())
-      }))
+        FreqItemsAgg(args.head,
+          literalInt("freq_items_sketch", "capacity", args, 2, 1))))
 
-  /** Imperative registration into an existing session (same functions and
-    * optimizer rules the extension injects at build time —
-    * `experimental.extraOptimizations` is the public post-build hook for
-    * rules).
+  /** Imperative registration into an existing session: the same FUNCTIONS
+    * the extension injects at build time, plus the RoundRoundFold peephole
+    * via `experimental.extraOptimizations` (the public post-build hook for
+    * rules). [[GraftRules.WindowTopKToAggregate]] is deliberately NOT
+    * installed here — injecting a plan-rewriting rule into a session
+    * mid-flight would silently change the plans of queries already running
+    * on it; it is builder-time only (and gated by
+    * `spark.graft.windowTopKRewrite.enabled` even then).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>

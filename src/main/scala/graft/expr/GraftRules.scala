@@ -59,6 +59,14 @@ object GraftRules {
     */
   object WindowTopKToAggregate extends Rule[LogicalPlan] {
 
+    /** Session kill-switch: the rewrite changes WHICH tied rows survive a
+      * row_number-filter under a non-total ORDER BY (contract-valid either
+      * way, but different from vanilla Spark) — a user query relying on
+      * vanilla's arbitrary pick can disable the rewrite per-session
+      * without rebuilding the session/extensions.
+      */
+    val EnabledKey = "spark.graft.windowTopKRewrite.enabled"
+
     private val maxK = 10000
 
     // a LONG literal bound analyzes as Cast(rn AS BIGINT) <= 5L — treat
@@ -93,7 +101,11 @@ object GraftRules {
       }
     }
 
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+      else rewrite(plan)
+
+    private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case f @ Filter(cond,
           Window(Seq(alias @ Alias(
             WindowExpression(_: RowNumber, WindowSpecDefinition(part, order, _)),

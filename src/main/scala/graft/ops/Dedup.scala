@@ -66,12 +66,25 @@ object Dedup {
     * the broadcast is ~batch-sized. `expectedBatchKeys` sizes the
     * filter; oversizing costs bytes, undersizing costs only extra
     * confirm-join work (false-positive rate rises, results unchanged).
+    *
+    * The bloom-literal plan and the candidate broadcast are both sized by
+    * the BATCH key count — a batch beyond `maxBloomKeys` would turn them
+    * into a driver/broadcast OOM cliff, so such batches take a plain
+    * shuffled anti join instead (slower: the history side shuffles; but
+    * graceful, and semantically identical). NOTE the bloom path runs an
+    * eager aggregation job at CALL time (the filter bytes must exist to
+    * embed in the plan); the fallback path stays fully lazy.
     */
   def incrementalDedup(batch: DataFrame, history: DataFrame, fpCol: String,
-                       expectedBatchKeys: Long = 1L << 20): DataFrame = {
+                       expectedBatchKeys: Long = 1L << 20,
+                       maxBloomKeys: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShim
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    if (expectedBatchKeys > maxBloomKeys)
+      // ~1.2 B/key: 64M keys ≈ 77 MB of plan literal + a comparable
+      // broadcast — past any sane driver budget, shuffle instead
+      return batch.join(history.select(col(fpCol)), Seq(fpCol), "left_anti")
     val bloomAgg = GraftShim.column(
       new BloomFilterAggregate(GraftShim.expression(xxhash64(col(fpCol))),
         expectedBatchKeys).toAggregateExpression())

@@ -120,4 +120,44 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"), e.getMessage)
   }
+
+  test("sketch builders reject wrong arity and non-integral parameters descriptively") {
+    GraftExtensions.register(spark)
+    // wrong arity: an analysis error naming the function, not a raw
+    // IndexOutOfBoundsException
+    val arity = intercept[Exception] {
+      spark.sql("SELECT freq_items_sketch(t) FROM VALUES ('a') AS v(t)").collect()
+    }
+    assert(arity.getMessage.contains("freq_items_sketch expects 2 arguments"),
+      arity.getMessage)
+    // fractional capacity: must error, not silently truncate 3.9 -> 3
+    val frac = intercept[Exception] {
+      spark.sql("SELECT freq_items_sketch(t, 3.9) FROM VALUES ('a') AS v(t)").collect()
+    }
+    assert(frac.getMessage.contains("integer literal"), frac.getMessage)
+    // non-positive capacity
+    val neg = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), 0) FROM range(1)").collect()
+    }
+    assert(neg.getMessage.contains("must be in [1,"), neg.getMessage)
+  }
+
+  test("windowTopKRewrite conf gate disables the rewrite per-session") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"))))
+      .filter(col("rn") <= 3)
+    val plan = df.queryExecution.optimizedPlan
+    val on = GraftRules.WindowTopKToAggregate(plan)
+    assert(!on.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Window]))
+    spark.conf.set(GraftRules.WindowTopKToAggregate.EnabledKey, "false")
+    try {
+      val off = GraftRules.WindowTopKToAggregate(plan)
+      assert(off.fastEquals(plan), "disabled rule must be the identity")
+    } finally spark.conf.unset(GraftRules.WindowTopKToAggregate.EnabledKey)
+  }
 }

@@ -377,4 +377,15 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaBloom.count() > 0)
     assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
   }
+
+  test("a batch past the bloom budget falls back to a shuffled anti join, same rows") {
+    val history = Seq("a", "b", "c").toDF("fp")
+    val batch = Seq(("b", 1), ("d", 2), ("e", 3)).toDF("fp", "v")
+    // expectedBatchKeys > maxBloomKeys → the bloom/broadcast path (an OOM
+    // cliff at that size) must be bypassed, not attempted
+    val got = Dedup.incrementalDedup(batch, history, "fp",
+        expectedBatchKeys = 1L << 30, maxBloomKeys = 1L << 20)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("d", 2), ("e", 3)))
+  }
 }
