@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank over an edge list, in EXACT integer
@@ -69,4 +69,94 @@ object PageRank {
     }
     rank
   }
+
+  /** One iteration of the bucketed path, reading both sides from
+    * co-bucketed tables: edges bucketed+sorted by `src`, rank
+    * bucketed+sorted by `node`, same bucket count → the sort-merge join
+    * consumes both scans IN PLACE (no Exchange, no Sort on either side;
+    * the `merge` hint pins SMJ — at the node counts this path exists
+    * for, the rank side is past any broadcast budget by definition).
+    * The only shuffle left per iteration is the dst mass aggregation —
+    * the irreducible cross-network traffic of PageRank. Exposed (not
+    * private) so the plan the spec asserts is the plan the loop runs.
+    */
+  def bucketedIteration(spark: SparkSession, edgesTable: String,
+                        rankTable: String, teleport: Long,
+                        dampingNum: Long, dampingDen: Long): DataFrame =
+    spark.table(edgesTable)
+      .join(spark.table(rankTable).hint("merge"), col("src") === col("node"))
+      .select(col("dst"), expr("pr div out_deg").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("mass"))
+      .select(col("dst").as("node"),
+        (lit(teleport) + expr(s"($dampingNum * mass) div $dampingDen"))
+          .as("pr"))
+
+  /** The 100 TB contingency path [[pageRank]]'s scale notes promise: when
+    * the node set outgrows any broadcast budget, pre-bucket the edges by
+    * `src` once and keep the rank co-bucketed by `node`, so every
+    * iteration's join is co-located (zero join Exchange, proven in
+    * PlanSpec) and each iteration's table write doubles as the lineage
+    * cut (no checkpoints needed). Same exact integer arithmetic →
+    * bit-identical to [[pageRank]] (parity-tested in PageRankSpec).
+    *
+    * Leaves managed tables `<prefix>_edges` / `<prefix>_rank_*` behind —
+    * the returned frame reads the final one lazily; call
+    * [[dropBucketedTables]] after consuming it.
+    */
+  def pageRankBucketed(spark: SparkSession, edges: DataFrame,
+                       srcCol: String, dstCol: String, iterations: Int,
+                       namePrefix: String, buckets: Int = 32,
+                       microInit: Long = 1000000L,
+                       dampingNum: Long = 850L,
+                       dampingDen: Long = 1000L): DataFrame = {
+    require(iterations >= 1, "pageRankBucketed: iterations must be >= 1")
+    require(buckets >= 1, "pageRankBucketed: buckets must be >= 1")
+    val teleport = microInit * (dampingDen - dampingNum) / dampingDen
+    val deg = edges.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("out_deg"))
+    val edgesT = s"${namePrefix}_edges"
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(deg, "src")
+      .write.bucketBy(buckets, "src").sortBy("src")
+      .mode("overwrite").saveAsTable(edgesT)
+    var cur = s"${namePrefix}_rank_0"
+    deg.select(col("src").as("node"), lit(microInit).as("pr"))
+      .write.bucketBy(buckets, "node").sortBy("node")
+      .mode("overwrite").saveAsTable(cur)
+    for (i <- 1 to iterations) {
+      // alternate between two iteration tables: the write target is
+      // always a table no live read depends on
+      val next = s"${namePrefix}_rank_${if (cur.endsWith("_1")) 2 else 1}"
+      bucketedIteration(spark, edgesT, cur, teleport, dampingNum, dampingDen)
+        .write.bucketBy(buckets, "node").sortBy("node")
+        .mode("overwrite").saveAsTable(next)
+      cur = next
+    }
+    spark.table(cur)
+  }
+
+  /** Drop the managed tables a [[pageRankBucketed]] run staged, deleting
+    * their warehouse directories (DROP TABLE alone leaves managed-table
+    * files behind when the in-memory catalog outlives the JVM that wrote
+    * them).
+    */
+  def dropBucketedTables(spark: SparkSession, namePrefix: String): Unit =
+    Seq("_edges", "_rank_0", "_rank_1", "_rank_2").map(namePrefix + _)
+      .foreach { t =>
+        if (spark.catalog.tableExists(t)) {
+          val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+            .filter(col("col_name") === "Location")
+            .collect().headOption.map(_.getString(1))
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          loc.map(_.stripPrefix("file:")).foreach { dir =>
+            val path = java.nio.file.Paths.get(dir)
+            if (java.nio.file.Files.exists(path)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(path).iterator().asScala.toSeq
+                .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+            }
+          }
+        }
+      }
 }

@@ -76,21 +76,67 @@ object VectorOps {
     * `blockCol` (a label, an LSH bucket, ...) so the self-join is an
     * equi-join on the block key instead of an O(n²) cross product; pairs
     * with cosine >= threshold survive. `idA < idB` halves the pair space.
+    *
+    * Skew guard (`maxBlock`): intra-block pairing is O(block²), and one
+    * hot block (a dense semantic cluster, the exact thing dedup hunts)
+    * would otherwise funnel block² candidate rows through a single join
+    * task. Blocks larger than `maxBlock` are split EXACTLY via triangle
+    * self-join partitioning: ids hash into R = ceil(size/maxBlock) groups,
+    * each row is replicated once per group k with tag
+    * (min(g,k), max(g,k)), the equi-join runs on (block, tag), and each
+    * pair survives only in the single tag equal to its own sorted group
+    * pair — every intra-block pair appears EXACTLY once, so the result is
+    * bit-identical to the unsplit join (unlike a secondary-hyperplane
+    * split, which loses cross-sub-bucket twins — and which exact
+    * duplicates defeat entirely: identical vectors share every
+    * signature). Cost: hot-block rows replicate R× and per-tag pair work
+    * is ~2·maxBlock²; cool blocks pay one broadcast-join probe against
+    * the (tiny) hot-block list. R is capped at 1024 — past that the
+    * replication itself is the bottleneck and a coarser split keeps the
+    * quadratic term the dominant (intended) cost. Default = MaxValue
+    * keeps the plain single-join plan with zero added shuffles.
     */
   def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
                     blockCol: String, threshold: Double,
-                    scoreScale: Int = 4): DataFrame = {
+                    scoreScale: Int = 4,
+                    maxBlock: Long = Long.MaxValue): DataFrame = {
+    require(maxBlock >= 1, "nearDupCosine: maxBlock must be >= 1")
     // norms are computed ONCE per row before the join — inside the pair
     // expression they'd be folded per candidate pair (3 vector passes
     // per pair instead of 1)
     val withNorm = df.select(col(blockCol).as("block"), col(idCol),
       col(vecCol), l2Norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col("block"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
-    val b = withNorm.select(col("block"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("block"))
+    val keyed =
+      if (maxBlock == Long.MaxValue)
+        withNorm.withColumn("__ti", lit(0L)).withColumn("__tj", lit(0L))
+          .withColumn("__g", lit(0L))
+      else {
+        val hot = withNorm.groupBy(col("block"))
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > maxBlock)
+          .select(col("block"),
+            least(expr(s"(__cnt + ${maxBlock - 1}) div $maxBlock"), lit(1024L))
+              .as("__r"))
+        withNorm.join(broadcast(hot), Seq("block"), "left")
+          .withColumn("__r", coalesce(col("__r"), lit(1L)))
+          .withColumn("__g", pmod(xxhash64(col(idCol)), col("__r")))
+          .withColumn("__k", explode(sequence(lit(0L), col("__r") - 1)))
+          .withColumn("__ti", least(col("__g"), col("__k")))
+          .withColumn("__tj", greatest(col("__g"), col("__k")))
+          .drop("__r", "__k")
+      }
+    val a = keyed.select(col("block"), col("__ti"), col("__tj"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("nrm").as("nrm_a"),
+      col("__g").as("__ga"))
+    val b = keyed.select(col("block"), col("__ti"), col("__tj"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("nrm").as("nrm_b"),
+      col("__g").as("__gb"))
+    a.join(b, Seq("block", "__ti", "__tj"))
       .filter(col("id_a") < col("id_b"))
+      // tag-uniqueness: a pair belongs to exactly the tag that equals its
+      // own sorted group pair — dedups the replicated copies exactly
+      .filter(least(col("__ga"), col("__gb")) === col("__ti") &&
+        greatest(col("__ga"), col("__gb")) === col("__tj"))
       // block cardinality may be far below the core count (10 labels →
       // parallelism 10); spread the candidate pairs before the expensive
       // per-pair dot products
@@ -142,14 +188,20 @@ object VectorOps {
     * At 100 TB: the only shuffle is the bucket equi-join; `nBits` tunes
     * bucket size (each extra bit halves expected pair work). Skewed
     * buckets (dense semantic clusters) are exactly the rows semantic
-    * dedup is after — cap with more bits, not sampling.
+    * dedup is after — extra bits can't cap them (exact duplicates share
+    * EVERY hyperplane signature), so the intra-bucket pairing runs under
+    * `nearDupCosine`'s exact triangle-split guard: buckets beyond
+    * `maxBucket` are partitioned into hash-group tags whose pairwise
+    * work is bounded ~2·maxBucket² per task while the pair set — and
+    * therefore this function's result — stays bit-identical.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                     nBits: Int, threshold: Double,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, maxBucket: Long = 4096L): DataFrame = {
     val withSig = df.select(col(idCol), col(vecCol),
       lshSignature(col(vecCol), dim, nBits, seed).as("bucket"))
-    val pairs = nearDupCosine(withSig, idCol, vecCol, "bucket", threshold)
+    val pairs = nearDupCosine(withSig, idCol, vecCol, "bucket", threshold,
+      maxBlock = maxBucket)
     pairs.groupBy(col("id_b").as("dup_id"))
       .agg(min(col("id_a")).as("kept_id"),
         count(lit(1)).as("n_twins"),

@@ -918,6 +918,60 @@ object Registry {
       |       TRUE AS orders_within_5pct, TRUE AS parts_within_5pct
       |FROM lineitem""".stripMargin
 
+  /** Mergeable quantile sketch — the third profiling sketch beside HLL
+    * cardinality (q_approx_distinct) and Misra–Gries frequency
+    * (q_heavy_hitters): Spark's `approx_percentile` (Greenwald–Khanna),
+    * a bounded buffer per partition merged map-side, one row across the
+    * wire — the 100 TB quantile-profile pass (exact percentiles need
+    * either a value map or a global sort; see q_percentile_dist for the
+    * exact distributed form). The estimates are engine-local, so the
+    * emitted row carries the EXACT interpolated percentiles (oracle
+    * recomputes via quantile_cont) plus GK's rank guarantee as booleans
+    * the oracle states as constants: each estimate is a real data
+    * element whose rank interval [count(<est)+1, count(<=est)] must
+    * intersect target_rank ± n/accuracy — an estimator drifting past
+    * its advertised bound (or a broken buffer merge) flips a boolean
+    * and fails the hash gate.
+    */
+  private val quantileSketch: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val acc = 1000 // rank error <= n/1000
+    val price = col("l_extendedprice")
+    val approx = li.agg(
+      percentile_approx(price, typedLit(Seq(0.5, 0.9, 0.99)), lit(acc))
+        .as("est"))
+    val exact = li.agg(
+      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+      round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"),
+      round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"))
+    // one conditional-count pass bounds every estimate's rank interval
+    val ranks = li.crossJoin(broadcast(approx)).agg(
+      count(lit(1)).as("n"),
+      Seq(1, 2, 3).flatMap { i =>
+        Seq(
+          sum(when(price < element_at(col("est"), i), 1L).otherwise(0L))
+            .as(s"lo$i"),
+          sum(when(price <= element_at(col("est"), i), 1L).otherwise(0L))
+            .as(s"hi$i"))
+      }: _*)
+    def ok(i: Int, p: Double) = {
+      val tol = col("n") / lit(acc) + lit(1.0)
+      val target = col("n") * lit(p)
+      (col(s"lo$i") + 1 <= target + tol && col(s"hi$i") >= target - tol)
+        .as(s"p${(p * 100).toInt}_ok")
+    }
+    ranks.crossJoin(exact) // two 1-row frames
+      .select(col("exact_p50"), col("exact_p90"), col("exact_p99"),
+        col("n"), ok(1, 0.5), ok(2, 0.9), ok(3, 0.99))
+  }
+  private val quantileSketchSql =
+    """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+      |       round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+      |       round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM lineitem""".stripMargin
+
   /** Structured Streaming: real micro-batch file stream (AvailableNow) →
     * watermark → tumbling-window agg, drained to a queryable result. The
     * oracle is the equivalent batch bucketing in DuckDB.
@@ -1573,6 +1627,7 @@ object Registry {
     ("q_topk_dense", topkDense, Some(topkDenseSql)),
     ("q_exact_sample", exactSample, Some(exactSampleSql)),
     ("q_approx_distinct", approxDistinct, Some(approxDistinctSql)),
+    ("q_quantile_sketch", quantileSketch, Some(quantileSketchSql)),
     ("q_stream_window", streamWindow, Some(streamWindowSql)),
     ("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     ("q_video_frames", videoFrames, Some(videoFramesSql)),

@@ -311,6 +311,23 @@ class PageRankSpec extends SparkSpec {
     val Array(row) = ranks.agg(sum("pr"), count(lit(1))).collect()
     assert(row.getLong(0) <= row.getLong(1) * 1000000L)
   }
+
+  test("pageRankBucketed is bit-identical to the broadcast/AQE path") {
+    val tag = "pr_parity_" + java.lang.Long.toHexString(System.nanoTime())
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val b = li.select((col("l_suppkey").cast("long") * 2).as("src"),
+      (col("l_partkey").cast("long") * 2 + 1).as("dst")).distinct()
+    val edges = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+    try {
+      val bucketed = PageRank.pageRankBucketed(spark, edges, "src", "dst",
+        iterations = 3, namePrefix = tag, buckets = 8)
+      val plain = PageRank.pageRank(edges, "src", "dst", iterations = 3)
+      // exact integer arithmetic: the two paths must agree on every row
+      assert(bucketed.count() > 0)
+      assert(bucketed.exceptAll(plain).isEmpty &&
+        plain.exceptAll(bucketed).isEmpty)
+    } finally PageRank.dropBucketedTables(spark, tag)
+  }
 }
 
 class ScdSpec extends SparkSpec {

@@ -300,4 +300,35 @@ class VectorOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(0)).toSet == truth)
   }
+
+  test("adversarial all-near-duplicate corpus: the triangle-split guard bounds " +
+      "hot-bucket pair tasks and is bit-identical to the unsplit join") {
+    // every vector is a near-duplicate of every other (several EXACT
+    // duplicates included) → one hot LSH bucket that extra signature
+    // bits cannot split: identical vectors share every hyperplane sign.
+    // This is the O(bucket²) worst case the guard exists for.
+    val vecs = (0L until 300L).map { i =>
+      (i, "b", Seq(1f, (i % 7).toFloat * 1e-4f, (i % 13).toFloat * 1e-4f, 0f))
+    }
+    val df = vecs.toDF("id", "label", "vec")
+    // exactness of the split: pair set identical to the unguarded join
+    val guarded = VectorOps.nearDupCosine(df, "id", "vec", "label", 0.99,
+      maxBlock = 50)
+    val plain = VectorOps.nearDupCosine(df, "id", "vec", "label", 0.99)
+    assert(guarded.exceptAll(plain).isEmpty && plain.exceptAll(guarded).isEmpty)
+    assert(guarded.count() == 300L * 299 / 2) // all pairs qualify
+
+    // end-to-end under semanticDedup's guard: everything but the global
+    // minimum id is removed, and the result matches the unguarded run
+    val emb = vecs.map { case (i, _, v) => (i, v) }.toDF("vec_id", "embedding")
+    val dedupGuarded = VectorOps.semanticDedup(emb, "vec_id", "embedding",
+      dim = 4, nBits = 4, threshold = 0.99, maxBucket = 50)
+    val dedupPlain = VectorOps.semanticDedup(emb, "vec_id", "embedding",
+      dim = 4, nBits = 4, threshold = 0.99, maxBucket = Long.MaxValue)
+    val got = dedupGuarded.collect()
+    assert(got.map(_.getLong(0)).toSet == (1L until 300L).toSet)
+    got.foreach(r => assert(r.getLong(1) == 0L, s"kept_id != 0: $r"))
+    assert(dedupGuarded.exceptAll(dedupPlain).isEmpty &&
+      dedupPlain.exceptAll(dedupGuarded).isEmpty)
+  }
 }

@@ -102,6 +102,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pageRank bucketed path: the per-iteration join has zero Exchange on either side") {
+    import graft.ops.PageRank
+    val tag = "pr_plan_" + java.lang.Long.toHexString(System.nanoTime())
+    val li = Tables.lineitem(spark, sf)
+    val b = li.select(col("l_suppkey").cast("long").as("src"),
+      col("l_partkey").cast("long").as("dst")).distinct()
+    val edges = b.union(b.select(col("dst").as("src"), col("src").as("dst")))
+    try {
+      // stages <tag>_edges bucketed by src and <tag>_rank_1 bucketed by node
+      PageRank.pageRankBucketed(spark, edges, "src", "dst",
+        iterations = 1, namePrefix = tag, buckets = 8).count()
+      val iter = PageRank.bucketedIteration(spark, s"${tag}_edges",
+        s"${tag}_rank_1", teleport = 150000L, dampingNum = 850L,
+        dampingDen = 1000L)
+      val p = iter.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // everything under the join (children print after it) must be
+      // exchange-free: both sides are consumed bucket-in-place; the only
+      // Exchange in the whole iteration is the dst mass aggregation ABOVE
+      // the join — the irreducible PageRank traffic
+      val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange"),
+        s"bucketed PageRank join still shuffles:\n$p")
+      assert("Exchange".r.findAllIn(p).size == 1, p)
+      assert(iter.count() > 0)
+    } finally PageRank.dropBucketedTables(spark, tag)
+  }
+
   private def extPlan(name: String): String =
     Extended.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
