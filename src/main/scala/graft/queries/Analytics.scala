@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops._
+
+/** Round-5 registry extension: graph analytics (exact triangle count),
+  * robust statistics (median/MAD outlier gate), and the k-means
+  * assignment step on integer-quantized embeddings (the clustering pass
+  * SemDeDup-style curation runs before semantic dedup).
+  *
+  * Same conventions as [[Registry]]: identical aliases both sides,
+  * deterministic total-order ORDER BY, exact integer arithmetic wherever
+  * a result crosses the hash gate.
+  */
+object Analytics {
+
+  type Q = Registry.Q
+
+  // ----------------------------------------------------- triangle count
+
+  /** Exact triangle count ([[Graph.triangleCount]]) over a
+    * scale-proportional deterministic graph derived from lineitem
+    * (N = distinct orderkeys keeps average degree constant as sf grows,
+    * so edges stay linear in the data — the shape a real web/citation
+    * graph sweep has). The node-count scalar is a broadcast 1-row frame,
+    * not a driver collect. Oracle counts each id-ordered triangle
+    * (a<b<c) once via two equi-joins.
+    */
+  private val triangleCountQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val nn = li.agg(countDistinct(col("l_orderkey")).as("nn"))
+    val edges = li.crossJoin(broadcast(nn))
+      .select((col("l_orderkey") % col("nn")).as("x"),
+        ((expr("l_orderkey div 7") + col("l_linenumber") * 131) % col("nn"))
+          .as("y"))
+    Graph.triangleCount(edges, "x", "y")
+  }
+  private val triangleCountSql =
+    """WITH n AS (SELECT count(DISTINCT l_orderkey) AS nn FROM lineitem),
+      |raw AS (
+      |  SELECT l_orderkey % nn AS x,
+      |         (l_orderkey // 7 + l_linenumber * 131) % nn AS y
+      |  FROM lineitem, n),
+      |e AS (
+      |  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+      |  FROM raw WHERE x <> y),
+      |nodes AS (SELECT lo AS node FROM e UNION SELECT hi FROM e)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      |       (SELECT CAST(count(*) AS BIGINT)
+      |        FROM e ab JOIN e bc ON ab.hi = bc.lo
+      |        JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi) AS n_triangles""".stripMargin
+
+  // ------------------------------------------------- median/MAD outliers
+
+  /** Robust outlier gate per group: median + MAD (median absolute
+    * deviation), then count rows beyond 2×MAD — the quality-filter form
+    * that survives heavy-tailed columns where mean/stddev gates drown
+    * (a data-quality pass over document lengths or loss values at 100 TB
+    * uses exactly this shape). Both medians are EXACT; they are rounded
+    * to 4 decimals BEFORE the comparison so the outlier predicate
+    * compares bit-identical doubles on both engines (the raw
+    * interpolated medians agree only to ~1 ulp). Two scan+agg passes
+    * (MAD needs the median first) + one broadcast of the 3-row stats —
+    * the minimal shape for exact MAD.
+    */
+  private val madOutliersQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val price = col("l_extendedprice")
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("adev", abs(price - col("med")))
+    val mad = dev.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("adev") > col("mad") * 2.0, 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("l_returnflag"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val madOutliersSql =
+    """WITH s AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |         round(quantile_cont(l_extendedprice, 0.5), 4) AS med
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT li.l_returnflag, abs(l_extendedprice - med) AS adev
+      |  FROM lineitem li JOIN s ON li.l_returnflag = s.l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, round(quantile_cont(adev, 0.5), 4) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT s.l_returnflag, n, med, mad,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM d
+      |        WHERE d.l_returnflag = s.l_returnflag
+      |          AND adev > mad * 2.0) AS n_outliers
+      |FROM s JOIN m ON s.l_returnflag = m.l_returnflag
+      |ORDER BY s.l_returnflag""".stripMargin
+
+  // ------------------------------------------- k-means assignment step
+
+  /** One Lloyd iteration's assignment + partial-centroid step over
+    * int-quantized embeddings (k-means is the clustering stage a
+    * SemDeDup-style curation pipeline runs before intra-cluster dedup).
+    * Exactness: vectors quantize to integers (the q_quantize_embeddings
+    * formula), distances are exact integer squared-L2, the argmin
+    * tie-breaks by centroid id, and the new-centroid numerators/counts
+    * are exact integer sums — hash-stable at any partitioning. The k
+    * seed centroids (vec_id < k) are a broadcast k-row frame; the
+    * assignment is a map-side broadcast join (no shuffle of the
+    * embedding corpus), and the only exchange is the final
+    * (cluster, pos) rollup — the 100 TB shape, since k·dim partial sums
+    * combine map-side.
+    */
+  private val kmeansStepQ: Q = (s, dir) => {
+    val k = 8
+    def quant(emb: Column): Column = {
+      val sc = array_max(transform(emb, x => abs(x))).cast("double")
+      when(sc === 0, transform(emb, _ => lit(0L)))
+        .otherwise(transform(emb,
+          x => round(x.cast("double") * 127.0 / sc).cast("long")))
+    }
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+    val cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val assigned = q.join(broadcast(cents))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vec_id"), col("qv"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("qv"), col("best.cid").as("cluster"))
+    assigned
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "qval")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("qval")).as("sum_q"), count(lit(1)).as("n"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+  private val kmeansStepSql =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS sc
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    CASE WHEN sc = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding,
+      |                x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / sc) AS BIGINT))
+      |    END AS qv
+      |  FROM s),
+      |ql AS (
+      |  SELECT vec_id, generate_subscripts(qv, 1) - 1 AS pos, unnest(qv) AS qval
+      |  FROM q),
+      |cl AS (SELECT vec_id AS cid, pos, qval AS cval FROM ql WHERE vec_id < 8),
+      |d AS (
+      |  SELECT v.vec_id, c.cid,
+      |         sum((v.qval - c.cval) * (v.qval - c.cval)) AS d2
+      |  FROM ql v JOIN cl c ON v.pos = c.pos
+      |  GROUP BY 1, 2),
+      |a AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d) WHERE rn = 1)
+      |SELECT cluster, CAST(pos AS INTEGER) AS pos,
+      |       CAST(sum(qval) AS BIGINT) AS sum_q,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM a JOIN ql USING (vec_id)
+      |GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_triangle_count", triangleCountQ, Some(triangleCountSql)),
+    ("q_mad_outliers", madOutliersQ, Some(madOutliersSql)),
+    ("q_kmeans_step", kmeansStepQ, Some(kmeansStepSql)))
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+
+  val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

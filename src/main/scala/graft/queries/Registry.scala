@@ -940,29 +940,33 @@ object Registry {
     val approx = li.agg(
       percentile_approx(price, typedLit(Seq(0.5, 0.9, 0.99)), lit(acc))
         .as("est"))
-    val exact = li.agg(
-      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
-      round(expr("percentile(l_extendedprice, 0.9)"), 4).as("exact_p90"),
-      round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"))
-    // one conditional-count pass bounds every estimate's rank interval
-    val ranks = li.crossJoin(broadcast(approx)).agg(
-      count(lit(1)).as("n"),
-      Seq(1, 2, 3).flatMap { i =>
-        Seq(
-          sum(when(price < element_at(col("est"), i), 1L).otherwise(0L))
-            .as(s"lo$i"),
-          sum(when(price <= element_at(col("est"), i), 1L).otherwise(0L))
-            .as(s"hi$i"))
-      }: _*)
+    // ONE second pass carries everything downstream: the exact
+    // interpolated percentiles AND the conditional counts bounding each
+    // estimate's rank interval (three separate passes benched 5.1 s at
+    // sf0.1 — the estimates are a broadcast 1-row frame, so all the
+    // per-row work fuses into a single scan+agg)
+    val aggs: Seq[Column] =
+      expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ex") +:
+        Seq(1, 2, 3).flatMap { i =>
+          Seq(
+            sum(when(price < element_at(col("est"), i), 1L).otherwise(0L))
+              .as(s"lo$i"),
+            sum(when(price <= element_at(col("est"), i), 1L).otherwise(0L))
+              .as(s"hi$i"))
+        }
+    val ranks = li.crossJoin(broadcast(approx))
+      .agg(count(lit(1)).as("n"), aggs: _*)
     def ok(i: Int, p: Double) = {
       val tol = col("n") / lit(acc) + lit(1.0)
       val target = col("n") * lit(p)
       (col(s"lo$i") + 1 <= target + tol && col(s"hi$i") >= target - tol)
         .as(s"p${(p * 100).toInt}_ok")
     }
-    ranks.crossJoin(exact) // two 1-row frames
-      .select(col("exact_p50"), col("exact_p90"), col("exact_p99"),
-        col("n"), ok(1, 0.5), ok(2, 0.9), ok(3, 0.99))
+    ranks.select(
+      round(element_at(col("ex"), 1), 4).as("exact_p50"),
+      round(element_at(col("ex"), 2), 4).as("exact_p90"),
+      round(element_at(col("ex"), 3), 4).as("exact_p99"),
+      col("n"), ok(1, 0.5), ok(2, 0.9), ok(3, 0.99))
   }
   private val quantileSketchSql =
     """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,

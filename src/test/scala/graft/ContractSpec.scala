@@ -4,7 +4,8 @@ class ContractSpec extends SparkSpec {
     // iterate the entries Seqs, not the derived Maps — .toMap silently
     // collapses a within-registry duplicate before any Map-level check
     val entrySeqs = Seq(graft.queries.Registry.entries,
-      graft.queries.Extended.entries, graft.queries.Corpus.entries)
+      graft.queries.Extended.entries, graft.queries.Corpus.entries,
+      graft.queries.Analytics.entries)
     val all = entrySeqs.flatMap(_.map(_._1))
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")

@@ -406,3 +406,31 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got == Set(("d", 2), ("e", 3)))
   }
 }
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = Graph.triangleCount(edges.toDF("s", "d"), "s", "d").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangleCount: hand-computed graphs") {
+    // K4 has C(4,3)=4 triangles
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(tri(k4) == ((4L, 6L, 4L)))
+    // a path has none
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 0L)))
+    // K4 + pendant vertex: same 4 triangles, one more node/edge
+    assert(tri(k4 :+ (3L, 9L)) == ((5L, 7L, 4L)))
+    // duplicate / reversed / self-loop edges don't change the count
+    assert(tri(k4 ++ Seq((1L, 0L), (2L, 2L), (0L, 1L))) == ((4L, 6L, 4L)))
+  }
+
+  test("triangleCount: a hub star plus one closing edge counts exactly 1") {
+    // degree-ordered orientation: the hub (high degree) never fans out
+    val star = (1L to 40L).map(i => (0L, i))
+    assert(tri(star) == ((41L, 40L, 0L)))
+    assert(tri(star :+ (1L, 2L)) == ((41L, 41L, 1L)))
+  }
+}

@@ -391,4 +391,54 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
     assert(!p.contains("SinglePartition"), p)
   }
+  private def anPlan(name: String): String =
+    Analytics.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("triangle count: equi-joins only — no cartesian or nested-loop anywhere") {
+    val p = anPlan("q_triangle_count")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only nested-loop is the 1-row node-count scalar broadcast; the
+    // wedge and closing-edge joins must be hash/merge equi-joins
+    assert(p.contains("Join") && (p.contains("HashJoin") || p.contains("SortMergeJoin")))
+    assert(p.contains("LeftSemi"), "closing-edge probe must be a semi join")
+  }
+
+  test("k-means step: corpus joins centroids broadcast; partial sums combine map-side") {
+    val p = anPlan("q_kmeans_step")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "the embedding corpus must not shuffle to meet centroids")
+    // (cluster, pos) rollup aggregates partially before its exchange
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("MAD outliers: group stats broadcast back to the fact side") {
+    val p = anPlan("q_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "3-row stats frames must broadcast, not shuffle lineitem")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sel = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = Tables.lineitem(spark, sf).join(sel, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"runtime bloom filter did not inject:\n${p.take(2000)}")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
 }
