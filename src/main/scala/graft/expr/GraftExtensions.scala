@@ -92,7 +92,15 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         // the analyzer wraps a bare AggregateFunction in Complete mode
         FreqItemsAgg(args.head,
-          literalInt("freq_items_sketch", "capacity", args, 2, 1))))
+          literalInt("freq_items_sketch", "capacity", args, 2, 1))),
+    (FunctionIdentifier("cms_estimate"),
+      info("graft.expr.CmsEstimate", "cms_estimate",
+        "cms_estimate(sketch binary, item string|bigint) -> bigint"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cms_estimate expects 2 arguments, got ${args.length}")
+        CmsEstimate(args.head, args(1))
+      }))
 
   /** Imperative registration into an existing session: the same FUNCTIONS
     * the extension injects at build time, plus the RoundRoundFold peephole

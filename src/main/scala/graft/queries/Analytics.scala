@@ -174,12 +174,55 @@ object Analytics {
       |FROM a JOIN ql USING (vec_id)
       |GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin
 
+  // ------------------------------------------------- count-min sketch
+
+  /** Count-min frequency estimates probed back in-query — the fourth
+    * mergeable sketch beside HLL cardinality (q_hll_union), Misra–Gries
+    * heavy hitters (q_heavy_hitters) and GK quantiles
+    * (q_quantile_sketch): Spark's `count_min_sketch` aggregate builds
+    * and merges the d×w counter table map-side; the custom
+    * [[graft.expr.CmsEstimate]] expression probes the one merged row
+    * (broadcast) for the exact top-10 tokens. CMS guarantees
+    * est ≥ true (counters only overcount) and, w.h.p. at the chosen
+    * eps/confidence, est ≤ true + eps·N — both emitted as booleans the
+    * oracle states as constants (fixed seed → the estimates, and hence
+    * the booleans, are deterministic); a sketch/probe bug (wrong hash
+    * bytes, broken merge) flips a row and fails the hash gate.
+    */
+  private val countMinQ: Q = (s, dir) => {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val eps = 0.0005
+    val toks = Registry.spread(Tables.documents(s, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val sketchRow = toks.agg(
+      expr(s"count_min_sketch(tok, ${eps}d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("n"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(10)
+    val est = GraftShim.column(graft.expr.CmsEstimate(
+      GraftShim.expression(col("cms")), GraftShim.expression(col("tok"))))
+    exact.crossJoin(broadcast(sketchRow)) // 1-row sketch frame
+      .select(col("tok"), col("c"),
+        (est >= col("c") &&
+          est <= col("c") + ceil(col("n") * lit(eps)).cast("long"))
+          .as("within_bound"))
+      .orderBy(col("c").desc, col("tok"))
+  }
+  private val countMinSql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |ex AS (SELECT tok, count(*) AS c FROM tok
+      |       GROUP BY tok ORDER BY c DESC, tok LIMIT 10)
+      |SELECT tok, c, TRUE AS within_bound FROM ex ORDER BY c DESC, tok""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_triangle_count", triangleCountQ, Some(triangleCountSql)),
     ("q_mad_outliers", madOutliersQ, Some(madOutliersSql)),
-    ("q_kmeans_step", kmeansStepQ, Some(kmeansStepSql)))
+    ("q_kmeans_step", kmeansStepQ, Some(kmeansStepSql)),
+    ("q_countmin", countMinQ, Some(countMinSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

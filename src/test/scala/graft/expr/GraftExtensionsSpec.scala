@@ -44,7 +44,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // session; assert the extension wires every registered function
     val ids = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(ids == Set("simhash64", "simhash_md5", "minhash_sig",
-      "dot_product", "cosine_similarity", "freq_items_sketch"))
+      "dot_product", "cosine_similarity", "freq_items_sketch",
+      "cms_estimate"))
   }
 
   test("freq_items_sketch is callable from SQL and matches the Column path") {
@@ -159,5 +160,36 @@ class GraftExtensionsSpec extends SparkSpec {
       val off = GraftRules.WindowTopKToAggregate(plan)
       assert(off.fastEquals(plan), "disabled rule must be the identity")
     } finally spark.conf.unset(GraftRules.WindowTopKToAggregate.EnabledKey)
+  }
+}
+
+class CmsEstimateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cms_estimate: exact on a small corpus, never undercounts, SQL-registered") {
+    GraftExtensions.register(spark)
+    // 1000 tokens over 50 distinct values — far under the sketch width,
+    // so every estimate is exact
+    val toks = (0 until 1000).map(i => s"tok_${i % 50}").toDF("t")
+    toks.createOrReplaceTempView("cms_toks")
+    val rows = spark.sql(
+      """WITH sk AS (SELECT count_min_sketch(t, 0.001d, 0.99d, 42) AS s
+        |            FROM cms_toks)
+        |SELECT t, count(*) AS c, any_value(cms_estimate(s, t)) AS est
+        |FROM cms_toks, sk GROUP BY t""".stripMargin).collect()
+    assert(rows.length == 50)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(1), r.toString))
+    // bigint item path
+    val lrow = spark.sql(
+      """SELECT cms_estimate(count_min_sketch(x, 0.01d, 0.9d, 7), 3L) AS e
+        |FROM (SELECT CAST(id % 5 AS BIGINT) AS x FROM range(100))""".stripMargin)
+      .head()
+    assert(lrow.getLong(0) == 20L)
+  }
+
+  test("cms_estimate: wrong arity fails at analysis with a descriptive error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT cms_estimate(CAST('x' AS BINARY))").collect())
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
   }
 }
