@@ -91,11 +91,19 @@ object Bench {
     catch { case _: java.io.IOException => () }
 
   /** The benchmark loop, factored for tests: min-of-`reps` per query with
-    * a per-rep watchdog; a query whose FIRST rep fails (error or timeout)
-    * is recorded -1 and skipped — later reps of a wedged query would
-    * stall the run 3×, and a steady-state rep after a failed warmup rep
-    * isn't comparable anyway. `onQuery` fires after each query with the
-    * running summary line (Bench.main persists it; tests observe it).
+    * a per-rep watchdog. Stall policy (two observed box stalls hit two
+    * DIFFERENT queries in consecutive runs — one of them on its THIRD rep
+    * after a clean 1.2 s first rep, so a timed-out rep is evidence about
+    * the box, not the query):
+    *   - a rep that times out AFTER a successful rep is absorbed — the
+    *     query keeps the min of its successful reps, no error recorded,
+    *     no further reps attempted (the cancellation already cost ~60 s);
+    *   - a FIRST rep that times out is retried once (transient stall →
+    *     the retry succeeds and benching continues normally); only a
+    *     query whose first rep times out twice — or throws — is recorded
+    *     -1 with an error. Worst case per query stays ≤ 2×timeout.
+    * `onQuery` fires after each query with the running summary line
+    * (Bench.main persists it; tests observe it).
     */
   def run(spark: SparkSession, queries: Seq[String],
           runOne: String => Unit, sfDir: String,
@@ -105,11 +113,21 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     queries.foreach { name =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
-      var failed = false
-      (1 to reps).foreach { rep =>
-        if (!failed) timedRep(spark, name, rep, timeoutMs)(runOne(name)) match {
-          case Right(sec) => times += sec
-          case Left(msg) => errors(name) = msg; failed = true
+      var stop = false
+      var rep = 1
+      var firstRepRetried = false
+      while (!stop && rep <= reps) {
+        timedRep(spark, name, rep, timeoutMs)(runOne(name)) match {
+          case Right(sec) => times += sec; rep += 1
+          case Left(msg) if msg.startsWith("timeout") && times.nonEmpty =>
+            // transient box stall mid-query: keep what we measured
+            System.err.println(s"[bench] $name rep $rep timeout absorbed " +
+              s"(min of ${times.size} successful reps stands)")
+            stop = true
+          case Left(msg) if msg.startsWith("timeout") && !firstRepRetried =>
+            System.err.println(s"[bench] $name rep $rep timeout — retrying once")
+            firstRepRetried = true // retry rep 1 exactly once
+          case Left(msg) => errors(name) = msg; stop = true
         }
       }
       results += name -> (if (times.isEmpty) -1.0 else times.min)
