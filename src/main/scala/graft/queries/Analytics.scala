@@ -216,13 +216,151 @@ object Analytics {
       |       GROUP BY tok ORDER BY c DESC, tok LIMIT 10)
       |SELECT tok, c, TRUE AS within_bound FROM ex ORDER BY c DESC, tok""".stripMargin
 
+  // ------------------------------------------------- PMI bigram scoring
+
+  /** Pointwise mutual information over adjacent-token bigrams — the
+    * phrase/collocation detector a corpus-curation pass runs before
+    * tokenizer training. All counts come from ONE bigram table
+    * (c(ab), first-token marginal, second-token marginal, N), so the
+    * score is self-consistent; the log lands in fixed-point micro-nats
+    * (the q_quality_logprob pattern) so the hash gate compares integers.
+    * Bigrams are built map-side from the token array (two slices zipped
+    * — no self-join, no shuffle until the count); marginals are two
+    * keyed aggs joined back. min-count ≥ 5 kills the singleton-pair
+    * noise PMI is notorious for; top-20 with total-order tie-break.
+    */
+  private val pmiBigramsQ: Q = (s, dir) => {
+    val t = TextOps.tokens(col("text"))
+    val bigrams = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(array())
+    val bg = Registry.spread(Tables.documents(s, dir))
+      .select(explode(bigrams).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .withColumn("b", substring_index(col("bg"), " ", -1))
+    val n = bg.agg(sum(col("c")).as("n"))
+    val ca = bg.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val cb = bg.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    bg.filter(col("c") >= 5)
+      .join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
+      .select(col("bg"), col("c"),
+        round(log(col("c").cast("double") * col("n") /
+          (col("ca") * col("cb"))) * 1e6).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bg"))
+      .limit(20)
+  }
+  private val pmiBigramsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |        FROM documents)),
+      |bg AS (
+      |  SELECT x.t AS a, y.t AS b, x.t || ' ' || y.t AS bg, count(*) AS c
+      |  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+      |  GROUP BY 1, 2, 3),
+      |n AS (SELECT sum(c) AS n FROM bg),
+      |ca AS (SELECT a, sum(c) AS ca FROM bg GROUP BY a),
+      |cb AS (SELECT b, sum(c) AS cb FROM bg GROUP BY b)
+      |SELECT bg.bg, CAST(bg.c AS BIGINT) AS c,
+      |  CAST(round(ln(CAST(bg.c AS DOUBLE) * n.n / (ca.ca * cb.cb)) * 1e6)
+      |       AS BIGINT) AS pmi_micro
+      |FROM bg JOIN ca USING (a) JOIN cb USING (b), n
+      |WHERE bg.c >= 5
+      |ORDER BY pmi_micro DESC, bg LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- per-doc token entropy
+
+  /** Unigram entropy per document in fixed-point micro-nats — the
+    * repetition/diversity quality signal next to q_quality_logprob's
+    * corpus-level perplexity proxy: low entropy flags boilerplate and
+    * keyboard-mash, independent of WHICH tokens appear. Exactness: each
+    * (doc, token) term rounds ln(c_i) to integer micro-nats BEFORE the
+    * weighted sum, so the aggregation is exact integer arithmetic at any
+    * partitioning: e_micro = round(ln(L)·1e6) − (Σ c_i·round(ln(c_i)·1e6)) div L.
+    * One explode + one (doc, tok) agg + one doc agg — combiner-friendly
+    * keyed shuffles only.
+    */
+  private val tokenEntropyQ: Q = (s, dir) => {
+    val perTok = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("c") * round(log(col("c").cast("double")) * 1e6).cast("long"))
+          .as("w"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        (round(log(col("n_tokens").cast("double")) * 1e6).cast("long") -
+          expr("w div n_tokens")).as("entropy_micro"))
+      .orderBy(col("doc_id"))
+  }
+  private val tokenEntropySql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |ct AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS distinct_tokens,
+      |  CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1e6) AS BIGINT) -
+      |    CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))
+      |         AS BIGINT) // CAST(sum(c) AS BIGINT) AS entropy_micro
+      |FROM ct GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- winsorization
+
+  /** Percentile winsorization (clip at p01/p99) per group — the robust
+    * preprocessing step beside the MAD gate: heavy-tail values are
+    * CLAMPED, not dropped, so totals stay comparable. Bounds are exact
+    * interpolated percentiles rounded to 4 decimals BEFORE clipping
+    * (both engines clamp against identical doubles — the q_mad_outliers
+    * contract); clipped sums go through exact decimals. One percentile
+    * pass + one broadcast-join clip pass.
+    */
+  private val winsorizeQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val price = col("l_extendedprice")
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.01)"), 4).as("p01"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("p01"), col("p99"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(price < col("p01"), 1L).otherwise(0L)).as("clipped_low"),
+        sum(when(price > col("p99"), 1L).otherwise(0L)).as("clipped_high"),
+        sum(greatest(least(price, col("p99")), col("p01"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("winsorized_sum"))
+      .select(col("l_returnflag"), col("p01"), col("p99"), col("n"),
+        col("clipped_low"), col("clipped_high"), col("winsorized_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val winsorizeSql =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |         round(quantile_cont(l_extendedprice, 0.01), 4) AS p01,
+      |         round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |  FROM lineitem GROUP BY 1)
+      |SELECT li.l_returnflag, p01, p99, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS clipped_low,
+      |  CAST(sum(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS clipped_high,
+      |  CAST(sum(CAST(greatest(least(l_extendedprice, p99), p01)
+      |                AS DECIMAL(18,4))) AS DOUBLE) AS winsorized_sum
+      |FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+      |GROUP BY 1, 2, 3 ORDER BY li.l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_triangle_count", triangleCountQ, Some(triangleCountSql)),
     ("q_mad_outliers", madOutliersQ, Some(madOutliersSql)),
     ("q_kmeans_step", kmeansStepQ, Some(kmeansStepSql)),
-    ("q_countmin", countMinQ, Some(countMinSql)))
+    ("q_countmin", countMinQ, Some(countMinSql)),
+    ("q_pmi_bigrams", pmiBigramsQ, Some(pmiBigramsSql)),
+    ("q_token_entropy", tokenEntropyQ, Some(tokenEntropySql)),
+    ("q_winsorize", winsorizeQ, Some(winsorizeSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -441,4 +441,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PMI / entropy / winsorize: map-side generation, combiner aggs, broadcast bounds") {
+    val pmi = anPlan("q_pmi_bigrams")
+    assert(pmi.contains("TakeOrderedAndProject"), "top-20 must not total-sort")
+    val ent = anPlan("q_token_entropy")
+    assert(ent.contains("partial_count") || ent.contains("partial_sum") ||
+      ent.contains("Partial"), ent.take(1500))
+    val win = anPlan("q_winsorize")
+    assert(win.contains("BroadcastHashJoin"), win.take(1500))
+    assert(!win.contains("SortMergeJoin"), "3-row bounds must broadcast, not shuffle lineitem")
+  }
+
 }
