@@ -127,15 +127,29 @@ object Analytics {
     }
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), quant(col("embedding")).as("qv"))
+    // ALL centroids travel as one sorted array<struct> in a broadcast
+    // 1-row frame, and the argmin is a map-side fold over it — the corpus
+    // is never shuffled (or even row-multiplied) to meet the centroids.
+    // The k-candidate-rows-per-vector join formulation would ship 8× the
+    // corpus through a hash exchange just to run min_by; at 100 TB the
+    // assignment must stay embarrassingly parallel. array_sort fixes the
+    // fold order (collect_list is partition-ordered), and the strict <
+    // keeps the LOWEST cid on distance ties — same argmin the join form
+    // tie-broke to, exact at any partitioning.
     val cents = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    val assigned = q.join(broadcast(cents))
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-      .groupBy(col("vec_id"), col("qv"))
-      .agg(min(struct(col("d2"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("qv"), col("best.cid").as("cluster"))
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cid"),
+        col("qv").as("cv")))).as("cs"))
+    val best = aggregate(col("cs"),
+      struct(lit(Long.MaxValue).as("d2"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val d2 = aggregate(
+          zip_with(col("qv"), c.getField("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s2, x) => s2 + x)
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), c.getField("cid").as("cid"))).otherwise(acc)
+      })
+    val assigned = q.crossJoin(broadcast(cents)) // 1-row centroid frame
+      .select(col("vec_id"), col("qv"), best.getField("cid").as("cluster"))
     assigned
       .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "qval")))
       .groupBy(col("cluster"), col("pos"))
