@@ -365,6 +365,337 @@ object Analytics {
       |FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
       |GROUP BY 1, 2, 3 ORDER BY li.l_returnflag""".stripMargin
 
+  // ------------------------------------------------------- event funnel
+
+  /** Ordered conversion funnel over the events stream: users who signed
+    * up, then clicked AFTER their first signup, then purchased AFTER
+    * that first qualifying click. The three stage timestamps are
+    * successive window-mins over the SAME `user_id` partitioning, so
+    * Catalyst plans ONE hash exchange feeding three Window operators
+    * (sort reuse) — per-user funnel state never re-shuffles, which is
+    * what lets the shape survive a 100 TB event log: one pass, one
+    * exchange, then a tiny global rollup. Null ordering does the stage
+    * gating for free: `ts > c1` is NULL when the user never reached the
+    * prior stage, the conditional min ignores it, and the stage column
+    * stays NULL — identical semantics in Spark and DuckDB.
+    */
+  private val funnelQ: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .withColumn("s1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("c1",
+        min(when(col("event_type") === "click" && col("ts") > col("s1"),
+          col("ts"))).over(w))
+      .withColumn("p1",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c1"),
+          col("ts"))).over(w))
+      .agg(
+        countDistinct(when(col("s1").isNotNull, col("user_id")))
+          .as("n_signup"),
+        countDistinct(when(col("c1").isNotNull, col("user_id")))
+          .as("n_click_after"),
+        countDistinct(when(col("p1").isNotNull, col("user_id")))
+          .as("n_purchase_after"))
+  }
+  private val funnelSql =
+    """WITH f AS (
+      |  SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s1
+      |  FROM events),
+      |g AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS c1 FROM f),
+      |h AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c1 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS p1 FROM g)
+      |SELECT
+      |  CAST(count(DISTINCT CASE WHEN s1 IS NOT NULL THEN user_id END)
+      |       AS BIGINT) AS n_signup,
+      |  CAST(count(DISTINCT CASE WHEN c1 IS NOT NULL THEN user_id END)
+      |       AS BIGINT) AS n_click_after,
+      |  CAST(count(DISTINCT CASE WHEN p1 IS NOT NULL THEN user_id END)
+      |       AS BIGINT) AS n_purchase_after
+      |FROM h""".stripMargin
+
+  // --------------------------------------------------- cohort retention
+
+  /** Weekly cohort retention: users cohorted by the DATE of their first
+    * event, counted distinct in each subsequent week-offset bucket.
+    * Day-granularity cohorts sidestep week-truncation locale semantics
+    * entirely (integer day arithmetic is identical everywhere). One
+    * exchange for the per-user first-event window, one for the
+    * (cohort, offset) distinct-count rollup — both map-side partial.
+    */
+  private val cohortRetentionQ: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .withColumn("first_ts", min(col("ts")).over(w))
+      .select(
+        to_date(col("first_ts")).as("cohort_day"),
+        floor(datediff(to_date(col("ts")), to_date(col("first_ts"))) / 7)
+          .cast("long").as("week_off"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("week_off"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("week_off"))
+  }
+  private val cohortRetentionSql =
+    """WITH f AS (
+      |  SELECT user_id, ts,
+      |         min(ts) OVER (PARTITION BY user_id) AS first_ts
+      |  FROM events)
+      |SELECT CAST(first_ts AS DATE) AS cohort_day,
+      |       CAST(date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE))
+      |            // 7 AS BIGINT) AS week_off,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------- exact time-decay sums
+
+  /** Exponentially time-decayed value sums per event type (half-life =
+    * 1 day), computed EXACTLY in fixed point: values are cent-integers,
+    * the decay weight 2^-age becomes the integer 2^(30-age) (ages span
+    * ≤30 days in this corpus), and the per-type numerator is an exact
+    * Long sum — bit-identical at any partitioning, no float-order
+    * drift across the hash gate. The readable `decayed_sum` is derived
+    * from that exact numerator by one deterministic double division.
+    * The global max-date anchor is a broadcast 1-row frame; the only
+    * data exchange is the per-type rollup, map-side combinable.
+    */
+  private val timeDecayQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val maxd = ev.agg(max(to_date(col("ts"))).as("maxd"))
+    ev.crossJoin(broadcast(maxd))
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        datediff(col("maxd"), to_date(col("ts"))).as("age_days"))
+      .select(col("event_type"),
+        (col("cents") *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age_days AS INT))"))
+          .as("num"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("num")).as("decay_num"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("decay_num"), col("n"),
+        round(col("decay_num").cast("double") / lit(1073741824.0)
+          / lit(100.0), 4).as("decayed_sum"))
+      .orderBy(col("event_type"))
+  }
+  private val timeDecaySql =
+    """WITH m AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+      |r AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT)
+      |      * (CAST(1 AS BIGINT)
+      |         << CAST(30 - date_diff('day', CAST(ts AS DATE), maxd)
+      |                 AS INT)) AS num
+      |  FROM events, m)
+      |SELECT event_type,
+      |       CAST(sum(num) AS BIGINT) AS decay_num,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+      |             / 1073741824.0 / 100.0, 4) AS decayed_sum
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ BM25 retrieval
+
+  /** BM25 (k1=1.2, b=0.75) document scoring for a fixed term set — the
+    * lexical retrieval scorer contamination/dedup tooling runs beside
+    * embedding search. Everything integer until the final per-term
+    * score: tf/dl come from ONE explode (dl rides the groupBy key, so
+    * no join back to the corpus), df and the (N, total_len) stats are
+    * broadcast 1-row/3-row frames, and each per-(doc,term) score is
+    * rounded to micro units BEFORE the doc sum — exact Long totals
+    * across any partitioning. Every fractional literal is written as an
+    * explicit DOUBLE on the oracle side (DuckDB types bare 0.75 as
+    * DECIMAL, which would change the arithmetic).
+    */
+  private val bm25Q: Q = (s, dir) => {
+    val terms = Seq("spark", "merge", "filter")
+    val docs = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).as("nd"),
+      sum(col("dl")).as("tl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log((col("nd").cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+        col("nd").cast("double") / col("tl").cast("double"))
+    tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(lit(1e6) * idf * col("tf").cast("double") * lit(2.2) / denom)
+          .cast("long").as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("bm25_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+  private val bm25Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+      |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+      |  WHERE tok IN ('spark', 'merge', 'filter')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+      |SELECT doc_id,
+      |  CAST(sum(CAST(round(
+      |    CAST(1e6 AS DOUBLE) *
+      |    ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) /
+      |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |       + CAST(1.0 AS DOUBLE)) *
+      |    CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+      |    (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |     (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+      |      CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(tl AS DOUBLE))))
+      |    AS BIGINT)) AS BIGINT) AS bm25_micro,
+      |  CAST(count(*) AS BIGINT) AS n_terms
+      |FROM tf JOIN df USING (tok), st
+      |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ bigram LM perplexity
+
+  /** Per-document average log-probability under an add-1-smoothed
+    * bigram language model — the CCNet-style quality gate one order up
+    * from q_quality_logprob's unigram. Model terms are self-consistent:
+    * c(w1) is the bigram-START marginal of the one bigram table and V
+    * is the corpus unigram vocabulary. Each bigram's log-prob rounds to
+    * micro-nats BEFORE the per-doc sum (exact integer totals at any
+    * partitioning); docs shorter than 2 tokens have no bigrams and drop
+    * on both sides. Shapes: bigrams build map-side (zipped slices);
+    * count + marginal are combiner-friendly keyed aggs; the enrich join
+    * is vocab-sized; the doc join is the one corpus-sized shuffle.
+    */
+  private val bigramLmQ: Q = (s, dir) => {
+    val t = TextOps.tokens(col("text"))
+    val bigrams = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(array())
+    val base = Registry.spread(Tables.documents(s, dir))
+    val docBg = base.select(col("doc_id"), explode(bigrams).as("bg"))
+    val bgCounts = docBg.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val ca = bgCounts.groupBy(col("w1")).agg(sum(col("cab")).as("ca"))
+    val vocab = base
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val enriched = bgCounts.join(ca, "w1")
+    docBg.join(enriched, "bg").crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("cab").cast("double") + lit(1.0)) /
+          (col("ca").cast("double") + col("v").cast("double"))) * 1e6)
+          .cast("long").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("slp div n_bigrams").as("avg_lp_micro"))
+      .orderBy(col("doc_id"))
+  }
+  private val bigramLmSql =
+    """WITH tok AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |        FROM documents)),
+      |dbg AS (
+      |  SELECT x.doc_id, x.t || ' ' || y.t AS bg, x.t AS w1
+      |  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1),
+      |bgc AS (SELECT bg, w1, count(*) AS cab FROM dbg GROUP BY 1, 2),
+      |ca AS (SELECT w1, CAST(sum(cab) AS BIGINT) AS ca FROM bgc GROUP BY 1),
+      |v AS (SELECT count(DISTINCT t) AS v FROM tok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CAST(round(
+      |    ln((CAST(cab AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+      |       (CAST(ca AS DOUBLE) + CAST(v AS DOUBLE))) * 1e6)
+      |    AS BIGINT)) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_lp_micro
+      |FROM dbg JOIN bgc USING (bg) JOIN ca ON bgc.w1 = ca.w1, v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- Poisson bootstrap CI
+
+  /** Distributed bootstrap confidence interval for the mean via the
+    * Poisson(1) approximation — the only bootstrap that works at
+    * 100 TB, since resampling-with-replacement across partitions is
+    * impossible but independent per-row Poisson weights are map-side.
+    * Fully deterministic AND engine-exact: the per-(row, replicate)
+    * uniform draw is the md5 prefix compared LEXICOGRAPHICALLY against
+    * hardcoded 12-hex-digit CDF thresholds (floor(cdf·16^12) in hex) —
+    * no float parsing, no hex→int conversion, identical in any engine
+    * that has md5. Replicate sums are exact Longs in milli-cents; the
+    * CI is exact rank selection (2nd / 63rd of 64 sorted replicate
+    * means). One pass: explode ×64 map-side, 64-group combiner agg.
+    */
+  private val bootstrapCiQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val h = substring(md5(concat_ws("|", col("l_orderkey"),
+      col("l_linenumber"), col("l_partkey"), col("rep"))), 1, 12)
+    val w = when(h < "5e2d58d8b3bc", 0L).when(h < "bc5ab1b16779", 1L)
+      .when(h < "eb715e1dc158", 2L).when(h < "fb23979734a2", 3L)
+      .when(h < "ff1025f59174", 4L).otherwise(5L)
+    val reps = li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("cents"),
+        explode(sequence(lit(0), lit(63))).as("rep"))
+      .withColumn("w", w)
+      .groupBy(col("rep"))
+      .agg(sum(col("w") * col("cents")).as("ws"), sum(col("w")).as("wn"))
+      .select(expr("(ws * 1000) div wn").as("mean_mc"))
+      .agg(sort_array(collect_list(col("mean_mc"))).as("ms"))
+    val full = li.agg(count(lit(1)).as("n"),
+      expr("(sum(cents) * 1000) div count(1)").as("mean_mc"))
+    full.crossJoin(broadcast(reps))
+      .select(col("n"), col("mean_mc"),
+        element_at(col("ms"), 2).as("ci_lo_mc"),
+        element_at(col("ms"), 63).as("ci_hi_mc"),
+        lit(64L).as("n_reps"))
+  }
+  private val bootstrapCiSql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT cents, rep,
+      |    substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey,
+      |                         rep)), 1, 12) AS h
+      |  FROM li, (SELECT unnest(generate_series(0, 63)) AS rep)),
+      |w AS (
+      |  SELECT rep, cents,
+      |    CASE WHEN h < '5e2d58d8b3bc' THEN 0
+      |         WHEN h < 'bc5ab1b16779' THEN 1
+      |         WHEN h < 'eb715e1dc158' THEN 2
+      |         WHEN h < 'fb23979734a2' THEN 3
+      |         WHEN h < 'ff1025f59174' THEN 4
+      |         ELSE 5 END AS w
+      |  FROM r),
+      |m AS (
+      |  SELECT rep,
+      |    CAST(sum(w * cents) AS BIGINT) * 1000
+      |      // CAST(sum(w) AS BIGINT) AS mean_mc
+      |  FROM w GROUP BY rep),
+      |ms AS (SELECT list_sort(list(mean_mc)) AS l FROM m)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM li) AS n,
+      |       (SELECT CAST(sum(cents) AS BIGINT) * 1000
+      |               // CAST(count(*) AS BIGINT) FROM li) AS mean_mc,
+      |       l[2] AS ci_lo_mc, l[63] AS ci_hi_mc,
+      |       CAST(64 AS BIGINT) AS n_reps
+      |FROM ms""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -374,7 +705,13 @@ object Analytics {
     ("q_countmin", countMinQ, Some(countMinSql)),
     ("q_pmi_bigrams", pmiBigramsQ, Some(pmiBigramsSql)),
     ("q_token_entropy", tokenEntropyQ, Some(tokenEntropySql)),
-    ("q_winsorize", winsorizeQ, Some(winsorizeSql)))
+    ("q_winsorize", winsorizeQ, Some(winsorizeSql)),
+    ("q_funnel", funnelQ, Some(funnelSql)),
+    ("q_cohort_retention", cohortRetentionQ, Some(cohortRetentionSql)),
+    ("q_time_decay", timeDecayQ, Some(timeDecaySql)),
+    ("q_bm25", bm25Q, Some(bm25Sql)),
+    ("q_bigram_lm", bigramLmQ, Some(bigramLmSql)),
+    ("q_bootstrap_ci", bootstrapCiQ, Some(bootstrapCiSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -413,6 +413,26 @@ class PlanSpec extends SparkSpec {
       "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("funnel: all three stage windows share ONE user_id exchange") {
+    val p = anPlan("q_funnel")
+    // three Window operators, one hashpartitioning(user_id) exchange —
+    // the event log is shuffled exactly once; the two rollup exchanges
+    // move already-aggregated rows
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 3, p.take(2000))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("time decay: 1-row anchor broadcasts; per-type sum combines map-side") {
+    val p = anPlan("q_time_decay")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_sum") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("MAD outliers: group stats broadcast back to the fact side") {
     val p = anPlan("q_mad_outliers")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
