@@ -520,18 +520,22 @@ object Analytics {
       .withColumn("dl", size(col("toks")))
     val stats = docs.agg(count(lit(1)).as("nd"),
       sum(col("dl")).as("tl"))
+    // df as a window over the already-filtered tf frame — NOT a second
+    // aggregation of the tf lineage, which would re-scan the corpus a
+    // third time (stats is the second, unavoidable full pass)
+    import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
     val idf = log((col("nd").cast("double") - col("df") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val denom = col("tf").cast("double") + lit(1.2) *
       (lit(0.25) + lit(0.75) * col("dl").cast("double") *
         col("nd").cast("double") / col("tl").cast("double"))
-    tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
+    tf.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         round(lit(1e6) * idf * col("tf").cast("double") * lit(2.2) / denom)
           .cast("long").as("sc"))

@@ -433,6 +433,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("bm25: two corpus scans only — df is a window over tf, not a re-derive") {
+    val p = anPlan("q_bm25")
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("bootstrap CI: replicate explode is map-side; 64-group agg combines partially") {
+    val p = anPlan("q_bootstrap_ci")
+    // Generate (explode ×64) feeds a partial HashAggregate before the
+    // rep exchange — the corpus multiplies AFTER the scan, never shuffles
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(p.contains("partial_sum") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("bigram LM: no cartesian; doc join is an equi-join on the bigram key") {
+    val p = anPlan("q_bigram_lm")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("MAD outliers: group stats broadcast back to the fact side") {
     val p = anPlan("q_mad_outliers")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
