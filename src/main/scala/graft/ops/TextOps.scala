@@ -258,6 +258,69 @@ object TextOps {
         expr("sum(lp_micro) div count(1)").as("avg_logprob_micro"))
   }
 
+  /** One exact BPE merge iteration's statistics over a tokenized corpus
+    * `(idCol, toksCol: array<string>)` — the inner loop of tokenizer
+    * training: find the most frequent adjacent pair (count desc, pair
+    * asc tie-break) and count the result of applying it greedily
+    * left-to-right per document.
+    *
+    * The greedy non-overlap rule ("a a a" merges positions 0–1, NOT
+    * 1–2) is computed distributively, not as a sequential fold:
+    * candidate starts can only be adjacent when the pair is
+    * self-adjacent (a == b), so candidates form runs, and within a run
+    * exactly the odd-numbered candidates fire. That run-parity is pure
+    * lead/lag/cumsum window arithmetic over the SAME (doc, pos)
+    * ordering — one exchange on the doc key, embarrassingly parallel
+    * across docs, identical in any engine with window functions.
+    *
+    * Returns one row: pair, pair_count, n_merges, tokens_before,
+    * tokens_after (all exact integers; n_merges < pair_count whenever
+    * chains overlap).
+    */
+  def bpeMergeStats(docs: DataFrame, idCol: String, toksCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = when(size(col(toksCol)) >= 2,
+      zip_with(slice(col(toksCol), lit(1), size(col(toksCol)) - 1),
+        slice(col(toksCol), lit(2), size(col(toksCol)) - 1),
+        (a, b) => concat_ws(" ", a, b))).otherwise(array())
+    val top1 = docs.select(explode(bigrams).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("pc"))
+      .orderBy(col("pc").desc, col("bg")).limit(1)
+      .select(substring_index(col("bg"), " ", 1).as("a"),
+        substring_index(col("bg"), " ", -1).as("b"), col("pc"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val cand = docs
+      .select(col(idCol), posexplode(col(toksCol)).as(Seq("pos", "tok")))
+      .crossJoin(broadcast(top1))
+      .withColumn("nxt", lead(col("tok"), 1).over(wOrd))
+      // coalesce: at the doc-final position `nxt` is NULL, which would
+      // make `c` (and everything derived from it) three-valued — the
+      // kept-token branch must see FALSE there, in both engines
+      .withColumn("c",
+        coalesce(col("tok") === col("a") && col("nxt") === col("b"),
+          lit(false)))
+      .withColumn("runStart",
+        col("c") && !coalesce(lag(col("c"), 1).over(wOrd), lit(false)))
+      .withColumn("runId",
+        sum(when(col("runStart"), 1L).otherwise(0L)).over(wOrd))
+    val offset = sum(when(col("c"), 1L).otherwise(0L))
+      .over(Window.partitionBy(col(idCol), col("runId"))
+        .orderBy(col("pos")))
+    val marked = cand
+      .withColumn("active", col("c") && offset % 2 === 1)
+      .withColumn("prevActive",
+        coalesce(lag(col("active"), 1).over(wOrd), lit(false)))
+    marked.agg(
+      max(concat_ws(" ", col("a"), col("b"))).as("pair"),
+      max(col("pc")).as("pair_count"),
+      sum(when(col("active"), 1L).otherwise(0L)).as("n_merges"),
+      count(lit(1)).as("tokens_before"),
+      sum(when(!col("active") && !col("prevActive"), 1L)
+        .otherwise(when(col("active"), 1L).otherwise(0L)))
+        .as("tokens_after"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -700,6 +700,178 @@ object Analytics {
       |       CAST(64 AS BIGINT) AS n_reps
       |FROM ms""".stripMargin
 
+  // --------------------------------------------- stream-static join
+
+  /** Stream–static enrichment
+    * ([[graft.streaming.EventStream.runStreamStaticJoin]]): the event
+    * micro-batch stream broadcast-joins a static tier dimension (no
+    * join state — stateless map-side work per batch) and rolls up
+    * exact integer weighted cents into 6-hour windows. Oracle is the
+    * equivalent batch join + bucketing.
+    */
+  private val streamStaticQ: Q = (s, dir) => {
+    graft.streaming.EventStream
+      .runStreamStaticJoin(s, Registry.stagedStreamDir(dir))
+      .orderBy(col("bucket"), col("tier"))
+  }
+  private val streamStaticSql =
+    """WITH dim(event_type, tier, weight) AS (VALUES
+      |  ('click', 'engage', 2), ('view', 'engage', 1),
+      |  ('purchase', 'convert', 5), ('signup', 'convert', 3),
+      |  ('error', 'ops', 0))
+      |SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, tier,
+      |       count(*) AS cnt,
+      |       CAST(sum(weight * CAST(round(value * 100) AS BIGINT))
+      |            AS BIGINT) AS wsum_cents
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------- join-key skew profile
+
+  /** Join-key distribution profiler — the diagnostic a 100 TB join runs
+    * BEFORE choosing salted vs broadcast vs plain shuffle: per-key
+    * counts bucketed by floor(log2(count)), plus each bucket's share of
+    * total rows in exact ppm. The log2 bucket is `length(bin(c)) - 1` —
+    * pure integer/string ops, identical in every engine (float log2
+    * returns 2.9999… at powers of two and mis-buckets). One
+    * combiner-friendly keyed agg + a bucket rollup of vocab-sized data.
+    */
+  private val keySkewProfileQ: Q = (s, dir) => {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    counts
+      .select((length(bin(col("c"))) - 1).cast("long").as("log2_bucket"),
+        col("c"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_c"))
+      .crossJoin(broadcast(total))
+      .select(col("log2_bucket"), col("n_keys"), col("n_rows"),
+        col("max_c"),
+        expr("(n_rows * 1000000) div total").as("row_share_ppm"))
+      .orderBy(col("log2_bucket"))
+  }
+  private val keySkewProfileSql =
+    """WITH c AS (
+      |  SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c)
+      |SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_bucket,
+      |       CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(sum(c) AS BIGINT) AS n_rows,
+      |       CAST(max(c) AS BIGINT) AS max_c,
+      |       CAST(sum(c) AS BIGINT) * 1000000 // total AS row_share_ppm
+      |FROM c, t GROUP BY 1, total ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- negative-pair mining
+
+  /** Deterministic negative sampling for contrastive training: each doc
+    * draws K=4 pseudo-random partners via a modular hash ring
+    * (Knuth-multiplicative over doc_id and the replicate index), with a
+    * +1 step past self-collisions. "Random access" at 100 TB is an
+    * EQUI-JOIN on the derived partner id — the ids compute map-side,
+    * the join shuffles once on doc_id, and no row ever does a
+    * driver-side lookup. The corpus stats frame (n_docs) broadcasts.
+    */
+  private val negativePairsQ: Q = (s, dir) => {
+    val docs = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_chars"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val raw = (col("doc_id") * lit(2654435761L) + col("rep") * lit(40503L)
+      + lit(7L)) % col("nd")
+    val cand = docs.crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("nd"),
+        explode(sequence(lit(0L), lit(3L))).as("rep"))
+      .withColumn("neg_id",
+        when(raw === col("doc_id"), (raw + 1) % col("nd")).otherwise(raw))
+    cand.join(docs.select(col("doc_id").as("neg_id"),
+        col("n_chars").as("neg_chars")), "neg_id")
+      .select(col("doc_id"), col("rep"), col("neg_id"), col("neg_chars"))
+      .orderBy(col("doc_id"), col("rep"))
+  }
+  private val negativePairsSql =
+    """WITH nd AS (SELECT count(*) AS nd FROM documents),
+      |cand AS (
+      |  SELECT doc_id, rep,
+      |    CASE WHEN (doc_id * 2654435761 + rep * 40503 + 7) % nd = doc_id
+      |         THEN ((doc_id * 2654435761 + rep * 40503 + 7) % nd + 1) % nd
+      |         ELSE (doc_id * 2654435761 + rep * 40503 + 7) % nd
+      |    END AS neg_id
+      |  FROM documents, nd, (SELECT unnest(generate_series(0, 3)) AS rep))
+      |SELECT c.doc_id, CAST(c.rep AS BIGINT) AS rep,
+      |       CAST(c.neg_id AS BIGINT) AS neg_id,
+      |       d.n_chars AS neg_chars
+      |FROM cand c JOIN documents d ON d.doc_id = c.neg_id
+      |ORDER BY c.doc_id, c.rep""".stripMargin
+
+  // ------------------------------------------------- BPE merge step
+
+  /** One exact BPE merge iteration — the inner loop of tokenizer
+    * training at corpus scale: count adjacent token pairs, pick the
+    * most frequent (total-order tie-break), and apply it greedily
+    * left-to-right per document. The greedy non-overlap rule for
+    * self-adjacent pairs ("a a a" merges positions 0–1, not 1–2) is
+    * NOT a sequential fold here: candidate starts chain only when
+    * a == b, and within a chain exactly the odd-numbered candidates
+    * fire — so "which merges apply" is a run-parity computation over
+    * windows (lead/lag/cumsum), embarrassingly parallel per doc and
+    * identical in any engine with window functions. Everything that
+    * crosses the hash gate is an integer count.
+    */
+  private val bpeMergeQ: Q = (s, dir) => {
+    TextOps.bpeMergeStats(
+      Registry.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      "doc_id", "toks")
+  }
+  private val bpeMergeSql =
+    """WITH tok AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |        FROM documents)),
+      |bg AS (
+      |  SELECT x.t || ' ' || y.t AS bg, count(*) AS pc
+      |  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+      |  GROUP BY 1),
+      |top1 AS (
+      |  SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+      |         pc
+      |  FROM bg ORDER BY pc DESC, bg LIMIT 1),
+      |c1 AS (
+      |  SELECT doc_id, pos, t, a, b, pc,
+      |    coalesce(t = a AND
+      |      lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = b, FALSE)
+      |      AS c
+      |  FROM tok, top1),
+      |c2 AS (
+      |  SELECT *, (c AND NOT coalesce(
+      |      lag(c) OVER (PARTITION BY doc_id ORDER BY pos), FALSE))
+      |    AS run_start
+      |  FROM c1),
+      |c3 AS (
+      |  SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      |  FROM c2),
+      |c4 AS (
+      |  SELECT *, (c AND sum(CASE WHEN c THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id, run_id ORDER BY pos) % 2 = 1)
+      |    AS active
+      |  FROM c3),
+      |c5 AS (
+      |  SELECT *, coalesce(
+      |      lag(active) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+      |    AS prev_active
+      |  FROM c4)
+      |SELECT max(a || ' ' || b) AS pair,
+      |       CAST(max(pc) AS BIGINT) AS pair_count,
+      |       CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_merges,
+      |       CAST(count(*) AS BIGINT) AS tokens_before,
+      |       CAST(sum(CASE WHEN active THEN 1
+      |                     WHEN NOT prev_active THEN 1
+      |                     ELSE 0 END) AS BIGINT) AS tokens_after
+      |FROM c5""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -715,7 +887,11 @@ object Analytics {
     ("q_time_decay", timeDecayQ, Some(timeDecaySql)),
     ("q_bm25", bm25Q, Some(bm25Sql)),
     ("q_bigram_lm", bigramLmQ, Some(bigramLmSql)),
-    ("q_bootstrap_ci", bootstrapCiQ, Some(bootstrapCiSql)))
+    ("q_bootstrap_ci", bootstrapCiQ, Some(bootstrapCiSql)),
+    ("q_stream_static", streamStaticQ, Some(streamStaticSql)),
+    ("q_key_skew_profile", keySkewProfileQ, Some(keySkewProfileSql)),
+    ("q_negative_pairs", negativePairsQ, Some(negativePairsSql)),
+    ("q_bpe_merge", bpeMergeQ, Some(bpeMergeSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

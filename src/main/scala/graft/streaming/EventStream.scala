@@ -175,4 +175,59 @@ object EventStream {
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("pairs"))
   }
+
+  /** The event-type → (tier, weight) enrichment dimension shared by the
+    * streaming query and its batch oracle — in production a slowly
+    * changing table the stream re-reads per micro-batch.
+    */
+  def tierDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("click", "engage", 2L), ("view", "engage", 1L),
+      ("purchase", "convert", 5L), ("signup", "convert", 3L),
+      ("error", "ops", 0L)).toDF("event_type", "tier", "weight")
+  }
+
+  /** Stream–static enrichment join: the event stream joins a STATIC
+    * dimension (no watermark, no join state — Spark re-plans the static
+    * side per micro-batch and broadcasts it), then rolls up weighted
+    * value into 6-hour windows per tier. This is the third streaming
+    * join shape next to stream–stream (runStreamJoin) and stateful
+    * dedup: state is only the windowed agg, bounded by the watermark;
+    * the join itself is stateless map-side work at any stream volume.
+    * The weighted sum is exact integer cents × Long weights, so the
+    * drained result is bit-identical to the batch oracle.
+    */
+  def runStreamStaticJoin(spark: SparkSession, inputDir: String,
+                          windowDur: String = "6 hours",
+                          watermark: String = "10 minutes",
+                          queryName: String = "graft_stream_static")
+      : DataFrame = {
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", watermark)
+    val enriched = raw
+      .join(org.apache.spark.sql.functions.broadcast(tierDim(spark)),
+        "event_type")
+      .groupBy(window(col("ts"), windowDur), col("tier"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("weight") * round(col("value") * 100).cast("long"))
+          .as("wsum_cents"))
+      .select(col("window.start").as("bucket"), col("tier"),
+        col("cnt"), col("wsum_cents"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = enriched.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDrain(q)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
+  }
 }

@@ -123,6 +123,52 @@ class TextOpsSpec extends SparkSpec {
       assert(brute.nonEmpty) // the fixture actually contains near-dups
     }
   }
+
+  test("bpeMergeStats matches a sequential greedy reference on chain-heavy docs") {
+    // adversarial: runs of the self-adjacent top pair (a,a) of every
+    // parity, docs ENDING in `a` (the NULL-lead edge), and docs the
+    // pair never touches — the run-parity window rule must agree with
+    // a literal left-to-right fold on all of them
+    val texts = Seq(
+      "a a a",           // run of 2 candidates → 1 merge, trailing a kept
+      "a a a a",         // 2 merges
+      "a a a a a",       // 2 merges + trailing a
+      "b a a b a a",     // two isolated merges
+      "x y z",           // untouched
+      "a",               // single token, ends in a
+      "b a a a b a")     // run inside, ends in a
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+    // reference: exact bigram count for the top pair + sequential greedy
+    val tokSeqs = texts.map(_.split("\\s+").toSeq)
+    val pairCounts = tokSeqs.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val ((ra, rb), rc) = pairCounts.toSeq
+      .sortBy { case ((x, y), c) => (-c, x + " " + y) }.head
+    def greedy(ts: Seq[String]): (Int, Int) = { // (merges, len after)
+      var i = 0; var m = 0; var out = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == ra && ts(i + 1) == rb) {
+          m += 1; out += 1; i += 2
+        } else { out += 1; i += 1 }
+      }
+      (m, out)
+    }
+    val refMerges = tokSeqs.map(greedy(_)._1).sum
+    val refAfter = tokSeqs.map(greedy(_)._2).sum
+    val refBefore = tokSeqs.map(_.length).sum
+
+    val got = TextOps.bpeMergeStats(docs, "doc_id", "toks").head()
+    assert(got.getString(0) == s"$ra $rb")
+    assert(got.getLong(1) == rc.toLong, "pair_count")
+    assert(got.getLong(2) == refMerges.toLong, "n_merges")
+    assert(got.getLong(3) == refBefore.toLong, "tokens_before")
+    assert(got.getLong(4) == refAfter.toLong, "tokens_after")
+    // the fixture genuinely exercises chain overlap
+    assert(refMerges < rc, "chains must make n_merges < pair_count")
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {

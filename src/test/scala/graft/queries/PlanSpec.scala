@@ -456,6 +456,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("key skew profile: both aggs combine map-side; total broadcasts back") {
+    val p = anPlan("q_key_skew_profile")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "1-row total must broadcast")
+  }
+
+  test("negative pairs: partner fetch is an equi-join, ids compute map-side") {
+    val p = anPlan("q_negative_pairs")
+    // the only nested-loop is the 1-row n_docs broadcast; partner fetch
+    // must be a hash/merge equi-join on the derived id
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Generate explode"), "replicates must explode map-side")
+  }
+
   test("MAD outliers: group stats broadcast back to the fact side") {
     val p = anPlan("q_mad_outliers")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -25,6 +25,28 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("runStreamStaticJoin drains to the exact batch join + window result") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ss_q")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val streamed = EventStream
+      .runStreamStaticJoin(spark, tmp.toString, queryName = "spec_ss_q")
+      .orderBy("bucket", "tier").collect().toSeq
+    val batch = Tables.events(spark, sf)
+      .join(broadcast(EventStream.tierDim(spark)), "event_type")
+      .groupBy(window(col("ts"), "6 hours"), col("tier"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("weight") * round(col("value") * 100).cast("long"))
+          .as("wsum_cents"))
+      .select(col("window.start").as("bucket"), col("tier"),
+        col("cnt"), col("wsum_cents"))
+      .orderBy("bucket", "tier").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stream-static join: streamed events enrich against a static dim") {
     val sf = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("graft_ss_join")
