@@ -635,10 +635,10 @@ object Analytics {
     * Poisson(1) approximation — the only bootstrap that works at
     * 100 TB, since resampling-with-replacement across partitions is
     * impossible but independent per-row Poisson weights are map-side.
-    * Fully deterministic AND engine-exact: the per-(row, replicate)
-    * uniform draw is the md5 prefix compared LEXICOGRAPHICALLY against
-    * hardcoded 12-hex-digit CDF thresholds (floor(cdf·16^12) in hex) —
-    * no float parsing, no hex→int conversion, identical in any engine
+    * Fully deterministic AND engine-exact: each (row, replicate)
+    * uniform draw is an 8-hex md5 slice compared LEXICOGRAPHICALLY
+    * against hardcoded CDF thresholds (floor(cdf·16^8) in hex) — no
+    * float parsing, no hex→int conversion, identical in any engine
     * that has md5. Replicate sums are exact Longs in milli-cents; the
     * CI is exact rank selection (2nd / 63rd of 64 sorted replicate
     * means). One pass: explode ×64 map-side, 64-group combiner agg.
@@ -647,14 +647,24 @@ object Analytics {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
-    val h = substring(md5(concat_ws("|", col("l_orderkey"),
-      col("l_linenumber"), col("l_partkey"), col("rep"))), 1, 12)
-    val w = when(h < "5e2d58d8b3bc", 0L).when(h < "bc5ab1b16779", 1L)
-      .when(h < "eb715e1dc158", 2L).when(h < "fb23979734a2", 3L)
-      .when(h < "ff1025f59174", 4L).otherwise(5L)
-    val reps = li.select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("cents"),
-        explode(sequence(lit(0), lit(63))).as("rep"))
+    // one md5 per (row, block of 4 replicates): the 32-hex digest is
+    // sliced into four independent 8-hex (32-bit) draws — 4× fewer
+    // hashes than digest-per-replicate for the same pass, and 2^-32
+    // draw granularity is far below Poisson-tail sensitivity. The
+    // thresholds are floor(cdf·16^8) in hex.
+    val w = when(col("h8") < "5e2d58d8", 0L).when(col("h8") < "bc5ab1b1", 1L)
+      .when(col("h8") < "eb715e1d", 2L).when(col("h8") < "fb239797", 3L)
+      .when(col("h8") < "ff1025f5", 4L).otherwise(5L)
+    val reps = li.select(col("cents"),
+        explode(sequence(lit(0), lit(15))).as("blk"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("h", md5(concat_ws("|", col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("blk"))))
+      .select(col("cents"), col("blk"),
+        posexplode(array(substring(col("h"), 1, 8),
+          substring(col("h"), 9, 8), substring(col("h"), 17, 8),
+          substring(col("h"), 25, 8))).as(Seq("draw", "h8")))
+      .withColumn("rep", col("blk") * 4 + col("draw"))
       .withColumn("w", w)
       .groupBy(col("rep"))
       .agg(sum(col("w") * col("cents")).as("ws"), sum(col("w")).as("wn"))
@@ -674,19 +684,21 @@ object Analytics {
       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
       |  FROM lineitem),
       |r AS (
-      |  SELECT cents, rep,
-      |    substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey,
-      |                         rep)), 1, 12) AS h
-      |  FROM li, (SELECT unnest(generate_series(0, 63)) AS rep)),
+      |  SELECT cents, blk,
+      |    md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, blk)) AS h
+      |  FROM li, (SELECT unnest(generate_series(0, 15)) AS blk)),
+      |d AS (
+      |  SELECT cents, blk * 4 + i AS rep, substr(h, 1 + 8 * i, 8) AS h8
+      |  FROM r, (SELECT unnest(generate_series(0, 3)) AS i)),
       |w AS (
       |  SELECT rep, cents,
-      |    CASE WHEN h < '5e2d58d8b3bc' THEN 0
-      |         WHEN h < 'bc5ab1b16779' THEN 1
-      |         WHEN h < 'eb715e1dc158' THEN 2
-      |         WHEN h < 'fb23979734a2' THEN 3
-      |         WHEN h < 'ff1025f59174' THEN 4
+      |    CASE WHEN h8 < '5e2d58d8' THEN 0
+      |         WHEN h8 < 'bc5ab1b1' THEN 1
+      |         WHEN h8 < 'eb715e1d' THEN 2
+      |         WHEN h8 < 'fb239797' THEN 3
+      |         WHEN h8 < 'ff1025f5' THEN 4
       |         ELSE 5 END AS w
-      |  FROM r),
+      |  FROM d),
       |m AS (
       |  SELECT rep,
       |    CAST(sum(w * cents) AS BIGINT) * 1000
@@ -872,6 +884,130 @@ object Analytics {
       |                     ELSE 0 END) AS BIGINT) AS tokens_after
       |FROM c5""".stripMargin
 
+  // --------------------------------------------- compaction planner
+
+  /** Small-file compaction planner — the layout pass a 100 TB table
+    * needs continuously: given a file manifest (simulated
+    * deterministically from lineitem: one "file" per orderkey bucket
+    * under returnflag/linestatus partition dirs), assign files to
+    * target-size output bins by SEQUENTIAL coalesce (running cumsum div
+    * target), which preserves file order — the property real
+    * compaction needs so clustering survives. Planning is pure window
+    * arithmetic per partition dir: one exchange on the dir key, never
+    * a global sort; bin totals are exact integer byte sums.
+    */
+  private val compactionPlanQ: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val target = 40000000L // target output size per bin (proxy bytes)
+    val files = Tables.lineitem(s, dir)
+      .groupBy(concat_ws("/", col("l_returnflag"), col("l_linestatus"))
+          .as("part_dir"),
+        expr("l_orderkey div 100").as("file_id"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("bytes"))
+    val before = Window.partitionBy(col("part_dir")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before",
+        coalesce(sum(col("bytes")).over(before), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${target}L"))
+      .groupBy(col("part_dir"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+      .orderBy(col("part_dir"), col("bin"))
+  }
+  private val compactionPlanSql =
+    """WITH f AS (
+      |  SELECT l_returnflag || '/' || l_linestatus AS part_dir,
+      |         l_orderkey // 100 AS file_id,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |              AS BIGINT) AS bytes
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *, coalesce(sum(bytes) OVER (
+      |      PARTITION BY part_dir ORDER BY file_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS cum_before
+      |  FROM f)
+      |SELECT part_dir, CAST(cum_before // 40000000 AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+      |       CAST(min(file_id) AS BIGINT) AS first_file,
+      |       CAST(max(file_id) AS BIGINT) AS last_file
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------- linear interpolation
+
+  /** Gap-filling by exact linear interpolation — the forward-fill
+    * sibling for numeric telemetry: deterministically masked values
+    * (event_id % 5 < 2) are rebuilt from the nearest surviving
+    * neighbors in integer micro-time × cent space, so the lerp is
+    * exact Long arithmetic (both engines truncate integer division
+    * toward zero — verified, not assumed). Edge rows with no neighbor
+    * on one side stay null and are labeled. All windows share ONE
+    * (user_id) partitioning; the (ts, event_id) ordering is total, so
+    * results are identical at any parallelism.
+    */
+  private val interpolateQ: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"),
+        when(col("event_id") % 5 < 2, lit(null))
+          .otherwise(round(col("value") * 100).cast("long")).as("v"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val prevF = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val nextF = ord.rowsBetween(1, Window.unboundedFollowing)
+    val withN = ev
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(prevF))
+      .withColumn("pt", last(when(col("v").isNotNull, col("t")),
+        ignoreNulls = true).over(prevF))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(nextF))
+      .withColumn("nt", first(when(col("v").isNotNull, col("t")),
+        ignoreNulls = true).over(nextF))
+    withN.select(col("event_id"), col("user_id"),
+      when(col("v").isNotNull, lit("kept"))
+        .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+        .otherwise(lit("edge")).as("status"),
+      when(col("v").isNotNull, col("v"))
+        .when(col("pv").isNotNull && col("nv").isNotNull,
+          col("pv") + expr("((nv - pv) * (t - pt)) div (nt - pt)"))
+        .otherwise(lit(null)).as("v_cents"))
+      .orderBy(col("event_id"))
+  }
+  private val interpolateSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t,
+      |    CASE WHEN event_id % 5 < 2 THEN NULL
+      |         ELSE CAST(round(value * 100) AS BIGINT) END AS v
+      |  FROM events),
+      |n AS (
+      |  SELECT *,
+      |    last_value(v IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+      |    first_value(v IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      |  FROM ev)
+      |SELECT event_id, user_id,
+      |  CASE WHEN v IS NOT NULL THEN 'kept'
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+      |       ELSE 'edge' END AS status,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+      |         THEN pv + ((nv - pv) * (t - pt)) // (nt - pt)
+      |       ELSE NULL END AS v_cents
+      |FROM n ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -891,7 +1027,9 @@ object Analytics {
     ("q_stream_static", streamStaticQ, Some(streamStaticSql)),
     ("q_key_skew_profile", keySkewProfileQ, Some(keySkewProfileSql)),
     ("q_negative_pairs", negativePairsQ, Some(negativePairsSql)),
-    ("q_bpe_merge", bpeMergeQ, Some(bpeMergeSql)))
+    ("q_bpe_merge", bpeMergeQ, Some(bpeMergeSql)),
+    ("q_compaction_plan", compactionPlanQ, Some(compactionPlanSql)),
+    ("q_interpolate", interpolateQ, Some(interpolateSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

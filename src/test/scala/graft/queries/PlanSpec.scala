@@ -472,6 +472,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), "replicates must explode map-side")
   }
 
+  test("compaction plan: windows run per partition dir — never SinglePartition") {
+    val p = anPlan("q_compaction_plan")
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("partial_sum") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("interpolate: all four neighbor windows share one user_id exchange") {
+    val p = anPlan("q_interpolate")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
   test("MAD outliers: group stats broadcast back to the fact side") {
     val p = anPlan("q_mad_outliers")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
