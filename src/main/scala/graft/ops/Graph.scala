@@ -63,4 +63,57 @@ object Graph {
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     nNodes.crossJoin(nEdges).crossJoin(nTri) // three 1-row frames
   }
+
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E 2007 —
+    * public literature) over an undirected graph, made DETERMINISTIC so
+    * the result value-oracles: every node starts labeled with its own id,
+    * and each iteration every node adopts the (count desc, label asc)
+    * argmax of its neighbors' labels — an exact total order, so the
+    * fixed-iteration result is bit-identical at any partitioning (the
+    * float-free sibling of [[PageRank.pageRank]]'s integer ranks; the
+    * classic async formulation visits nodes in random order and can't be
+    * oracled). Self-loops are dropped, edges deduped to canonical form,
+    * then symmetrized — every node has degree ≥ 1 by construction.
+    *
+    * Scale shape, mirroring PageRank's: the symmetrized adjacency is
+    * materialized once (`localCheckpoint`; cluster: `checkpoint`), each
+    * iteration is ONE equi-join (labels — one row per node — against
+    * adjacency; AQE broadcasts it while the node set fits, and the
+    * pre-bucketed co-located join is the same contingency path
+    * [[PageRank.pageRankBucketed]] builds) plus TWO hash aggregations
+    * that combine map-side: (node, label) counts, then the per-node
+    * argmax as min(struct(−cnt, label)) — a 2-long struct per node, NOT
+    * a per-node sorted window. Lineage is cut every
+    * `checkpointInterval` rounds. Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int,
+                       checkpointInterval: Int = 4): DataFrame = {
+    require(iterations >= 1, "labelPropagation: iterations must be >= 1")
+    require(checkpointInterval >= 1,
+      "labelPropagation: checkpointInterval must be >= 1")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi") && col("lo").isNotNull)
+      .distinct()
+    val adj = e.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(e.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint() // computed once, reused every iteration
+    var labels = adj.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (i <- 1 to iterations) {
+      labels = adj
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lb")))
+          .as("m"))
+        .select(col("node"), col("m.lb").as("label"))
+      if (i % checkpointInterval == 0 && i < iterations)
+        labels = labels.localCheckpoint()
+    }
+    labels
+  }
 }

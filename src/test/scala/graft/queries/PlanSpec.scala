@@ -525,4 +525,32 @@ class PlanSpec extends SparkSpec {
     assert(!win.contains("SortMergeJoin"), "3-row bounds must broadcast, not shuffle lineitem")
   }
 
+  private def miPlan(name: String): String =
+    Mining.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("prefix similarity join: equi-joins only — the all-pairs cross join never exists") {
+    val p = miPlan("q_simjoin_prefix")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "every join must key on a column (shingle or doc id)")
+    // the per-doc prefix window partitions by doc_id — never SinglePartition
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("random projection: sign matrix broadcasts; (vec, j) rollup combines map-side") {
+    val p = miPlan("q_random_projection")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the exploded corpus must not shuffle to meet the dim×16 sign matrix")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(2000))
+  }
+
+  test("shipping priority: dim broadcasts, filters reach both scans, top-k has no sort") {
+    val p = miPlan("q_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not total-sort")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must reach the scan")
+    assert(p.contains("GreaterThan(l_shipdate"), "date filter must reach the fact scan")
+  }
+
 }
