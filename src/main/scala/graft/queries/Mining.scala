@@ -51,9 +51,10 @@ object Mining {
     * operator exists to avoid.
     */
   private val simjoinPrefixQ: Q = (s, dir) => {
-    val toks = Registry.spread(Tables.documents(s, dir))
+    val sets = Registry.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(col("text"), 3))).as("tok"))
+        array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
+    val toks = sets.select(col("doc_id"), explode(col("ws")).as("tok"))
     val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ranked = toks.join(df_, "tok")
     val perDoc = Window.partitionBy(col("doc_id"))
@@ -72,18 +73,18 @@ object Mining {
       .filter(col("pa.doc_id") < col("pb.doc_id"))
       .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
       .distinct()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(toks.select(col("doc_id").as("id_a"), col("tok")), "id_a")
-      .join(toks.select(col("doc_id").as("id_b"), col("tok")),
-        Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
-      .filter(col("inter") * 3 >= col("sza") + col("szb"))
-      .select(col("id_a"), col("id_b"), col("inter"),
-        (col("sza") + col("szb") - col("inter")).as("uni"))
+    // verify per candidate PAIR with one array_intersect — the candidate
+    // set is near-dup-density-sized, so shipping two shingle arrays per
+    // pair beats re-exploding the corpus through two more shuffles (the
+    // first formulation; measured 9.6 s → this one at sf0.1)
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("ws").as("wa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("wa")) + size(col("wb"))).cast("long") - col("inter"))
+      .filter(col("inter") * 3 >= col("inter") + col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
       .orderBy(col("id_a"), col("id_b"))
   }
   private val simjoinPrefixSql =
