@@ -116,4 +116,43 @@ object Graph {
     }
     labels
   }
+
+  /** Fixed-round k-core peeling (Seidman, Social Networks 1983 — public
+    * literature): repeatedly drop nodes of degree < k and the edges they
+    * carry. A FIXED round count (not run-to-fixpoint) keeps the result
+    * value-oracle-able — the oracle replays the same rounds; real corpus
+    * graphs converge in few rounds because peeling cascades are shallow.
+    * Returns (node, deg): the surviving nodes with their degree in the
+    * surviving subgraph.
+    *
+    * Scale shape: per round ONE map-side-combinable degree aggregation
+    * (two projections of the edge list union'd — no join) and TWO
+    * left-semi joins filtering the edge list against the (smaller)
+    * survivor set; every step is keyed, no window, no cartesian. Each
+    * round ends in a `localCheckpoint` (cluster: `checkpoint`) so the
+    * iterative plan stays O(1) deep and each round's edge set — which
+    * only ever SHRINKS — is what the next round scans.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(rounds >= 1, "kCore: rounds must be >= 1")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi") && col("lo").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("lo").as("node"))
+        .union(e.select(col("hi").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      e = e.join(keep.withColumnRenamed("node", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("node", "hi"), Seq("hi"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("lo").as("node")).union(e.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
 }

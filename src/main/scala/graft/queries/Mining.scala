@@ -126,11 +126,14 @@ object Mining {
       .orderBy(col("label"))
   }
   private val labelPropSql = {
+    // adj is read once per iteration and l$i once by round i+1 —
+    // MATERIALIZED keeps DuckDB's CTE inlining from re-deriving the
+    // edge set every round (the q_kcore lesson, linear case)
     val iters = (1 to 5).map { i =>
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT a.dst AS node, l.label, count(*) AS cnt
          |  FROM adj a JOIN l${i - 1} l ON a.src = l.node GROUP BY 1, 2),
-         |l$i AS (
+         |l$i AS MATERIALIZED (
          |  SELECT node, label FROM (
          |    SELECT node, label, row_number() OVER (
          |      PARTITION BY node ORDER BY cnt DESC, label) AS rn
@@ -141,12 +144,12 @@ object Mining {
        |  SELECT l_orderkey % nn AS x,
        |         (l_orderkey // 7 + l_linenumber * 131) % nn AS y
        |  FROM lineitem, n0),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
        |  FROM raw WHERE x <> y),
-       |adj AS (SELECT lo AS src, hi AS dst FROM e
+       |adj AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM e
        |        UNION ALL SELECT hi, lo FROM e),
-       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM adj),
        |$iters
        |SELECT label, CAST(count(*) AS BIGINT) AS n_members
        |FROM l5 GROUP BY label ORDER BY label""".stripMargin
@@ -268,13 +271,207 @@ object Mining {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------- k-core
+
+  /** 3-core after 5 peel rounds ([[Graph.kCore]]) of the
+    * q_triangle_count graph — the dense-subgraph extraction that
+    * separates genuine duplicate clusters from chains of borderline
+    * pairs in a near-dup graph. The oracle replays every round.
+    */
+  private val kcoreQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val nn = li.agg(countDistinct(col("l_orderkey")).as("nn"))
+    val edges = li.crossJoin(broadcast(nn))
+      .select((col("l_orderkey") % col("nn")).as("x"),
+        ((expr("l_orderkey div 7") + col("l_linenumber") * 131) % col("nn"))
+          .as("y"))
+    Graph.kCore(edges, "x", "y", k = 3, rounds = 5)
+      .orderBy(col("node"))
+  }
+  // every e$i is referenced ~3× by round i+1; DuckDB INLINES CTEs by
+  // default, which re-expands each round's edge set and turns the
+  // 5-round replay into 3^5 evaluations of e0 (observed: temp-disk
+  // exhaustion at sf0.1) — AS MATERIALIZED makes the replay linear
+  private val kcoreSql = {
+    val rounds = (1 to 5).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT lo AS node FROM e${i - 1}
+         |    UNION ALL SELECT hi FROM e${i - 1})
+         |  GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3),
+         |e$i AS MATERIALIZED (
+         |  SELECT lo, hi FROM e${i - 1}
+         |  WHERE lo IN (SELECT node FROM k$i)
+         |    AND hi IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n0 AS (SELECT count(DISTINCT l_orderkey) AS nn FROM lineitem),
+       |raw AS (
+       |  SELECT l_orderkey % nn AS x,
+       |         (l_orderkey // 7 + l_linenumber * 131) % nn AS y
+       |  FROM lineitem, n0),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+       |  FROM raw WHERE x <> y),
+       |$rounds
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT lo AS node FROM e5 UNION ALL SELECT hi FROM e5)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  // ------------------------------------------------- feature hashing
+
+  /** Hashing-trick vectorizer (Weinberger et al., ICML 2009 — public
+    * literature): token term frequencies folded into 64 hash buckets per
+    * document — the fixed-dimension sparse featurizer that needs no
+    * vocabulary pass at all. The bucket is the first two md5 nibbles mod
+    * 64, decoded via hex-char position lookup — pure string ops both
+    * engines evaluate identically (no engine-specific hash function).
+    * Pure map-side explode + ONE combinable (doc, bucket) count — at
+    * 100 TB there is no vocabulary build, no dictionary broadcast, no
+    * second pass; the one shuffle carries ≤64 rows per document.
+    */
+  private val featureHashQ: Q = (s, dir) => {
+    val hex = "0123456789abcdef"
+    val tf = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .withColumn("bucket",
+        (((instr(lit(hex), substring(col("h"), 1, 1)) - 1) * 16 +
+          instr(lit(hex), substring(col("h"), 2, 1)) - 1) % 64).cast("int"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    tf.orderBy(col("doc_id"), col("bucket"))
+  }
+  private val featureHashSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) % 64
+      |      AS INTEGER) AS bucket
+      |  FROM toks)
+      |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+      |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+
+  // --------------------------------------------- event sequence trigrams
+
+  /** Top-10 event-type trigrams over per-user time-ordered event
+    * sequences — the sequence-pattern census (session flows, behavioral
+    * n-grams) a training pipeline mines before building sequence
+    * features. (ts, event_id) is the total per-user order (ts alone has
+    * ties — the §7 nondeterminism trap); trigram windows never leave the
+    * user partition, the count combines map-side, and the top-10 is a
+    * TakeOrdered under the (cnt desc, trigram asc) total order.
+    */
+  private val eventTrigramsQ: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+    ev.select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+        .as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("trigram"))
+      .limit(10)
+  }
+  private val eventTrigramsSql =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t1,
+      |    lead(event_type, 2) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t2
+      |  FROM events)
+      |SELECT event_type || '>' || t1 || '>' || t2 AS trigram,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      |GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------- CUPED adjustment
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013 — public
+    * literature): per-user pre-period covariate X (click spend) vs
+    * outcome Y (purchase spend), θ = cov(X,Y)/var(X), and the fraction
+    * of outcome variance the adjustment removes (ρ²). Sums are EXACT
+    * integer cents (Long — map-side combinable at any partitioning);
+    * the final scalars are computed from those integers with the
+    * identical expression tree on both engines, so the doubles agree
+    * bit-for-bit (the q_corr_stats pattern). One user-keyed shuffle +
+    * one 1-row rollup — the whole experiment-analysis pass is two
+    * combiner-friendly aggregations at any corpus size.
+    */
+  private val cupedQ: Q = (s, dir) => {
+    val cents = round(col("value") * 100).cast("long")
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "click", cents)), lit(0L))
+          .as("x"),
+        coalesce(sum(when(col("event_type") === "purchase", cents)), lit(0L))
+          .as("y"))
+    val m = u.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n")
+    val cov = nd * d("sxy") - d("sx") * d("sy")
+    val vx = nd * d("sxx") - d("sx") * d("sx")
+    val vy = nd * d("syy") - d("sy") * d("sy")
+    m.select(col("n"), col("sx"), col("sy"),
+      (cov / vx).as("theta"),
+      (cov * cov / (vx * vy)).as("var_reduction"))
+  }
+  private val cupedSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'click'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM u)
+      |SELECT n, sx, sy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+      |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS var_reduction
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_simjoin_prefix", simjoinPrefixQ, Some(simjoinPrefixSql)),
     ("q_label_prop", labelPropQ, Some(labelPropSql)),
     ("q_random_projection", randomProjectionQ, Some(randomProjectionSql)),
-    ("q_shipping_priority", shippingPriorityQ, Some(shippingPrioritySql)))
+    ("q_shipping_priority", shippingPriorityQ, Some(shippingPrioritySql)),
+    ("q_kcore", kcoreQ, Some(kcoreSql)),
+    ("q_feature_hash", featureHashQ, Some(featureHashSql)),
+    ("q_event_trigrams", eventTrigramsQ, Some(eventTrigramsSql)),
+    ("q_cuped", cupedQ, Some(cupedSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -64,6 +64,49 @@ class MiningSpec extends SparkSpec {
     assert(base == again)
   }
 
+  test("k-core: K4 survives 3-core peeling, the pendant chain peels away") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node deg 3) + chain 1-5-6 (degs 1-2, peels
+    // in cascade: 6 first, then 5)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (5L, 6L)).toDF("s", "d")
+    val core = Graph.kCore(edges, "s", "d", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+  }
+
+  test("feature hashing: per-doc bucket counts sum to the token count; buckets in [0,64)") {
+    val tf = Mining.queries("q_feature_hash")(spark, sf)
+    val byDoc = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("total"), max(col("bucket")).as("mx"),
+        min(col("bucket")).as("mn"))
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val joined = byDoc.join(toks, "doc_id")
+      .select(col("total") === col("n_tokens"),
+        col("mn") >= 0 && col("mx") < 64)
+      .collect()
+    assert(joined.nonEmpty && joined.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
+  test("cuped: variance-reduction fraction is a valid rho^2 and theta matches a recompute") {
+    val row = Mining.queries("q_cuped")(spark, sf).collect().head
+    val (n, theta, vr) = (row.getLong(0), row.getDouble(3), row.getDouble(4))
+    assert(n > 0 && vr >= 0.0 && vr <= 1.0)
+    // recompute theta from the per-user frame driver-side
+    val cents = round(col("value") * 100).cast("long")
+    val u = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "click", cents)), lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase", cents)), lit(0L)).as("y"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val nn = u.length.toDouble
+    val sx = u.map(_._1).sum; val sy = u.map(_._2).sum
+    val sxy = u.map(p => p._1 * p._2).sum; val sxx = u.map(p => p._1 * p._1).sum
+    val ref = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(math.abs(theta - ref) < 1e-9, s"theta=$theta ref=$ref")
+  }
+
   test("shipping priority: top-10, strictly ordered by revenue desc then orderkey") {
     val rows = Mining.queries("q_shipping_priority")(spark, sf).collect()
     assert(rows.length == 10)

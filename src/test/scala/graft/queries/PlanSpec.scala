@@ -553,4 +553,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThan(l_shipdate"), "date filter must reach the fact scan")
   }
 
+  test("feature hashing: no join anywhere — one combinable count to a single exchange") {
+    val p = miPlan("q_feature_hash")
+    assert(!p.contains("Join"), "the hashing trick needs no vocabulary join")
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(1500))
+  }
+
+  test("event trigrams: both lead windows share ONE user_id exchange; top-10 is TakeOrdered") {
+    val p = miPlan("q_event_trigrams")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not total-sort")
+  }
+
+  test("cuped: both aggregations combine map-side (partial+final)") {
+    val p = miPlan("q_cuped")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(1500))
+    assert(!p.contains("Join"), "the per-user frame rolls up without any join")
+  }
+
 }
