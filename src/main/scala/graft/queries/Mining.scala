@@ -461,6 +461,133 @@ object Mining {
       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS var_reduction
       |FROM m""".stripMargin
 
+  // ------------------------------------------------ streaming CDC upsert
+
+  /** Events split into 4 parquet files (hash on event_id) so the
+    * AvailableNow drain runs 4 real micro-batches — per-process staged
+    * ([[Staging]]), once per source dir.
+    */
+  private def stagedUpsertDir(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    Staging.cached(s"upsert:$dir") { tmp =>
+      // keep ts as RAW NANOS LONG (no Tables.events conversion): the
+      // stream reads these files with eventsRawSchema(ts: LongType),
+      // which matches a plain INT64 column, not TIMESTAMP_MICROS
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.toString
+    }
+
+  /** Streaming CDC apply ([[graft.streaming.EventStream.runStreamUpsert]]):
+    * 4 micro-batches foreachBatch-merged into an A/B parquet target,
+    * latest event per user under the total (ts, event_id) order. The
+    * merge is commutative, so the final table equals the batch
+    * latest-per-key — the oracle.
+    */
+  private val streamUpsertQ: Q = (s, dir) => {
+    graft.streaming.EventStream.runStreamUpsert(s, stagedUpsertDir(s, dir))
+      .orderBy(col("user_id"))
+  }
+  private val streamUpsertSql =
+    """SELECT user_id, event_id AS last_event_id,
+      |       event_type AS last_type,
+      |       CAST(round(value * 100) AS BIGINT) AS last_value_cents
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // --------------------------------------- incremental aggregate (IVM)
+
+  /** The stored aggregate state an incremental pipeline maintains: the
+    * "history" slice (90% of orders) pre-aggregated once per process —
+    * at scale this parquet IS the materialized view.
+    */
+  private def stagedBaseAggDir(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    Staging.cached(s"ivmagg:$dir") { tmp =>
+      val out = tmp.resolve("base_agg").toString
+      Tables.orders(s, dir).filter(col("o_orderkey") % 10 =!= 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** Incremental view maintenance for a distributive aggregate: merge
+    * the STORED per-group state with the delta batch's aggregate —
+    * count/sum re-aggregate exactly (sum of counts, sum of sums), so
+    * the merged view is bit-identical to a full recompute (the oracle)
+    * without ever rescanning history. At 100 TB the delta is the new
+    * partition (partition-pruned scan) and the stored state is
+    * group-cardinality-sized — the view refresh cost is O(delta), not
+    * O(table). The modulo split here simulates that partition boundary.
+    */
+  private val ivmAggQ: Q = (s, dir) => {
+    val base = s.read.parquet(stagedBaseAggDir(s, dir))
+    val delta = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+    base.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_cents")).as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val ivmAggSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ binned interval join
+
+  /** Interval-overlap join on a calendar-day bin: per-(user, day)
+    * activity spans [first, last] µs joined against 3 fixed 4-hour
+    * maintenance windows per day. The non-equi overlap predicate RIDES
+    * an equi-join on the day bin — the scalable interval-join shape
+    * (never a theta join; the bin bounds candidate fan-out to
+    * windows-per-day). Exact integer µs arithmetic end to end.
+    */
+  private val intervalJoinQ: Q = (s, dir) => {
+    val usDay = 86400000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("day", expr(s"t div ${usDay}"))
+    val sessions = ev.groupBy(col("user_id"), col("day"))
+      .agg(min(col("t")).as("smin"), max(col("t")).as("smax"))
+    val windows = sessions.select(col("day")).distinct()
+      .withColumn("w", explode(sequence(lit(0), lit(2))))
+      .select(col("day"), col("w"),
+        (col("day") * usDay + col("w") * 28800000000L).as("wstart"))
+      .withColumn("wend", col("wstart") + 14400000000L)
+    sessions.join(windows, "day")
+      .filter(col("smin") <= col("wend") && col("smax") >= col("wstart"))
+      .select(col("user_id"), col("day"), col("w"))
+      .orderBy(col("user_id"), col("day"), col("w"))
+  }
+  private val intervalJoinSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, day, min(t) AS smin, max(t) AS smax
+      |  FROM ev GROUP BY 1, 2),
+      |w AS (SELECT unnest(generate_series(0, 2)) AS w),
+      |windows AS (
+      |  SELECT d.day, w.w,
+      |         d.day * 86400000000 + w.w * 28800000000 AS wstart,
+      |         d.day * 86400000000 + w.w * 28800000000 + 14400000000 AS wend
+      |  FROM (SELECT DISTINCT day FROM sessions) d, w)
+      |SELECT s.user_id, s.day, CAST(win.w AS INTEGER) AS w
+      |FROM sessions s JOIN windows win ON s.day = win.day
+      |WHERE s.smin <= win.wend AND s.smax >= win.wstart
+      |ORDER BY s.user_id, s.day, w""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -471,7 +598,10 @@ object Mining {
     ("q_kcore", kcoreQ, Some(kcoreSql)),
     ("q_feature_hash", featureHashQ, Some(featureHashSql)),
     ("q_event_trigrams", eventTrigramsQ, Some(eventTrigramsSql)),
-    ("q_cuped", cupedQ, Some(cupedSql)))
+    ("q_cuped", cupedQ, Some(cupedSql)),
+    ("q_stream_upsert", streamUpsertQ, Some(streamUpsertSql)),
+    ("q_ivm_agg", ivmAggQ, Some(ivmAggSql)),
+    ("q_interval_join", intervalJoinQ, Some(intervalJoinSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -230,4 +230,79 @@ object EventStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
+
+  /** Streaming CDC apply (`foreachBatch` upsert): each micro-batch MERGEs
+    * into a keyed parquet target — latest event per user under the total
+    * (ts, event_id) order. The merge is COMMUTATIVE (arg-max of a total
+    * order), so the final table is identical for any file/batch
+    * processing order — which is what makes it value-oracle-able against
+    * the batch latest-per-key query.
+    *
+    * Mechanics: the target alternates between two directories (A/B) so a
+    * batch never overwrites the files it is reading (the same live-read
+    * discipline as PageRank's bucketed tables); the per-batch merge is
+    * `union → max_by(struct(ts, event_id))` — one combinable hash agg,
+    * no window. At scale the A/B parquet pair becomes a real table
+    * format's MERGE INTO with the identical plan per batch; state lives
+    * in the TABLE, not the state store, so the stream restarts free.
+    * Returns the final target, `localCheckpoint`ed so the caller's frame
+    * survives the temp-dir cleanup.
+    */
+  def runStreamUpsert(spark: SparkSession, inputDir: String,
+                      queryName: String = "graft_stream_upsert")
+      : DataFrame = {
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val dirs = Seq(root.resolve("a").toString, root.resolve("b").toString)
+    // which A/B slot holds the current target (-1 = none yet); plain var
+    // is safe — foreachBatch bodies run sequentially on the stream thread
+    var cur = -1
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = raw.writeStream
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // normalize the batch to the TARGET schema first, so the merge
+          // is a plain unionByName + arg-max at every batch after the first
+          val upd = batch.select(col("user_id"), col("ts").as("t"),
+            col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"),
+            round(col("value") * 100).cast("long").as("last_value_cents"))
+          val merged = (if (cur < 0) upd
+            else spark.read.parquet(dirs(cur)).unionByName(upd))
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("t"), col("last_event_id"),
+              col("last_type"), col("last_value_cents"))).as("m"))
+            .select(col("user_id"), col("m.t").as("t"),
+              col("m.last_event_id").as("last_event_id"),
+              col("m.last_type").as("last_type"),
+              col("m.last_value_cents").as("last_value_cents"))
+          val next = (cur + 1) % 2
+          merged.write.mode("overwrite").parquet(dirs(next))
+          cur = next
+        }
+        .start()
+      awaitDrain(q)
+      require(cur >= 0, "stream upsert: no micro-batch ran")
+      // materialize off the temp files, then drop them
+      spark.read.parquet(dirs(cur))
+        .select(col("user_id"), col("last_event_id"), col("last_type"),
+          col("last_value_cents"))
+        .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(root)
+      val paths = try stream.iterator().asScala.toSeq.reverse
+        finally stream.close()
+      paths.foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () })
+    }
+  }
 }

@@ -107,6 +107,51 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(theta - ref) < 1e-9, s"theta=$theta ref=$ref")
   }
 
+  test("stream upsert: the 4-micro-batch CDC merge equals the batch latest-per-key") {
+    val streamed = Mining.queries("q_stream_upsert")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val ev = Tables.events(spark, sf)
+    val batch = graft.ops.Dedup.latestPerKeyAgg(ev, Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("incremental aggregate merge equals the full recompute") {
+    val inc = Mining.queries("q_ivm_agg")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inc == full && inc.nonEmpty)
+  }
+
+  test("binned interval join equals the brute-force non-equi join") {
+    val binned = Mining.queries("q_interval_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val usDay = 86400000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("day", expr(s"t div $usDay"))
+    val sessions = ev.groupBy(col("user_id"), col("day"))
+      .agg(min(col("t")).as("smin"), max(col("t")).as("smax"))
+    val windows = sessions.select(col("day").as("wday")).distinct()
+      .withColumn("w", explode(sequence(lit(0), lit(2))))
+      .select(col("wday"), col("w"),
+        (col("wday") * usDay + col("w") * 28800000000L).as("wstart"))
+      .withColumn("wend", col("wstart") + 14400000000L)
+    val brute = sessions.crossJoin(windows)
+      .filter(col("day") === col("wday") &&
+        col("smin") <= col("wend") && col("smax") >= col("wstart"))
+      .select(col("user_id"), col("day"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(binned == brute && binned.nonEmpty)
+  }
+
   test("shipping priority: top-10, strictly ordered by revenue desc then orderkey") {
     val rows = Mining.queries("q_shipping_priority")(spark, sf).collect()
     assert(rows.length == 10)

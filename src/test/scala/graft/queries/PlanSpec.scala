@@ -571,4 +571,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "the per-user frame rolls up without any join")
   }
 
+  test("interval join: the overlap predicate rides an equi-join on the day bin") {
+    val p = miPlan("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "an interval join must never plan as a theta join: " + p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
 }
