@@ -647,24 +647,26 @@ object Analytics {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
-    // one md5 per (row, block of 4 replicates): the 32-hex digest is
-    // sliced into four independent 8-hex (32-bit) draws — 4× fewer
-    // hashes than digest-per-replicate for the same pass, and 2^-32
-    // draw granularity is far below Poisson-tail sensitivity. The
-    // thresholds are floor(cdf·16^8) in hex.
-    val w = when(col("h8") < "5e2d58d8", 0L).when(col("h8") < "bc5ab1b1", 1L)
-      .when(col("h8") < "eb715e1d", 2L).when(col("h8") < "fb239797", 3L)
-      .when(col("h8") < "ff1025f5", 4L).otherwise(5L)
+    // one md5 per (row, block of 8 replicates): the 32-hex digest is
+    // sliced into eight independent 4-hex (16-bit) draws — 8× fewer
+    // hashes than digest-per-replicate for the same pass. 2^-16 draw
+    // granularity bounds each Poisson class probability within 1.6e-5
+    // of exact — far below bootstrap-CI sensitivity at any n, and the
+    // distribution is DEFINED by these thresholds, identical in both
+    // engines. Thresholds are floor(cdf·16^4) in hex (the first four
+    // chars of the 8-hex thresholds — floor truncation commutes).
+    val w = when(col("h4") < "5e2d", 0L).when(col("h4") < "bc5a", 1L)
+      .when(col("h4") < "eb71", 2L).when(col("h4") < "fb23", 3L)
+      .when(col("h4") < "ff10", 4L).otherwise(5L)
     val reps = li.select(col("cents"),
-        explode(sequence(lit(0), lit(15))).as("blk"),
+        explode(sequence(lit(0), lit(7))).as("blk"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       .withColumn("h", md5(concat_ws("|", col("l_orderkey"),
         col("l_linenumber"), col("l_partkey"), col("blk"))))
       .select(col("cents"), col("blk"),
-        posexplode(array(substring(col("h"), 1, 8),
-          substring(col("h"), 9, 8), substring(col("h"), 17, 8),
-          substring(col("h"), 25, 8))).as(Seq("draw", "h8")))
-      .withColumn("rep", col("blk") * 4 + col("draw"))
+        posexplode(array((0 to 7).map(i =>
+          substring(col("h"), 1 + 4 * i, 4)): _*)).as(Seq("draw", "h4")))
+      .withColumn("rep", col("blk") * 8 + col("draw"))
       .withColumn("w", w)
       .groupBy(col("rep"))
       .agg(sum(col("w") * col("cents")).as("ws"), sum(col("w")).as("wn"))
@@ -686,17 +688,17 @@ object Analytics {
       |r AS (
       |  SELECT cents, blk,
       |    md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, blk)) AS h
-      |  FROM li, (SELECT unnest(generate_series(0, 15)) AS blk)),
+      |  FROM li, (SELECT unnest(generate_series(0, 7)) AS blk)),
       |d AS (
-      |  SELECT cents, blk * 4 + i AS rep, substr(h, 1 + 8 * i, 8) AS h8
-      |  FROM r, (SELECT unnest(generate_series(0, 3)) AS i)),
+      |  SELECT cents, blk * 8 + i AS rep, substr(h, 1 + 4 * i, 4) AS h4
+      |  FROM r, (SELECT unnest(generate_series(0, 7)) AS i)),
       |w AS (
       |  SELECT rep, cents,
-      |    CASE WHEN h8 < '5e2d58d8' THEN 0
-      |         WHEN h8 < 'bc5ab1b1' THEN 1
-      |         WHEN h8 < 'eb715e1d' THEN 2
-      |         WHEN h8 < 'fb239797' THEN 3
-      |         WHEN h8 < 'ff1025f5' THEN 4
+      |    CASE WHEN h4 < '5e2d' THEN 0
+      |         WHEN h4 < 'bc5a' THEN 1
+      |         WHEN h4 < 'eb71' THEN 2
+      |         WHEN h4 < 'fb23' THEN 3
+      |         WHEN h4 < 'ff10' THEN 4
       |         ELSE 5 END AS w
       |  FROM d),
       |m AS (
