@@ -588,6 +588,88 @@ object Mining {
       |WHERE s.smin <= win.wend AND s.smax >= win.wstart
       |ORDER BY s.user_id, s.day, w""".stripMargin
 
+  // --------------------------------------------- HLL set intersection
+
+  /** Sketch set-operations: customer audiences of two order-priority
+    * classes intersected via inclusion–exclusion over HLL estimates
+    * (|A∩B| ≈ |A| + |B| − |A∪B|) — the only way to intersect
+    * cardinalities at 100 TB without re-scanning either side, since HLL
+    * registers union losslessly but can't intersect directly. Exact
+    * counts ride along and the oracle recomputes them; the estimate
+    * must land within 15% of |A|+|B| (≫ 3σ of the three compounded
+    * rsd=0.05 sketches — the bound boolean the oracle checks as a
+    * constant). HLL register merge is commutative/idempotent, so every
+    * value here is deterministic at any partitioning.
+    */
+  private val hllIntersectQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val b = o.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_custkey"))
+    val ests = a.agg(approx_count_distinct(col("o_custkey")).as("est_a"))
+      .crossJoin(b.agg(approx_count_distinct(col("o_custkey")).as("est_b")))
+      .crossJoin(a.union(b)
+        .agg(approx_count_distinct(col("o_custkey")).as("est_u")))
+    val exacts = a.intersect(b)
+      .agg(count(lit(1)).as("exact_i"))
+      .crossJoin(a.distinct().agg(count(lit(1)).as("exact_a")))
+      .crossJoin(b.distinct().agg(count(lit(1)).as("exact_b")))
+    // the estimate itself can't cross the hash gate (the oracle has no
+    // HLL) — emit the exact counts plus the bound BOOLEAN, which the
+    // oracle asserts as a constant (the q_ann_topk recall pattern)
+    ests.crossJoin(broadcast(exacts))
+      .select(col("exact_a"), col("exact_b"), col("exact_i"),
+        (abs(col("est_a") + col("est_b") - col("est_u") - col("exact_i"))
+          .cast("double") <=
+          (col("exact_a") + col("exact_b")).cast("double") * 0.15)
+          .as("within_bound"))
+  }
+  private val hllIntersectSql =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |           WHERE o_orderpriority = '1-URGENT'),
+      |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+      |x AS (
+      |  SELECT
+      |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM a) AS exact_a,
+      |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM b) AS exact_b,
+      |    (SELECT CAST(count(*) AS BIGINT)
+      |     FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b))
+      |      AS exact_i)
+      |SELECT exact_a, exact_b, exact_i, true AS within_bound FROM x""".stripMargin
+
+  // ---------------------------------------------- equi-depth histogram
+
+  /** Equi-depth (frequency-balanced) histogram: 10 deciles of order
+    * totalprice with per-bucket count/min/max — the profiling summary a
+    * query optimizer or data-quality pass wants where equi-WIDTH bins
+    * (q_histogram) drown skewed tails. Built on the distributed ntile
+    * ([[Tiling.ntileDistributed]] — bucketed prefix-offset ranking,
+    * never an Exchange SinglePartition), so the profile of a 100 TB
+    * column is two metadata collects + one partitioned window + one
+    * combinable rollup.
+    */
+  private val equidepthHistQ: Q = (s, dir) => {
+    Tiling.ntileDistributed(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        tiles = 10,
+        rangeCol = col("o_totalprice"),
+        orderCols = Seq(col("o_totalprice"), col("o_orderkey")),
+        out = "decile")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("decile"))
+  }
+  private val equidepthHistSql =
+    """SELECT decile, CAST(count(*) AS BIGINT) AS n,
+      |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM (
+      |  SELECT o_totalprice,
+      |         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -601,7 +683,9 @@ object Mining {
     ("q_cuped", cupedQ, Some(cupedSql)),
     ("q_stream_upsert", streamUpsertQ, Some(streamUpsertSql)),
     ("q_ivm_agg", ivmAggQ, Some(ivmAggSql)),
-    ("q_interval_join", intervalJoinQ, Some(intervalJoinSql)))
+    ("q_interval_join", intervalJoinQ, Some(intervalJoinSql)),
+    ("q_hll_intersect", hllIntersectQ, Some(hllIntersectSql)),
+    ("q_equidepth_hist", equidepthHistQ, Some(equidepthHistSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

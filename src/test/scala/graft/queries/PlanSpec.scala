@@ -571,6 +571,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "the per-user frame rolls up without any join")
   }
 
+  test("equi-depth histogram: distributed ntile — no single-partition window") {
+    val p = miPlan("q_equidepth_hist")
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(1500))
+  }
+
   test("interval join: the overlap predicate rides an equi-join on the day bin") {
     val p = miPlan("q_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
