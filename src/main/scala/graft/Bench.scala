@@ -168,8 +168,12 @@ object Bench {
     // (min-of-2 still showed ±1.5× round-over-round jitter on 0.3-0.6 s
     // queries; the first rep doubles as per-query warmup). A query that
     // throws or times out is reported as -1 with its error — never as a
-    // fake timing.
-    val (results, errors) = run(spark, SparkEntry.queries.keys.toSeq.sorted,
+    // fake timing. Args (local dev only; the driver passes none) filter
+    // the run to the named queries.
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
+    val (results, errors) = run(spark, names,
       runToNoop, sfDir, onQuery = writeSummary)
     val line = summaryLine(results, errors, sfDir)
     println(line)
