@@ -169,18 +169,31 @@ object Bench {
     // queries; the first rep doubles as per-query warmup). A query that
     // throws or times out is reported as -1 with its error — never as a
     // fake timing. Args (local dev only; the driver passes none) filter
-    // the run to the named queries.
+    // the run to the named queries: unknown names FAIL loudly (a typo'd
+    // dev run must not silently bench nothing), and a filtered run never
+    // writes the summary file unless an explicit SPARK_GRAFT_BENCH_SUMMARY
+    // path asks for it — otherwise a one-query run would clobber the
+    // tracked full-registry artifact.
     val names =
-      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
-      else SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"unknown queries: ${unknown.mkString(", ")}")
+        args.toSeq.distinct.sorted
+      }
+    val persist: String => Unit =
+      if (args.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_SUMMARY"))
+        writeSummary
+      else _ => ()
     val (results, errors) = run(spark, names,
-      runToNoop, sfDir, onQuery = writeSummary)
+      runToNoop, sfDir, onQuery = persist)
     val line = summaryLine(results, errors, sfDir)
     println(line)
     // Also persist the full line to the repo root: the driver's BENCH
     // tail window truncates long per-query maps, which makes exact
     // round-over-round totals unrecoverable from the artifact alone.
-    writeSummary(line)
+    persist(line)
     spark.stop()
   }
 }

@@ -28,21 +28,10 @@ object Analytics {
     * not a driver collect. Oracle counts each id-ordered triangle
     * (a<b<c) once via two equi-joins.
     */
-  private val triangleCountQ: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-    val nn = li.agg(countDistinct(col("l_orderkey")).as("nn"))
-    val edges = li.crossJoin(broadcast(nn))
-      .select((col("l_orderkey") % col("nn")).as("x"),
-        ((expr("l_orderkey div 7") + col("l_linenumber") * 131) % col("nn"))
-          .as("y"))
-    Graph.triangleCount(edges, "x", "y")
-  }
+  private val triangleCountQ: Q = (s, dir) =>
+    Graph.triangleCount(SynthGraph.edges(s, dir), "x", "y")
   private val triangleCountSql =
-    """WITH n AS (SELECT count(DISTINCT l_orderkey) AS nn FROM lineitem),
-      |raw AS (
-      |  SELECT l_orderkey % nn AS x,
-      |         (l_orderkey // 7 + l_linenumber * 131) % nn AS y
-      |  FROM lineitem, n),
+    s"""WITH ${SynthGraph.rawSql},
       |e AS (
       |  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
       |  FROM raw WHERE x <> y),

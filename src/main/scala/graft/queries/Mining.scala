@@ -119,13 +119,7 @@ object Mining {
     * community-size census.
     */
   private val labelPropQ: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-    val nn = li.agg(countDistinct(col("l_orderkey")).as("nn"))
-    val edges = li.crossJoin(broadcast(nn))
-      .select((col("l_orderkey") % col("nn")).as("x"),
-        ((expr("l_orderkey div 7") + col("l_linenumber") * 131) % col("nn"))
-          .as("y"))
-    Graph.labelPropagation(edges, "x", "y", iterations = 5)
+    Graph.labelPropagation(SynthGraph.edges(s, dir), "x", "y", iterations = 5)
       .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
       .orderBy(col("label"))
   }
@@ -143,11 +137,7 @@ object Mining {
          |      PARTITION BY node ORDER BY cnt DESC, label) AS rn
          |    FROM c$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH n0 AS (SELECT count(DISTINCT l_orderkey) AS nn FROM lineitem),
-       |raw AS (
-       |  SELECT l_orderkey % nn AS x,
-       |         (l_orderkey // 7 + l_linenumber * 131) % nn AS y
-       |  FROM lineitem, n0),
+    s"""WITH ${SynthGraph.rawSql},
        |e AS MATERIALIZED (
        |  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
        |  FROM raw WHERE x <> y),
@@ -283,13 +273,7 @@ object Mining {
     * pairs in a near-dup graph. The oracle replays every round.
     */
   private val kcoreQ: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-    val nn = li.agg(countDistinct(col("l_orderkey")).as("nn"))
-    val edges = li.crossJoin(broadcast(nn))
-      .select((col("l_orderkey") % col("nn")).as("x"),
-        ((expr("l_orderkey div 7") + col("l_linenumber") * 131) % col("nn"))
-          .as("y"))
-    Graph.kCore(edges, "x", "y", k = 3, rounds = 5)
+    Graph.kCore(SynthGraph.edges(s, dir), "x", "y", k = 3, rounds = 5)
       .orderBy(col("node"))
   }
   // every e$i is referenced ~3× by round i+1; DuckDB INLINES CTEs by
@@ -309,11 +293,7 @@ object Mining {
          |  WHERE lo IN (SELECT node FROM k$i)
          |    AND hi IN (SELECT node FROM k$i))""".stripMargin
     }.mkString(",\n")
-    s"""WITH n0 AS (SELECT count(DISTINCT l_orderkey) AS nn FROM lineitem),
-       |raw AS (
-       |  SELECT l_orderkey % nn AS x,
-       |         (l_orderkey // 7 + l_linenumber * 131) % nn AS y
-       |  FROM lineitem, n0),
+    s"""WITH ${SynthGraph.rawSql},
        |e0 AS MATERIALIZED (
        |  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
        |  FROM raw WHERE x <> y),
@@ -500,7 +480,8 @@ object Mining {
       |       CAST(round(value * 100) AS BIGINT) AS last_value_cents
       |FROM (
       |  SELECT *, row_number() OVER (
-      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC)
+      |    AS rn
       |  FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 

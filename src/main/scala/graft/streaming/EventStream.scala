@@ -268,8 +268,13 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // normalize the batch to the TARGET schema first, so the merge
-          // is a plain unionByName + arg-max at every batch after the first
-          val upd = batch.select(col("user_id"), col("ts").as("t"),
+          // is a plain unionByName + arg-max at every batch after the
+          // first. ts normalizes to MICROS (div 1000, exact) — the batch
+          // reference and the oracle both order by microsecond ts with
+          // the event_id tiebreak; keeping raw nanos here would resolve
+          // micro-ties by nano residue instead of event_id
+          val upd = batch.select(col("user_id"),
+            expr("ts div 1000").as("t"),
             col("event_id").as("last_event_id"),
             col("event_type").as("last_type"),
             round(col("value") * 100).cast("long").as("last_value_cents"))

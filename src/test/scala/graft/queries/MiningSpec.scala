@@ -144,10 +144,13 @@ class MiningSpec extends SparkSpec {
       .select(col("wday"), col("w"),
         (col("wday") * usDay + col("w") * 28800000000L).as("wstart"))
       .withColumn("wend", col("wstart") + 14400000000L)
+    // NO day-bin equality on the reference side — only the raw overlap
+    // predicate, so this detects a lossy binning (a binned join that
+    // dropped cross-bin overlaps would diverge here, not just restate
+    // its own predicate)
     val brute = sessions.crossJoin(windows)
-      .filter(col("day") === col("wday") &&
-        col("smin") <= col("wend") && col("smax") >= col("wstart"))
-      .select(col("user_id"), col("day"), col("w"))
+      .filter(col("smin") <= col("wend") && col("smax") >= col("wstart"))
+      .select(col("user_id"), col("wday").as("day"), col("w"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(binned == brute && binned.nonEmpty)
   }
