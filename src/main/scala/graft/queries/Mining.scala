@@ -655,6 +655,106 @@ object Mining {
       |  FROM orders)
       |GROUP BY decile ORDER BY decile""".stripMargin
 
+  // --------------------------------------- grouped / windowed sketches
+
+  /** Per-GROUP Misra–Gries heavy hitters ([[graft.expr.FreqItemsAgg]]
+    * as a grouped aggregate — one capacity-bounded sketch per source
+    * domain): exact per-group top-3 tokens ride along and the emitted
+    * booleans check each estimate against MG's provable bound
+    * (true − n_g/(m+1) ≤ est ≤ true, n_g = the GROUP's token count) —
+    * TRUE by theorem, stated as constants by the oracle. The grouped
+    * form is the 100 TB shape for per-domain vocabulary profiling: one
+    * mergeable O(capacity) sketch per key crosses the wire, never the
+    * token multiset.
+    */
+  private val groupedHeavyHittersQ: Q = (s, dir) => {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val toks = Registry.spread(Tables.documents(s, dir))
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val sk = GraftShim.column(
+      graft.expr.FreqItemsAgg(GraftShim.expression(col("tok")), 64)
+        .toAggregateExpression())
+    val sketches = toks.groupBy(col("source"))
+      .agg(sk.as("sk"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok"))
+    val exact = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+    val est = coalesce(element_at(col("sk"), col("tok")), lit(0L))
+    exact.join(broadcast(sketches), "source") // group-cardinality-sized
+      .select(col("source"), col("tok"), col("c"),
+        (est <= col("c") &&
+          est >= col("c") - ceil(col("n") / lit(65.0)).cast("long"))
+          .as("within_bound"))
+      .orderBy(col("source"), col("c").desc, col("tok"))
+  }
+  private val groupedHeavyHittersSql =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, tok, c FROM (
+      |    SELECT source, tok, c, row_number() OVER (
+      |      PARTITION BY source ORDER BY c DESC, tok) AS rk
+      |    FROM cnt) WHERE rk <= 3)
+      |SELECT source, tok, CAST(c AS BIGINT) AS c, TRUE AS within_bound
+      |FROM top ORDER BY source, c DESC, tok""".stripMargin
+
+  /** Distinct users per 6-hour event window via one HLL sketch per
+    * window beside the exact count — |est − exact| must land within
+    * max(2, 15%·exact) (≫ 3σ at rsd 0.05; constant-asserted by the
+    * oracle). The windowed-sketch shape: at 100 TB/day the per-window
+    * registers merge map-side and only KB-scale sketches shuffle.
+    */
+  private val windowHllQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(window(col("ts"), "6 hours")("start").as("bucket"),
+        col("user_id"))
+    ev.groupBy(col("bucket"))
+      .agg(approx_count_distinct(col("user_id")).as("est"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("bucket"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          greatest(lit(2.0), col("exact_users").cast("double") * 0.15))
+          .as("within_bound"))
+      .orderBy(col("bucket"))
+  }
+  private val windowHllSql =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS within_bound
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-GROUP quantile sketch: `percentile_approx` (Greenwald–Khanna,
+    * accuracy 100 → rank error ≤ 1%) per returnflag beside the exact
+    * interpolated median; each estimate must lie within the exact
+    * [p48, p52] value envelope — true by the GK rank-error theorem
+    * (1% ≪ the 2% envelope), constant-asserted by the oracle. The
+    * grouped-mergeable form a 100 TB per-key profiling pass ships:
+    * O(1/ε) summaries per key, never the values.
+    */
+  private val groupedQuantilesQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        expr("percentile(l_extendedprice, 0.48)").as("lo"),
+        expr("percentile(l_extendedprice, 0.52)").as("hi"),
+        expr("percentile_approx(l_extendedprice, 0.5, 100)").as("est"))
+      .select(col("l_returnflag"), col("n"), col("p50"),
+        (col("est") >= col("lo") && col("est") <= col("hi"))
+          .as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val groupedQuantilesSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       TRUE AS within_bound
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -670,7 +770,11 @@ object Mining {
     ("q_ivm_agg", ivmAggQ, Some(ivmAggSql)),
     ("q_interval_join", intervalJoinQ, Some(intervalJoinSql)),
     ("q_hll_intersect", hllIntersectQ, Some(hllIntersectSql)),
-    ("q_equidepth_hist", equidepthHistQ, Some(equidepthHistSql)))
+    ("q_equidepth_hist", equidepthHistQ, Some(equidepthHistSql)),
+    ("q_grouped_heavy_hitters", groupedHeavyHittersQ,
+      Some(groupedHeavyHittersSql)),
+    ("q_window_hll", windowHllQ, Some(windowHllSql)),
+    ("q_grouped_quantiles", groupedQuantilesQ, Some(groupedQuantilesSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

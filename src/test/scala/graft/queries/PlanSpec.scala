@@ -577,6 +577,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(1500))
   }
 
+  test("grouped sketches: MG sketch rows broadcast back; window-HLL aggregates partially") {
+    val gh = miPlan("q_grouped_heavy_hitters")
+    assert(gh.contains("BroadcastHashJoin"),
+      "the group-cardinality sketch frame must broadcast, not shuffle the counts")
+    val wh = miPlan("q_window_hll")
+    assert(wh.contains("partial_approx_count_distinct") || wh.contains("Partial"),
+      "per-window HLL registers must merge map-side: " + wh.take(1500))
+  }
+
   test("interval join: the overlap predicate rides an equi-join on the day bin") {
     val p = miPlan("q_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
