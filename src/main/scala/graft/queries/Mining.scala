@@ -755,6 +755,78 @@ object Mining {
       |       TRUE AS within_bound
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- SimHash Hamming join
+
+  /** SimHash near-dup JOIN within Hamming radius 3 (Manku/Jain/Sarma,
+    * WWW 2007 — public literature): fingerprints band into 4×16-bit
+    * blocks; by pigeonhole, two signatures within distance 3 agree
+    * EXACTLY on at least one block (3 differing bits can't touch all 4),
+    * so candidates equi-join on (band, block-value) and only survivors
+    * pay the exact 64-bit Hamming verify — the all-pairs XOR never
+    * exists. Signatures are the md5-variant SimHash
+    * ([[TextOps.simHashMd5Hex]]) whose every bit the oracle rebuilds;
+    * the verify sums per-nibble XOR popcounts via string lookups (no
+    * 64-bit hex parsing — portable to any engine).
+    *
+    * At 100 TB: banding keys are 16-bit, so expected candidate volume
+    * is 4·n²/2¹⁶ — at larger corpora widen the blocks (6×21 bits for
+    * radius 5, etc.); the shape is unchanged. Everything is map-side
+    * fingerprinting + one keyed self-join + per-pair O(16) verify.
+    */
+  private val simhashJoinQ: Q = (s, dir) => {
+    val hex = "0123456789abcdef"
+    val pop = "0112122312232334" // popcount of nibble 0..15
+    val sig = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.simHashMd5Hex(col("text")).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 to 3).map(b =>
+        substring(col("sig"), 1 + 4 * b, 4)): _*)).as(Seq("band", "bv")))
+    val cand = bands.as("ba")
+      .join(bands.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.bv") === col("bb.bv") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("id_a"), col("bb.doc_id").as("id_b"))
+      .distinct()
+    def nib(c: Column, i: Int): Column =
+      instr(lit(hex), substring(c, i, 1)) - 1
+    val dist = (1 to 16).map { i =>
+      lit(pop).substr(
+        nib(col("sa"), i).bitwiseXOR(nib(col("sb"), i)).cast("int") + 1,
+        lit(1)).cast("int")
+    }.reduce(_ + _)
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+      .withColumn("dist", dist)
+      .filter(col("dist") <= 3)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val simhashJoinSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |bit AS (SELECT unnest(range(64)) AS b),
+      |votes AS MATERIALIZED (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef',
+      |            substr(md5(t), CAST(16 - b // 4 AS INT), 1)) - 1)
+      |          >> (b % 4)) & 1 = 1
+      |        THEN 1 ELSE -1 END) AS s
+      |  FROM tok CROSS JOIN bit
+      |  GROUP BY doc_id, b),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN 1::HUGEINT << CAST(b AS INT)
+      |        ELSE 0 END) AS v
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(CAST(xor(a.v, b.v) AS UBIGINT)) AS INTEGER)
+      |         AS dist
+      |FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+      |WHERE bit_count(CAST(xor(a.v, b.v) AS UBIGINT)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -774,7 +846,8 @@ object Mining {
     ("q_grouped_heavy_hitters", groupedHeavyHittersQ,
       Some(groupedHeavyHittersSql)),
     ("q_window_hll", windowHllQ, Some(windowHllSql)),
-    ("q_grouped_quantiles", groupedQuantilesQ, Some(groupedQuantilesSql)))
+    ("q_grouped_quantiles", groupedQuantilesQ, Some(groupedQuantilesSql)),
+    ("q_simhash_join", simhashJoinQ, Some(simhashJoinSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -155,6 +155,30 @@ class MiningSpec extends SparkSpec {
     assert(binned == brute && binned.nonEmpty)
   }
 
+  test("simhash Hamming join equals the brute-force all-pairs XOR (banding is lossless)") {
+    val banded = Mining.queries("q_simhash_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hex = "0123456789abcdef"
+    val pop = "0112122312232334"
+    val sig = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.simHashMd5Hex(col("text")).as("sig"))
+    def nib(c: org.apache.spark.sql.Column, i: Int) =
+      instr(lit(hex), substring(c, i, 1)) - 1
+    val dist = (1 to 16).map { i =>
+      lit(pop).substr(
+        nib(col("sa"), i).bitwiseXOR(nib(col("sb"), i)).cast("int") + 1,
+        lit(1)).cast("int")
+    }.reduce(_ + _)
+    val brute = sig.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+      .crossJoin(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", dist).filter(col("dist") <= 3)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute && banded.nonEmpty,
+      s"missing=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+  }
+
   test("shipping priority: top-10, strictly ordered by revenue desc then orderkey") {
     val rows = Mining.queries("q_shipping_priority")(spark, sf).collect()
     assert(rows.length == 10)

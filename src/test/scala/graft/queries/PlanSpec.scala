@@ -586,6 +586,13 @@ class PlanSpec extends SparkSpec {
       "per-window HLL registers must merge map-side: " + wh.take(1500))
   }
 
+  test("simhash Hamming join: banded equi-join candidates — the all-pairs XOR never plans") {
+    val p = miPlan("q_simhash_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("interval join: the overlap predicate rides an equi-join on the day bin") {
     val p = miPlan("q_interval_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
