@@ -50,10 +50,26 @@ object Mining {
     * O(n²) list-intersect instead, which is exactly the cost this
     * operator exists to avoid.
     */
-  private val simjoinPrefixQ: Q = (s, dir) => {
-    val sets = Registry.spread(Tables.documents(s, dir))
-      .select(col("doc_id"),
-        array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
+  /** Candidate-pair generation for [[simjoinPrefixQ]], exposed so the
+    * spec can assert the PPJoin filters shrink the candidate set without
+    * losing a true pair. With `ppjoin = false` this is the plain prefix
+    * filter (the round-5 shape); with `ppjoin = true` two further
+    * PPJoin filters (Xiao et al., WWW 2008) run INSIDE the equi-join,
+    * before the distinct:
+    *
+    *  - length filter: J(A,B) ≥ 1/2 forces |A∩B| ≤ min ⇒ 3·min ≥
+    *    min + max ⇒ max(|A|,|B|) ≤ 2·min(|A|,|B|). Lossless by algebra.
+    *  - positional filter: for the FIRST common shingle in the global
+    *    rarity order, everything before position i in A (resp. j in B)
+    *    is exclusive, so |A∩B| ≤ min(|A|−i, |B|−j) + 1; a true pair
+    *    needs |A∩B| ≥ ⌈(|A|+|B|)/3⌉. Each token-match is filtered
+    *    independently and a pair survives if ANY of its matches passes —
+    *    the first-common-shingle match of a true pair always does (that
+    *    shingle is in both prefixes by the prefix-filter theorem), so
+    *    the OR-over-matches form stays lossless.
+    */
+  private[graft] def simjoinCandidates(sets: DataFrame,
+                                       ppjoin: Boolean): DataFrame = {
     val toks = sets.select(col("doc_id"), explode(col("ws")).as("tok"))
     val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ranked = toks.join(df_, "tok")
@@ -71,12 +87,28 @@ object Mining {
     // row-object materialization costs more than a second codegen pass
     val prefix = withPos
       .filter(col("pos") <= col("sz") - expr("(sz + 1) div 2") + 1)
-      .select(col("doc_id"), col("tok"))
-    val cand = prefix.as("pa")
+      .select(col("doc_id"), col("tok"), col("sz"), col("pos"))
+    val matches = prefix.as("pa")
       .join(prefix.as("pb"), col("pa.tok") === col("pb.tok"))
       .filter(col("pa.doc_id") < col("pb.doc_id"))
+    val pruned = if (!ppjoin) matches else matches
+      .filter(greatest(col("pa.sz"), col("pb.sz")) <=
+        lit(2) * least(col("pa.sz"), col("pb.sz")))
+      // ⌈(szA+szB)/3⌉ via truncating double division — sums < 2^21 are
+      // exact in double, and x ≥ 0 makes cast-to-long a floor
+      .filter(least(col("pa.sz") - col("pa.pos"),
+          col("pb.sz") - col("pb.pos")) + 1 >=
+        ((col("pa.sz") + col("pb.sz") + lit(2)) / lit(3)).cast("long"))
+    pruned
       .select(col("pa.doc_id").as("id_a"), col("pb.doc_id").as("id_b"))
       .distinct()
+  }
+
+  private val simjoinPrefixQ: Q = (s, dir) => {
+    val sets = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
+    val cand = simjoinCandidates(sets, ppjoin = true)
     // verify per candidate PAIR with one array_intersect — the candidate
     // set is near-dup-density-sized, so shipping two shingle arrays per
     // pair beats re-exploding the corpus through two more shuffles (the
@@ -107,6 +139,81 @@ object Mining {
       |            - len(list_intersect(a.ws, b.ws)) AS BIGINT) AS uni
       |FROM s a JOIN s b ON b.doc_id > a.doc_id
       |WHERE 3 * len(list_intersect(a.ws, b.ws)) >= len(a.ws) + len(b.ws)
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------ containment similarity join
+
+  /** Asymmetric containment self-join: emit directed pairs (A, B) with
+    * |A∩B| / |A| ≥ 3/5 over the same 3-shingle sets as
+    * [[simjoinPrefixQ]] — the similarity relation symmetric Jaccard
+    * cannot express, and the one a corpus dedup pass keys on for
+    * wire-copy supersets and boilerplate-wrapped articles (B contains
+    * nearly all of A while being much larger, so J(A,B) is tiny but
+    * C(A→B) ≈ 1).
+    *
+    * Prefix bound on the PROBE side only (containment variant of the
+    * SSJoin prefix theorem): if |A∩B| ≥ o := ⌈t·|A|⌉, at most |A| − o
+    * of A's shingles precede the first common shingle in A's global
+    * rarity order, so that shingle sits inside A's first
+    * |A| − o + 1 — the probe prefix. The INDEX side must post every
+    * shingle (asymmetry: no bound on B's side exists because o doesn't
+    * depend on |B|), but candidates only materialize where an indexed
+    * shingle meets a probe-PREFIX shingle, and prefixes hold rare
+    * shingles only — boilerplate-grade shingles never key a candidate.
+    * A size filter (|B| ≥ ⌈t·|A|⌉, since |A∩B| ≤ |B|) runs inside the
+    * join; each survivor is verified with one exact integer
+    * intersection (C ≥ 3/5 ⇔ 5·|A∩B| ≥ 3·|A|). No cartesian
+    * (PlanSpec-locked); the oracle pays the all-pairs list_intersect
+    * this operator exists to avoid.
+    */
+  private val containmentJoinQ: Q = (s, dir) => {
+    val sets = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
+    val toks = sets.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val ordered = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+    val withPos = toks.join(df_, "tok")
+      .withColumn("sz", count(lit(1)).over(perDoc))
+      .withColumn("pos", row_number().over(ordered))
+    // probe prefix: |A| − ⌈3|A|/5⌉ + 1 rarest shingles (t = 3/5)
+    val probe = withPos
+      .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select(col("doc_id").as("id_a"), col("tok"), col("sz").as("sz_a"))
+    val index = withPos
+      .select(col("doc_id").as("id_b"), col("tok"), col("sz").as("sz_b"))
+    val cand = probe.join(index, "tok")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") * 5 >= col("sz_a") * 3) // |A∩B| ≤ |B| size filter
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("ws").as("wa")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("sz_a", size(col("wa")).cast("long"))
+      .filter(col("inter") * 5 >= col("sz_a") * 3)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val containmentJoinSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+2], ' ')
+      |               for i in range(1, len(toks) - 1)]
+      |    END) AS ws FROM tok)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+      |       CAST(len(a.ws) AS BIGINT) AS sz_a
+      |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      |WHERE 5 * len(list_intersect(a.ws, b.ws)) >= 3 * len(a.ws)
       |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------- label propagation
@@ -831,6 +938,7 @@ object Mining {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_simjoin_prefix", simjoinPrefixQ, Some(simjoinPrefixSql)),
+    ("q_containment_join", containmentJoinQ, Some(containmentJoinSql)),
     ("q_label_prop", labelPropQ, Some(labelPropSql)),
     ("q_random_projection", randomProjectionQ, Some(randomProjectionSql)),
     ("q_shipping_priority", shippingPriorityQ, Some(shippingPrioritySql)),

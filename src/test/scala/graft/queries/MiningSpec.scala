@@ -33,6 +33,44 @@ class MiningSpec extends SparkSpec {
     assert(pref.nonEmpty, "fixture must contain near-duplicate documents")
   }
 
+  test("PPJoin length+positional filters shrink candidates without losing a true pair") {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
+    def pairs(ppjoin: Boolean) = Mining.simjoinCandidates(sets, ppjoin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(ppjoin = false)
+    val pruned = pairs(ppjoin = true)
+    assert(pruned.subsetOf(plain), "PPJoin filters may only REMOVE candidates")
+    assert(pruned.size < plain.size,
+      s"filters must prune on this corpus: plain=${plain.size} ppjoin=${pruned.size}")
+    val truePairs = Mining.queries("q_simjoin_prefix")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.subsetOf(pruned),
+      s"lossless: true pairs missing from candidates: ${(truePairs -- pruned).take(5)}")
+  }
+
+  test("containment join equals the brute-force all-pairs directed containment") {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
+    val a = sets.select(col("doc_id").as("id_a"), col("ws").as("wa"))
+    val b = sets.select(col("doc_id").as("id_b"), col("ws").as("wb"))
+    val brute = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("wa"), col("wb"))).cast("long").as("inter"),
+        size(col("wa")).cast("long").as("sz_a"))
+      .filter(col("inter") * 5 >= col("sz_a") * 3) // C(A→B) ≥ 3/5
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val pref = Mining.queries("q_containment_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(pref == brute, s"probe-prefix containment must be lossless: " +
+      s"missing=${(brute -- pref).take(5)} extra=${(pref -- brute).take(5)}")
+    assert(pref.nonEmpty, "fixture must contain contained documents")
+  }
+
   test("label propagation: two disjoint triangles converge to min-id communities") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L))

@@ -206,6 +206,21 @@ class PlanSpec extends SparkSpec {
     assert(row.getInt(0) == 10 && row.getBoolean(1), row.toString)
   }
 
+  test("q_group_avg: one hash exchange, partial agg combines map-side, no window") {
+    // r5 bench showed a transient 0.62→1.52 s wobble on this query; the
+    // next bench was back at 0.40 s (noise, not a plan change). This pins
+    // the shape so a real regression — a second shuffle, a lost partial
+    // agg, a window sneaking in — fails loudly instead of reading as noise.
+    val p = plan("q_group_avg")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"group-avg must shuffle exactly once: $p")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+    // partial_avg before the exchange = map-side combine is intact
+    assert(p.contains("partial_avg") || p.contains("partial avg")
+      || "HashAggregate.*avg".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_ntile and q_global_rank plan no single-partition window (distributed tiling)") {
     for (q <- Seq("q_ntile", "q_global_rank")) {
     val df = Registry.queries(q)(spark, sf)
@@ -534,6 +549,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "every join must key on a column (shingle or doc id)")
     // the per-doc prefix window partitions by doc_id — never SinglePartition
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("containment join: probe-prefix equi-join — no cartesian, no nested loop") {
+    val p = miPlan("q_containment_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "every join must key on a column (shingle or doc id)")
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
