@@ -30,27 +30,37 @@ object Bench {
   val DefaultRepTimeoutMs: Long =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_MS", "60000").toLong
 
+  private sealed trait RepOutcome
+  private final case class RepOk(sec: Double) extends RepOutcome
+  private final case class RepError(msg: String) extends RepOutcome
+  /** `stillWedged`: the rep thread survived cancellation + interrupt +
+    * grace wait — it is still executing concurrently and would pollute
+    * any further rep of this query. */
+  private final case class RepTimeout(stillWedged: Boolean) extends RepOutcome
+
   /** One benchmarked rep executed on a daemon thread under a watchdog.
     * On timeout: cancel the rep's job group (and all jobs — nothing else
-    * is running), abandon the (daemon) thread, report failure. A rep
-    * wedged inside a Spark job fails fast — cancellation fails the job
-    * and the awaiting action throws without waiting for straggler tasks.
+    * is running), interrupt the thread (a driver-side wedge outside any
+    * Spark job is unreachable by job cancellation), then report whether
+    * the thread actually died. A rep wedged inside a Spark job fails
+    * fast — cancellation fails the job and the awaiting action throws
+    * without waiting for straggler tasks.
     */
   private def timedRep(spark: SparkSession, name: String, rep: Int,
-                       timeoutMs: Long)(body: => Unit): Either[String, Double] = {
+                       timeoutMs: Long)(body: => Unit): RepOutcome = {
     System.err.println(s"[bench] $name rep $rep")
     val group = s"graft_bench_$name"
-    val result = new java.util.concurrent.CompletableFuture[Either[String, Double]]()
+    val result = new java.util.concurrent.CompletableFuture[RepOutcome]()
     val t = new Thread(() => {
       val out =
         try {
           spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
           val t0 = System.nanoTime()
           body
-          Right((System.nanoTime() - t0) / 1e9)
+          RepOk((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName))
+            RepError(Option(e.getMessage).getOrElse(e.getClass.getName))
         } finally spark.sparkContext.clearJobGroup()
       result.complete(out): Unit
     }, s"bench-$name-$rep")
@@ -62,16 +72,19 @@ object Bench {
         System.err.println(s"[bench] $name rep $rep TIMEOUT after ${timeoutMs}ms")
         spark.sparkContext.cancelJobGroup(group)
         spark.sparkContext.cancelAllJobs()
-        // brief grace: if cancellation unwedged the thread, collect its
-        // (failed) outcome so the session is quiet before the next query
+        t.interrupt()
+        // brief grace: if cancellation/interrupt unwedged the thread,
+        // collect its (failed) outcome so the session is quiet before the
+        // next query
         try result.get(5000, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch { case _: java.util.concurrent.TimeoutException => () }
-        Left(s"timeout after ${timeoutMs}ms")
+        RepTimeout(stillWedged = t.isAlive)
     }
   }
 
   private def summaryLine(results: Seq[(String, Double)],
                           errors: collection.Map[String, String],
+                          absorbed: collection.Map[String, Int],
                           sfDir: String): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -79,8 +92,10 @@ object Bench {
       s"\"" + k + "\":\"" +
         v.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
+    val absJson = absorbed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson,"sf":"$sfDir"}"""
   }
 
   private def writeSummary(line: String): Unit =
@@ -95,21 +110,32 @@ object Bench {
     * DIFFERENT queries in consecutive runs — one of them on its THIRD rep
     * after a clean 1.2 s first rep, so a timed-out rep is evidence about
     * the box, not the query):
-    *   - a rep that times out AFTER a successful rep is absorbed — the
-    *     query keeps the min of its successful reps, no error recorded,
-    *     no further reps attempted (the cancellation already cost ~60 s);
+    *   - a rep that times out (or throws) AFTER a successful rep is
+    *     absorbed — the query keeps the min of its successful reps, no
+    *     error recorded, no further reps attempted (the cancellation
+    *     already cost ~60 s). Every absorption is COUNTED in the summary's
+    *     `absorbed` map (empty in a clean run), so the artifact
+    *     distinguishes "3 clean reps" from "1 clean rep + 2 absorbed
+    *     stalls" — a deterministic later-rep wedge can't hide;
     *   - a FIRST rep that times out is retried once (transient stall →
-    *     the retry succeeds and benching continues normally); only a
+    *     the retry succeeds and benching continues normally) — UNLESS the
+    *     wedged thread survived cancellation + interrupt, in which case a
+    *     retry would race the still-running rep on the same session and
+    *     measure garbage: the query is recorded -1 immediately; only a
     *     query whose first rep times out twice — or throws — is recorded
     *     -1 with an error. Worst case per query stays ≤ 2×timeout.
+    * A query never carries BOTH a valid timing and an `errors` entry:
+    * post-success degradation goes to `absorbed`, -1 timings to `errors`.
     * `onQuery` fires after each query with the running summary line
     * (Bench.main persists it; tests observe it).
     */
   def run(spark: SparkSession, queries: Seq[String],
           runOne: String => Unit, sfDir: String,
           timeoutMs: Long = DefaultRepTimeoutMs, reps: Int = 3,
-          onQuery: String => Unit = _ => ()): (Seq[(String, Double)], Map[String, String]) = {
+          onQuery: String => Unit = _ => ())
+      : (Seq[(String, Double)], Map[String, String], Map[String, Int]) = {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val absorbed = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     queries.foreach { name =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
@@ -118,22 +144,36 @@ object Bench {
       var firstRepRetried = false
       while (!stop && rep <= reps) {
         timedRep(spark, name, rep, timeoutMs)(runOne(name)) match {
-          case Right(sec) => times += sec; rep += 1
-          case Left(msg) if msg.startsWith("timeout") && times.nonEmpty =>
-            // transient box stall mid-query: keep what we measured
+          case RepOk(sec) => times += sec; rep += 1
+          case RepTimeout(_) if times.nonEmpty =>
+            // transient box stall mid-query: keep what we measured, but
+            // record the degradation where summary consumers can see it
             System.err.println(s"[bench] $name rep $rep timeout absorbed " +
               s"(min of ${times.size} successful reps stands)")
+            absorbed(name) = absorbed.getOrElse(name, 0) + 1
             stop = true
-          case Left(msg) if msg.startsWith("timeout") && !firstRepRetried =>
+          case RepError(msg) if times.nonEmpty =>
+            // same policy for a post-success throw: the measured timing
+            // stands, the degraded rep is marked absorbed — never both a
+            // timing and an errors entry for one query
+            System.err.println(s"[bench] $name rep $rep error absorbed " +
+              s"($msg; min of ${times.size} successful reps stands)")
+            absorbed(name) = absorbed.getOrElse(name, 0) + 1
+            stop = true
+          case RepTimeout(stillWedged) if !firstRepRetried && !stillWedged =>
             System.err.println(s"[bench] $name rep $rep timeout — retrying once")
             firstRepRetried = true // retry rep 1 exactly once
-          case Left(msg) => errors(name) = msg; stop = true
+          case RepTimeout(stillWedged) =>
+            errors(name) = s"timeout after ${timeoutMs}ms" +
+              (if (stillWedged) " (thread survived cancellation)" else "")
+            stop = true
+          case RepError(msg) => errors(name) = msg; stop = true
         }
       }
       results += name -> (if (times.isEmpty) -1.0 else times.min)
-      onQuery(summaryLine(results.toSeq, errors, sfDir))
+      onQuery(summaryLine(results.toSeq, errors, absorbed, sfDir))
     }
-    (results.toSeq, errors.toMap)
+    (results.toSeq, errors.toMap, absorbed.toMap)
   }
 
   def main(args: Array[String]): Unit = {
@@ -186,9 +226,9 @@ object Bench {
       if (args.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_SUMMARY"))
         writeSummary
       else _ => ()
-    val (results, errors) = run(spark, names,
+    val (results, errors, absorbed) = run(spark, names,
       runToNoop, sfDir, onQuery = persist)
-    val line = summaryLine(results, errors, sfDir)
+    val line = summaryLine(results, errors, absorbed, sfDir)
     println(line)
     // Also persist the full line to the repo root: the driver's BENCH
     // tail window truncates long per-query maps, which makes exact

@@ -1,9 +1,10 @@
 package graft
 
-/** The r5 contract for the bench harness (r4 postmortem: BENCH_r04
+/** The r5/r6 contract for the bench harness (r4 postmortem: BENCH_r04
   * rc=124 lost the whole round's perf artifact to ONE stall): a wedged
   * query must be reported as an error while every other query still
-  * completes and the incremental summary survives on disk.
+  * completes, the incremental summary survives on disk, and every
+  * absorbed degradation is visible in the artifact's `absorbed` map.
   */
 class BenchSpec extends SparkSpec {
 
@@ -17,7 +18,7 @@ class BenchSpec extends SparkSpec {
         spark.range(100).write.format("noop").mode("overwrite").save()
     }
     val summaries = scala.collection.mutable.ArrayBuffer[String]()
-    val (results, errors) = Bench.run(spark,
+    val (results, errors, absorbed) = Bench.run(spark,
       Seq("q_fast_a", "q_wedged", "q_fast_b"), runOne, "spec_sf",
       // wide enough that a cold-JIT fast query can't trip it (a 3 s cap
       // flaked once when this suite ran first in the JVM)
@@ -29,6 +30,7 @@ class BenchSpec extends SparkSpec {
     assert(byName("q_fast_a") > 0 && byName("q_fast_b") > 0,
       s"queries after the wedge must still run: $results")
     assert(errors.keySet == Set("q_wedged"))
+    assert(absorbed.isEmpty, s"a -1 query is an error, not an absorption: $absorbed")
     // incremental persistence: one summary per query, each parseable and
     // containing everything benched so far
     assert(summaries.size == 3)
@@ -36,6 +38,8 @@ class BenchSpec extends SparkSpec {
     assert(summaries(2).contains("q_fast_a") && summaries(2).contains("q_wedged")
       && summaries(2).contains("q_fast_b"))
     assert(summaries.last.contains("\"q_wedged\":-1.0"))
+    // clean runs carry an EMPTY absorbed map — the field is always present
+    assert(summaries.last.contains("\"absorbed\":{}"), summaries.last)
   }
 
   test("a throwing query is recorded as an error, not a fake timing") {
@@ -43,15 +47,16 @@ class BenchSpec extends SparkSpec {
       case "q_boom" => throw new RuntimeException("boom")
       case _ => spark.range(10).write.format("noop").mode("overwrite").save()
     }
-    val (results, errors) = Bench.run(spark, Seq("q_boom", "q_ok"), runOne,
+    val (results, errors, absorbed) = Bench.run(spark, Seq("q_boom", "q_ok"), runOne,
       "spec_sf", timeoutMs = 30000, reps = 2)
     assert(results.toMap.apply("q_boom") == -1.0)
     assert(errors("q_boom").contains("boom"))
     assert(results.toMap.apply("q_ok") > 0)
+    assert(absorbed.isEmpty)
   }
 
   test("transient stalls are absorbed: a later-rep wedge keeps the timing, " +
-      "a first-rep wedge is retried once") {
+      "a first-rep wedge is retried once — and both are auditable") {
     // r5 field observation: a box stall wedged q_sparse_map's THIRD rep
     // after a clean 1.2 s first rep — the query must not be reported -1
     val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
@@ -65,9 +70,10 @@ class BenchSpec extends SparkSpec {
       if (wedge) spark.range(1).foreach(_ => Thread.sleep(600000L))
       else spark.range(10).write.format("noop").mode("overwrite").save()
     }
-    val (results, errors) = Bench.run(spark,
+    val summaries = scala.collection.mutable.ArrayBuffer[String]()
+    val (results, errors, absorbed) = Bench.run(spark,
       Seq("q_flaky_late", "q_flaky_first", "q_ok"), runOne, "spec_sf",
-      timeoutMs = 8000, reps = 3)
+      timeoutMs = 8000, reps = 3, onQuery = s => summaries += s)
     val byName = results.toMap
     assert(byName("q_flaky_late") > 0, s"late wedge must keep rep-1 timing: $results")
     assert(byName("q_flaky_first") > 0, s"first-rep wedge must recover via retry: $results")
@@ -75,5 +81,29 @@ class BenchSpec extends SparkSpec {
     assert(errors.isEmpty, s"transient stalls must not surface as errors: $errors")
     // the absorbed wedge stops further reps: exactly 2 calls, not 3
     assert(calls("q_flaky_late") == 2, calls.toString)
+    // r6: the absorption is no longer invisible — the artifact carries it
+    // (the retried FIRST rep is not an absorption: its timing was never kept)
+    assert(absorbed == Map("q_flaky_late" -> 1), absorbed.toString)
+    assert(summaries.last.contains("\"absorbed\":{\"q_flaky_late\":1}"),
+      summaries.last)
+  }
+
+  test("a post-success throw is absorbed with a marker — never timing AND error") {
+    val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val runOne: String => Unit = { name =>
+      calls(name) += 1
+      if (name == "q_late_boom" && calls(name) == 2)
+        throw new RuntimeException("boom on rep 2")
+      spark.range(10).write.format("noop").mode("overwrite").save()
+    }
+    val (results, errors, absorbed) = Bench.run(spark,
+      Seq("q_late_boom", "q_ok"), runOne, "spec_sf",
+      timeoutMs = 30000, reps = 3)
+    assert(results.toMap.apply("q_late_boom") > 0,
+      "the measured rep-1 timing must stand")
+    assert(!errors.contains("q_late_boom"),
+      s"a query with a valid timing must not also carry an error: $errors")
+    assert(absorbed == Map("q_late_boom" -> 1), absorbed.toString)
+    assert(calls("q_late_boom") == 2, "absorption must stop further reps")
   }
 }
