@@ -116,14 +116,20 @@ object PageRank {
     val deg = edges.groupBy(col(srcCol).as("src"))
       .agg(count(lit(1)).as("out_deg"))
     val edgesT = s"${namePrefix}_edges"
+    preCleanOrphan(spark, edgesT)
     edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .join(deg, "src")
       .write.bucketBy(buckets, "src").sortBy("src")
       .mode("overwrite").saveAsTable(edgesT)
+    tagStaged(spark, edgesT)
     var cur = s"${namePrefix}_rank_0"
+    preCleanOrphan(spark, s"${namePrefix}_rank_0")
+    preCleanOrphan(spark, s"${namePrefix}_rank_1")
+    preCleanOrphan(spark, s"${namePrefix}_rank_2")
     deg.select(col("src").as("node"), lit(microInit).as("pr"))
       .write.bucketBy(buckets, "node").sortBy("node")
       .mode("overwrite").saveAsTable(cur)
+    tagStaged(spark, cur)
     for (i <- 1 to iterations) {
       // alternate between two iteration tables: the write target is
       // always a table no live read depends on
@@ -131,20 +137,88 @@ object PageRank {
       bucketedIteration(spark, edgesT, cur, teleport, dampingNum, dampingDen)
         .write.bucketBy(buckets, "node").sortBy("node")
         .mode("overwrite").saveAsTable(next)
+      tagStaged(spark, next)
       cur = next
     }
     spark.table(cur)
   }
 
+  /** Ownership tag on every table [[pageRankBucketed]] stages: DROP +
+    * recursive file delete is destructive, so [[dropBucketedTables]]
+    * refuses to touch any table that doesn't carry it — a pre-existing
+    * user table that merely collides on name survives. (mode=overwrite
+    * recreates the table, wiping properties — re-tag after every write.)
+    */
+  private val StagedKey = "graft.staged"
+  private val StagedVal = "pagerank"
+  /** Marker FILE inside the table directory, beside the catalog property:
+    * the in-memory catalog (and its properties) dies with the JVM, but
+    * the warehouse directory survives — the marker lets a later JVM prove
+    * an orphaned directory is ours before clearing it. */
+  private val MarkerFile = "_graft_staged_pagerank"
+  private def tagStaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('$StagedKey'='$StagedVal')")
+    warehousePath(spark, table).foreach { dir =>
+      if (java.nio.file.Files.isDirectory(dir))
+        java.nio.file.Files.write(dir.resolve(MarkerFile), Array.empty[Byte]): Unit
+    }
+  }
+  private def isStaged(spark: SparkSession, table: String): Boolean =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .exists(r => r.getString(0) == StagedKey && r.getString(1) == StagedVal)
+  /** Default managed-table location (default database): warehouseDir/name.
+    * None for non-local warehouses — orphan pre-clean is a local-mode
+    * convenience; a cluster catalog outlives its JVMs and never orphans. */
+  private def warehousePath(spark: SparkSession,
+                            table: String): Option[java.nio.file.Path] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val stripped =
+      if (wh.startsWith("file:")) Some(wh.stripPrefix("file:"))
+      else if (!wh.contains(":")) Some(wh)
+      else None
+    stripped.map(d => java.nio.file.Paths.get(d, table.toLowerCase))
+  }
+
+  /** A fresh JVM's in-memory catalog does not know the previous JVM's
+    * managed tables, but their directories survive in the warehouse — and
+    * `saveAsTable` refuses to create a managed table over a non-empty
+    * location. If the directory carries our [[MarkerFile]], it is a
+    * previous run's orphan: clear it. If it does NOT, refuse loudly — the
+    * caller's prefix collides with data this code did not write.
+    */
+  private def preCleanOrphan(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table))
+      warehousePath(spark, table).foreach { dir =>
+        if (java.nio.file.Files.isDirectory(dir)) {
+          if (!java.nio.file.Files.exists(dir.resolve(MarkerFile)))
+            throw new IllegalStateException(
+              s"pageRankBucketed: $dir exists but carries no $MarkerFile " +
+                "marker — refusing to overwrite a directory this code did " +
+                "not stage; choose another namePrefix or remove it manually")
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+
   /** Drop the managed tables a [[pageRankBucketed]] run staged, deleting
     * their warehouse directories (DROP TABLE alone leaves managed-table
     * files behind when the in-memory catalog outlives the JVM that wrote
-    * them).
+    * them). Only tables carrying the [[StagedKey]] ownership tag are
+    * touched: a user table that happens to share the prefix is left
+    * intact with a loud stderr note instead of being destroyed.
     */
   def dropBucketedTables(spark: SparkSession, namePrefix: String): Unit =
     Seq("_edges", "_rank_0", "_rank_1", "_rank_2").map(namePrefix + _)
       .foreach { t =>
-        if (spark.catalog.tableExists(t)) {
+        if (spark.catalog.tableExists(t) && {
+          val staged = isStaged(spark, t)
+          if (!staged) System.err.println(
+            s"[pagerank] NOT dropping $t: missing $StagedKey=$StagedVal " +
+              "tag — name collision with a table this run did not create")
+          staged
+        }) {
           val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
             .filter(col("col_name") === "Location")
             .collect().headOption.map(_.getString(1))

@@ -639,6 +639,61 @@ object Extended {
        |SELECT node, pr FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** The 100 TB contingency path, driver-oracled like everything else
+    * ([[graft.ops.PageRank.pageRankBucketed]]): 3 iterations over the
+    * supplier↔part graph restricted to l_suppkey ≤ 200 (same exact
+    * integer micro-rank arithmetic as q_pagerank, just a smaller graph —
+    * the bucketed path pays a table write per iteration, which is its
+    * honest cost), both sides read from co-bucketed tables so the
+    * per-iteration join plans with zero Exchange (PlanSpec-proven on
+    * [[graft.ops.PageRank.bucketedIteration]]). The oracle replays all 3
+    * iterations; bit-equality with the DuckDB replay proves the bucketed
+    * loop computes the SAME fixpoint arithmetic as the broadcast loop.
+    * Staged tables are ownership-tagged and re-staged per run (bounded:
+    * 4 tables, overwritten in place).
+    */
+  private val pagerankBucketedQ: Q = (s, dir) => {
+    val base = Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 200)
+      .select((col("l_suppkey").cast("long") * 2).as("src"),
+        (col("l_partkey").cast("long") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = base.union(
+      base.select(col("dst").as("src"), col("src").as("dst")))
+    // eager localCheckpoint: materialize the (node-count-sized) result
+    // BEFORE dropping the staged tables it lazily reads — the query then
+    // leaves the warehouse clean for the next JVM (a fresh in-memory
+    // catalog can't overwrite a dead JVM's leftover managed-table dirs)
+    val ranked = graft.ops.PageRank.pageRankBucketed(s, edges, "src", "dst",
+        iterations = 3, namePrefix = "graft_prb_q", buckets = 8)
+      .localCheckpoint()
+    graft.ops.PageRank.dropBucketedTables(s, "graft_prb_q")
+    ranked.orderBy(col("node"))
+  }
+  private val pagerankBucketedSql = {
+    val teleport = 1000000L * (1000L - 850L) / 1000L
+    val iters = (1 to 3).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    $teleport + (850 * CAST(sum(r.pr // e.out_deg) AS BIGINT)) // 1000
+         |      AS pr
+         |  FROM ed e JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT CAST(2 * l_suppkey AS BIGINT) AS src,
+       |         CAST(2 * l_partkey + 1 AS BIGINT) AS dst
+       |  FROM lineitem WHERE l_suppkey <= 200),
+       |edges AS (SELECT src, dst FROM base
+       |          UNION ALL SELECT dst, src FROM base),
+       |deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.out_deg
+       |       FROM edges e JOIN deg d USING (src)),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |$iters
+       |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+  }
+
   /** SCD Type-2 dimension build ([[graft.ops.Scd.scd2]]): customer
     * order-status history collapsed into versioned validity intervals.
     * (o_orderdate, o_orderkey) is the total order — orderdate alone has
@@ -1218,6 +1273,7 @@ object Extended {
     ("q_pivot_dynamic", pivotDynamicQ, Some(pivotDynamicSql)),
     ("q_connected_components", connectedComponentsQ, Some(connectedComponentsSql)),
     ("q_pagerank", pagerankQ, Some(pagerankSql)),
+    ("q_pagerank_bucketed", pagerankBucketedQ, Some(pagerankBucketedSql)),
     ("q_scd2", scd2Q, Some(scd2Sql)),
     ("q_json_source", jsonSourceQ, Some(jsonSourceSql)),
     ("q_csv_source", csvSourceQ, Some(csvSourceSql)),
