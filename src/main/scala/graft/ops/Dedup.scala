@@ -67,13 +67,18 @@ object Dedup {
     * filter; oversizing costs bytes, undersizing costs only extra
     * confirm-join work (false-positive rate rises, results unchanged).
     *
-    * The bloom-literal plan and the candidate broadcast are both sized by
-    * the BATCH key count — a batch beyond `maxBloomKeys` would turn them
-    * into a driver/broadcast OOM cliff, so such batches take a plain
-    * shuffled anti join instead (slower: the history side shuffles; but
-    * graceful, and semantically identical). NOTE the bloom path runs an
-    * eager aggregation job at CALL time (the filter bytes must exist to
-    * embed in the plan); the fallback path stays fully lazy.
+    * The candidate broadcast is sized by the BATCH key count — a batch
+    * beyond `maxBloomKeys` would turn it into a driver/broadcast OOM
+    * cliff, so such batches take a plain shuffled anti join instead
+    * (slower: the history side shuffles; but graceful, and semantically
+    * identical). The gate is derived from the batch ITSELF, not trusted
+    * from `expectedBatchKeys`: the eager aggregation that builds the
+    * filter also counts the batch's approximate distinct keys in the same
+    * pass, and an actual count past the budget falls back even when the
+    * caller's (default 1M) estimate claimed otherwise. A declared-large
+    * estimate still short-circuits before the eager job. NOTE the bloom
+    * path runs an eager aggregation job at CALL time (the filter bytes
+    * must exist to embed in the plan); the fallback path stays fully lazy.
     */
   def incrementalDedup(batch: DataFrame, history: DataFrame, fpCol: String,
                        expectedBatchKeys: Long = 1L << 20,
@@ -88,9 +93,17 @@ object Dedup {
     val bloomAgg = GraftShim.column(
       new BloomFilterAggregate(GraftShim.expression(xxhash64(col(fpCol))),
         expectedBatchKeys).toAggregateExpression())
-    // one binary row — bounded like a broadcast artifact, not data
-    val filterBytes = batch.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    // one binary row + one count — bounded like a broadcast artifact, not
+    // data; the approx count (±2% default rsd) rides the same job, so the
+    // real-size check costs no extra pass
+    val head = batch.agg(bloomAgg.as("bf"),
+      approx_count_distinct(col(fpCol)).as("n")).head()
+    val filterBytes = head.getAs[Array[Byte]](0)
     if (filterBytes == null) return batch // empty batch: nothing to dedup
+    // 10% slack: approx_count_distinct error must not flap the gate at
+    // exactly-at-budget sizes — anywhere near the cliff, shuffle
+    if (head.getLong(1) > maxBloomKeys - maxBloomKeys / 10)
+      return batch.join(history.select(col(fpCol)), Seq(fpCol), "left_anti")
     val mightContain = GraftShim.column(BloomFilterMightContain(
       Literal(filterBytes, org.apache.spark.sql.types.BinaryType),
       GraftShim.expression(xxhash64(col(fpCol)))))

@@ -496,9 +496,14 @@ object Corpus {
     */
   private def stageBinary(s: SparkSession, dir: String): String =
     graft.ops.Staging.cached(s"bin:$dir") { tmp =>
-      Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val rows = Tables.documents(s, dir).filter(col("doc_id") < 200)
         .select(col("doc_id"), col("text")).collect()
-        .foreach { r =>
+      // this collect stages a FIXTURE, not data flow: the doc_id < 200
+      // predicate bounds it by construction. Keep the bound loud — if the
+      // predicate is ever widened, fail here instead of OOMing the driver.
+      require(rows.length <= 200,
+        s"stageBinary fixture must stay driver-sized: ${rows.length} rows")
+      rows.foreach { r =>
           java.nio.file.Files.write(
             tmp.resolve(f"doc_${r.getLong(0)}%05d.bin"),
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))

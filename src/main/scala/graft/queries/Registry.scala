@@ -900,9 +900,13 @@ object Registry {
     // agg (pruned scan, map-side partial distinct) — putting two
     // countDistincts in one agg would Expand every row ×3 through the
     // shuffle, tripling shuffled bytes for no benefit
+    // rsd 0.01 (not the 0.05 default): rsd is a standard deviation, not a
+    // hard bound — at sf0.001 the default sketch drifted 5.4% on 1473
+    // distinct orderkeys and flipped the boolean. A 1%-sigma sketch keeps
+    // the 5% claim a 5-sigma statement at every SF for a few KB more.
     val approx = li.agg(
-      approx_count_distinct(col("l_orderkey")).as("a_o"),
-      approx_count_distinct(col("l_partkey")).as("a_p"))
+      approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("a_o"),
+      approx_count_distinct(col("l_partkey"), rsd = 0.01).as("a_p"))
     val exactO = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
     val exactP = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
     approx.crossJoin(exactO).crossJoin(exactP) // all 1-row frames

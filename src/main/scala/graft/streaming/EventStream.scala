@@ -31,7 +31,10 @@ object EventStream {
                  timeoutMs: Long = DrainTimeoutMs): Unit = {
     val finished = q.awaitTermination(timeoutMs)
     if (!finished) {
-      try q.stop() finally {}
+      // stop() itself can throw (stopTimeout, or the query died with an
+      // error in the meantime) — swallow it so the descriptive exception
+      // below, naming the wedged drain, is always the one that propagates
+      try q.stop() catch { case scala.util.control.NonFatal(_) => () }
       throw new IllegalStateException(
         s"streaming drain '${q.name}' exceeded ${timeoutMs}ms (AvailableNow " +
           "should terminate on its own; a longer wait would not help)")

@@ -405,6 +405,26 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(got == Set(("d", 2), ("e", 3)))
   }
+
+  test("the bloom-budget gate measures the batch, not the caller's estimate") {
+    // a genuinely oversized batch declared with the default small estimate
+    // must STILL fall back (no batch-sized broadcast): 5000 actual keys
+    // against a 1000-key budget, estimate left at a number under budget
+    val history = spark.range(0, 100).select(concat(lit("k"), col("id")).as("fp"))
+    val batch = spark.range(0, 5000)
+      .select(concat(lit("k"), col("id")).as("fp"), col("id").as("v"))
+    val got = Dedup.incrementalDedup(batch, history, "fp",
+      expectedBatchKeys = 500, maxBloomKeys = 1000)
+    // result must stay exact either way — and the plan must be the plain
+    // anti join, provably: no bloom filter on the history scan means the
+    // gate fired and the batch-keyed candidate broadcast was never built
+    // (Catalyst may still auto-broadcast this fixture's tiny HISTORY
+    // side — that broadcast is history-sized, not the OOM hazard)
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("might_contain") && !p.contains("BloomFilter"),
+      s"oversized batch must not take the bloom path: $p")
+    assert(got.count() == 4900)
+  }
 }
 
 class GraphSpec extends SparkSpec {
