@@ -166,10 +166,12 @@ object Mining {
     * (PlanSpec-locked); the oracle pays the all-pairs list_intersect
     * this operator exists to avoid.
     */
-  private val containmentJoinQ: Q = (s, dir) => {
-    val sets = Registry.spread(Tables.documents(s, dir))
-      .select(col("doc_id"),
-        array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
+  /** Candidate-pair generation for [[containmentJoinQ]], exposed so the
+    * spec can assert the positional filter shrinks the candidate set
+    * without losing a true pair (mirror of [[simjoinCandidates]]).
+    */
+  private[graft] def containmentCandidates(sets: DataFrame,
+                                           positional: Boolean): DataFrame = {
     val toks = sets.select(col("doc_id"), explode(col("ws")).as("tok"))
     val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val perDoc = Window.partitionBy(col("doc_id"))
@@ -181,14 +183,37 @@ object Mining {
     // probe prefix: |A| − ⌈3|A|/5⌉ + 1 rarest shingles (t = 3/5)
     val probe = withPos
       .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-      .select(col("doc_id").as("id_a"), col("tok"), col("sz").as("sz_a"))
+      .select(col("doc_id").as("id_a"), col("tok"),
+        col("sz").as("sz_a"), col("pos").as("pos_a"))
     val index = withPos
-      .select(col("doc_id").as("id_b"), col("tok"), col("sz").as("sz_b"))
-    val cand = probe.join(index, "tok")
+      .select(col("doc_id").as("id_b"), col("tok"),
+        col("sz").as("sz_b"), col("pos").as("pos_b"))
+    val matches = probe.join(index, "tok")
       .filter(col("id_a") =!= col("id_b") &&
         col("sz_b") * 5 >= col("sz_a") * 3) // |A∩B| ≤ |B| size filter
+    // positional filter (containment form): for the FIRST common shingle
+    // in the global rarity order — which for a true pair is always one of
+    // these candidate rows (it lies in A's probe prefix by the prefix
+    // theorem, and B posts everything) — all earlier shingles on both
+    // sides are exclusive, so
+    //   |A∩B| ≤ 1 + min(|A|−i, |B|−j)  must reach  ⌈3|A|/5⌉.
+    // OR-over-matches keeps it lossless; what it kills is the index
+    // side's high-df postings (large j ⇒ small |B|−j), exactly the rows
+    // that dominate the candidate join.
+    val pruned = if (!positional) matches else matches
+      .filter(lit(1) + least(col("sz_a") - col("pos_a"),
+          col("sz_b") - col("pos_b")) >=
+        expr("(3 * sz_a + 4) div 5"))
+    pruned
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  private val containmentJoinQ: Q = (s, dir) => {
+    val sets = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
+    val cand = containmentCandidates(sets, positional = true)
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("ws").as("wa")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wb")), "id_b")

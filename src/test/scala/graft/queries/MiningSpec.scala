@@ -50,6 +50,23 @@ class MiningSpec extends SparkSpec {
       s"lossless: true pairs missing from candidates: ${(truePairs -- pruned).take(5)}")
   }
 
+  test("containment positional filter shrinks candidates without losing a true pair") {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
+    def pairs(positional: Boolean) = Mining.containmentCandidates(sets, positional)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(positional = false)
+    val pruned = pairs(positional = true)
+    assert(pruned.subsetOf(plain), "the positional filter may only REMOVE candidates")
+    assert(pruned.size < plain.size,
+      s"filter must prune on this corpus: plain=${plain.size} positional=${pruned.size}")
+    val truePairs = Mining.queries("q_containment_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.subsetOf(pruned),
+      s"lossless: true pairs missing from candidates: ${(truePairs -- pruned).take(5)}")
+  }
+
   test("containment join equals the brute-force all-pairs directed containment") {
     val sets = Tables.documents(spark, sf)
       .select(col("doc_id"),
