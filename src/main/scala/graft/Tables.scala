@@ -14,17 +14,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
-    // spark.sql.legacy.parquet.nanosAsLong — a runtime-settable conf, so
-    // set it here and any caller-supplied session works. Convert nanos →
-    // micros with integer `div` — a double division would lose precision
-    // above 2^53.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    // generations (readable only via spark.sql.legacy.parquet.nanosAsLong,
+    // a runtime-settable conf — set it here so any caller-supplied session
+    // works) and as tz-naive TIMESTAMP(MICROS) in others (which Spark 4
+    // infers as TIMESTAMP_NTZ). Normalize both to TIMESTAMP: nanos → micros
+    // with integer `div` (double division would lose precision above 2^53),
+    // NTZ → LTZ by cast — wall-clock exact under the UTC session timezone
+    // every entry point sets, and required by unix_micros / streaming
+    // window() downstream.
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    } else df
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")

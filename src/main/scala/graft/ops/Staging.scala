@@ -55,7 +55,7 @@ object Staging {
     * DirectoryNotEmptyException — skips that path instead of aborting
     * the remaining deletions.
     */
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
       val stream = java.nio.file.Files.walk(root)

@@ -190,16 +190,30 @@ object Corpus {
     * batch-side on the drained table, so the oracle is a plain GROUP BY
     * over the UNIQUE events.
     */
-  private def stagedDupDir(dir: String): String =
+  private def stagedDupDir(s: org.apache.spark.sql.SparkSession,
+                           dir: String): String =
     graft.ops.Staging.cached(s"dup:$dir") { tmp =>
-      Seq("events_a.parquet", "events_b.parquet").foreach { f =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"), tmp.resolve(f))
-      }
+      // canonicalize ONCE through Tables.events (which owns the fixture's
+      // physical-type normalization), then duplicate the single part file
+      // — two identical input files = the re-delivery the dedup absorbs
+      val scratch = java.nio.file.Files.createTempDirectory("graft_dup_build")
+      try {
+        graft.Tables.events(s, dir).coalesce(1)
+          .write.mode("overwrite").parquet(scratch.toString)
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(scratch)
+        val part = try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $scratch"))
+        finally listing.close()
+        Seq("events_a.parquet", "events_b.parquet").foreach { f =>
+          java.nio.file.Files.copy(part, tmp.resolve(f)): Unit
+        }
+      } finally graft.ops.Staging.deleteRecursively(scratch)
       tmp.toString
     }
   private val streamDedupQ: Q = (s, dir) => {
-    graft.streaming.EventStream.runStreamDedup(s, stagedDupDir(dir))
+    graft.streaming.EventStream.runStreamDedup(s, stagedDupDir(s, dir))
       .orderBy(col("event_type"))
   }
   private val streamDedupSql =

@@ -350,7 +350,7 @@ object Extended {
     */
   private val streamJoinQ: Q = (s, dir) => {
     graft.streaming.EventStream
-      .runStreamJoin(s, Registry.stagedStreamDir(dir))
+      .runStreamJoin(s, Registry.stagedStreamDir(s, dir))
       .orderBy(col("user_id"))
   }
   private val streamJoinSql =

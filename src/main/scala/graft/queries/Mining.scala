@@ -586,11 +586,10 @@ object Mining {
   private def stagedUpsertDir(s: org.apache.spark.sql.SparkSession,
                               dir: String): String =
     Staging.cached(s"upsert:$dir") { tmp =>
-      // keep ts as RAW NANOS LONG (no Tables.events conversion): the
-      // stream reads these files with eventsRawSchema(ts: LongType),
-      // which matches a plain INT64 column, not TIMESTAMP_MICROS
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
+      // rewrite through Tables.events: the loader owns the physical-type
+      // normalization, so these files carry the canonical TIMESTAMP ts
+      // that eventsRawSchema declares
+      graft.Tables.events(s, dir)
         .repartition(4, col("event_id"))
         .write.mode("overwrite").parquet(tmp.toString)
       tmp.toString
@@ -959,6 +958,106 @@ object Mining {
       |WHERE bit_count(CAST(xor(a.v, b.v) AS UBIGINT)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------- exact substring dedup
+
+  /** Exact duplicated-substring detection (the ExactSubstr pass of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022 — public literature): every W-token window that occurs ≥ 2
+    * times ANYWHERE in the corpus marks its span for removal; overlapping
+    * or adjacent marked spans merge into maximal islands per document.
+    * This is the member of the dedup family the shingle/MinHash operators
+    * cannot express — they score DOCUMENT pairs, while this finds the
+    * repeated REGIONS themselves (boilerplate headers, licence blocks,
+    * wire-copy paragraphs) at token granularity, regardless of whether
+    * the surrounding documents resemble each other at all.
+    *
+    * Shape, all equi-keyed: posexplode the per-doc sliding windows (the
+    * corpus suffix-array of the paper becomes a distributed group-by —
+    * same duplicates, shuffle-friendly); count per gram with map-side
+    * combine; left-semi back to positions; per-doc island merge is a
+    * doc_id-partitioned window (lag + running sum — no global sort).
+    * W = 15 here; the gram JOIN KEY is the token string for oracle
+    * exactness — at 100 TB swap it for a 128-bit fingerprint
+    * (xxhash64 × 2 seeds) and the plan is unchanged while shuffle bytes
+    * drop ~10×. Output: per-doc token counts, merged island count,
+    * covered tokens, duplicated-window hits — the removal plan a
+    * downstream rewrite pass applies.
+    */
+  private val SubW = 15
+  private val substringDedupQ: Q = (s, dir) => {
+    val docs = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("nt", size(col("toks")).cast("long"))
+    val grams = docs.filter(col("nt") >= SubW)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (SubW - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(SubW)))))
+          .as(Seq("off", "gram")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"),
+        col("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val hits = grams.join(dup, Seq("gram"), "left_semi")
+    val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("prev", lag(col("pos"), 1).over(perDoc))
+      .withColumn("ni", when(col("prev").isNull ||
+        col("pos") > col("prev") + SubW, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(
+        perDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + SubW).as("e"),
+        count(lit(1)).as("hits"))
+    val stats = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("covered_tokens"),
+        sum(col("hits")).as("dup_windows"))
+    docs.select(col("doc_id"), col("nt").as("n_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .orderBy(col("doc_id"))
+  }
+  private val substringDedupSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+      |  FROM documents),
+      |n AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, l FROM tok),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(l[i:i+14], ' ') AS gram
+      |  FROM n, LATERAL unnest(generate_series(1, n_tokens - 14)) AS t(i)
+      |  WHERE n_tokens >= 15),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+      |i1 AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL
+      |           OR pos > lag(pos) OVER w + 15 THEN 1 ELSE 0 END AS ni
+      |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |i2 AS (
+      |  SELECT doc_id, pos, sum(ni) OVER (
+      |    PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM i1),
+      |sp AS (
+      |  SELECT doc_id, isl, min(pos) AS s, max(pos) + 15 AS e,
+      |         count(*) AS hits
+      |  FROM i2 GROUP BY doc_id, isl),
+      |st AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |         CAST(sum(e - s) AS BIGINT) AS covered_tokens,
+      |         CAST(sum(hits) AS BIGINT) AS dup_windows
+      |  FROM sp GROUP BY doc_id)
+      |SELECT n.doc_id, n.n_tokens,
+      |       coalesce(st.n_spans, 0) AS n_spans,
+      |       coalesce(st.covered_tokens, 0) AS covered_tokens,
+      |       coalesce(st.dup_windows, 0) AS dup_windows
+      |FROM n LEFT JOIN st USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -980,7 +1079,8 @@ object Mining {
       Some(groupedHeavyHittersSql)),
     ("q_window_hll", windowHllQ, Some(windowHllSql)),
     ("q_grouped_quantiles", groupedQuantilesQ, Some(groupedQuantilesSql)),
-    ("q_simhash_join", simhashJoinQ, Some(simhashJoinSql)))
+    ("q_simhash_join", simhashJoinQ, Some(simhashJoinSql)),
+    ("q_substring_dedup", substringDedupQ, Some(substringDedupSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -987,15 +987,21 @@ object Registry {
   /** Per-process staged stream-input directory ([[graft.ops.Staging]] —
     * one copied fixture per source dir, not per Bench rep).
     */
-  private[queries] def stagedStreamDir(dir: String): String =
+  /** Stream-input staging: events REWRITTEN (not raw-copied) through
+    * [[Tables.events]] into one canonical-schema parquet file, so every
+    * stream reader sees `ts` as a real TIMESTAMP regardless of which
+    * physical type this testdata generation shipped (nanos-long vs
+    * tz-naive micros) — the normalization lives in exactly one place.
+    */
+  private[queries] def stagedStreamDir(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): String =
     Staging.cached(s"stream:$dir") { tmp =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        tmp.resolve("events.parquet"))
-      tmp.toString
+      val out = tmp.resolve("events").toString
+      Tables.events(s, dir).coalesce(1).write.mode("overwrite").parquet(out)
+      out
     }
   private val streamWindow: Q = (s, dir) => {
-    graft.streaming.EventStream.runFileStream(s, stagedStreamDir(dir))
+    graft.streaming.EventStream.runFileStream(s, stagedStreamDir(s, dir))
       .orderBy(col("bucket"), col("event_type"))
   }
   private val streamWindowSql =

@@ -41,12 +41,16 @@ object EventStream {
     }
   }
 
-  /** Parquet file-source schema for events (ts as raw nanos long — the
-    * fixture's TIMESTAMP(NANOS) physical type, converted after load).
+  /** Canonical file-source schema for staged event files. Staging always
+    * rewrites events through [[graft.Tables.events]] (which owns the
+    * physical-type normalization — the fixture has shipped both
+    * TIMESTAMP(NANOS) and tz-naive TIMESTAMP(MICROS) across testdata
+    * generations), so the stream side reads one declared schema with a
+    * real TIMESTAMP ts, exactly as a production landing zone would.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -79,7 +83,6 @@ object EventStream {
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inputDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", watermark)
     // state-store instances = shuffle partitions; the windowed state is
     // tiny (windows × types), so a handful of partitions beats the
@@ -114,7 +117,6 @@ object EventStream {
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inputDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -148,7 +150,6 @@ object EventStream {
     def src = spark.readStream
       .schema(eventsRawSchema)
       .parquet(inputDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
@@ -209,7 +210,6 @@ object EventStream {
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inputDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", watermark)
     val enriched = raw
       .join(org.apache.spark.sql.functions.broadcast(tierDim(spark)),
@@ -272,12 +272,11 @@ object EventStream {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // normalize the batch to the TARGET schema first, so the merge
           // is a plain unionByName + arg-max at every batch after the
-          // first. ts normalizes to MICROS (div 1000, exact) — the batch
-          // reference and the oracle both order by microsecond ts with
-          // the event_id tiebreak; keeping raw nanos here would resolve
-          // micro-ties by nano residue instead of event_id
+          // first. ts normalizes to integer MICROS — the batch reference
+          // and the oracle both order by microsecond ts with the
+          // event_id tiebreak
           val upd = batch.select(col("user_id"),
-            expr("ts div 1000").as("t"),
+            unix_micros(col("ts")).as("t"),
             col("event_id").as("last_event_id"),
             col("event_type").as("last_type"),
             round(col("value") * 100).cast("long").as("last_value_cents"))

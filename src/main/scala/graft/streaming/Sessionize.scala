@@ -10,10 +10,10 @@ import org.apache.spark.sql.types.DecimalType
   * operator (builder-prompt §2.10 extension: `flatMapGroupsWithState`
   * for state Spark's windowed aggs can't express).
   *
-  * Both forms work in integer epoch-MICROSECONDS: the fixture's
-  * nanosecond timestamps floor identically to micros in Spark and DuckDB,
-  * so session bounds stay oracle-comparable (raw nanos timestamps never
-  * hash-match across engines).
+  * Both forms work in integer epoch-MICROSECONDS — the canonical `ts`
+  * resolution ([[graft.Tables.events]] normalizes every fixture
+  * generation's physical type to TIMESTAMP micros), so session bounds
+  * stay oracle-comparable across engines.
   */
 object Sessionize {
 
@@ -96,7 +96,6 @@ object Sessionize {
     val events = spark.readStream
       .schema(EventStream.eventsRawSchema)
       .parquet(inputDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"),
         col("ts"))

@@ -7,6 +7,17 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sqlCtx = spark
+
+  /** Canonical-schema event files for stream-source tests: rewritten
+    * through [[Tables.events]] (owner of the fixture's physical-type
+    * normalization), staged once per (sf, JVM) via [[ops.Staging]].
+    */
+  def stagedEvents(sf: String): java.nio.file.Path = java.nio.file.Paths.get(
+    graft.ops.Staging.cached(s"specstream:$sf") { tmp =>
+      val out = tmp.resolve("events").toString
+      Tables.events(spark, sf).coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
 }
 
 object SparkSpec {

@@ -234,6 +234,45 @@ class MiningSpec extends SparkSpec {
       s"missing=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
   }
 
+  test("substring dedup matches a driver-side reference on the fixture") {
+    // independent reference: same W-window duplicate marking + island
+    // merge computed in plain Scala on the collected fixture (sf0.001 is
+    // driver-sized by construction)
+    val w = 15
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val grams = docs.flatMap { case (id, toks) =>
+      if (toks.length < w) Seq.empty
+      else toks.sliding(w).zipWithIndex.map { case (g, i) =>
+        (id, i + 1L, g.mkString(" ")) }.toSeq
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.length >= 2).keySet
+    val hitsByDoc = grams.filter(g => dup(g._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val expected = docs.map { case (id, toks) =>
+      val hits = hitsByDoc.getOrElse(id, Seq.empty)
+      // islands as (start, lastPos, hits); a window at p merges into the
+      // open island iff p <= lastPos + w (overlap or adjacency)
+      var islands = List.empty[(Long, Long, Long)]
+      hits.foreach { p =>
+        islands match {
+          case (s0, last, h0) :: rest if p <= last + w =>
+            islands = (s0, p, h0 + 1) :: rest
+          case _ => islands = (p, p, 1L) :: islands
+        }
+      }
+      (id, toks.length.toLong, islands.length.toLong,
+        islands.map(i => (i._2 + w) - i._1).sum, islands.map(_._3).sum)
+    }.sortBy(_._1).toSeq
+    val got = Mining.queries("q_substring_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    assert(got.exists(_._3 > 0), "fixture must contain duplicated substrings")
+  }
+
   test("shipping priority: top-10, strictly ordered by revenue desc then orderkey") {
     val rows = Mining.queries("q_shipping_priority")(spark, sf).collect()
     assert(rows.length == 10)

@@ -455,14 +455,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
-  test("bootstrap CI: replicate explode is map-side; 64-group agg combines partially") {
+  test("bootstrap CI: zero row multiplication — one wide partial agg, no explode, no join") {
     val p = anPlan("q_bootstrap_ci")
-    // Generate (explode ×64) feeds a partial HashAggregate before the
-    // rep exchange — the corpus multiplies AFTER the scan, never shuffles
-    assert(p.contains("Generate explode"), p.take(2000))
+    // the 64 replicates are 128 aggregate expressions in ONE grouping-free
+    // hash aggregate: no Generate (the ×64 explode never exists), no join,
+    // and the only exchange is the single-row partial-agg gather
+    assert(!p.contains("Generate"), p.take(2000))
     assert(p.contains("partial_sum") ||
       "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(2000))
-    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
   test("bigram LM: no cartesian; doc join is an equi-join on the bigram key") {

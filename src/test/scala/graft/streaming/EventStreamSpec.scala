@@ -12,10 +12,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("streamed windowed agg equals batch windowed agg on the same input") {
     val sf = "/root/testdata/sf0.001"
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_spec")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      tmp.resolve("events.parquet"))
+    val tmp = stagedEvents(sf)
     val streamed = EventStream
       .runFileStream(spark, tmp.toString, queryName = "spec_stream")
       .orderBy("bucket", "event_type").collect().toSeq
@@ -27,10 +24,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("runStreamStaticJoin drains to the exact batch join + window result") {
     val sf = "/root/testdata/sf0.001"
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ss_q")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      tmp.resolve("events.parquet"))
+    val tmp = stagedEvents(sf)
     val streamed = EventStream
       .runStreamStaticJoin(spark, tmp.toString, queryName = "spec_ss_q")
       .orderBy("bucket", "tier").collect().toSeq
@@ -49,10 +43,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("stream-static join: streamed events enrich against a static dim") {
     val sf = "/root/testdata/sf0.001"
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ss_join")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      tmp.resolve("events.parquet"))
+    val tmp = stagedEvents(sf)
     val staticUsers = Tables.events(spark, sf)
       .select(col("user_id")).distinct()
       .withColumn("segment", (col("user_id") % 3).cast("int"))
@@ -76,10 +67,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("foreachBatch sink: per-microbatch parquet writes reassemble the batch result") {
     val sf = "/root/testdata/sf0.001"
-    val tmp = java.nio.file.Files.createTempDirectory("graft_feb")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      tmp.resolve("events.parquet"))
+    val tmp = stagedEvents(sf)
     val out = java.nio.file.Files.createTempDirectory("graft_feb_out").toString
     val q = spark.readStream
       .schema(EventStream.eventsRawSchema)
@@ -103,14 +91,10 @@ class EventStreamSpec extends SparkSpec {
 
   test("streaming dropDuplicates yields the same key set as batch distinct") {
     val sf = "/root/testdata/sf0.001"
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      tmp.resolve("events.parquet"))
+    val tmp = stagedEvents(sf)
     val q = spark.readStream
       .schema(EventStream.eventsRawSchema)
       .parquet(tmp.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
       .select("user_id", "event_type")

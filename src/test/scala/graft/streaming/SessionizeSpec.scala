@@ -29,10 +29,7 @@ class SessionizeSpec extends SparkSpec {
 
   test("streamed sessions match batch sessions (modulo final open sessions)") {
     val sf = "/root/testdata/sf0.001"
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sess")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      tmp.resolve("events.parquet"))
+    val tmp = stagedEvents(sf)
 
     val streamed = Sessionize.streamingSessions(spark, tmp.toString)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
