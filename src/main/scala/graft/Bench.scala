@@ -184,6 +184,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide-aggregate queries (q_bootstrap_ci: 130 agg fields) must stay
+      // inside whole-stage codegen; the 100-field default silently drops
+      // them to interpreted eval (measured 2x slower than the explode form)
+      .config("spark.sql.codegen.maxFields", "256")
       // the sf files are single small parquets (lineitem sf0.1 ≈ 11 MB);
       // the 128 MB default split makes every scan single-threaded
       .config("spark.sql.files.maxPartitionBytes", "1m")

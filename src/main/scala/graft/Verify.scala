@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide-aggregate queries (q_bootstrap_ci: 130 agg fields) must stay
+      // inside whole-stage codegen; the 100-field default silently drops
+      // them to interpreted eval (measured 2x slower than the explode form)
+      .config("spark.sql.codegen.maxFields", "256")
       // local single-file test layout: small splits so scans parallelize
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "64k")

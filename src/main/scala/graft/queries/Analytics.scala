@@ -630,13 +630,16 @@ object Analytics {
     * float parsing, no hex→int conversion, identical in any engine
     * that has md5. Replicate sums are exact Longs in milli-cents; the
     * CI is exact rank selection (2nd / 63rd of 64 sorted replicate
-    * means). One pass, ZERO shuffled rows: the 64 replicates are 128
-    * aggregate expressions (sum w·cents, sum w per replicate) in a
-    * single grouping-free hash aggregate alongside n and Σcents — the
-    * ×64 row explosion the first formulation paid (38M rows at sf0.1,
-    * 6.2 s) never exists, and only one 130-field partial-agg row per
-    * partition crosses the wire (measured 1.5 s). Same draws, same
-    * arithmetic — the oracle is untouched.
+    * means). One pass, ZERO shuffled rows: all 64 weights come from one
+    * [[graft.expr.PoissonWeights64]] kernel call per row (8 md5 digests
+    * read byte-wise — the composable substring+CASE form spent 4.4 s/row
+    * pass on 38M string slices) feeding 128 aggregate expressions
+    * (sum w·cents, sum w per replicate) in a single grouping-free hash
+    * aggregate alongside n and Σcents; only one 130-field partial-agg
+    * row per partition crosses the wire. The ×64 row explosion the first
+    * formulation paid (38M rows, 6.2 s at sf0.1) never exists — this
+    * form measures 1.6 s. Same draws, same arithmetic — the oracle is
+    * untouched, and PropertiesSpec pins kernel == composable form.
     */
   private val bootstrapCiQ: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
@@ -650,19 +653,18 @@ object Analytics {
     // distribution is DEFINED by these thresholds, identical in both
     // engines. Thresholds are floor(cdf·16^4) in hex (the first four
     // chars of the 8-hex thresholds — floor truncation commutes).
-    def wOf(h4: Column): Column =
-      when(h4 < "5e2d", 0L).when(h4 < "bc5a", 1L)
-        .when(h4 < "eb71", 2L).when(h4 < "fb23", 3L)
-        .when(h4 < "ff10", 4L).otherwise(5L)
-    val withH = li.select(col("cents") +: (0 to 7).map(blk =>
-      md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), lit(blk))).as(s"h$blk")): _*)
+    val wArr = org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.expr.PoissonWeights64(
+        org.apache.spark.sql.graftshim.GraftShim.expression(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey")))))
+    val withW = li.select(col("cents"), wArr.as("w"))
     val repAggs = (0 to 63).flatMap { rep =>
-      val w = wOf(substring(col(s"h${rep / 8}"), 1 + 4 * (rep % 8), 4))
+      val w = element_at(col("w"), rep + 1)
       Seq(sum(w * col("cents")).as(s"ws$rep"), sum(w).as(s"wn$rep"))
     }
     val aggs = repAggs ++ Seq(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
-    withH.agg(aggs.head, aggs.tail: _*)
+    withW.agg(aggs.head, aggs.tail: _*)
       .withColumn("ms", sort_array(array((0 to 63).map(r =>
         expr(s"(ws$r * 1000) div wn$r")): _*)))
       .select(col("n"), expr("(tot * 1000) div n").as("mean_mc"),

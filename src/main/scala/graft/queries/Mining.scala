@@ -29,7 +29,7 @@ object Mining {
     * lossless sibling of that approximate operator) via the prefix
     * filter (SSJoin/PPJoin family — Chaudhuri et al., ICDE 2006; Xiao
     * et al., WWW 2008 — public literature): order every document's
-    * distinct shingles by global rarity (df asc, shingle asc), keep only
+    * distinct shingles by global rarity (df asc, shingle-hash asc), keep only
     * the first |d| − ⌈t·|d|⌉ + 1 as the candidate key set, and equi-join
     * documents on shared PREFIX shingles only. Lossless: if J(A,B) ≥ t,
     * the globally-smallest common shingle provably lands in both
@@ -67,24 +67,36 @@ object Mining {
     *    the first-common-shingle match of a true pair always does (that
     *    shingle is in both prefixes by the prefix-filter theorem), so
     *    the OR-over-matches form stays lossless.
+    *
+    * The posting key is `xxhash64(shingle)`, not the shingle string: the
+    * df group-by, the rarity sort, and the candidate equi-join all move
+    * 8-byte longs instead of ~25-byte UTF8 shingles (measured 20% off
+    * the whole query at sf0.1), and `sz` comes from the already-distinct
+    * array length instead of a second window pass. The rarity order
+    * becomes (df, hash) — a different but equally valid global total
+    * order, shared by both join sides, so the prefix theorem is
+    * untouched. Correctness is exact unless two DISTINCT shingles
+    * collide on xxhash64 (p ≈ 2⁻⁶⁴ per shingle pair, ~10⁻¹² corpus-wide;
+    * the driver's hash gate against the string-form oracle confirms
+    * equality empirically every round).
     */
   private[graft] def simjoinCandidates(sets: DataFrame,
                                        ppjoin: Boolean): DataFrame = {
-    val toks = sets.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val toks = sets.select(col("doc_id"),
+      size(col("ws")).cast("long").as("sz"),
+      explode(transform(col("ws"), t => xxhash64(t))).as("tok"))
     val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = toks.join(df_, "tok")
-    val perDoc = Window.partitionBy(col("doc_id"))
     val ordered = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("tok"))
     // prefix length |d| - ceil(|d|/2) + 1 (t = 1/2); ceil via (sz+1) div 2
     // — integer div (`/` on Columns is double division)
-    val withPos = ranked
-      .withColumn("sz", count(lit(1)).over(perDoc))
-      .withColumn("pos", row_number().over(ordered))
+    val withPos = toks.join(df_, "tok")
+      .withColumn("pos", row_number().over(ordered).cast("long"))
     // NOT localCheckpoint'ed: the self-join does plan the derivation on
-    // both sides, but recomputing it in parallel measured FASTER (7.0 s)
-    // than materializing the 1M-row prefix once (9.5 s) — eager
-    // row-object materialization costs more than a second codegen pass
+    // both sides, but recomputing it in parallel measured FASTER than
+    // eagerly materializing either the posting list or the compact sets
+    // (every checkpoint variant re-measured slower at r6 — serializing
+    // the pipeline costs more than a second codegen pass)
     val prefix = withPos
       .filter(col("pos") <= col("sz") - expr("(sz + 1) div 2") + 1)
       .select(col("doc_id"), col("tok"), col("sz"), col("pos"))
@@ -110,12 +122,16 @@ object Mining {
         array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
     val cand = simjoinCandidates(sets, ppjoin = true)
     // verify per candidate PAIR with one array_intersect — the candidate
-    // set is near-dup-density-sized, so shipping two shingle arrays per
-    // pair beats re-exploding the corpus through two more shuffles (the
-    // first formulation; measured 9.6 s → this one at sf0.1)
+    // set is near-dup-density-sized, so shipping two shingle-hash arrays
+    // per pair beats re-exploding the corpus through two more shuffles
+    // (the first formulation; measured 9.6 s → 4.1 s → hashed arrays).
+    // |A∩B| on sorted hash arrays equals the string-set intersection
+    // modulo the documented xxhash64 collision bound.
+    val hsets = sets.select(col("doc_id"),
+      array_sort(transform(col("ws"), t => xxhash64(t))).as("wh"))
     cand
-      .join(sets.select(col("doc_id").as("id_a"), col("ws").as("wa")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wb")), "id_b")
+      .join(hsets.select(col("doc_id").as("id_a"), col("wh").as("wa")), "id_a")
+      .join(hsets.select(col("doc_id").as("id_b"), col("wh").as("wb")), "id_b")
       .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
       .withColumn("uni",
         (size(col("wa")) + size(col("wb"))).cast("long") - col("inter"))
@@ -172,14 +188,16 @@ object Mining {
     */
   private[graft] def containmentCandidates(sets: DataFrame,
                                            positional: Boolean): DataFrame = {
-    val toks = sets.select(col("doc_id"), explode(col("ws")).as("tok"))
+    // same xxhash64 posting keys + array-length sz as [[simjoinCandidates]]
+    // (longs through every shuffle; one window pass instead of two)
+    val toks = sets.select(col("doc_id"),
+      size(col("ws")).cast("long").as("sz"),
+      explode(transform(col("ws"), t => xxhash64(t))).as("tok"))
     val df_ = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val perDoc = Window.partitionBy(col("doc_id"))
     val ordered = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("tok"))
     val withPos = toks.join(df_, "tok")
-      .withColumn("sz", count(lit(1)).over(perDoc))
-      .withColumn("pos", row_number().over(ordered))
+      .withColumn("pos", row_number().over(ordered).cast("long"))
     // probe prefix: |A| − ⌈3|A|/5⌉ + 1 rarest shingles (t = 3/5)
     val probe = withPos
       .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
@@ -214,9 +232,11 @@ object Mining {
       .select(col("doc_id"),
         array_distinct(TextOps.shingles(col("text"), 3)).as("ws"))
     val cand = containmentCandidates(sets, positional = true)
+    val hsets = sets.select(col("doc_id"),
+      array_sort(transform(col("ws"), t => xxhash64(t))).as("wh"))
     cand
-      .join(sets.select(col("doc_id").as("id_a"), col("ws").as("wa")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wb")), "id_b")
+      .join(hsets.select(col("doc_id").as("id_a"), col("wh").as("wa")), "id_a")
+      .join(hsets.select(col("doc_id").as("id_b"), col("wh").as("wb")), "id_b")
       .withColumn("inter",
         size(array_intersect(col("wa"), col("wb"))).cast("long"))
       .withColumn("sz_a", size(col("wa")).cast("long"))

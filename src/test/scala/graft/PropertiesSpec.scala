@@ -143,4 +143,24 @@ object GraftProperties extends Properties("graft") {
       }
     }
   }
+
+  property("poisson_weights64 kernel equals the hex-string threshold form") =
+    forAll(Gen.listOfN(3, Gen.choose(0L, 10000000L))) { parts =>
+      // independent reimplementation of the draw law exactly as the
+      // DuckDB oracle states it: hex digest, 4-char slices, LEXICOGRAPHIC
+      // threshold comparison — the kernel must agree draw for draw
+      val key = parts.mkString("|")
+      val got = graft.expr.PoissonWeights64.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key)).toLongArray().toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val thr = Seq("5e2d", "bc5a", "eb71", "fb23", "ff10")
+      val want = (0 to 7).flatMap { blk =>
+        val hex = md.digest(s"$key|$blk".getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        (0 to 7).map { i =>
+          thr.count(t => hex.substring(4 * i, 4 * i + 4) >= t).toLong
+        }
+      }
+      got == want
+    }
 }
