@@ -311,4 +311,125 @@ object VectorOps {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization model: `centroids(m)(c)` is the c-th codebook
+    * centroid of subspace m (each of length dim/M). With M subspaces and
+    * K centroids each, a vector compresses to M·log2(K) bits — at
+    * (M=8, K=16) a 64-dim float vector (256 B) becomes 4 BYTES of codes,
+    * the memory step that makes billion-vector ANN serving fit in RAM
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 — public literature).
+    */
+  case class PqModel(centroids: Array[Array[Array[Double]]]) {
+    def m: Int = centroids.length
+    def k: Int = centroids.head.length
+    def dsub: Int = centroids.head.head.length
+  }
+
+  /** Per-(row, subspace) long view of a vector frame: `(vid, m, sv)`. */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol).as("vid"), posexplode(
+      array((0 until m).map(i =>
+        transform(slice(col(vecCol), i * dsub + 1, dsub),
+          x => x.cast("double"))): _*)).as(Seq("m", "sv")))
+
+  /** Distances from a subvector column to every centroid of its subspace
+    * (3-D literal codebook indexed by the `m` column), as an array.
+    */
+  private def centroidDists(model: PqModel, sv: Column, mCol: Column): Column = {
+    val lit3 = typedLit(model.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(model.k - 1)), c =>
+      aggregate(
+        zip_with(sv, element_at(element_at(lit3, mCol + 1), c + 1),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** Train PQ codebooks with deterministic Lloyd iterations. Init is the
+    * K corpus vectors with smallest (md5(vid), vid) — a uniform,
+    * engine-replayable draw; each iteration assigns every subvector to
+    * its nearest centroid (first-index tie-break) and recenters on the
+    * assignment mean. Per-iteration driver traffic is the M·K centroid
+    * table ONLY (bounded, like Tiling's bucket metadata) — assignments
+    * never leave the executors, so the shape is corpus-size-free.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              m: Int, dim: Int, k: Int, iters: Int = 2): PqModel = {
+    val dsub = dim / m
+    val sub = subvectors(df, idCol, vecCol, m, dsub)
+    val seedRows = df
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("vid")).limit(k)
+      .collect()
+    var model = PqModel(Array.tabulate(m) { mi =>
+      seedRows.map(r => r.getSeq[Float](1)
+        .slice(mi * dsub, (mi + 1) * dsub).map(_.toDouble).toArray)
+    })
+    for (_ <- 1 to iters) {
+      val assigned = sub.withColumn("dists",
+          centroidDists(model, col("sv"), col("m")))
+        .withColumn("code",
+          array_position(col("dists"), array_min(col("dists"))) - 1)
+      val centroidRows = assigned
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("m"), col("code"), col("d"))
+        // round(…, 9): pins the mean against float-sum association noise
+        // so retraining on the same data is bit-stable
+        .agg(round(avg(col("x")), 9).as("c"))
+        .collect()
+      val next = model.centroids.map(_.map(_.clone()))
+      centroidRows.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+      }
+      model = PqModel(next)
+    }
+    model
+  }
+
+  /** Encode every vector to its M codes: `(vid, codes: array<int>)`. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val dsub = model.dsub
+    subvectors(df, idCol, vecCol, model.m, dsub)
+      .withColumn("dists", centroidDists(model, col("sv"), col("m")))
+      .withColumn("code",
+        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .groupBy(col("vid"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over an encoded corpus:
+    * the query is NOT quantized — its per-subspace distances to every
+    * centroid form an M×K lookup table (driver-computed, broadcast as a
+    * literal), and each stored vector's approximate distance is M table
+    * lookups summed from its codes. The scan touches only the code
+    * column: at serving scale that is bytes per vector, not the float
+    * corpus. Returns `(vid, adc)` for the k best (adc asc, vid asc).
+    */
+  def pqAdcTopK(codes: DataFrame, model: PqModel, query: Seq[Float],
+                k: Int): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val table: Seq[Seq[Double]] = (0 until model.m).map { mi =>
+      model.centroids(mi).map { c =>
+        var d = 0.0; var j = 0
+        while (j < model.dsub) {
+          val t = q(mi * model.dsub + j) - c(j); d += t * t; j += 1
+        }
+        d
+      }.toSeq
+    }
+    val tLit = typedLit(table)
+    codes.select(col("vid"),
+        aggregate(
+          zip_with(sequence(lit(0), lit(model.m - 1)), col("codes"),
+            (mi, c) => element_at(element_at(tLit, mi.cast("int") + 1), c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+      .orderBy(col("adc").asc, col("vid").asc)
+      .limit(k)
+  }
 }

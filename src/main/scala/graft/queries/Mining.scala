@@ -1078,6 +1078,59 @@ object Mining {
       |FROM n LEFT JOIN st USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- PQ-compressed ANN (ADC)
+
+  /** Product-quantization ANN with exact rerank — the memory-bound
+    * serving shape that completes the ANN family (brute-force →
+    * LSH-bucketed → IVF-partition-pruned → PQ-COMPRESSED): codebooks
+    * trained by deterministic distributed Lloyd ([[VectorOps.pqTrain]] —
+    * md5-seeded init, per-iteration driver traffic is the M·K centroid
+    * table only), every vector encoded to M=16 4-bit codes (256 B float
+    * vector → 8 B, 32× — the compression that fits billion-vector
+    * indexes in RAM; 16 centroids per 4-dim subspace ≈ 1 bit/dim, the
+    * resolution isotropic fixture vectors need — M=8 over 8-dim
+    * subspaces measured ADC/true-distance correlation 0.63 and rerank
+    * recall 5/10, M=16 measures 0.79 and 9–10/10), queries scanning ONLY
+    * the code column via an ADC lookup table ([[VectorOps.pqAdcTopK]]).
+    * The ADC shortlist (100) is exactly reranked to a top-10; output is
+    * the recall-vs-exact boolean summary (same contract and reason as
+    * q_ann_topk/q_ann_ivf: the approximate structure is engine-local,
+    * the CLAIM — rerank recovers exact-search quality from a 32× smaller
+    * scan — is what the gate checks; asserted ≥ 0.8). The rerank budget
+    * is a corpus FRACTION (10%, floor 100) — the production ADC knob:
+    * measured recall@10 is 9–10/10 at every SF with it, while a fixed
+    * 100 drops to 7/10 once the corpus quadruples (sf0.1).
+    */
+  private val annPqQ: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val model = VectorOps.pqTrain(base, "vec_id", "embedding",
+      m = 16, dim = 64, k = 16, iters = 3)
+    val codes = VectorOps.pqEncode(base, "vec_id", "embedding", model)
+    val budget = math.max(100L, base.count() / 10).toInt
+    val shortlist = VectorOps.pqAdcTopK(codes, model, qv, k = budget)
+    def l2(v: Column): Column = aggregate(
+      zip_with(v, typedLit(qv.map(_.toDouble)),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val reranked = shortlist
+      .join(base.select(col("vec_id").as("vid"), col("embedding")), "vid")
+      .select(col("vid"), l2(col("embedding")).as("d2"))
+      .orderBy(col("d2").asc, col("vid").asc).limit(10)
+    val exact = base
+      .select(col("vec_id").as("vid"), l2(col("embedding")).as("d2"))
+      .orderBy(col("d2").asc, col("vid").asc).limit(10)
+    exact.join(reranked.select(col("vid")), Seq("vid"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(10).as("k"), lit(16).as("m_subspaces"),
+        lit(16).as("k_centroids"),
+        (col("n_hit") >= 8).as("recall_ge_08"))
+  }
+  private val annPqSql =
+    """SELECT 10 AS k, 16 AS m_subspaces, 16 AS k_centroids,
+      |       TRUE AS recall_ge_08""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -1100,7 +1153,8 @@ object Mining {
     ("q_window_hll", windowHllQ, Some(windowHllSql)),
     ("q_grouped_quantiles", groupedQuantilesQ, Some(groupedQuantilesSql)),
     ("q_simhash_join", simhashJoinQ, Some(simhashJoinSql)),
-    ("q_substring_dedup", substringDedupQ, Some(substringDedupSql)))
+    ("q_substring_dedup", substringDedupQ, Some(substringDedupSql)),
+    ("q_ann_pq", annPqQ, Some(annPqSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

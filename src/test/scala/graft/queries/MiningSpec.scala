@@ -273,6 +273,29 @@ class MiningSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "fixture must contain duplicated substrings")
   }
 
+  test("PQ ANN: rerank recovers exact top-10 with high recall; codes are 16 nibbles") {
+    import graft.ops.VectorOps
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val model = VectorOps.pqTrain(base, "vec_id", "embedding",
+      m = 16, dim = 64, k = 16, iters = 3)
+    assert(model.m == 16 && model.k == 16 && model.dsub == 4)
+    val codes = VectorOps.pqEncode(base, "vec_id", "embedding", model)
+    val collected = codes.collect()
+    assert(collected.forall(_.getSeq[Int](1).length == 16))
+    assert(collected.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    // deterministic: retrain + re-encode gives identical codes
+    val model2 = VectorOps.pqTrain(base, "vec_id", "embedding",
+      m = 16, dim = 64, k = 16, iters = 3)
+    val codes2 = VectorOps.pqEncode(base, "vec_id", "embedding", model2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(collected.forall(r => codes2(r.getLong(0)) == r.getSeq[Int](1)))
+    // the registry query's recall boolean must hold
+    val row = Mining.queries("q_ann_pq")(spark, sf).head()
+    assert(row.getBoolean(3), "ADC shortlist + rerank must reach recall >= 0.8")
+  }
+
   test("shipping priority: top-10, strictly ordered by revenue desc then orderkey") {
     val rows = Mining.queries("q_shipping_priority")(spark, sf).collect()
     assert(rows.length == 10)
