@@ -563,6 +563,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
+  test("quality classifier: scoring is one map-side pass — no join, no agg exchange") {
+    val p = miPlan("q_quality_classifier")
+    assert(!p.contains("Join"), "hashed-weight lookup must not join anything")
+    assert(!p.contains("HashAggregate"),
+      "the per-doc fold runs inside the projection, never a grouped agg")
+    // the only exchanges: the deliberate input spread + the output sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
   test("random projection: sign matrix broadcasts; (vec, j) rollup combines map-side") {
     val p = miPlan("q_random_projection")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
