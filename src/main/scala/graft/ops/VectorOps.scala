@@ -264,6 +264,53 @@ object VectorOps {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** [[ivfIndex]] with a partition-count-INVARIANT coarse quantizer:
+    * deterministic distributed Lloyd (same construction as [[pqTrain]] —
+    * init = the K corpus vectors with smallest (md5(id), id), assignment
+    * by argmin distance to a broadcast centroid literal with first-index
+    * tie-break, recenter on round(avg, 9) means). Spark ML's KMeans is
+    * seeded but its k-means|| init samples DEPEND ON PARTITIONING —
+    * the same fixture under local[4] vs local[16] yields different
+    * centroids, so an index built by one session and probed under
+    * another sees shifted cells. This builder gives bit-identical
+    * centroids at any parallelism; per-iteration driver traffic is the
+    * K·dim centroid table only.
+    */
+  def ivfIndexDeterministic(df: DataFrame, idCol: String, vecCol: String,
+                            nCentroids: Int, iters: Int = 5): IvfIndex = {
+    val seedRows = df
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("vid")).limit(nCentroids)
+      .collect()
+    var cents: Array[Array[Double]] =
+      seedRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def assignCol(c: Array[Array[Double]]): Column = {
+      val lit2 = typedLit(c.map(_.toSeq).toSeq)
+      val dists = transform(sequence(lit(0), lit(nCentroids - 1)), ci =>
+        aggregate(
+          zip_with(col(vecCol), element_at(lit2, ci + 1),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    for (_ <- 1 to iters) {
+      val centroidRows = df
+        .select(assignCol(cents).as("c"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy(col("c"), col("d"))
+        // round(…, 9): pins the mean against float-sum association noise
+        // (same stability contract as pqTrain)
+        .agg(round(avg(col("x")), 9).as("m"))
+        .collect()
+      val next = cents.map(_.clone()) // an emptied cell keeps its centroid
+      centroidRows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    IvfIndex(df.withColumn("centroid", assignCol(cents)), cents)
+  }
+
   /** nProbe nearest centroids to the query — driver-side over the tiny
     * centroid array.
     */

@@ -632,6 +632,109 @@ object Corpus {
       |    AS n_dup
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- Gopher repetition rules
+
+  /** Per-doc repetition stats from a gram array, computed in ONE sorted
+    * map-side fold (no explode, no shuffle): sort the grams, walk runs —
+    * `best`/`bestg` track the most frequent gram (first max in sorted
+    * order = lexicographically smallest, the deterministic tie-break the
+    * oracle replays with `ORDER BY cnt DESC, g ASC`), `dup` accumulates
+    * `cnt × chars(gram)` over grams occurring ≥ 2 times (the final run
+    * is closed in the finish lambda). Returns
+    * `struct(best int, bestg string, dup long)`.
+    */
+  private[queries] def gramRunStats(grams: Column): Column = {
+    val init = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("best"), lit("").as("bestg"), lit(0L).as("dup"))
+    def closedDup(st: Column): Column =
+      when(st.getField("run") >= 2,
+        st.getField("dup") + st.getField("run").cast("long") *
+          length(st.getField("prev")))
+        .otherwise(st.getField("dup"))
+    aggregate(array_sort(grams), init,
+      (st, g) => {
+        val same = st.getField("prev") === g
+        val run = when(same, st.getField("run") + 1).otherwise(lit(1))
+        val dup = when(same, st.getField("dup")).otherwise(closedDup(st))
+        val better = run > st.getField("best")
+        struct(g.as("prev"), run.as("run"),
+          when(better, run).otherwise(st.getField("best")).as("best"),
+          when(better, g).otherwise(st.getField("bestg")).as("bestg"),
+          dup.as("dup"))
+      },
+      st => struct(st.getField("best").as("best"),
+        st.getField("bestg").as("bestg"), closedDup(st).as("dup")))
+  }
+
+  /** Gopher-style repetition rule battery (Rae et al., "Scaling Language
+    * Models: ... Gopher", 2021, §A1.1 — public literature): per doc, the
+    * fraction of characters covered by the single most frequent word
+    * 2-gram (`top2_frac`) and by ALL word 5-grams occurring at least
+    * twice (`dup5_frac`), plus the combined accept flag at the
+    * Gopher-shaped thresholds (0.20 / 0.15). Completes the quality-gate
+    * family's fourth axis: hand rules (q_quality_score), LM perplexity
+    * (q_quality_logprob), learned classifier (q_quality_classifier), and
+    * THIS — intra-document repetition, the signal that catches
+    * boilerplate and degenerate generations that score fine on the other
+    * three.
+    *
+    * 100 TB shape: ZERO data shuffle — both statistics come from
+    * [[gramRunStats]]' sorted per-doc fold, so the whole battery is one
+    * map pass over the corpus (contrast the explode→groupBy(doc, gram)
+    * formulation, which shuffles every gram occurrence twice); output
+    * order is the only exchange. The oracle replays both fractions via
+    * the explode+GROUP BY formulation — two independent algorithms, one
+    * hash.
+    */
+  private val gopherRulesQ: Q = (s, dir) => {
+    Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), length(col("text")).as("len_chars"),
+        gramRunStats(TextOps.shingles(col("text"), 2)).as("t2"),
+        gramRunStats(TextOps.shingles(col("text"), 5)).as("t5"))
+      .select(col("doc_id"),
+        round((col("t2.best").cast("double") * length(col("t2.bestg"))) /
+          col("len_chars"), 4).as("top2_frac"),
+        round(col("t5.dup").cast("double") / col("len_chars"), 4)
+          .as("dup5_frac"))
+      .withColumn("gopher_pass",
+        col("top2_frac") <= 0.2 && col("dup5_frac") <= 0.15)
+      .orderBy(col("doc_id"))
+  }
+  private val gopherRulesSql =
+    """WITH tok AS (
+      |  SELECT doc_id, length(text) AS len_chars,
+      |         string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+1], ' ')
+      |               for i in range(1, len(toks))]
+      |    END) AS g FROM tok),
+      |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+      |r2 AS (SELECT doc_id, cnt, g, row_number() OVER (
+      |         PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn FROM c2),
+      |t2 AS (SELECT doc_id, cnt * length(g) AS topchars FROM r2 WHERE rn = 1),
+      |g5 AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+4], ' ')
+      |               for i in range(1, len(toks) - 3)]
+      |    END) AS g FROM tok),
+      |c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g),
+      |t5 AS (SELECT doc_id,
+      |         COALESCE(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) END), 0)
+      |           AS dupchars
+      |       FROM c5 GROUP BY doc_id),
+      |f AS (
+      |  SELECT tok.doc_id,
+      |    round(CAST(t2.topchars AS DOUBLE) / tok.len_chars, 4) AS top2_frac,
+      |    round(CAST(t5.dupchars AS DOUBLE) / tok.len_chars, 4) AS dup5_frac
+      |  FROM tok JOIN t2 USING (doc_id) JOIN t5 USING (doc_id))
+      |SELECT doc_id, top2_frac, dup5_frac,
+      |       (top2_frac <= 0.2 AND dup5_frac <= 0.15) AS gopher_pass
+      |FROM f ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -650,7 +753,8 @@ object Corpus {
     ("q_text_source", textSourceQ, Some(textSourceSql)),
     ("q_binary_source", binarySourceQ, Some(binarySourceSql)),
     ("q_pii_redact", piiRedactQ, Some(piiRedactSql)),
-    ("q_shingle_dedup", shingleDedupQ, Some(shingleDedupSql)))
+    ("q_shingle_dedup", shingleDedupQ, Some(shingleDedupSql)),
+    ("q_gopher_rules", gopherRulesQ, Some(gopherRulesSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

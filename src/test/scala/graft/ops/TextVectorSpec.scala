@@ -300,6 +300,20 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfIndexDeterministic: identical centroids and assignment at any partitioning") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val a = VectorOps.ivfIndexDeterministic(embs.repartition(3), "vec_id", "embedding", 8)
+    val b = VectorOps.ivfIndexDeterministic(embs.repartition(13), "vec_id", "embedding", 8)
+    // ML KMeans fails exactly this check (k-means|| init samples follow the
+    // partitioning); the deterministic Lloyd is the partition-invariant build
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+    val mismatch = a.assigned.select(col("vec_id"), col("centroid"))
+      .join(b.assigned.select(col("vec_id"), col("centroid").as("c2")), "vec_id")
+      .filter(col("centroid") =!= col("c2")).count()
+    assert(mismatch == 0)
+  }
+
   test("nearDupCosine finds planted near-duplicates within a block, not across") {
     val df = Seq(
       (1L, "blk1", Seq(1f, 0f, 0f)),

@@ -572,6 +572,41 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
   }
 
+  test("IVF-PQ probe: code scan is partition-pruned (PartitionFilters on centroid)") {
+    val df = miPlan0("q_ann_ivfpq")
+    val p = df.queryExecution.executedPlan.toString
+    val pfSections = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pfSections.exists(_.contains("centroid")), p)
+    // the probe side must read codes, never the float vectors — only the
+    // rerank/exact scans touch `embedding`
+    val codeScans = p.linesIterator.filter(l =>
+      l.contains("PartitionFilters:") && l.contains("centroid")).size
+    assert(codeScans >= 1, p)
+    val row = df.head()
+    assert(row.getInt(0) == 10 && row.getBoolean(3), row.toString)
+  }
+
+  test("gopher rules: one map pass — no join, no grouped agg, ≤ 2 exchanges") {
+    val p = Corpus.queries("q_gopher_rules")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "both statistics fold per-doc; nothing joins")
+    assert(!p.contains("HashAggregate"),
+      "the sorted-run fold runs inside the projection, never a grouped agg")
+    // the only exchanges: the deliberate input spread + the output sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("keep-best dedup: keyed joins only, argmax is a hash agg (no window)") {
+    val df = miPlan0("q_dedup_keep_best")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      "per-cluster argmax must be a struct-max hash agg, not a ranked window")
+  }
+
+  private def miPlan0(name: String) = Mining.queries(name)(spark, sf)
+
   test("random projection: sign matrix broadcasts; (vec, j) rollup combines map-side") {
     val p = miPlan("q_random_projection")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
