@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops._
+
+/** Round-6 registry extension, third batch — corpus-curation operators a
+  * training-data pipeline runs between dedup and export:
+  *
+  *  - batch exact kNN join (the many-probe sibling of q_cosine_topk),
+  *  - DSIR hashed importance weights (Xie et al., NeurIPS 2023 — data
+  *    selection by target/raw log-likelihood ratio over hashed n-grams),
+  *  - temperature-scaled mixture weights (the multilingual sampling
+  *    formula of mT5/UNIMAX — Xue et al. 2021, Chung et al. 2023),
+  *  - CUSUM drift detection over event streams (Page 1954), in the
+  *    prefix-sum-minus-running-min closed form so it is pure windows.
+  *
+  * Same conventions as [[Registry]]: identical aliases both sides,
+  * deterministic total-order ORDER BY, exact integer arithmetic (or a
+  * single documented micro-rounding step) wherever a result crosses the
+  * hash gate.
+  */
+object Curation {
+
+  type Q = Registry.Q
+
+  // --------------------------------------------------- batch exact kNN join
+  /** Exact k-nearest-neighbor JOIN: every probe vector (a deterministic
+    * ~1% slice, `vec_id % 97 = 1`) gets its top-3 cosine neighbors from
+    * the rest of the corpus. Differs from q_cosine_topk (ONE query
+    * vector, global sort+limit) in shape, not just arity: the probe set
+    * is broadcast, the index side streams through ONE pass, and per-probe
+    * top-k state lives in the bounded [[graft.expr.TopKByScore]] hash
+    * aggregate — k rows per probe per partition move, no sort, no
+    * window. At 100 TB this is THE exact kNN-join layout while the probe
+    * side fits in memory (quality-audit samples, eval-set retrieval,
+    * hard-negative mining): index_rows × probes scoring work, but
+    * shuffle traffic is only probes × k. The oracle pays the same
+    * cross product through a row_number window.
+    */
+  private val knnJoinQ: Q = (s, dir) => {
+    import graft.expr.TopKByScore
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") % 97 === 1)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+    val index = emb.filter(col("vec_id") % 97 =!= 1)
+    val topk = udaf(new TopKByScore(3))
+    index.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("score"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("score"), col("vec_id"),
+        lit(0L), lit(0L), lit(0L), lit(0.0)).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.k1").as("nbr_id"), col("col.score").as("score"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+  private val knnJoinSql =
+    s"""WITH p AS (
+       |  SELECT vec_id AS probe_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id % 97 = 1),
+       |sc AS (
+       |  SELECT probe_id, vec_id,
+       |         round(${Registry.cosineSql("embedding", "qv")}, 4) AS score
+       |  FROM embeddings, p WHERE vec_id % 97 <> 1),
+       |r AS (
+       |  SELECT probe_id, vec_id, score,
+       |         CAST(row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM sc)
+       |SELECT probe_id, rank, vec_id AS nbr_id, score
+       |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  // ----------------------------------------------- DSIR importance weights
+  /** Hashed importance weights for data selection (DSIR — Xie et al.,
+    * NeurIPS 2023, public literature): score every document by
+    * log p_target(doc) − log p_raw(doc) under two hashed-unigram
+    * bag-of-words models (target = the `lang = 'en'` slice, raw = the
+    * whole corpus; 64 md5-nibble buckets — the same engine-portable
+    * hashing trick as q_feature_hash, so neither model needs a
+    * vocabulary). Add-1 smoothing over the 64 buckets; the per-bucket
+    * log-ratio is micro-rounded ONCE (the q_quality_logprob convention)
+    * and every step after that is exact integer arithmetic, so the
+    * hash gate compares longs. Top-20 docs by weight = the docs most
+    * target-like relative to the raw distribution.
+    *
+    * Scale shape: one explode + ONE combinable (doc, bucket) count; both
+    * models are 64-row aggregates joined back as a broadcast — no
+    * vocabulary build, no dictionary shuffle, nothing driver-side. This
+    * is the entire DSIR scoring pass as it would run on 100 TB.
+    */
+  private val dsirWeightsQ: Q = (s, dir) => {
+    val hex = "0123456789abcdef"
+    def bucketOf(h: Column): Column =
+      (((instr(lit(hex), substring(h, 1, 1)) - 1) * 16 +
+        instr(lit(hex), substring(h, 2, 1)) - 1) % 64).cast("int")
+    val toks = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", bucketOf(md5(col("tok"))))
+    val model = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+    val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lr = model.crossJoin(broadcast(totals)) // 1-row totals frame
+      .select(col("bucket"),
+        round((log((col("ct") + 1).cast("double") /
+            (col("nt") + 64).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("nr") + 64).cast("double"))) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+    toks.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * col("lr_micro")).cast("long").as("w_micro"))
+      .orderBy(col("w_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+  private val dsirWeightsSql =
+    """WITH t0 AS (
+      |  SELECT doc_id, lang,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) % 64
+      |      AS INTEGER) AS bucket
+      |  FROM t0),
+      |model AS (
+      |  SELECT bucket, count(*) AS cr,
+      |         count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+      |  FROM toks GROUP BY bucket),
+      |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+      |lr AS (
+      |  SELECT bucket,
+      |    CAST(round((ln(CAST(ct + 1 AS DOUBLE) / (nt + 64))
+      |              - ln(CAST(cr + 1 AS DOUBLE) / (nr + 64))) * 1e6, 0)
+      |         AS BIGINT) AS lr_micro
+      |  FROM model, tot),
+      |tf AS (
+      |  SELECT doc_id, lang, bucket, count(*) AS tf
+      |  FROM toks GROUP BY 1, 2, 3)
+      |SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       CAST(sum(tf * lr_micro) AS BIGINT) AS w_micro
+      |FROM tf JOIN lr USING (bucket)
+      |GROUP BY doc_id, lang
+      |ORDER BY w_micro DESC, doc_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------- temperature-scaled mixture
+  /** Temperature-scaled sampling weights per language (the multilingual
+    * mixture formula: p_l ∝ n_l^(1/T), here T = 2 — mT5 / UNIMAX
+    * lineage, public literature). Emits each language's document count
+    * and its micro-rounded sampling share — the corpus recipe a
+    * multilingual training run samples from. One tiny aggregate + a
+    * broadcast 1-row normalizer; nothing here grows with corpus size
+    * except the first count, which combines map-side.
+    */
+  private val temperatureMixQ: Q = (s, dir) => {
+    val byLang = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val z = byLang.agg(sum(sqrt(col("n_docs").cast("double"))).as("z"))
+    byLang.crossJoin(broadcast(z)) // 1-row normalizer frame
+      .select(col("lang"), col("n_docs"),
+        round(sqrt(col("n_docs").cast("double")) / col("z") * 1e6, 0)
+          .cast("long").as("share_micro"))
+      .orderBy(col("lang"))
+  }
+  private val temperatureMixSql =
+    """WITH byl AS (
+      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |z AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM byl)
+      |SELECT lang, n_docs,
+      |       CAST(round(sqrt(CAST(n_docs AS DOUBLE)) / z * 1e6, 0) AS BIGINT)
+      |         AS share_micro
+      |FROM byl, z ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------- CUSUM drift detection
+  /** Per-user CUSUM drift statistic (Page 1954) over time-ordered event
+    * values against a nominal target of 50 (the fixture's design mean):
+    * S_i = max(0, S_{i-1} + (x_i − target)). The recurrence is
+    * non-associative, but it has the classic closed form
+    * S_i = P_i − min_{0≤j≤i} P_j over prefix sums P (with P_0 = 0) —
+    * which makes it PURE WINDOWS: one running sum + one running min,
+    * both partitioned by user, then a per-user max. No UDF, no
+    * collect_list fold, no state machine; values are micro-quantized
+    * once at ingest so everything the hash gate sees is exact integer
+    * arithmetic. Top-20 drifting users. (ts, event_id) is the total
+    * per-user order — the §7 tie trap. Scale shape: windows never leave
+    * the user partition; the final top-20 is a TakeOrdered.
+    */
+  private val cusumQ: Q = (s, dir) => {
+    val target = 50L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        (round(col("value") * 1e6, 0).cast("long") - target).as("d"))
+      .withColumn("p", sum(col("d")).over(w))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        max(col("s")).as("cusum_max"))
+      .orderBy(col("cusum_max").desc, col("user_id"))
+      .limit(20)
+  }
+  private val cusumSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |         CAST(round(value * 1e6, 0) AS BIGINT) - 50000000 AS d
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, event_id, t,
+      |         sum(d) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id,
+      |         p - least(0, min(p) OVER (PARTITION BY user_id
+      |               ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)) AS s
+      |  FROM p)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       max(s) AS cusum_max
+      |FROM s GROUP BY user_id
+      |ORDER BY cusum_max DESC, user_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_knn_join", knnJoinQ, Some(knnJoinSql)),
+    ("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
+    ("q_temperature_mix", temperatureMixQ, Some(temperatureMixSql)),
+    ("q_cusum", cusumQ, Some(cusumSql)))
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+
+  val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Engine-local invariants for the Curation registry batch — the
+  * properties the value oracle can't see: kNN-join parity with a
+  * window-based brute force, DSIR weight parity with an independent
+  * driver-side model, CUSUM parity with the literal sequential
+  * recurrence, and the physical-plan shapes the operators are designed
+  * around.
+  */
+class CurationSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------ kNN join
+
+  test("q_knn_join equals the window-based brute force per probe") {
+    val out = Curation.queries("q_knn_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "fixture must yield at least one probe")
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") % 97 === 1)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val brute = emb.filter(col("vec_id") % 97 =!= 1).crossJoin(probes)
+      .select(col("probe_id"), col("vec_id"),
+        round(graft.ops.VectorOps.cosine(col("embedding"), col("qv")), 4)
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("probe_id"), col("rank"))
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == brute.toSeq,
+      s"kNN aggregate must match the window brute force; " +
+        s"first diff: ${out.toSeq.zip(brute.toSeq).find(p => p._1 != p._2)}")
+  }
+
+  test("q_knn_join plans a broadcast join and the bounded top-k aggregate, no window") {
+    val p = Curation.queries("q_knn_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe side must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no shuffled or cartesian join")
+    assert(!p.contains("Window"), "per-probe top-k must be the aggregate, not a window")
+  }
+
+  // ---------------------------------------------------------- DSIR weights
+
+  test("q_dsir_weights equals an independent driver-side model (exact longs)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(text: String): Seq[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.trim.split("\\s+").toSeq.map { tok =>
+        val hex = md.digest(tok.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val hexChars = "0123456789abcdef"
+        (hexChars.indexOf(hex(0)) * 16 + hexChars.indexOf(hex(1))) % 64
+      }
+    }
+    val perDoc = docs.map { case (id, lang, text) => (id, lang, buckets(text)) }
+    val cr = new Array[Long](64); val ct = new Array[Long](64)
+    perDoc.foreach { case (_, lang, bs) =>
+      bs.foreach { b => cr(b) += 1; if (lang == "en") ct(b) += 1 }
+    }
+    val nr = cr.sum; val nt = ct.sum
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val lrMicro = Array.tabulate(64) { b =>
+      halfUp((math.log((ct(b) + 1).toDouble / (nt + 64)) -
+        math.log((cr(b) + 1).toDouble / (nr + 64))) * 1e6)
+    }
+    val expected = perDoc.map { case (id, lang, bs) =>
+      (id, lang, bs.size.toLong, bs.map(b => lrMicro(b)).sum)
+    }.sortBy { case (id, _, _, w) => (-w, id) }.take(20).toSeq
+    val out = Curation.queries("q_dsir_weights")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == expected,
+      s"first diff: ${out.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("q_dsir_weights ranks the target language up: top-20 majority is 'en'") {
+    val out = Curation.queries("q_dsir_weights")(spark, sf).collect()
+    val en = out.count(_.getString(1) == "en")
+    assert(en * 2 > out.length,
+      s"target-likeness must dominate the top-20: $en/${out.length} en")
+  }
+
+  // ------------------------------------------------------ temperature mix
+
+  test("q_temperature_mix shares sum to ~1e6 and flatten the raw ratios") {
+    val rows = Curation.queries("q_temperature_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length >= 2, "fixture has multiple languages")
+    val sum = rows.map(_._3).sum
+    assert(math.abs(sum - 1000000L) <= rows.length,
+      s"micro shares must sum to 1e6 ± rounding, got $sum")
+    val byN = rows.sortBy(_._2)
+    assert(byN.map(_._3).toSeq == byN.map(_._3).sorted.toSeq,
+      "larger corpora must get larger shares (monotone in n)")
+    val (lo, hi) = (byN.head, byN.last)
+    val countRatio = hi._2.toDouble / lo._2
+    val shareRatio = hi._3.toDouble / lo._3
+    assert(shareRatio < countRatio,
+      s"T=2 must FLATTEN the mixture: share ratio $shareRatio " +
+        s"vs count ratio $countRatio")
+  }
+
+  // ---------------------------------------------------------------- CUSUM
+
+  test("q_cusum equals the literal sequential recurrence per user") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val ds = rows.sortBy(r => (r._2, r._3))
+        .map(r => halfUp(r._4 * 1e6) - 50000000L)
+      var s = 0L; var maxS = 0L
+      ds.foreach { d => s = math.max(0L, s + d); maxS = math.max(maxS, s) }
+      (u, rows.length.toLong, maxS)
+    }.toSeq.sortBy { case (u, _, m) => (-m, u) }.take(20)
+    val out = Curation.queries("q_cusum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected,
+      s"closed form must equal the recurrence; first diff: " +
+        s"${out.zip(expected).find(p => p._1 != p._2)}")
+    assert(out.exists(_._3 > 0), "fixture must show some drift")
+  }
+
+  test("q_cusum windows stay partitioned by user (no SinglePartition window)") {
+    val p = Curation.queries("q_cusum")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      "CUSUM windows must never collapse to one partition")
+    assert(p.contains("TakeOrderedAndProject"), "final top-20 is a TakeOrdered")
+  }
+}
