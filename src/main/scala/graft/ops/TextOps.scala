@@ -370,6 +370,48 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate join: near-dups of `probe` documents
+    * AGAINST `corpus` documents (never probe×probe or corpus×corpus) —
+    * the asymmetric sibling of [[minHashNearDups]] a pipeline runs when
+    * a new crawl batch lands against the existing corpus, or when an
+    * eval set is screened against training data at similarity level
+    * (fuzzy decontamination; exact-overlap decontamination is
+    * q_decontaminate). Same banded-LSH candidate shape — band keys are
+    * computed per side, candidates only materialize across sides on a
+    * shared (band, bucket) equi-key — and the same exact
+    * verify-per-candidate. At 100 TB the corpus side's band keys are
+    * computed once and reused per batch; only (id, band, bucket) rows
+    * ever shuffle.
+    */
+  def minHashCrossNearDups(probe: DataFrame, corpus: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+                           threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0,
+      s"minHashCrossNearDups: k=$k must be divisible by bands=$bands")
+    val rows = k / bands
+    def bandKeys(df: DataFrame, as: String) = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as(as),
+        lshBands(minHashSignature(shingles(col(textCol), shingleN), k), bands, rows)
+          .as("bands"))
+      .select(col(as), explode(col("bands")).as("bk"))
+      .select(col(as), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = bandKeys(probe, "id_new")
+      .join(bandKeys(corpus, "id_old"), Seq("band", "bucket"))
+      .select(col("id_new"), col("id_old"))
+      .dropDuplicates("id_new", "id_old")
+    def shing(df: DataFrame, as: String, sas: String) = df
+      .select(col(idCol).as(as),
+        array_distinct(shingles(col(textCol), shingleN)).as(sas))
+    candidates
+      .join(shing(probe, "id_new", "sa"), Seq("id_new"))
+      .join(shing(corpus, "id_old", "sb"), Seq("id_old"))
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
   /** Fuzzy-dup candidate pairs by edit distance over the DISTINCT key
     * domain — the classic small-domain pass of fuzzy dedup (brand/unit
     * style vocabularies). The cross join is O(n²) BY DESIGN, so the

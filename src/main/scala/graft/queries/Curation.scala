@@ -230,13 +230,141 @@ object Curation {
       |FROM s GROUP BY user_id
       |ORDER BY cusum_max DESC, user_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------- cross-corpus near-dup join
+  /** Near-dups of a NEW batch (`doc_id % 4 = 0`) against the EXISTING
+    * corpus (the rest) — the asymmetric LSH join
+    * ([[TextOps.minHashCrossNearDups]]) a pipeline runs on every
+    * incremental crawl, and the similarity-level variant of
+    * decontamination (screening eval docs against training data).
+    * Candidates only materialize across sides on shared
+    * (band, bucket) keys; every candidate is exactly verified, so the
+    * output is exactly the ≥-threshold cross pairs wherever banding
+    * recall is 1 (same k=32/bands=16 settings whose recall the
+    * q_minhash_lsh oracle confirms every round). The oracle pays the
+    * all-pairs new×old list_intersect this operator exists to avoid.
+    */
+  private val crossNearDupQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextOps.minHashCrossNearDups(
+        docs.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+      .orderBy(col("id_new"), col("id_old"))
+  }
+  private val crossNearDupSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+2], ' ')
+      |               for i in range(1, len(toks) - 1)]
+      |    END) AS sh FROM tok)
+      |SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+      |ORDER BY id_new, id_old""".stripMargin
+
+  // ------------------------------------------------- rendezvous sharding
+  /** Consistent (rendezvous / highest-random-weight — Thaler & Ravishankar
+    * 1996) shard assignment, and the minimal-movement property that makes
+    * it the right way to REshard a growing corpus: each doc's shard under
+    * 8 and under 9 shards is the argmax over md5(shard ':' doc_id), so
+    * going 8 → 9 moves only the docs the NEW shard wins (~1/9 of the
+    * corpus) instead of the ~8/9 a mod-N partitioner would reshuffle.
+    * Entirely map-side (the argmax is an array_max over a 9-element
+    * struct array — no explode, no shuffle); the only aggregation is the
+    * per-shard rollup. Emits per-new-shard counts + how many arrived
+    * from a different old shard.
+    */
+  private val consistentShardQ: Q = (s, dir) => {
+    def shard(n: Int): Column =
+      array_max(transform(sequence(lit(0), lit(n - 1)),
+        sh => struct(
+          md5(concat_ws(":", sh.cast("string"), col("doc_id").cast("string")))
+            .as("h"),
+          sh.cast("int").as("s")))).getField("s")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shard(8).as("shard8"), shard(9).as("shard9"))
+      .groupBy(col("shard9"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("shard8") =!= col("shard9"), 1)).as("n_moved"))
+      .orderBy(col("shard9"))
+  }
+  private val consistentShardSql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    list_max([{'h': md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+      |               's': CAST(s AS INTEGER)} for s in range(0, 8)]).s AS shard8,
+      |    list_max([{'h': md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+      |               's': CAST(s AS INTEGER)} for s in range(0, 9)]).s AS shard9
+      |  FROM documents)
+      |SELECT shard9, count(*) AS n_docs,
+      |       count(CASE WHEN shard8 <> shard9 THEN 1 END) AS n_moved
+      |FROM a GROUP BY shard9 ORDER BY shard9""".stripMargin
+
+  // ---------------------------------------------- quality-decile pruning
+  /** Quality-curriculum pruning: rank every document into global quality
+    * deciles (integer-exact [[TextOps.qualityPoints]], distributed exact
+    * ntile — [[Tiling.ntileDistributed]], no single-partition window),
+    * then keep top deciles whole, middle deciles at 25%, bottom at ~5%
+    * via the deterministic md5-prefix sampler — the
+    * quality-weighted downsampling pass (CCNet's head/middle/tail
+    * bucketing lineage — Wenzek et al. 2020) a corpus build runs after
+    * scoring. Emits per-decile population, quality range, and kept
+    * counts — the audit table of the pruning decision.
+    */
+  private val qualityPruneQ: Q = (s, dir) => {
+    val docs = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.qualityPoints(col("text")).as("q_points"))
+    val tiled = Tiling.ntileDistributed(docs, 10, col("q_points"),
+      Seq(col("q_points"), col("doc_id")), "decile")
+    val tag = substring(md5(concat_ws(":", lit("prune"), col("doc_id"))), 1, 2)
+    val keep = col("decile") >= 8 ||
+      (col("decile") >= 4 && tag < "40") || tag < "0d"
+    tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("q_points")).as("min_q"), max(col("q_points")).as("max_q"),
+        count(when(keep, 1)).as("n_kept"))
+      .orderBy(col("decile"))
+  }
+  private val qualityPruneSql = {
+    val stopList = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+       |  len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |      [$stopList])) AS stop_hits
+       |  FROM documents),
+       |q AS (SELECT doc_id,
+       |  ${TextOps.qualityPointsSql("n_chars", "n_tok", "punct", "stop_hits")} AS q_points
+       |  FROM t),
+       |d AS (SELECT doc_id, q_points,
+       |  ntile(10) OVER (ORDER BY q_points, doc_id) AS decile FROM q)
+       |SELECT decile, count(*) AS n_docs,
+       |  min(q_points) AS min_q, max(q_points) AS max_q,
+       |  count(CASE WHEN decile >= 8
+       |    OR (decile >= 4 AND substr(md5('prune:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40')
+       |    OR substr(md5('prune:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+       |    THEN 1 END) AS n_kept
+       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_knn_join", knnJoinQ, Some(knnJoinSql)),
     ("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
     ("q_temperature_mix", temperatureMixQ, Some(temperatureMixSql)),
-    ("q_cusum", cusumQ, Some(cusumSql)))
+    ("q_cusum", cusumQ, Some(cusumSql)),
+    ("q_cross_neardup", crossNearDupQ, Some(crossNearDupSql)),
+    ("q_consistent_shard", consistentShardQ, Some(consistentShardSql)),
+    ("q_quality_prune", qualityPruneQ, Some(qualityPruneSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

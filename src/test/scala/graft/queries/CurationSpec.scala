@@ -138,6 +138,76 @@ class CurationSpec extends SparkSpec {
     assert(out.exists(_._3 > 0), "fixture must show some drift")
   }
 
+  // ------------------------------------------------- cross-corpus near-dup
+
+  test("q_cross_neardup equals the brute-force new×old join") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(graft.ops.TextOps.shingles(col("text"), 3)).as("sh"))
+    val brute = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("id_new"), col("sh").as("sa"))
+      .crossJoin(docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("id_old"), col("sh").as("sb")))
+      .withColumn("jaccard",
+        round(graft.ops.TextOps.jaccard(col("sa"), col("sb")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val out = Curation.queries("q_cross_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == brute,
+      s"banded cross join must be lossless at this banding: " +
+        s"missing=${(brute -- out).take(5)} extra=${(out -- brute).take(5)}")
+    assert(out.nonEmpty, "fixture must contain cross-slice near-duplicates")
+  }
+
+  // ---------------------------------------------------- rendezvous sharding
+
+  test("q_consistent_shard: only the new shard's docs move (HRW theorem)") {
+    val rows = Curation.queries("q_consistent_shard")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "every doc gets exactly one shard")
+    rows.foreach { case (shard, n, moved) =>
+      if (shard == 8) assert(moved == n,
+        s"every doc landing on the NEW shard moved: $moved of $n")
+      else assert(moved == 0,
+        s"rendezvous must not move docs between surviving shards: " +
+          s"shard $shard moved $moved")
+    }
+    val newShardN = rows.find(_._1 == 8).map(_._2).getOrElse(0L)
+    assert(newShardN > 0 && newShardN < total / 3,
+      s"new shard takes ~1/9 of the corpus, got $newShardN/$total")
+  }
+
+  // --------------------------------------------------- quality-decile prune
+
+  test("q_quality_prune: contiguous deciles, keep policy honored") {
+    val rows = Curation.queries("q_quality_prune")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to 10),
+      "all ten deciles must be populated on the fixture")
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3,
+        s"decile quality ranges must be non-decreasing: $lo vs $hi")
+    case _ => ()
+    }
+    rows.filter(_._1 >= 8).foreach { case (d, n, _, _, kept) =>
+      assert(kept == n, s"top deciles keep everything: decile $d kept $kept/$n")
+    }
+    val lowKept = rows.filter(_._1 <= 3).map(_._5).sum.toDouble /
+      rows.filter(_._1 <= 3).map(_._2).sum
+    assert(lowKept < 0.25, s"bottom deciles must be heavily pruned: $lowKept")
+  }
+
+  test("q_quality_prune plans no single-partition window") {
+    val p = Curation.queries("q_quality_prune")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      "global decile must come from distributed tiling, not one partition")
+  }
+
   test("q_cusum windows stay partitioned by user (no SinglePartition window)") {
     val p = Curation.queries("q_cusum")(spark, sf)
       .queryExecution.executedPlan.toString
