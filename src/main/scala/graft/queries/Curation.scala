@@ -355,6 +355,73 @@ object Curation {
        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
   }
 
+  // ------------------------------------------- join-cardinality estimate
+  /** Sketch-based equi-join size estimation (AGMS / count-min inner
+    * product — Alon, Gibbons, Matias, Szegedy 1999; Cormode &
+    * Muthukrishnan 2005): |A ⋈ B| on a non-unique key estimated as the
+    * inner product of two 64-bucket hashed frequency vectors — the
+    * pre-shuffle cardinality probe a planner runs at 100 TB before
+    * choosing broadcast vs shuffle vs skew-salting, at the cost of two
+    * map-side combinable bucket counts instead of the join itself. The
+    * estimate OVERCOUNTS by exactly the cross-bucket collision mass
+    * (counters are non-negative), so `est ≥ exact` is a theorem — the
+    * oracle recomputes both sides exactly and re-asserts it. Join:
+    * events.user_id ⋈ orders.o_custkey (both many-per-key). Buckets are
+    * md5-nibble (engine-portable, the q_feature_hash trick).
+    */
+  private val joinCardinalityQ: Q = (s, dir) => {
+    val hex = "0123456789abcdef"
+    // 1024 buckets from the first 3 md5 nibbles under a per-row salt;
+    // depth 2: the min of independent overestimates is still ≥ exact
+    def bucketOf(c: Column, salt: String): Column = {
+      val h = md5(concat_ws(":", lit(salt), c.cast("string")))
+      ((((instr(lit(hex), substring(h, 1, 1)) - 1) * 256 +
+        (instr(lit(hex), substring(h, 2, 1)) - 1) * 16 +
+        instr(lit(hex), substring(h, 3, 1)) - 1) % 1024)).cast("int")
+    }
+    def estRow(salt: String): DataFrame = {
+      val ea = Tables.events(s, dir)
+        .groupBy(bucketOf(col("user_id"), salt).as("bucket"))
+        .agg(count(lit(1)).as("ca"))
+      val ob = Tables.orders(s, dir)
+        .groupBy(bucketOf(col("o_custkey"), salt).as("bucket"))
+        .agg(count(lit(1)).as("cb"))
+      ea.join(ob, Seq("bucket"))
+        .agg(sum(col("ca") * col("cb")).cast("long").as(s"est_$salt"))
+    }
+    val exact = Tables.events(s, dir).select(col("user_id"))
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("user_id") === col("o_custkey"))
+      .agg(count(lit(1)).cast("long").as("exact"))
+    estRow("r0").crossJoin(estRow("r1")).crossJoin(exact) // 1-row frames
+      .select(least(col("est_r0"), col("est_r1")).as("est"), col("exact"),
+        (least(col("est_r0"), col("est_r1")) >= col("exact"))
+          .as("overestimates"))
+  }
+  private val joinCardinalitySql = {
+    def bucketSql(c: String, salt: String): String =
+      s"""CAST((((strpos('0123456789abcdef', substring(md5('$salt:' || CAST($c AS VARCHAR)), 1, 1)) - 1) * 256
+         |    + (strpos('0123456789abcdef', substring(md5('$salt:' || CAST($c AS VARCHAR)), 2, 1)) - 1) * 16
+         |    + strpos('0123456789abcdef', substring(md5('$salt:' || CAST($c AS VARCHAR)), 3, 1)) - 1) % 1024)
+         |    AS INTEGER)""".stripMargin
+    def estCte(salt: String): String =
+      s"""ea_$salt AS (
+         |  SELECT ${bucketSql("user_id", salt)} AS bucket, count(*) AS ca
+         |  FROM events GROUP BY 1),
+         |ob_$salt AS (
+         |  SELECT ${bucketSql("o_custkey", salt)} AS bucket, count(*) AS cb
+         |  FROM orders GROUP BY 1),
+         |est_$salt AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS est_$salt
+         |        FROM ea_$salt JOIN ob_$salt USING (bucket))""".stripMargin
+    s"""WITH ${estCte("r0")},
+       |${estCte("r1")},
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact
+       |       FROM events JOIN orders ON user_id = o_custkey)
+       |SELECT least(est_r0, est_r1) AS est, exact,
+       |       least(est_r0, est_r1) >= exact AS overestimates
+       |FROM est_r0, est_r1, ex""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -364,7 +431,8 @@ object Curation {
     ("q_cusum", cusumQ, Some(cusumSql)),
     ("q_cross_neardup", crossNearDupQ, Some(crossNearDupSql)),
     ("q_consistent_shard", consistentShardQ, Some(consistentShardSql)),
-    ("q_quality_prune", qualityPruneQ, Some(qualityPruneSql)))
+    ("q_quality_prune", qualityPruneQ, Some(qualityPruneSql)),
+    ("q_join_cardinality", joinCardinalityQ, Some(joinCardinalitySql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

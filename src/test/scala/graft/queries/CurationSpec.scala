@@ -208,6 +208,21 @@ class CurationSpec extends SparkSpec {
       "global decile must come from distributed tiling, not one partition")
   }
 
+  // ------------------------------------------------ join-size estimation
+
+  test("q_join_cardinality: overestimate theorem + within the CMS error bound") {
+    val row = Curation.queries("q_join_cardinality")(spark, sf).head()
+    val (est, exact) = (row.getLong(0), row.getLong(1))
+    assert(row.getBoolean(2) && est >= exact,
+      "CMS inner product must never underestimate")
+    val na = Tables.events(spark, sf).count()
+    val nb = Tables.orders(spark, sf).count()
+    // depth-2 min beats Markov's per-row 2·NaNb/w bound w.p. ≥ 3/4; the
+    // fixture is fixed, so this is a deterministic regression check
+    assert(est - exact <= 2L * na * nb / 1024,
+      s"estimate error ${est - exact} exceeds 2·Na·Nb/w = ${2L * na * nb / 1024}")
+  }
+
   test("q_cusum windows stay partitioned by user (no SinglePartition window)") {
     val p = Curation.queries("q_cusum")(spark, sf)
       .queryExecution.executedPlan.toString
