@@ -5,7 +5,8 @@ class ContractSpec extends SparkSpec {
     // collapses a within-registry duplicate before any Map-level check
     val entrySeqs = Seq(graft.queries.Registry.entries,
       graft.queries.Extended.entries, graft.queries.Corpus.entries,
-      graft.queries.Analytics.entries, graft.queries.Mining.entries)
+      graft.queries.Analytics.entries, graft.queries.Mining.entries,
+      graft.queries.Curation.entries)
     val all = entrySeqs.flatMap(_.map(_._1))
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
