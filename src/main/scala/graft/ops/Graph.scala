@@ -155,4 +155,49 @@ object Graph {
     e.select(col("lo").as("node")).union(e.select(col("hi").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Multi-source breadth-first search with a FIXED hop budget: every
+    * node reachable from `sources` (a frame with one `node` column) gets
+    * `dist` = min #hops (≤ `maxHops`), level-synchronously. Returns
+    * (node, dist) for reached nodes only — callers derive "unreached"
+    * from the node set. A fixed budget (not run-to-fixpoint) keeps the
+    * result value-oracle-able, and is the production shape anyway: k-hop
+    * neighborhoods (contamination blast radius around flagged documents,
+    * link-graph influence radius) rather than full shortest paths.
+    *
+    * Scale shape: per level ONE equi-join of the frontier against the
+    * (checkpointed, reused) adjacency + ONE distinct + ONE left-anti
+    * join against the visited set — all keyed on node id; no window, no
+    * cartesian. Each level's fresh set is localCheckpoint'ed (cluster:
+    * `checkpoint`) and the visited set stays a union of those ≤
+    * maxHops+1 materialized levels, so the iterative plan is O(1) deep
+    * and nothing is recomputed. The frontier SHRINKS once the BFS wave
+    * saturates — late rounds are near-free.
+    */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+                     sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"multiSourceBfs: maxHops must be >= 0, got $maxHops")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi") && col("lo").isNotNull)
+      .distinct()
+    val adj = e.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(e.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint() // computed once, reused every level
+    var visited = sources.select(col("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val fresh = adj
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"))
+        .localCheckpoint()
+      visited = visited.union(fresh)
+      frontier = fresh.select(col("node"))
+    }
+    visited
+  }
 }

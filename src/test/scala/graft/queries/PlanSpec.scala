@@ -670,4 +670,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  private def frPlan(name: String): String =
+    Frontier.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("skyline: bucketed sweep — no SinglePartition window, no cartesian") {
+    val p = frPlan("q_skyline")
+    assert(!p.contains("SinglePartition"),
+      "the running max must be a per-bucket window: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("ngram novelty: first-claim attribution is equi-join only") {
+    val p = frPlan("q_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("zone audit: ntile binning never plans a SinglePartition window") {
+    // the final 64-row→1-row scalar rollups ARE SinglePartition exchanges
+    // (unavoidable and free); the lock is on the rank windows — every
+    // windowspecdefinition must partition by the range bucket
+    val p = frPlan("q_zone_audit")
+    val wins = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("__graft_b")),
+      s"windows $wins: " + p.take(2000))
+  }
 }
