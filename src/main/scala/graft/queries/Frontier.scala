@@ -74,11 +74,16 @@ object Frontier {
     */
   private val bfsHopsQ: Q = (s, dir) => {
     val raw = SynthGraph.edges(s, dir)
+    // canonical edges materialize ONCE (localCheckpoint; cluster:
+    // checkpoint) — the node census, the source filter, and the BFS's own
+    // idempotent re-canonicalization all reuse the same 2-column frame
+    // instead of re-deriving it from lineitem
     val e = raw
       .select(least(col("x"), col("y")).as("lo"),
         greatest(col("x"), col("y")).as("hi"))
       .filter(col("lo") =!= col("hi") && col("lo").isNotNull)
       .distinct()
+      .localCheckpoint()
     val nodes = e.select(col("lo").as("node"))
       .union(e.select(col("hi").as("node"))).distinct()
     val sources = nodes.filter(col("node") % 97 === 0)
