@@ -200,4 +200,43 @@ object Graph {
     }
     visited
   }
+
+  /** Fixed-round HITS (Kleinberg, JACM 1999 — public literature) in EXACT
+    * integer arithmetic over a DIRECTED edge list: h₀ = 1, then per round
+    * a(v) = Σ_{u→v} h(u) and h(u) = Σ_{u→v} a(v), plus a final authority
+    * refresh. Deliberately unnormalized: scores stay exact Longs (bounded
+    * by Σdeg^(2·rounds+1) ≪ 2⁶³ for small round budgets on bounded-degree
+    * graphs), so an oracle can replay the recurrence bit-exactly — the
+    * usual L2 normalization only rescales the ranking. Returns
+    * (node, auth, hub) for every node with an in-edge; hub is 0 for
+    * nodes without out-edges.
+    *
+    * Scale shape: per half-round ONE equi-join of the one-row-per-node
+    * score frame against the checkpointed edge list + ONE
+    * map-side-combinable sum — the [[labelPropagation]]/PageRank
+    * iteration shape; no window, no cartesian.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           rounds: Int): DataFrame = {
+    require(rounds >= 1, s"hits: rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst") && col("src").isNotNull)
+      .distinct()
+      .localCheckpoint() // reused by every half-round
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var h = nodes.withColumn("h", lit(1L))
+    for (k <- 1 to rounds) {
+      val a = e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+      h = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+      if (k < rounds) h = h.localCheckpoint()
+    }
+    val auth = e.join(h.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node")).agg(sum(col("h")).as("auth"))
+    auth.join(h.withColumnRenamed("h", "hub"), Seq("node"), "left")
+      .select(col("node"), col("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
+  }
 }

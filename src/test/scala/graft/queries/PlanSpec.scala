@@ -687,6 +687,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  private def spPlan(name: String): String =
+    Spectral.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("co-purchase: pair fan-out explodes map-side, no cartesian") {
+    val p = spPlan("q_copurchase_lift")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Generate explode"),
+      "pairs must fan out inside a projection, not a self-join")
+  }
+
+  test("HITS and PCA top-k plan TakeOrderedAndProject (no total sort)") {
+    assert(spPlan("q_hits").contains("TakeOrderedAndProject"))
+    assert(spPlan("q_pca_power").contains("TakeOrderedAndProject"))
+  }
+
   test("zone audit: ntile binning never plans a SinglePartition window") {
     // the final 64-row→1-row scalar rollups ARE SinglePartition exchanges
     // (unavoidable and free); the lock is on the rank windows — every
