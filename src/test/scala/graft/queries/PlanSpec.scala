@@ -702,6 +702,24 @@ class PlanSpec extends SparkSpec {
     assert(spPlan("q_pca_power").contains("TakeOrderedAndProject"))
   }
 
+  test("closed-form OLS: one joinless combinable aggregation pass") {
+    val p = Stats.queries("q_ols_closed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "the normal equations need no join: " +
+      p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(2000))
+  }
+
+  test("Gini: ranks come from bucketed windows, never SinglePartition") {
+    val p = Stats.queries("q_gini")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val wins = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("__graft_b")),
+      s"windows $wins: " + p.take(2000))
+  }
+
   test("zone audit: ntile binning never plans a SinglePartition window") {
     // the final 64-row→1-row scalar rollups ARE SinglePartition exchanges
     // (unavoidable and free); the lock is on the rank windows — every
