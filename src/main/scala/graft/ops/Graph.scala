@@ -103,8 +103,14 @@ object Graph {
     var labels = adj.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (i <- 1 to iterations) {
+      // ONE exchange per iteration: repartitioning the joined rows by dst
+      // satisfies the clustered distribution of BOTH downstream
+      // aggregations (hash(dst) ⊆ {dst, label} and ⊆ {node}), so the
+      // (node, label) count and the per-node argmax plan exchange-free
+      // on top of it — vs two full aggregate exchanges in the naive form
       labels = adj
         .join(labels.withColumnRenamed("node", "src"), "src")
+        .repartition(col("dst"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("node"))
