@@ -43,6 +43,9 @@ object Evaluation {
       .select(col("doc_id"), col("label"),
         expr("wsum div n_tokens").as("score_micro"))
   }
+  private[queries] def scoredForSpec(s: org.apache.spark.sql.SparkSession,
+                                     dir: String) = scored(s, dir)
+
   private val scoredSql =
     """tok AS (
       |  SELECT doc_id, lang = 'en' AS label,
@@ -140,6 +143,58 @@ object Evaluation {
        |       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
        |         * 1000000 // CAST(count(*) AS BIGINT) AS positive_ppm
        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
+  // -------------------------------------------------------------- ROC AUC
+  /** ROC AUC of the hashed scorer against the language label, computed
+    * EXACTLY (integer ppm) as the tie-aware Mann–Whitney U statistic:
+    * rank every document by (score, doc_id) with
+    * [[Tiling.withGlobalRank]] (no SinglePartition window), replace tied
+    * scores by their midrank — tracked in HALF-units (2·midrank =
+    * min+max of the tie block's ranks) so everything stays integer —
+    * then AUC = (Σ₊ 2·midrank − n₊(n₊+1)) / (2·n₊·n₋). The
+    * threshold-free companion of q_confusion: one rank pass + two
+    * combinable aggregations, nothing corpus-sized after the rank.
+    */
+  private val aucQ: Q = (s, dir) => {
+    val (ranked, _) = Tiling.withGlobalRank(scored(s, dir),
+      col("score_micro"), Seq(col("score_micro"), col("doc_id")), "r0")
+    // per tied-score block: 2·midrank = min(rank1) + max(rank1)
+    val blocks = ranked.select(col("label"), col("score_micro"),
+        (col("r0") + 1L).as("r1"))
+      .groupBy(col("score_micro"))
+      .agg((min(col("r1")) + max(col("r1"))).as("mid2"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("n"))
+    blocks.agg(
+        sum(col("pos") * col("mid2")).as("possum2"),
+        sum(col("pos")).as("np"),
+        sum(col("n") - col("pos")).as("nn"))
+      .selectExpr("np AS n_pos", "nn AS n_neg",
+        """(possum2 - np * (np + 1)) * 1000000
+          | div (2 * np * nn) AS auc_ppm""".stripMargin)
+  }
+  private val aucSql =
+    s"""WITH $scoredSql,
+       |r AS (
+       |  SELECT label, score_micro,
+       |         CAST(row_number() OVER (ORDER BY score_micro, doc_id)
+       |           AS BIGINT) AS r1
+       |  FROM scored),
+       |b AS (
+       |  SELECT score_micro, min(r1) + max(r1) AS mid2,
+       |         CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS pos,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM r GROUP BY score_micro),
+       |m AS (
+       |  SELECT CAST(sum(pos * mid2) AS BIGINT) AS possum2,
+       |         CAST(sum(pos) AS BIGINT) AS np,
+       |         CAST(sum(n - pos) AS BIGINT) AS nn
+       |  FROM b)
+       |SELECT np AS n_pos, nn AS n_neg,
+       |       (possum2 - np * (np + 1)) * 1000000
+       |        // (2 * np * nn) AS auc_ppm
+       |FROM m""".stripMargin
 
   // ------------------------------------------------------- one-way ANOVA
   /** One-way ANOVA F across the five event cohorts (value in exact
@@ -302,6 +357,7 @@ object Evaluation {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_confusion", confusionQ, Some(confusionSql)),
     ("q_calibration", calibrationQ, Some(calibrationSql)),
+    ("q_auc", aucQ, Some(aucSql)),
     ("q_anova_f", anovaQ, Some(anovaSql)),
     ("q_decision_stump", stumpQ, Some(stumpSql)))
 

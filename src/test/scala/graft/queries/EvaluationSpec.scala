@@ -30,6 +30,19 @@ class EvaluationSpec extends SparkSpec {
       s"mean score must be non-decreasing across deciles: ${means.toSeq}")
   }
 
+  test("AUC equals exact pairwise concordance counting") {
+    val r = Evaluation.queries("q_auc")(spark, sf).head()
+    val scoredRows = Evaluation.scoredForSpec(spark, sf).collect()
+      .map(x => (x.getBoolean(1), x.getLong(2)))
+    val pos = scoredRows.filter(_._1).map(_._2)
+    val neg = scoredRows.filterNot(_._1).map(_._2)
+    val conc2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val want = conc2 * 1000000L / (2L * pos.length * neg.length)
+    assert(r.getLong(0) == pos.length && r.getLong(1) == neg.length)
+    assert(r.getLong(2) == want, s"auc ${r.getLong(2)} want $want")
+  }
+
   test("ANOVA F matches a direct driver-side computation") {
     val r = Evaluation.queries("q_anova_f")(spark, sf).head()
     val vals = Tables.events(spark, sf)
