@@ -720,6 +720,17 @@ class PlanSpec extends SparkSpec {
       s"windows $wins: " + p.take(2000))
   }
 
+  test("calibration and AUC rank via bucketed windows, never SinglePartition") {
+    for (q <- Seq("q_calibration", "q_auc")) {
+      val p = Evaluation.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val wins = "windowspecdefinition\\(([^,]+),".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(wins.nonEmpty && wins.forall(_.contains("__graft_b")),
+        s"$q windows $wins: " + p.take(2000))
+    }
+  }
+
   test("zone audit: ntile binning never plans a SinglePartition window") {
     // the final 64-row→1-row scalar rollups ARE SinglePartition exchanges
     // (unavoidable and free); the lock is on the rank windows — every
