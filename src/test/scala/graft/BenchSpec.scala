@@ -21,8 +21,10 @@ class BenchSpec extends SparkSpec {
     val (results, errors, absorbed) = Bench.run(spark,
       Seq("q_fast_a", "q_wedged", "q_fast_b"), runOne, "spec_sf",
       // wide enough that a cold-JIT fast query can't trip it (a 3 s cap
-      // flaked once when this suite ran first in the JVM)
-      timeoutMs = 8000, reps = 2, onQuery = s => summaries += s)
+      // flaked once when this suite ran first in the JVM; 8 s flaked
+      // once more under a loaded box at r6 — only wedged paths ever
+      // wait this long, so the width costs nothing in clean runs)
+      timeoutMs = 12000, reps = 2, onQuery = s => summaries += s)
 
     val byName = results.toMap
     assert(byName("q_wedged") == -1.0)
@@ -73,7 +75,7 @@ class BenchSpec extends SparkSpec {
     val summaries = scala.collection.mutable.ArrayBuffer[String]()
     val (results, errors, absorbed) = Bench.run(spark,
       Seq("q_flaky_late", "q_flaky_first", "q_ok"), runOne, "spec_sf",
-      timeoutMs = 8000, reps = 3, onQuery = s => summaries += s)
+      timeoutMs = 12000, reps = 3, onQuery = s => summaries += s)
     val byName = results.toMap
     assert(byName("q_flaky_late") > 0, s"late wedge must keep rep-1 timing: $results")
     assert(byName("q_flaky_first") > 0, s"first-rep wedge must recover via retry: $results")
