@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-6 registry extension, tenth batch — the temporal / categorical
+  * statistics a behavioural-events pipeline runs beside the experiment
+  * family ([[Stats]], [[Evaluation]], [[Inference]]):
+  *
+  *  - chi-square test of independence (categorical × categorical) with
+  *    Cramér's V effect size,
+  *  - Adamic–Adar link prediction over the shared [[SynthGraph]]
+  *    (the wedge-join sibling of triangle counting),
+  *  - first-order Markov transition matrix over per-user event
+  *    sequences,
+  *  - Kaplan–Meier time-to-conversion survival curve with right
+  *    censoring,
+  *  - lag-k autocorrelation of the daily event series,
+  *  - fixed-point EWMA smoothing of the same series (recursion as a
+  *    Spark `aggregate` higher-order function, no driver loop).
+  *
+  * Same conventions as [[Registry]]: every corpus-sized sum is exact
+  * integer (micro/ppm fixed point, logs rounded to micro-nats BEFORE
+  * summation — the q_token_entropy contract), doubles appear only in
+  * final scalar formulas written with the same operation order in both
+  * engines, identical aliases both sides, deterministic total ORDER BY.
+  */
+object Temporal {
+
+  type Q = Registry.Q
+
+  // -------------------------------------------------- chi-square test
+  /** Chi-square independence test between event type and hour-of-day,
+    * plus Cramér's V effect size. The ONLY corpus-sized pass is one
+    * map-side-combinable count aggregation to the |types|×24 cell
+    * frame; marginals, totals, and the statistic are metadata-sized
+    * derivations of that frame (broadcast joins). Exactness: the cell
+    * term (O·N − r·c)²/(r·c·N) runs its integer parts in decimal(38,0)
+    * (HUGEINT in the oracle — O·N alone overflows int64 past ~3·10⁹
+    * rows), casts the exact integers to double with identical IEEE
+    * rounding both engines, and lands in integer micro units BEFORE the
+    * cell sum, so the statistic is exact at any partitioning. At 100 TB
+    * the shape is unchanged: one combinable agg, then arithmetic on a
+    * ~100-row frame.
+    */
+  private val chiSquareQ: Q = (s, dir) => {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type").as("et"), hour(col("ts")).as("h"))
+      .groupBy(col("et"), col("h")).agg(count(lit(1)).as("o"))
+    val rowsT = cells.groupBy(col("et")).agg(sum(col("o")).as("r"))
+    val colsT = cells.groupBy(col("h")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("et")).as("nr"), countDistinct(col("h")).as("nc"))
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    cells.join(broadcast(rowsT), "et").join(broadcast(colsT), "h")
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", dec(col("o")) * dec(col("n")) -
+        dec(col("r")) * dec(col("c")))
+      .withColumn("term_micro",
+        round((col("dev") * col("dev")).cast("double") /
+          (dec(col("r")) * dec(col("c")) * dec(col("n"))).cast("double")
+          * 1e6).cast("long"))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("term_micro")).as("chi2_micro"))
+      .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        col("chi2_micro"),
+        round(sqrt(col("chi2_micro").cast("double") / 1e6 /
+          (col("n") * least(col("nr") - 1, col("nc") - 1)).cast("double")),
+          6).as("cramers_v"))
+  }
+  private val chiSquareSql =
+    """WITH cells AS (
+      |  SELECT event_type AS et, hour(ts) AS h, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT et, sum(o) AS r FROM cells GROUP BY et),
+      |ct AS (SELECT h, sum(o) AS c FROM cells GROUP BY h),
+      |tot AS (SELECT sum(o) AS n, count(DISTINCT et) AS nr,
+      |               count(DISTINCT h) AS nc FROM cells),
+      |terms AS (
+      |  SELECT n, nr, nc,
+      |    CAST(round(
+      |      CAST((CAST(o AS HUGEINT) * CAST(n AS HUGEINT) -
+      |            CAST(r AS HUGEINT) * CAST(c AS HUGEINT)) *
+      |           (CAST(o AS HUGEINT) * CAST(n AS HUGEINT) -
+      |            CAST(r AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) /
+      |      CAST(CAST(r AS HUGEINT) * CAST(c AS HUGEINT) *
+      |           CAST(n AS HUGEINT) AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS term_micro
+      |  FROM cells JOIN rt USING (et) JOIN ct USING (h), tot)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+      |  CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+      |  round(sqrt(CAST(sum(term_micro) AS DOUBLE) / 1e6 /
+      |    CAST(n * least(nr - 1, nc - 1) AS DOUBLE)), 6) AS cramers_v
+      |FROM terms GROUP BY n, nr, nc""".stripMargin
+
+  // --------------------------------------------- Adamic–Adar link score
+  /** Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003)
+    * over the shared [[SynthGraph]]: for node pairs NOT already joined
+    * by an edge, score = Σ_w 1/ln(deg(w)) over common neighbours w; the
+    * 20 highest-scored pairs are the predicted links. The wedge
+    * enumeration is the q_triangle_count adjacency self-join (each
+    * unordered pair generated once via nbr_a < nbr_b); the per-wedge
+    * term lands in integer ppm (round(1e6/ln(deg))) BEFORE the pair
+    * sum, so scores are exact integers at any partitioning, and
+    * existing edges leave via one anti-join. Cost is Σ_w deg(w)² — the
+    * same bound triangle counting pays; at 100 TB the standard hub
+    * mitigations (degree cap + exact re-score of survivors) bolt onto
+    * the same plan, and the top-k is a partial-agg ORDER BY LIMIT, not
+    * a global sort of all pairs.
+    */
+  private val adamicAdarQ: Q = (s, dir) => {
+    val e = SynthGraph.edges(s, dir).filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+    val adj = e.select(col("u").as("w"), col("v").as("nbr"))
+      .union(e.select(col("v").as("w"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("a")
+      .join(adj.as("b"), col("a.w") === col("b.w") &&
+        col("a.nbr") < col("b.nbr"))
+      .select(col("a.w").as("w"), col("a.nbr").as("u"),
+        col("b.nbr").as("v"))
+    wedges.join(deg, "w")
+      .select(col("u"), col("v"),
+        round(lit(1e6) / log(col("deg").cast("double"))).cast("long")
+          .as("term_ppm"))
+      .groupBy(col("u"), col("v")).agg(sum(col("term_ppm")).as("aa_ppm"))
+      .join(e, Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_ppm").desc, col("u"), col("v"))
+      .limit(20)
+  }
+  private val adamicAdarSql =
+    s"""WITH ${SynthGraph.rawSql},
+      |e AS (
+      |  SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      |  FROM raw WHERE x <> y),
+      |adj AS (
+      |  SELECT u AS w, v AS nbr FROM e
+      |  UNION ALL SELECT v AS w, u AS nbr FROM e),
+      |deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+      |wedge AS (
+      |  SELECT a.w, a.nbr AS u, b.nbr AS v
+      |  FROM adj a JOIN adj b ON a.w = b.w AND a.nbr < b.nbr),
+      |score AS (
+      |  SELECT u, v,
+      |    CAST(sum(CAST(round(1e6 / ln(CAST(deg AS DOUBLE))) AS BIGINT))
+      |         AS BIGINT) AS aa_ppm
+      |  FROM wedge JOIN deg USING (w) GROUP BY u, v)
+      |SELECT u, v, aa_ppm FROM score s
+      |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.u AND e.v = s.v)
+      |ORDER BY aa_ppm DESC, u, v LIMIT 20""".stripMargin
+
+  // ------------------------------------------- Markov transition matrix
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: P(next | current) as exact ppm integers. The lag runs
+    * in a PER-USER window (partitioned by user_id, ordered by the
+    * unique (ts, event_id) key — deterministic under ties), so the
+    * shuffle is one keyed exchange and no partition ever exceeds a
+    * single user's history; the transition-count frame is
+    * |types|²-sized metadata. The 100 TB session-modelling shape:
+    * sequence locality by key, counts combinable, normalization on the
+    * tiny frame.
+    */
+  private val markovTransitionQ: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("prev", lag(col("cur"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy(col("prev")).agg(sum(col("n_trans")).as("r"))
+    trans.join(broadcast(totals), "prev")
+      .select(col("prev"), col("cur"), col("n_trans"),
+        expr("n_trans * 1000000 div r").as("p_ppm"))
+      .orderBy(col("prev"), col("cur"))
+  }
+  private val markovTransitionSql =
+    """WITH seq AS (
+      |  SELECT event_type AS cur,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (
+      |  SELECT prev, cur, count(*) AS n_trans
+      |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur),
+      |r AS (SELECT prev, sum(n_trans) AS r FROM t GROUP BY prev)
+      |SELECT prev, cur, CAST(n_trans AS BIGINT) AS n_trans,
+      |  CAST(n_trans AS BIGINT) * 1000000 // CAST(r AS BIGINT) AS p_ppm
+      |FROM t JOIN r USING (prev) ORDER BY prev, cur""".stripMargin
+
+  // ------------------------------------------------ Kaplan–Meier curve
+  /** Kaplan–Meier time-to-conversion survival (Kaplan & Meier, JASA
+    * 1958): per user, duration = days from first event to first
+    * purchase (event observed) or to last event (right-censored);
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) reported at each event time. The
+    * corpus-sized work is ONE per-user aggregation; the life table is
+    * calendar-bounded (≤ distinct day-gaps, a metadata-sized frame), so
+    * its global window is over ≤ a few hundred rows by construction —
+    * the same bounded-small-frame exemption as the ≤64-bucket offset
+    * collects. Exactness: dᵢ/nᵢ ratios are exact integers; the product
+    * runs as a prefix sum of ln((n−d)/n) rounded to micro-nats BEFORE
+    * summation (exact integer cumulation), and only the final display
+    * column pays one exp + round(6).
+    */
+  private val kaplanMeierQ: Q = (s, dir) => {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        max(col("ts")).as("tl"))
+      .select(
+        datediff(to_date(coalesce(col("tp"), col("tl"))),
+          to_date(col("t0"))).cast("long").as("dur"),
+        col("tp").isNotNull.as("observed"))
+    val life = perUser.groupBy(col("dur"))
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("observed"), 1L).otherwise(0L)).as("cens"))
+    val n = perUser.agg(count(lit(1)).as("n_total"))
+    // life-table frame is calendar-bounded — global windows here are fine
+    val wBefore = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    life.crossJoin(broadcast(n))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("d") + col("cens")).over(wBefore), lit(0L)))
+      .withColumn("term_micro",
+        when(col("d") > 0 && col("n_risk") > col("d"),
+          round(log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double")) * 1e6).cast("long"))
+          .otherwise(0L))
+      .withColumn("cum_micro", sum(col("term_micro")).over(wCum))
+      // once a step has n_risk == d the product is exactly 0 from there
+      // on — flagged instead of summing ln(0) (DuckDB can't cast -inf)
+      .withColumn("hit_zero",
+        max(col("d") > 0 && col("n_risk") === col("d")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("dur"), col("n_risk"), col("d").as("d_events"),
+        when(col("hit_zero"), 0.0).otherwise(
+          round(exp(col("cum_micro").cast("double") / 1e6), 6)).as("s_km"))
+      .orderBy(col("dur"))
+  }
+  private val kaplanMeierSql =
+    """WITH pu AS (
+      |  SELECT user_id, min(ts) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+      |    max(ts) AS tl
+      |  FROM events GROUP BY user_id),
+      |durs AS (
+      |  SELECT date_diff('day', CAST(t0 AS DATE),
+      |           CAST(coalesce(tp, tl) AS DATE)) AS dur,
+      |         tp IS NOT NULL AS observed
+      |  FROM pu),
+      |life AS (
+      |  SELECT dur,
+      |    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN NOT observed THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cens
+      |  FROM durs GROUP BY dur),
+      |n AS (SELECT count(*) AS n_total FROM durs),
+      |risk AS (
+      |  SELECT dur, d,
+      |    n_total - coalesce(sum(d + cens) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_risk
+      |  FROM life, n),
+      |terms AS (
+      |  SELECT dur, d, n_risk,
+      |    CASE WHEN d > 0 AND n_risk > d
+      |      THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE) /
+      |        CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END
+      |      AS term_micro,
+      |    d > 0 AND n_risk = d AS zero_step
+      |  FROM risk),
+      |cum AS (
+      |  SELECT dur, d, n_risk,
+      |    sum(term_micro) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_micro,
+      |    max(zero_step) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+      |  FROM terms)
+      |SELECT CAST(dur AS BIGINT) AS dur, CAST(n_risk AS BIGINT) AS n_risk,
+      |  d AS d_events,
+      |  CASE WHEN hit_zero THEN 0.0
+      |       ELSE round(exp(CAST(cum_micro AS DOUBLE) / 1e6), 6)
+      |  END AS s_km
+      |FROM cum WHERE d > 0 ORDER BY dur""".stripMargin
+
+  // ----------------------------------------------- lag-k autocorrelation
+  /** Lag-1..7 autocorrelation of the daily event-count series. The
+    * corpus-sized pass is the one daily count aggregation; lags are
+    * DATE-ARITHMETIC EQUI-JOINS on the tiny daily frame (day + k = day′
+    * — no global-order window even here), so calendar gaps shorten the
+    * pair set instead of silently pairing non-adjacent days. Exactness:
+    * mean-centering is cleared of the 1/n rational by scaling through
+    * n (numerator terms (n·xₜ − S)(n·xₜ₊ₖ − S) — exact decimal(38,0) /
+    * HUGEINT integers), and the single double division at the end is
+    * identical IEEE both engines, rounded to 6.
+    */
+  private val acfQ: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val centered = daily.crossJoin(broadcast(st))
+      .select(col("day"), col("n"), col("sx"),
+        (dec(col("n")) * dec(col("x")) - dec(col("sx"))).as("cx"))
+    val den = centered.agg(sum(col("cx") * col("cx")).as("den"))
+    val ks = s.range(1, 8).select(col("id").cast("int").as("k"))
+    val pairs = centered.as("a").crossJoin(broadcast(ks))
+      .select(col("k"), expr("date_add(day, k)").as("day2"), col("cx").as("cxa"))
+      .join(centered.as("b").select(col("day").as("day2"), col("cx").as("cxb")),
+        "day2")
+    pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cxa") * col("cxb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+      .orderBy(col("k"))
+  }
+  private val acfSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS x
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT count(*) AS n, sum(x) AS sx FROM daily),
+      |c AS (
+      |  SELECT day, CAST(n AS HUGEINT) * CAST(x AS HUGEINT) -
+      |    CAST(sx AS HUGEINT) AS cx
+      |  FROM daily, st),
+      |den AS (SELECT sum(cx * cx) AS den FROM c),
+      |ks AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS k),
+      |p AS (
+      |  SELECT k, a.cx AS cxa, b.cx AS cxb
+      |  FROM c a CROSS JOIN ks JOIN c b ON b.day = a.day + k)
+      |SELECT CAST(k AS INT) AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(CAST(sum(cxa * cxb) AS DOUBLE) /
+      |        CAST((SELECT den FROM den) AS DOUBLE), 6) AS acf
+      |FROM p GROUP BY k ORDER BY k""".stripMargin
+
+  // ----------------------------------------------------- EWMA smoothing
+  /** EWMA smoothing of the daily event-count series (α = 1/8) as a
+    * Spark `aggregate` higher-order function over the sorted
+    * (day, count) array — the recursion a driver loop would hide runs
+    * INSIDE one expression, and the series it runs over is the
+    * calendar-bounded daily frame, not the corpus. All state is 2¹⁶
+    * fixed point: sₜ = (8192·(xₜ·2¹⁶) + 57344·sₜ₋₁) div 2¹⁶ — exact
+    * integer recursion both engines replay step for step (the oracle
+    * uses a recursive CTE), safe to daily counts < 2.4·10⁹; beyond
+    * that, drop the scale bit for bit. Output in milli-units.
+    */
+  private val ewmaQ: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+    daily.agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("series"))
+      .select(explode(expr(
+        """aggregate(
+          |  series,
+          |  struct(CAST(-1 AS BIGINT) AS s,
+          |         CAST(array() AS ARRAY<STRUCT<day: DATE, s: BIGINT>>)
+          |           AS out),
+          |  (acc, e) -> struct(
+          |    CASE WHEN acc.s < 0 THEN e.x * 65536
+          |         ELSE (8192 * (e.x * 65536) + 57344 * acc.s) div 65536
+          |    END AS s,
+          |    array_append(acc.out, struct(e.day AS day,
+          |      CASE WHEN acc.s < 0 THEN e.x * 65536
+          |           ELSE (8192 * (e.x * 65536) + 57344 * acc.s) div 65536
+          |      END AS s)) AS out),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.s").as("sfix"))
+      .select(col("day"), expr("sfix * 1000 div 65536").as("ewma_milli"))
+      .orderBy(col("day"))
+  }
+  private val ewmaSql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |ord AS (
+      |  SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+      |r AS (
+      |  SELECT rn, day, x, x * 65536 AS s FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.day, o.x,
+      |         (8192 * (o.x * 65536) + 57344 * r.s) // 65536
+      |  FROM ord o JOIN r ON o.rn = r.rn + 1)
+      |SELECT day, s * 1000 // 65536 AS ewma_milli
+      |FROM r ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_chi_square", chiSquareQ, Some(chiSquareSql)),
+    ("q_adamic_adar", adamicAdarQ, Some(adamicAdarSql)),
+    ("q_markov_transition", markovTransitionQ, Some(markovTransitionSql)),
+    ("q_kaplan_meier", kaplanMeierQ, Some(kaplanMeierSql)),
+    ("q_acf", acfQ, Some(acfSql)),
+    ("q_ewma", ewmaQ, Some(ewmaSql)))
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+
+  val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("chi-square statistic matches a driver replay of the cell formula") {
+    val r = Temporal.queries("q_chi_square")(spark, sf).head()
+    val cells = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")))
+      .collect().map(x => (x.getString(0), x.getInt(1)))
+    val n = cells.length.toLong
+    val byCell = cells.groupBy(identity).view.mapValues(_.length.toLong)
+    val rowT = cells.groupBy(_._1).view.mapValues(_.length.toLong)
+    val colT = cells.groupBy(_._2).view.mapValues(_.length.toLong)
+    val chi2 = byCell.map { case ((et, h), o) =>
+      val dev = (BigInt(o) * n - BigInt(rowT(et)) * colT(h)).toDouble
+      math.round(dev * dev /
+        (BigInt(rowT(et)) * BigInt(colT(h)) * n).toDouble * 1e6)
+    }.sum
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == (rowT.size - 1).toLong * (colT.size - 1))
+    assert(r.getLong(2) == chi2, s"chi2 ${r.getLong(2)} want $chi2")
+    // Cramér's V lives in [0, 1]
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("adamic-adar: scores match brute force and exclude existing edges") {
+    val rows = Temporal.queries("q_adamic_adar")(spark, sf).collect()
+    assert(rows.length == 20)
+    val e = SynthGraph.edges(spark, sf).filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")), greatest(col("x"), col("y")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = e.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def aa(u: Long, v: Long): Long =
+      (adj(u) & adj(v)).toSeq.map(w =>
+        math.round(1e6 / math.log(adj(w).size.toDouble))).sum
+    rows.foreach { r =>
+      val (u, v, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(!e.contains((u, v)), s"existing edge predicted: ($u,$v)")
+      assert(s == aa(u, v), s"score $s want ${aa(u, v)} for ($u,$v)")
+    }
+    // scores are the global top: no non-edge pair beats the 20th
+    val floor20 = rows.last.getLong(2)
+    val all = adj.keys.toSeq.sorted
+    val beats = for {
+      u <- all; v <- all if u < v && !e.contains((u, v))
+      s = aa(u, v) if s > floor20
+    } yield (u, v)
+    assert(beats.length < 20, s"more than 19 pairs beat the reported floor")
+  }
+
+  test("markov transitions: probabilities sum to ~1e6 per source state") {
+    val rows = Temporal.queries("q_markov_transition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val total = rs.map(_.getLong(3)).sum
+      // integer-truncated ppm shares: within |types| of exactly 1e6
+      assert(total <= 1000000L && total > 1000000L - rs.length,
+        s"$prev p_ppm sums to $total")
+      val nTot = rs.map(_.getLong(2)).sum
+      rs.foreach(r =>
+        assert(r.getLong(3) == r.getLong(2) * 1000000L / nTot))
+    }
+  }
+
+  test("kaplan-meier: monotone non-increasing, replayed product matches") {
+    val rows = Temporal.queries("q_kaplan_meier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getDouble(3))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "S(t) must be non-increasing")
+    // replay the micro-nat prefix exactly
+    var cum = 0L
+    var hitZero = false
+    rows.foreach { r =>
+      val (nr, d) = (r.getLong(1), r.getLong(2))
+      assert(d > 0 && nr >= d)
+      if (nr == d) hitZero = true
+      else cum += math.round(math.log((nr - d).toDouble / nr) * 1e6)
+      val want =
+        if (hitZero) 0.0
+        else BigDecimal(math.exp(cum / 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - want) < 1e-12,
+        s"s_km ${r.getDouble(3)} want $want at dur ${r.getLong(0)}")
+    }
+    // n_risk is total users at the first support point minus prior exits
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct()
+      .count()
+    assert(rows.head.getLong(1) <= users)
+  }
+
+  test("acf: lag-0 self-check via denominator and |r| <= 1") {
+    val rows = Temporal.queries("q_acf")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9,
+        s"acf out of range: $r")
+      assert(r.getLong(1) > 0, s"no pairs at lag ${r.getInt(0)}")
+    }
+    // consecutive lags lose at most one pair per calendar gap
+    val np = rows.map(_.getLong(1))
+    assert(np.zip(np.tail).forall { case (a, b) => b <= a },
+      "pair count must be non-increasing in k")
+  }
+
+  test("ewma: fixed-point recursion replays exactly from the daily series") {
+    val rows = Temporal.queries("q_ewma")(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    assert(rows.length == daily.length)
+    var s = -1L
+    daily.zip(rows).foreach { case ((day, x), r) =>
+      s = if (s < 0) x * 65536
+          else (8192 * (x * 65536) + 57344 * s) / 65536
+      assert(r.getDate(0) == day)
+      assert(r.getLong(1) == s * 1000 / 65536,
+        s"ewma ${r.getLong(1)} want ${s * 1000 / 65536} at $day")
+    }
+  }
+}
