@@ -67,6 +67,73 @@ object Layout {
       shiftright(z.bitwiseAND(lit(1L << (2 * i + dim))), i + dim)
     }.reduce(_ bitwiseOR _)
 
+  /** Hilbert-curve index of a quantized (x, y) cell (the xy2d walk —
+    * public-domain standard formulation, e.g. Hamilton, CMU-CS-06-101):
+    * like [[zValue]] it linearizes two dimensions for layout, but with
+    * strictly better locality — CONSECUTIVE indices are always
+    * grid-adjacent (no Morton "jumps" across the plane), which tightens
+    * per-file min/max stats at the same file count. The per-level
+    * rotation makes the recurrence sequential, so each level
+    * materializes as a PROJECTION (`withColumn` chain) instead of one
+    * nested expression — the expression tree stays linear in `bits`
+    * (a single folded expression doubles per level). Input columns must
+    * already be quantized to [0, 2^bits). Appends `outCol`, drops its
+    * scratch columns.
+    */
+  def withHilbert(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  outCol: String): DataFrame = {
+    val levels = (bits - 1) to 0 by -1
+    val seeded = df.withColumn("__hx", col(xCol))
+      .withColumn("__hy", col(yCol))
+      .withColumn(outCol, lit(0L))
+    val walked = levels.foldLeft(seeded) { (d, lvl) =>
+      val s = 1L << lvl
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val term = when(rx === 0 && ry === 0, 0L)
+        .when(rx === 0, 1L).when(ry === 0, 3L).otherwise(2L)
+      d.withColumn(outCol, col(outCol) + lit(s * s) * term)
+        // if ry=0: conditional reflect (rx=1) then swap; else unchanged
+        .withColumn("__hx2",
+          when(ry === 0,
+            when(rx === 1, lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__hy",
+          when(ry === 0,
+            when(rx === 1, lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__hx2")).drop("__hx2")
+    }
+    walked.drop("__hx", "__hy")
+  }
+
+  /** The same Hilbert walk as a chain of SQL CTEs (for the DuckDB
+    * oracle) — generated from the same level loop as [[withHilbert]] so
+    * the two formulations can't drift. Returns CTE text starting with a
+    * comma: `", h0 AS (...), h1 AS (...)"`; the walk starts from CTE
+    * `from0` which must expose `hx`, `hy`, `hd` plus `carry` columns,
+    * and the final CTE is `h${bits - 1}` with the same schema.
+    */
+  def hilbertSqlCtes(from0: String, carry: Seq[String], bits: Int): String = {
+    val keep = carry.mkString(", ")
+    ((bits - 1) to 0 by -1).zipWithIndex.map { case (lvl, i) =>
+      val s = 1L << lvl
+      val prev = if (i == 0) from0 else s"h${i - 1}"
+      s"""h$i AS (
+         |  SELECT $keep,
+         |    hd + ${s * s} * (CASE WHEN (hx & $s) = 0 AND (hy & $s) = 0 THEN 0
+         |      WHEN (hx & $s) = 0 THEN 1
+         |      WHEN (hy & $s) = 0 THEN 3 ELSE 2 END) AS hd,
+         |    CASE WHEN (hy & $s) = 0 THEN
+         |      (CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END)
+         |    ELSE hx END AS hx,
+         |    CASE WHEN (hy & $s) = 0 THEN
+         |      (CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END)
+         |    ELSE hy END AS hy
+         |  FROM $prev)""".stripMargin
+    }.mkString(", ", ", ", "")
+  }
+
   /** Z-order-cluster `df` by two numeric columns and write parquet:
     * range-partition on z (balanced output files), sort within
     * partitions (monotone z per file → tight row-group stats on both
