@@ -741,4 +741,35 @@ class PlanSpec extends SparkSpec {
     assert(wins.nonEmpty && wins.forall(_.contains("__graft_b")),
       s"windows $wins: " + p.take(2000))
   }
+
+  test("apriori: lattice joins are equi-joins, never a cartesian") {
+    val p = Learners.queries("q_apriori_triples")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("adamic-adar: wedge join is an equi-join with a partial top-k") {
+    val p = Temporal.queries("q_adamic_adar")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("bloom join: word-frame probes broadcast, never sort-merge") {
+    val p = Physical.queries("q_bloom_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("markov transitions: the lag window partitions by user, " +
+      "never SinglePartition") {
+    val p = Temporal.queries("q_markov_transition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val wins = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(wins.nonEmpty && wins.forall(_.contains("user_id")),
+      s"windows $wins: " + p.take(2000))
+  }
 }
