@@ -110,6 +110,30 @@ class TemporalSpec extends SparkSpec {
       "pair count must be non-increasing in k")
   }
 
+  test("watermark lateness: bucketed running max equals a sequential replay") {
+    val rows = Temporal.queries("q_watermark_lateness")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    var hwm = 0L
+    val agg = collection.mutable.Map[String, (Long, Long, Long)]()
+    ev.foreach { case (_, et, t) =>
+      val late = t < hwm - 600L * 1000000L
+      val lateSec = if (late) (hwm - 600L * 1000000L - t) / 1000000L else 0L
+      val (n, nl, ml) = agg.getOrElse(et, (0L, 0L, 0L))
+      agg(et) = (n + 1, nl + (if (late) 1L else 0L), math.max(ml, lateSec))
+      hwm = math.max(hwm, t)
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nl, ml) = agg(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == nl && r.getLong(3) == ml,
+        s"${r.getString(0)}: got (${r.getLong(1)},${r.getLong(2)}," +
+          s"${r.getLong(3)}) want ($n,$nl,$ml)")
+    }
+  }
+
   test("ewma: fixed-point recursion replays exactly from the daily series") {
     val rows = Temporal.queries("q_ewma")(spark, sf).collect()
     val daily = Tables.events(spark, sf)
