@@ -479,6 +479,163 @@ object Temporal {
       |    THEN (hwm - 600000000 - t) // 1000000 END), 0) AS max_late_sec
       |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- hourly OHLC bars
+  /** Hourly OHLC (open/high/low/close) bars over purchase values — the
+    * time-series downsampling aggregate, computed WINDOWLESS: open and
+    * close are argmin/argmax by the unique (time, event_id) key folded
+    * into ONE combinable min/max of a packed struct (no per-bar sort,
+    * no row_number), so the whole query is a single map-side-combinable
+    * aggregation — at 100 TB each bar costs one struct comparison per
+    * row. Values in exact milli units (the q_ks_test fixed-point).
+    */
+  private val ohlcQ: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("bar_us"),
+        unix_micros(col("ts")).as("t"), col("event_id"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      .groupBy(col("bar_us"))
+      .agg(
+        min(struct(col("t"), col("event_id"), col("v"))).getField("v")
+          .as("open_milli"),
+        max(col("v")).as("high_milli"),
+        min(col("v")).as("low_milli"),
+        max(struct(col("t"), col("event_id"), col("v"))).getField("v")
+          .as("close_milli"),
+        count(lit(1)).as("n_trades"),
+        sum(col("v")).as("vol_milli"))
+      .orderBy(col("bar_us"))
+  }
+  private val ohlcSql =
+    """WITH p AS (
+      |  SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bar_us,
+      |         epoch_us(ts) AS t, event_id,
+      |         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |o AS (
+      |  SELECT bar_us, t, event_id, v,
+      |    row_number() OVER (PARTITION BY bar_us ORDER BY t, event_id) AS rn,
+      |    row_number() OVER (PARTITION BY bar_us ORDER BY t DESC, event_id DESC)
+      |      AS rnd
+      |  FROM p)
+      |SELECT bar_us,
+      |  CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS open_milli,
+      |  CAST(max(v) AS BIGINT) AS high_milli,
+      |  CAST(min(v) AS BIGINT) AS low_milli,
+      |  CAST(max(CASE WHEN rnd = 1 THEN v END) AS BIGINT) AS close_milli,
+      |  CAST(count(*) AS BIGINT) AS n_trades,
+      |  CAST(sum(v) AS BIGINT) AS vol_milli
+      |FROM o GROUP BY bar_us ORDER BY bar_us""".stripMargin
+
+  // ----------------------------------------------- time-weighted average
+  /** Per-user time-weighted average value (TWAP): each observation
+    * holds until the user's next event, so the mean weights values by
+    * their holding duration instead of their count — the correct
+    * aggregate for irregularly-sampled series. The weighting is a
+    * PER-USER lead window (one keyed exchange, partitions bounded by a
+    * single user's history); numerator v_milli·Δt_micros accumulates
+    * in decimal(38,0)/HUGEINT, and the final integer division keeps
+    * the result exact. Top-20 by TWAP (TakeOrdered), ties on user_id.
+    */
+  private val twapQ: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val spans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+      .withColumn("tn", lead(col("t"), 1).over(w))
+      .filter(col("tn").isNotNull)
+    spans.groupBy(col("user_id"))
+      .agg(sum(dec(col("v")) * dec(col("tn") - col("t"))).as("num"),
+        sum(dec(col("tn") - col("t"))).as("den"),
+        count(lit(1)).as("n_spans"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("n_spans"),
+        // (num - num % den) / den: Spark decimal division half-up-rounds
+        // at the result scale, so divide an EXACT multiple instead —
+        // integer floor semantics, matching the oracle's HUGEINT division
+        ((col("num") - col("num") % col("den")) / col("den")).cast("long")
+          .as("twap_milli"))
+      .orderBy(col("twap_milli").desc, col("user_id"))
+      .limit(20)
+  }
+  private val twapSql =
+    """WITH sp AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id) AS tn
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(v AS HUGEINT) * (tn - t)) AS HUGEINT) AS num,
+      |    CAST(sum(CAST(tn - t AS HUGEINT)) AS HUGEINT) AS den,
+      |    CAST(count(*) AS BIGINT) AS n_spans
+      |  FROM sp WHERE tn IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_spans,
+      |  CAST(num // den AS BIGINT) AS twap_milli
+      |FROM g WHERE den > 0
+      |ORDER BY twap_milli DESC, user_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ exact weighted median
+  /** Exact weighted median of lineitem price (cents) with quantity
+    * weights — the lower weighted median: smallest price whose
+    * cumulative weight reaches ⌈W/2⌉, all in exact integers (no
+    * interpolation, no doubles). Cumulative weights over the global
+    * price order come from the [[graft.ops.Tiling]] bucketed-prefix
+    * idiom (64 price range buckets, per-bucket running sums, ≤64-row
+    * broadcast offsets), and the answer is one min-struct aggregation
+    * over the qualifying rows — no SinglePartition window, no global
+    * sort, the 100 TB weighted-quantile shape. The oracle pays the
+    * global cumulative window instead.
+    */
+  private val weightedMedianQ: Q = (s, dir) => {
+    val pw = Tables.lineitem(s, dir)
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+        .as("p"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("p")).agg(sum(col("q")).as("wt"))
+    val Array(stats) = pw.agg(min(col("p")).as("mn"), max(col("p")).as("mx"),
+      sum(col("wt")).as("w")).collect()
+    val (mn, mx, wTot) =
+      (stats.getLong(0).toDouble, stats.getLong(1).toDouble, stats.getLong(2))
+    val thr = (wTot + 1) / 2
+    val bucket: Column =
+      if (mn == mx) lit(1L)
+      else least(width_bucket(col("p").cast("double"), lit(mn), lit(mx),
+        lit(64)), lit(64L))
+    val wb = pw.withColumn("__b", bucket)
+    val offs = wb.groupBy(col("__b")).agg(sum(col("wt")).as("bw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offMap = map(offs.map(_._1)
+      .zip(offs.map(_._2).scanLeft(0L)(_ + _))
+      .flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*)
+    val w = Window.partitionBy(col("__b")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    wb.withColumn("cum",
+        element_at(offMap, col("__b")) + sum(col("wt")).over(w))
+      .filter(col("cum") >= thr)
+      .agg(min(col("p")).as("median_cents"))
+      .select(lit(wTot).as("total_weight"), col("median_cents"))
+  }
+  private val weightedMedianSql =
+    """WITH pw AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w FROM pw),
+      |c AS (
+      |  SELECT p,
+      |    CAST(sum(wt) OVER (ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM pw)
+      |SELECT w AS total_weight,
+      |  CAST(min(CASE WHEN cum >= (w + 1) // 2 THEN p END) AS BIGINT)
+      |    AS median_cents
+      |FROM c, tot GROUP BY w""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -488,7 +645,10 @@ object Temporal {
     ("q_kaplan_meier", kaplanMeierQ, Some(kaplanMeierSql)),
     ("q_acf", acfQ, Some(acfSql)),
     ("q_ewma", ewmaQ, Some(ewmaSql)),
-    ("q_watermark_lateness", watermarkLatenessQ, Some(watermarkLatenessSql)))
+    ("q_watermark_lateness", watermarkLatenessQ, Some(watermarkLatenessSql)),
+    ("q_ohlc", ohlcQ, Some(ohlcSql)),
+    ("q_twap", twapQ, Some(twapSql)),
+    ("q_weighted_median", weightedMedianQ, Some(weightedMedianSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -134,6 +134,68 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("ohlc: open/close match a driver sort; invariants hold") {
+    val rows = Temporal.queries("q_ohlc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(unix_micros(date_trunc("hour", col("ts"))),
+        unix_micros(col("ts")), col("event_id"),
+        floor(col("value") * 1000 + 0.5).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val bar = ev(r.getLong(0)).sortBy(t => (t._2, t._3))
+      assert(r.getLong(1) == bar.head._4, s"open mismatch at ${r.getLong(0)}")
+      assert(r.getLong(4) == bar.last._4, s"close mismatch at ${r.getLong(0)}")
+      assert(r.getLong(2) == bar.map(_._4).max)
+      assert(r.getLong(3) == bar.map(_._4).min)
+      assert(r.getLong(5) == bar.length)
+      assert(r.getLong(2) >= r.getLong(1) && r.getLong(2) >= r.getLong(4))
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("twap: per-user weighted mean replays exactly in BigInt") {
+    val rows = Temporal.queries("q_twap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        floor(col("value") * 1000 + 0.5).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val seq = ev(r.getLong(0)).sortBy(t => (t._2, t._3))
+      val spans = seq.zip(seq.tail)
+      val num = spans.map { case (a, b) =>
+        BigInt(a._4) * BigInt(b._2 - a._2) }.sum
+      val den = spans.map { case (a, b) => BigInt(b._2 - a._2) }.sum
+      assert(r.getLong(1) == spans.length)
+      assert(BigInt(r.getLong(2)) == num / den,
+        s"twap ${r.getLong(2)} want ${num / den} for user ${r.getLong(0)}")
+    }
+    val tw = rows.map(_.getLong(2))
+    assert(tw.zip(tw.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("weighted median: brute-force cumulative rule agrees") {
+    val r = Temporal.queries("q_weighted_median")(spark, sf).head()
+    val pw = Tables.lineitem(spark, sf)
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val w = pw.map(_._2).sum
+    val thr = (w + 1) / 2
+    var cum = 0L
+    val med = pw.collectFirst {
+      case (p, wt) if { cum += wt; cum >= thr } => p }.get
+    assert(r.getLong(0) == w && r.getLong(1) == med,
+      s"got (${r.getLong(0)},${r.getLong(1)}) want ($w,$med)")
+  }
+
   test("ewma: fixed-point recursion replays exactly from the daily series") {
     val rows = Temporal.queries("q_ewma")(spark, sf).collect()
     val daily = Tables.events(spark, sf)
