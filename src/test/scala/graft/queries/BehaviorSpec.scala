@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("seq pattern: supports equal a brute-force first/last replay") {
+    val rows = Behavior.queries("q_seq_pattern")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val nUsers = ev.size.toLong
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val want = ev.values.count { es =>
+        val fa = es.filter(_._2 == a).map(_._3)
+        val lb = es.filter(_._2 == b).map(_._3)
+        fa.nonEmpty && lb.nonEmpty && fa.min < lb.max
+      }.toLong
+      assert(r.getLong(2) == want, s"support($a,$b)=${r.getLong(2)} want $want")
+      assert(r.getLong(3) == want * 1000000L / nUsers)
+    }
+  }
+
+  test("reciprocity: brute-force set check") {
+    val r = Behavior.queries("q_reciprocity")(spark, sf).head()
+    val es = SynthGraph.edges(spark, sf).filter(col("x") =!= col("y"))
+      .select(col("x"), col("y")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recip = es.count { case (x, y) => es.contains((y, x)) }.toLong
+    assert(r.getLong(0) == es.size.toLong)
+    assert(r.getLong(1) == recip, s"recip ${r.getLong(1)} want $recip")
+    assert(r.getLong(2) == recip * 1000000L / es.size)
+  }
+
+  test("quota: slots conserve and each class gets floor or floor+1") {
+    val rows = Behavior.queries("q_quota_apportion")(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == 1000L)
+    val n = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val base = r.getLong(1) * 1000L / n
+      assert(r.getLong(2) == base || r.getLong(2) == base + 1,
+        s"${r.getString(0)} quota ${r.getLong(2)} not in {$base, ${base + 1}}")
+    }
+  }
+
+  test("entropy rate: exact replay from transition counts; bounded") {
+    val r = Behavior.queries("q_entropy_rate")(spark, sf).head()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id"))
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .groupBy(_._1)
+    val trans = collection.mutable.Map[(String, String), Long]()
+    ev.values.foreach { es =>
+      val seq = es.sortBy(e => (e._3, e._4)).map(_._2)
+      seq.zip(seq.tail).foreach(p =>
+        trans(p) = trans.getOrElse(p, 0L) + 1L)
+    }
+    val byPrev = trans.groupBy(_._1._1).view.mapValues(_.values.sum)
+    val num = trans.map { case ((a, _), c) =>
+      c * math.round(math.log(c.toDouble / byPrev(a)) * 1e6)
+    }.sum
+    val n = trans.values.sum
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == -num, s"num ${r.getLong(1)} want ${-num}")
+    assert(r.getLong(2) == -num / n)
+    // entropy of a 5-state chain is bounded by ln 5
+    assert(r.getLong(2) >= 0 && r.getLong(2) <= math.round(math.log(5.0) * 1e6))
+  }
+}
