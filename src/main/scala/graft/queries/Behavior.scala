@@ -224,10 +224,169 @@ object Behavior {
       |  CAST(-sum(wterm) AS BIGINT) // n AS h_micro_nats
       |FROM terms, n GROUP BY n""".stripMargin
 
+  // ------------------------------------------------ Benford digit audit
+  /** Benford first-significant-digit audit of lineitem prices — the
+    * classic forensic data-quality probe (synthetic or truncated data
+    * betrays itself here): observed first-digit shares vs the Benford
+    * expectation log₁₀(1+1/d), deviation in ppm. The digit extracts
+    * from the exact cents INTEGER's decimal string (no float log10 on
+    * the value path), so the corpus pass is one combinable 9-group
+    * count; the expectation is a per-digit constant both engines
+    * compute with the same double ops and one micro rounding.
+    */
+  private val benfordQ: Q = (s, dir) => {
+    val digits = Tables.lineitem(s, dir)
+      .select(substring(floor(col("l_extendedprice") * 100 + 0.5)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_rows"))
+    val tot = digits.agg(sum(col("n_rows")).as("n"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_rows"),
+        expr("n_rows * 1000000 div n").as("observed_ppm"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)) * 1e6).cast("long").as("benford_ppm"))
+      .withColumn("abs_dev_ppm",
+        abs(col("observed_ppm") - col("benford_ppm")))
+      .orderBy(col("digit"))
+  }
+  private val benfordSql =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT digit, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM d WHERE digit >= 1 GROUP BY digit),
+      |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM g)
+      |SELECT digit, n_rows,
+      |  n_rows * 1000000 // n AS observed_ppm,
+      |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e6)
+      |    AS BIGINT) AS benford_ppm,
+      |  abs(n_rows * 1000000 // n -
+      |    CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 1e6)
+      |      AS BIGINT)) AS abs_dev_ppm
+      |FROM g, t ORDER BY digit""".stripMargin
+
+  // ---------------------------------------------------- average precision
+  /** Average precision (area under the precision–recall curve, the
+    * ranking-quality companion of q_auc — AUC rewards global pair
+    * ordering, AP concentrates on the head where retrieval lives):
+    * rank all docs by the q_auc hashed scorer descending (doc_id
+    * tie-break → one deterministic total order), and AP = mean over
+    * positives of precision@their rank. Both ranks come from
+    * [[graft.ops.Tiling.withGlobalRank]] — the global rank AND the
+    * rank-among-positives (which IS the cumulative-positive count at
+    * that row), so precision@k = j/k needs no prefix machinery of its
+    * own. Each term floors to ppm BEFORE the sum (exact integer
+    * total); one documented rounding.
+    */
+  private val avgPrecisionQ: Q = (s, dir) => {
+    val sc = Evaluation.scoredForSpec(s, dir)
+      .select(col("doc_id"), col("label"),
+        (-col("score_micro")).as("ns"))
+    val (ranked, _) = graft.ops.Tiling.withGlobalRank(sc, col("ns"),
+      Seq(col("ns"), col("doc_id")), "r0")
+    val pos = ranked.filter(col("label"))
+    val (posRanked, _) = graft.ops.Tiling.withGlobalRank(pos, col("ns"),
+      Seq(col("ns"), col("doc_id")), "j0")
+    posRanked
+      .select(((col("j0") + 1L) * 1000000L).as("jm"), (col("r0") + 1L).as("k"))
+      .agg(sum(expr("jm div k")).as("apsum"), count(lit(1)).as("np"))
+      .select(col("np").as("n_pos"),
+        expr("apsum div np").as("ap_ppm"))
+  }
+  private val avgPrecisionSql =
+    s"""WITH ${Evaluation.scoredSql},
+      |r AS (
+      |  SELECT doc_id, label,
+      |    CAST(row_number() OVER (ORDER BY -score_micro, doc_id) AS BIGINT)
+      |      AS k
+      |  FROM scored),
+      |p AS (
+      |  SELECT k,
+      |    CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS j
+      |  FROM r WHERE label),
+      |s AS (
+      |  SELECT CAST(sum(j * 1000000 // k) AS BIGINT) AS apsum,
+      |         CAST(count(*) AS BIGINT) AS np
+      |  FROM p)
+      |SELECT np AS n_pos, apsum // np AS ap_ppm FROM s""".stripMargin
+
+  // ------------------------------------------------- mean-shift changepoint
+  /** Single mean-shift changepoint over the daily event series (binary
+    * segmentation step 1, the offline sibling of q_cusum): the split
+    * day maximizing S_L²/n_L + S_R²/n_R (⇔ minimizing pooled SSE — the
+    * constant Σx² cancels). Prefix sums run over the calendar-bounded
+    * daily frame (the q_kaplan_meier small-frame exemption); the
+    * score is computed from exact integer prefix sums with ONE
+    * documented micro rounding at normalized magnitude (the
+    * q_decision_stump contract), and the argmax is a deterministic
+    * max-struct — no window beyond the tiny frame, nothing
+    * corpus-sized after the daily count aggregation.
+    */
+  private val changepointQ: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum(col("x")).as("sTot"), count(lit(1)).as("nTot"))
+    val wc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wr = Window.orderBy(col("day"))
+    val cands = daily
+      .withColumn("sl", sum(col("x")).over(wc))
+      .withColumn("nl", row_number().over(wr).cast("long"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nTot"))
+      .select(col("day"), col("nl"), col("sl"),
+        (col("nTot") - col("nl")).as("nr"),
+        (col("sTot") - col("sl")).as("sr"))
+      .select(col("day"), col("nl"), col("nr"), col("sl"), col("sr"),
+        round((col("sl") * col("sl")).cast("double") /
+            col("nl").cast("double") +
+          (col("sr") * col("sr")).cast("double") / col("nr").cast("double"))
+          .cast("long").as("score"))
+    // argmax with earliest-day tie-break: min of (−score, day, …)
+    cands.agg(min(struct((-col("score")).as("nsc"), col("day"),
+        col("nl"), col("nr"), col("sl"), col("sr"), col("score"))).as("m"))
+      .select(col("m.day").as("split_day"), col("m.nl").as("n_left"),
+        col("m.nr").as("n_right"),
+        expr("m.sl * 1000 div m.nl").as("mean_left_milli"),
+        expr("m.sr * 1000 div m.nr").as("mean_right_milli"),
+        col("m.score").as("score"))
+  }
+  private val changepointSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(x) AS BIGINT) AS stot,
+      |             CAST(count(*) AS BIGINT) AS ntot FROM daily),
+      |c AS (
+      |  SELECT day,
+      |    CAST(sum(x) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS sl,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl
+      |  FROM daily),
+      |sc AS (
+      |  SELECT day, nl, ntot - nl AS nr, sl, stot - sl AS sr,
+      |    CAST(round(CAST(sl * sl AS DOUBLE) / nl +
+      |      CAST((stot - sl) * (stot - sl) AS DOUBLE) / (ntot - nl))
+      |      AS BIGINT) AS score
+      |  FROM c, t WHERE nl < ntot),
+      |best AS (
+      |  SELECT * FROM sc ORDER BY score DESC, day LIMIT 1)
+      |SELECT day AS split_day, nl AS n_left, nr AS n_right,
+      |  sl * 1000 // nl AS mean_left_milli,
+      |  sr * 1000 // nr AS mean_right_milli, score
+      |FROM best""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_seq_pattern", seqPatternQ, Some(seqPatternSql)),
+    ("q_benford", benfordQ, Some(benfordSql)),
+    ("q_avg_precision", avgPrecisionQ, Some(avgPrecisionSql)),
+    ("q_changepoint", changepointQ, Some(changepointSql)),
     ("q_reciprocity", reciprocityQ, Some(reciprocitySql)),
     ("q_quota_apportion", quotaQ, Some(quotaSql)),
     ("q_entropy_rate", entropyRateQ, Some(entropyRateSql)))

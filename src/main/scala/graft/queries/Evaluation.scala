@@ -46,7 +46,7 @@ object Evaluation {
   private[queries] def scoredForSpec(s: org.apache.spark.sql.SparkSession,
                                      dir: String) = scored(s, dir)
 
-  private val scoredSql =
+  private[queries] val scoredSql =
     """tok AS (
       |  SELECT doc_id, lang = 'en' AS label,
       |         unnest(string_split_regex(trim(text), '\s+')) AS t

@@ -50,6 +50,61 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("benford: digit shares replay; expectations sum to ~1e6") {
+    val rows = Behavior.queries("q_benford")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val counts = Tables.lineitem(spark, sf)
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      .collect().map(_.getLong(0).toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      assert(r.getLong(1) == counts(d.toLong))
+      assert(r.getLong(2) == counts(d.toLong) * 1000000L / n)
+      val exp = math.round(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6)
+      assert(r.getLong(3) == exp)
+      assert(r.getLong(4) == math.abs(r.getLong(2) - exp))
+    }
+    // the nine Benford expectations are a distribution (±9 ppm rounding)
+    assert(math.abs(rows.map(_.getLong(3)).sum - 1000000L) <= 9)
+  }
+
+  test("avg precision: replay from the scored frame ordering") {
+    val r = Behavior.queries("q_avg_precision")(spark, sf).head()
+    val sc = Evaluation.scoredForSpec(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getBoolean(1), x.getLong(2)))
+      .sortBy { case (id, _, s) => (-s, id) }
+    var (j, apsum) = (0L, 0L)
+    sc.zipWithIndex.foreach { case ((_, label, _), i) =>
+      if (label) { j += 1; apsum += j * 1000000L / (i + 1) }
+    }
+    assert(r.getLong(0) == j)
+    assert(r.getLong(1) == apsum / j, s"ap ${r.getLong(1)} want ${apsum / j}")
+  }
+
+  test("changepoint: split minimizes pooled SSE over all candidate days") {
+    val r = Behavior.queries("q_changepoint")(spark, sf).head()
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .orderBy(col("day")).collect()
+      .map(x => (x.getDate(0), x.getLong(1)))
+    val n = daily.length.toLong
+    val sTot = daily.map(_._2).sum
+    var (sl, best) = (0L, (Long.MinValue, ""))
+    daily.dropRight(1).zipWithIndex.foreach { case ((day, x), i) =>
+      sl += x
+      val nl = i + 1L
+      val score = math.round(
+        sl.toDouble * sl / nl + (sTot - sl).toDouble * (sTot - sl) / (n - nl))
+      if (score > best._1) best = (score, day.toString)
+    }
+    assert(r.getDate(0).toString == best._2,
+      s"split ${r.getDate(0)} want ${best._2}")
+    assert(r.getLong(1) + r.getLong(2) == n)
+    assert(r.getLong(5) == best._1)
+  }
+
   test("entropy rate: exact replay from transition counts; bounded") {
     val r = Behavior.queries("q_entropy_rate")(spark, sf).head()
     val ev = Tables.events(spark, sf)
