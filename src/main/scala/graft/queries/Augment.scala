@@ -229,12 +229,70 @@ object Augment {
       |FROM m a JOIN m b ON a.source < b.source
       |ORDER BY sa, sb""".stripMargin
 
+  // --------------------------------------------------- RAG prompt context
+  /** The reference assistant's full retrieval-to-prompt data path
+    * (`usda-food-assistant/app.py:55-97`: embed query → top-k cosine →
+    * format matches into the LLM context block) as ONE deterministic
+    * query: top-5 cosine retrieval joined to document metadata,
+    * rendered into the numbered context prompt. Scores cross the
+    * string boundary as exact basis-point INTEGERS (double→string
+    * formatting is engine-specific; integers aren't). The rank window
+    * runs on the 5-row retrieved frame — the corpus-sized work is the
+    * same brute-force scan as q_cosine_topk (TakeOrdered, no global
+    * sort), and at 100 TB the retrieval step swaps to the q_ann_ivf
+    * index probe with the prompt assembly unchanged.
+    */
+  private val promptContextQ: Q = (s, dir) => {
+    val topk = graft.ops.VectorOps.cosineTopK(
+      Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", Registry.queryVec(s, dir), 5)
+    val w = Window.orderBy(col("score").desc, col("vec_id"))
+    val lines = topk
+      .join(Tables.documents(s, dir), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("score"), col("lang"), col("source"),
+        col("text"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"),
+        concat(lit("["), col("rank").cast("string"), lit("] ("),
+          round(col("score") * 10000).cast("long").cast("string"),
+          lit(" bp, "), col("lang"), lit("/"), col("source"), lit(") "),
+          substring(col("text"), 1, 80)).as("line"))
+    lines.agg(
+        concat(lit("Context:\n"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(rank, line)))," +
+              " x -> x.line)"), "\n"),
+          lit("\nAnswer using only the context above.")).as("prompt"),
+        count(lit(1)).as("n_matches"))
+  }
+  private val promptContextSql = {
+    val cos = Registry.cosineSql("embedding", "qe")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |topk AS (
+      |  SELECT vec_id, round($cos, 4) AS score
+      |  FROM embeddings, q WHERE vec_id <> 0
+      |  ORDER BY score DESC, vec_id LIMIT 5),
+      |l AS (
+      |  SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank,
+      |    '[' || CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+      |      AS VARCHAR) || '] (' ||
+      |    CAST(CAST(round(score * 10000) AS BIGINT) AS VARCHAR) ||
+      |    ' bp, ' || lang || '/' || source || ') ' ||
+      |    substring(text, 1, 80) AS line
+      |  FROM topk JOIN documents ON vec_id = doc_id)
+      |SELECT 'Context:\n' || string_agg(line, '\n' ORDER BY rank) ||
+      |    '\nAnswer using only the context above.' AS prompt,
+      |  CAST(count(*) AS BIGINT) AS n_matches
+      |FROM l""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_span_corruption", spanCorruptQ, Some(spanCorruptSql)),
     ("q_grouped_auc", groupedAucQ, Some(groupedAucSql)),
-    ("q_source_similarity", sourceSimQ, Some(sourceSimSql)))
+    ("q_source_similarity", sourceSimQ, Some(sourceSimSql)),
+    ("q_prompt_context", promptContextQ, Some(promptContextSql)))
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

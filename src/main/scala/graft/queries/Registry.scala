@@ -384,7 +384,7 @@ object Registry {
   private[queries] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+  private[queries] def queryVec(s: SparkSession, dir: String): Seq[Float] =
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
 

@@ -69,6 +69,23 @@ class AugmentSpec extends SparkSpec {
     }
   }
 
+  test("prompt context: five ranked lines, scores descending") {
+    val r = Augment.queries("q_prompt_context")(spark, sf).head()
+    val prompt = r.getString(0)
+    assert(r.getLong(1) == 5)
+    assert(prompt.startsWith("Context:\n"))
+    assert(prompt.endsWith("\nAnswer using only the context above."))
+    val lines = prompt.split("\n").filter(_.matches("\\[\\d\\] .*"))
+    assert(lines.length == 5)
+    (1 to 5).zip(lines).foreach { case (i, l) =>
+      assert(l.startsWith(s"[$i] ("), s"line $i: $l")
+    }
+    val bps = lines.map(l => l.substring(l.indexOf('(') + 1,
+      l.indexOf(" bp")).toLong)
+    assert(bps.zip(bps.tail).forall { case (a, b) => a >= b },
+      s"scores not descending: ${bps.toSeq}")
+  }
+
   test("source similarity: masks replay; jaccard bounds hold") {
     val rows = Augment.queries("q_source_similarity")(spark, sf).collect()
     assert(rows.length == 190) // C(20,2)
