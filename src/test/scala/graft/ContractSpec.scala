@@ -11,7 +11,7 @@ class ContractSpec extends SparkSpec {
       graft.queries.Structure.entries, graft.queries.Evaluation.entries,
       graft.queries.Inference.entries, graft.queries.Temporal.entries,
       graft.queries.Learners.entries, graft.queries.Physical.entries,
-      graft.queries.Behavior.entries, graft.queries.Augment.entries)
+      graft.queries.Behavior.entries, graft.queries.Augment.entries, graft.queries.Nonparam.entries)
     val all = entrySeqs.flatMap(_.map(_._1))
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
