@@ -21,6 +21,25 @@ object GraftProperties extends Properties("graft") {
     v <- Gen.choose(1L, 100L)
   } yield (s"k$k", v))
 
+  property("hilbert walk is a grid-adjacent permutation at any bit width") =
+    forAll(Gen.choose(2, 5)) { bits =>
+      val cells = 1L << bits
+      val grid = spark.range(0, cells * cells)
+        .select((col("id") % cells).as("qx"),
+          expr(s"id div $cells").as("qy"))
+      val walked = Layout.withHilbert(grid, "qx", "qy", bits, "h")
+        .select(col("h"), col("qx"), col("qy"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val isPerm = walked.map(_._1).toSeq == (0L until cells * cells)
+      val adjacent = walked.sliding(2).forall {
+        case Array((_, x1, y1), (_, x2, y2)) =>
+          math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+        case _ => true
+      }
+      ("permutation" |: isPerm) && ("grid-adjacent" |: adjacent)
+    }
+
   property("dedup output has unique keys and keeps the max order value") =
     forAll(kvGen) { rows =>
       val df = rows.toDF("k", "v")
