@@ -286,10 +286,231 @@ object Nonparam {
       |FROM g WHERE gap_s IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- partial correlation
+  /** First-order partial correlation of quantity and price CONTROLLING
+    * for discount — r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)):
+    * the confounder-adjusted completion of q_corr_stats. All three
+    * pairwise Pearson numerators/denominators come from ONE nine-sum
+    * exact integer aggregation (decimal(38,0)/HUGEINT); the partial
+    * formula is a fixed-order double expression both engines share,
+    * round(6).
+    */
+  private val partialCorrQ: Q = (s, dir) => {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val f = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("x"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"),
+      round(col("l_discount") * 100).cast("long").as("z"))
+    val sums = f.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("z"))).as("sz"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"),
+      sum(dec(col("z")) * dec(col("z"))).as("szz"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("z"))).as("sxz"),
+      sum(dec(col("y")) * dec(col("z"))).as("syz"))
+    def r(sab: String, sa: String, sb: String, saa: String,
+          sbb: String): String =
+      s"""(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE)
+         |  - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE))
+         | / sqrt((CAST(n AS DOUBLE) * CAST($saa AS DOUBLE)
+         |     - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE))
+         |   * (CAST(n AS DOUBLE) * CAST($sbb AS DOUBLE)
+         |     - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE)))""".stripMargin
+    sums.selectExpr("n",
+        s"${r("sxy", "sx", "sy", "sxx", "syy")} AS rxy",
+        s"${r("sxz", "sx", "sz", "sxx", "szz")} AS rxz",
+        s"${r("syz", "sy", "sz", "syy", "szz")} AS ryz")
+      .selectExpr("n", "round(rxy, 6) AS r_xy",
+        """round((rxy - rxz * ryz)
+          | / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+          |  AS r_xy_given_z""".stripMargin)
+  }
+  private val partialCorrSql = {
+    def r(sab: String, sa: String, sb: String, saa: String,
+          sbb: String): String =
+      s"""(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE)
+         |  - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE))
+         | / sqrt((CAST(n AS DOUBLE) * CAST($saa AS DOUBLE)
+         |     - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE))
+         |   * (CAST(n AS DOUBLE) * CAST($sbb AS DOUBLE)
+         |     - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE)))""".stripMargin
+    s"""WITH f AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS z
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+      |    CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+      |  FROM f),
+      |rr AS (
+      |  SELECT n,
+      |    ${r("sxy", "sx", "sy", "sxx", "syy")} AS rxy,
+      |    ${r("sxz", "sx", "sz", "sxx", "szz")} AS rxz,
+      |    ${r("syz", "sy", "sz", "syy", "szz")} AS ryz
+      |  FROM s)
+      |SELECT n, round(rxy, 6) AS r_xy,
+      |  round((rxy - rxz * ryz)
+      |   / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+      |   AS r_xy_given_z
+      |FROM rr""".stripMargin
+  }
+
+  // ------------------------------------------------------- Lorenz deciles
+  /** Lorenz curve at customer-revenue deciles — the distributional
+    * picture behind q_gini's single number: customers ranked by exact
+    * cents revenue through [[graft.ops.Tiling.ntileDistributed]] (no
+    * SinglePartition window), per-decile exact sums, cumulative share
+    * in ppm over the 10-row frame. The "top decile owns X%" readout a
+    * mixture-rebalancing decision starts from.
+    */
+  private val lorenzQ: Q = (s, dir) => {
+    val rev = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("rev"))
+    val tiled = graft.ops.Tiling.ntileDistributed(rev, 10, col("rev"),
+      Seq(col("rev"), col("o_custkey")), "decile")
+    val perDecile = tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("dec_rev"))
+    val tot = perDecile.agg(sum(col("dec_rev")).as("total"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDecile.crossJoin(broadcast(tot))
+      .withColumn("cum_rev", sum(col("dec_rev")).over(w))
+      .select(col("decile"), col("n_cust"),
+        expr("dec_rev * 1000000 div total").as("share_ppm"),
+        expr("cum_rev * 1000000 div total").as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+  private val lorenzSql =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev
+      |  FROM orders GROUP BY o_custkey),
+      |d AS (
+      |  SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      |  FROM rev),
+      |g AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+      |         CAST(sum(rev) AS BIGINT) AS dec_rev
+      |  FROM d GROUP BY decile),
+      |t AS (SELECT CAST(sum(dec_rev) AS BIGINT) AS total FROM g)
+      |SELECT decile, n_cust,
+      |  dec_rev * 1000000 // total AS share_ppm,
+      |  CAST(sum(dec_rev) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    * 1000000 // total AS cum_share_ppm
+      |FROM g, t ORDER BY decile""".stripMargin
+
+  // ----------------------------------------------------------- Brier score
+  /** Brier score of the hashed scorer read as a probability through
+    * the logistic link — the CALIBRATION single number beside
+    * q_calibration's per-decile table and q_auc's ranking number.
+    * Per-row (σ(score) − y)² rounds to integer micro BEFORE the sum
+    * (the engine's exactness doctrine), so the mean is exact integer
+    * division; one combinable aggregation over the scored corpus.
+    */
+  private val brierQ: Q = (s, dir) => {
+    val p = Evaluation.scoredForSpec(s, dir)
+      .select(col("label"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(col("score_micro").cast("double") / 1e6)))).as("p"))
+    p.select(col("label"),
+        round(pow(col("p") - when(col("label"), 1.0).otherwise(0.0), 2)
+          * 1e6).cast("long").as("t"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("tsum"))
+      .select(col("n"), expr("tsum div n").as("brier_micro"))
+  }
+  private val brierSql =
+    s"""WITH ${Evaluation.scoredSql},
+      |p AS (
+      |  SELECT label,
+      |    CAST(round(pow(1.0 / (1.0 + exp(-(CAST(score_micro AS DOUBLE)
+      |      / 1e6))) - CASE WHEN label THEN 1.0 ELSE 0.0 END, 2) * 1e6)
+      |      AS BIGINT) AS t
+      |  FROM scored)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(t) AS BIGINT) // CAST(count(*) AS BIGINT) AS brier_micro
+      |FROM p""".stripMargin
+
+  // ------------------------------------------- label-centroid similarity
+  /** Pairwise cosine similarity between label centroids of the
+    * embedding table — the cluster-structure audit (which classes are
+    * confusable in embedding space). Exactness through the vector
+    * layer: components quantize to integer micro BEFORE averaging
+    * (sum div n — exact at any partitioning, where a float mean is
+    * order-dependent), centroids live as (label, pos) integer rows,
+    * and the 10×10 pairwise dot/norms are exact decimal(38,0) sums
+    * over the 640-row frame; cosine pays one double division,
+    * round(6).
+    */
+  private val centroidSimQ: Q = (s, dir) => {
+    val dec: Column => Column = _.cast("decimal(38,0)")
+    val comp = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        round(col("col").cast("double") * 1e6).cast("long").as("v"))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("c"))
+    val pairs = cent.as("a")
+      .join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("la"), col("b.label").as("lb"),
+        (dec(col("a.c")) * dec(col("b.c"))).as("ab"),
+        (dec(col("a.c")) * dec(col("a.c"))).as("aa"),
+        (dec(col("b.c")) * dec(col("b.c"))).as("bb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(col("ab")).as("dot"), sum(col("aa")).as("na"),
+        sum(col("bb")).as("nb"))
+    pairs.select(col("la"), col("lb"),
+        round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("cosine"))
+      .orderBy(col("la"), col("lb"))
+  }
+  private val centroidSimSql =
+    """WITH comp AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+      |      AS v
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, pos,
+      |    CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+      |  FROM comp GROUP BY label, pos),
+      |p AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |    CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS dot,
+      |    CAST(sum(CAST(a.c AS HUGEINT) * a.c) AS HUGEINT) AS na,
+      |    CAST(sum(CAST(b.c AS HUGEINT) * b.c) AS HUGEINT) AS nb
+      |  FROM cent a JOIN cent b
+      |    ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY a.label, b.label)
+      |SELECT la, lb,
+      |  round(CAST(dot AS DOUBLE) /
+      |    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine
+      |FROM p ORDER BY la, lb""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_spearman", spearmanQ, Some(spearmanSql)),
+    ("q_partial_corr", partialCorrQ, Some(partialCorrSql)),
+    ("q_lorenz", lorenzQ, Some(lorenzSql)),
+    ("q_brier", brierQ, Some(brierSql)),
+    ("q_centroid_similarity", centroidSimQ, Some(centroidSimSql)),
     ("q_grouped_ols", groupedOlsQ, Some(groupedOlsSql)),
     ("q_runs_test", runsTestQ, Some(runsTestSql)),
     ("q_gap_quantiles", gapQuantilesQ, Some(gapQuantilesSql)))
