@@ -73,10 +73,15 @@ object Bench {
         spark.sparkContext.cancelJobGroup(group)
         spark.sparkContext.cancelAllJobs()
         t.interrupt()
-        // brief grace: if cancellation/interrupt unwedged the thread,
-        // collect its (failed) outcome so the session is quiet before the
-        // next query
-        try result.get(5000, java.util.concurrent.TimeUnit.MILLISECONDS)
+        // grace: if cancellation/interrupt unwedged the thread, collect
+        // its (failed) outcome so the session is quiet before the next
+        // query. Scaled with the rep timeout, floor 5 s: under heavy box
+        // load cancellation propagation alone can exceed a fixed 5 s,
+        // and declaring stillWedged too early forfeits the first-rep
+        // retry (observed once in the r6 suite under a concurrent bench
+        // chain). The cost lands only on an actual wedge.
+        val graceMs = math.max(5000L, timeoutMs / 2)
+        try result.get(graceMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch { case _: java.util.concurrent.TimeoutException => () }
         RepTimeout(stillWedged = t.isAlive)
     }
