@@ -79,8 +79,11 @@ object Bench {
         // load cancellation propagation alone can exceed a fixed 5 s,
         // and declaring stillWedged too early forfeits the first-rep
         // retry (observed once in the r6 suite under a concurrent bench
-        // chain). The cost lands only on an actual wedge.
-        val graceMs = math.max(5000L, timeoutMs / 2)
+        // chain). Capped at 30 s so a genuinely wedged rep under a large
+        // rep timeout can't stall the suite for timeout/2 — cancellation
+        // that hasn't propagated in 30 s isn't going to. The cost lands
+        // only on an actual wedge.
+        val graceMs = math.min(math.max(5000L, timeoutMs / 2), 30000L)
         try result.get(graceMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch { case _: java.util.concurrent.TimeoutException => () }
         RepTimeout(stillWedged = t.isAlive)
@@ -90,7 +93,8 @@ object Bench {
   private def summaryLine(results: Seq[(String, Double)],
                           errors: collection.Map[String, String],
                           absorbed: collection.Map[String, Int],
-                          sfDir: String): String = {
+                          sfDir: String,
+                          sentinel: Option[(Double, Double)] = None): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
@@ -99,8 +103,35 @@ object Bench {
     }.mkString("{", ",", "}")
     val absJson = absorbed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // session-interference probe (r6 postmortem: carried-query times
+    // inflated +39% round-over-round with no code change): the SAME
+    // query timed before the first and after the last registry query.
+    // delta_pct > ~20 means later queries in THIS run were measured on a
+    // degraded session (codegen-class/GC accumulation), not regressed.
+    val sentJson = sentinel.map { case (first, last) =>
+      val delta = if (first > 0) (last - first) / first * 100.0 else 0.0
+      s""","sentinel":{"name":"$SentinelName","first":$first,"last":$last,"delta_pct":${math.round(delta * 10) / 10.0}}"""
+    }.getOrElse("")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson$sentJson,"sf":"$sfDir"}"""
+  }
+
+  /** The fixed interference-probe query: mid-pack cost (~1 s at sf0.1),
+    * window + shuffle shape, unchanged since r4 — a stable yardstick. */
+  val SentinelName = "q_window_rank"
+
+  /** Min-of-3 timing of the sentinel outside the main loop (its reps use
+    * the same watchdog; failures yield None rather than polluting the
+    * summary's queries/errors maps). */
+  private def timeSentinel(spark: SparkSession, runOne: String => Unit,
+                           timeoutMs: Long, tag: String): Option[Double] = {
+    val times = (1 to 3).flatMap { rep =>
+      timedRep(spark, s"sentinel_$tag", rep, timeoutMs)(runOne(SentinelName)) match {
+        case RepOk(sec) => Some(sec)
+        case _ => None
+      }
+    }
+    times.minOption
   }
 
   private def writeSummary(line: String): Unit =
@@ -137,12 +168,21 @@ object Bench {
   def run(spark: SparkSession, queries: Seq[String],
           runOne: String => Unit, sfDir: String,
           timeoutMs: Long = DefaultRepTimeoutMs, reps: Int = 3,
-          onQuery: String => Unit = _ => ())
+          onQuery: String => Unit = _ => (),
+          hygieneEvery: Int = 0)
       : (Seq[(String, Double)], Map[String, String], Map[String, Int]) = {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val absorbed = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    queries.foreach { name =>
+    queries.zipWithIndex.foreach { case (name, idx) =>
+      // session hygiene between queries (sentinel-inflation mitigation):
+      // drop cached relations and nudge class-unload GC so query #200
+      // runs on the same session shape as query #1. Cheap (<100 ms) next
+      // to any rep; staged fixtures live on disk, so clearCache is safe.
+      if (hygieneEvery > 0 && idx > 0 && idx % hygieneEvery == 0) {
+        try { spark.catalog.clearCache(); System.gc() }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var stop = false
       var rep = 1
@@ -235,14 +275,39 @@ object Bench {
       if (args.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_SUMMARY"))
         writeSummary
       else _ => ()
+    // sentinel probe (full-registry runs only): the same fixed query
+    // timed before and after the loop quantifies how much the session
+    // itself degraded under 234 sequential codegen'd queries — the r6
+    // "+39% with no code change" inflation, separated from real
+    // regressions in the artifact itself.
+    val doSentinel = args.isEmpty && SparkEntry.queries.contains(SentinelName)
+    val sentFirst =
+      if (doSentinel) timeSentinel(spark, runToNoop, DefaultRepTimeoutMs, "first")
+      else None
     val (results, errors, absorbed) = run(spark, names,
-      runToNoop, sfDir, onQuery = persist)
-    val line = summaryLine(results, errors, absorbed, sfDir)
+      runToNoop, sfDir, onQuery = persist, hygieneEvery = 25)
+    val sentLast =
+      if (doSentinel) timeSentinel(spark, runToNoop, DefaultRepTimeoutMs, "last")
+      else None
+    val line = summaryLine(results, errors, absorbed, sfDir,
+      sentFirst.zip(sentLast))
     println(line)
     // Also persist the full line to the repo root: the driver's BENCH
     // tail window truncates long per-query maps, which makes exact
     // round-over-round totals unrecoverable from the artifact alone.
     persist(line)
+    // ... and APPEND it to the history log: the driver benches twice per
+    // round ("bench pair") and the second summary write overwrites the
+    // first, which made r6's run-to-run variance unauditable. The JSONL
+    // keeps every full-registry run, in order, across rounds.
+    if (args.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl")),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

@@ -55,6 +55,22 @@ object VectorOps {
   private def bindVec(c: Column)(f: Column => Column): Column =
     TextOps.bind(c)(f)
 
+  /** Max-abs int8-range quantization: each component →
+    * `round(x · 127 / max|x|)` as a Long (an all-zero vector stays
+    * all-zero). The shared front door of every exact-integer embedding
+    * path (grid-DBSCAN, random projection, PCA power iteration, k-means
+    * step): quantizing ONCE up front is what lets those operators run —
+    * and their DuckDB oracles replay — in bit-exact integer arithmetic,
+    * and at 100 TB it is also the 4×-smaller shuffle payload.
+    */
+  def quantize127(vec: Column): Column =
+    bindVec(vec) { v =>
+      val sc = array_max(transform(v, x => abs(x))).cast("double")
+      when(sc === 0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v,
+          x => round(x.cast("double") * 127.0 / sc).cast("long")))
+    }
+
   /** Cosine similarity — one pass over both arrays. */
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(graft.expr.CosineSimilarity(
@@ -285,15 +301,7 @@ object VectorOps {
       .collect()
     var cents: Array[Array[Double]] =
       seedRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    def assignCol(c: Array[Array[Double]]): Column = {
-      val lit2 = typedLit(c.map(_.toSeq).toSeq)
-      val dists = transform(sequence(lit(0), lit(nCentroids - 1)), ci =>
-        aggregate(
-          zip_with(col(vecCol), element_at(lit2, ci + 1),
-            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (acc, x) => acc + x))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    def assignCol(c: Array[Array[Double]]): Column = ivfAssign(col(vecCol), c)
     for (_ <- 1 to iters) {
       val centroidRows = df
         .select(assignCol(cents).as("c"), posexplode(col(vecCol)).as(Seq("d", "x")))
@@ -310,6 +318,40 @@ object VectorOps {
     }
     IvfIndex(df.withColumn("centroid", assignCol(cents)), cents)
   }
+
+  /** Nearest-centroid assignment as a pure column expression: argmin
+    * squared-L2 distance to a broadcast centroid literal, first-index
+    * tie-break — deterministic at any parallelism (the property
+    * [[ivfIndexDeterministic]] exists for), and the SAME expression must
+    * assign both the initial build and every appended batch or the index
+    * silently fragments ([[ivfAppend]]).
+    */
+  def ivfAssign(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val lit2 = typedLit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(sequence(lit(0), lit(centroids.length - 1)), ci =>
+      aggregate(
+        zip_with(vecCol, element_at(lit2, ci + 1),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Incremental IVF maintenance: assign a new batch under the EXISTING
+    * (frozen) coarse quantizer and append ONLY the batch's files into
+    * their centroid partition directories — the upsert loop of the
+    * reference's vector-index load (utils/upload_data_to_pinecone.py:73-83)
+    * re-expressed against the parquet IVF layout. Freezing the quantizer
+    * is the point: probes over the appended index are bit-identical to a
+    * full rebuild under the same centroids (q_ivf_append proves exact
+    * parity), no existing file is rewritten, and at 100 TB the append
+    * costs the batch's bytes, not the corpus's. Re-training centroids is
+    * a rarer compaction decision, deliberately NOT part of this path.
+    */
+  def ivfAppend(batch: DataFrame, centroids: Array[Array[Double]],
+                path: String, idCol: String, vecCol: String): Unit =
+    batch.select(col(idCol), col(vecCol),
+        ivfAssign(col(vecCol), centroids).as("centroid"))
+      .write.partitionBy("centroid").mode("append").parquet(path)
 
   /** nProbe nearest centroids to the query — driver-side over the tiny
     * centroid array.

@@ -108,14 +108,8 @@ object Analytics {
     */
   private val kmeansStepQ: Q = (s, dir) => {
     val k = 8
-    def quant(emb: Column): Column = {
-      val sc = array_max(transform(emb, x => abs(x))).cast("double")
-      when(sc === 0, transform(emb, _ => lit(0L)))
-        .otherwise(transform(emb,
-          x => round(x.cast("double") * 127.0 / sc).cast("long")))
-    }
     val q = Tables.embeddings(s, dir)
-      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+      .select(col("vec_id"), VectorOps.quantize127(col("embedding")).as("qv"))
     // ALL centroids travel as one sorted array<struct> in a broadcast
     // 1-row frame, and the argmin is a map-side fold over it — the corpus
     // is never shuffled (or even row-multiplied) to meet the centroids.

@@ -39,8 +39,18 @@ object Behavior {
     * steps; this counts ordered co-occurrence at any distance — the
     * two disagree exactly where funnels skip steps.
     */
+  /** The event-type universe q_seq_pattern enumerates pairs over, used
+    * identically by the Spark query and its oracle SQL — hardcoded (the
+    * pair pivot needs a static column list), so BehaviorSpec asserts it
+    * still equals the data's distinct event_type set: a NEW type in the
+    * data would otherwise vanish from both sides and the value oracle
+    * could never notice.
+    */
+  private[queries] val SeqPatternTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
   private val seqPatternQ: Q = (s, dir) => {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = SeqPatternTypes
     val aggs = types.flatMap(t => Seq(
       min(when(col("event_type") === t, col("ts"))).as(s"f_$t"),
       max(when(col("event_type") === t, col("ts"))).as(s"l_$t")))
@@ -67,7 +77,7 @@ object Behavior {
       .orderBy(col("a"), col("b"))
   }
   private val seqPatternSql = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = SeqPatternTypes
     val firsts = types.map(t =>
       s"min(CASE WHEN event_type = '$t' THEN ts END) AS f_$t").mkString(",\n      |    ")
     val lasts = types.map(t =>

@@ -26,6 +26,30 @@ object Curation {
 
   type Q = Registry.Q
 
+  /** q_knn_join broadcasts the probe side; at dim-64 float vectors
+    * (~300 B/row serialized) 65 536 probes ≈ 20 MB — comfortably inside
+    * Spark's broadcast comfort zone, with order-of-magnitude headroom
+    * before the 8 GB hard cap even at dim 1024.
+    */
+  private[queries] val KnnJoinProbeBound = 65536L
+
+  /** The repo-standard loud guard for a deliberately broadcast-sized
+    * side (the [[graft.ops.TextOps.editDistancePairs]] pattern): exact
+    * kNN-join's index×probes scoring is the right layout ONLY while the
+    * probe set is broadcastable — past the bound the caller must switch
+    * to a bucketed/shuffled scoring join, not silently OOM the driver.
+    * The count is bounded by `limit(bound+1)` so the guard itself never
+    * scans more than one extra row past the bound.
+    */
+  private[queries] def requireProbeBound(probes: org.apache.spark.sql.DataFrame,
+                                         bound: Long): Unit = {
+    val n = probes.limit((bound + 1).toInt).count()
+    require(n <= bound,
+      s"q_knn_join: probe side has >= $n rows (> $bound) — the broadcast " +
+        "exact-kNN layout stops being valid at this scale; shuffle-join " +
+        "the probes (bucketed scoring join) instead of broadcasting them")
+  }
+
   // --------------------------------------------------- batch exact kNN join
   /** Exact k-nearest-neighbor JOIN: every probe vector (a deterministic
     * ~1% slice, `vec_id % 97 = 1`) gets its top-3 cosine neighbors from
@@ -45,6 +69,7 @@ object Curation {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val probes = emb.filter(col("vec_id") % 97 === 1)
       .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+    requireProbeBound(probes, KnnJoinProbeBound)
     val index = emb.filter(col("vec_id") % 97 =!= 1)
     val topk = udaf(new TopKByScore(3))
     index.crossJoin(broadcast(probes))
@@ -226,7 +251,7 @@ object Curation {
       |               ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)) AS s
       |  FROM p)
       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-      |       max(s) AS cusum_max
+      |       CAST(max(s) AS BIGINT) AS cusum_max
       |FROM s GROUP BY user_id
       |ORDER BY cusum_max DESC, user_id LIMIT 20""".stripMargin
 
@@ -422,9 +447,81 @@ object Curation {
        |FROM est_r0, est_r1, ex""".stripMargin
   }
 
+  // ----------------------------------------------- incremental IVF append
+  /** Staged append fixture, once per (process, fixture): build the
+    * deterministic IVF index on the EXISTING corpus (`vec_id % 5 ≠ 2`),
+    * write it `partitionBy(centroid)`, then [[VectorOps.ivfAppend]] the
+    * NEW batch (`vec_id % 5 = 2`) under the frozen quantizer — only the
+    * batch's files land, nothing existing is rewritten.
+    */
+  private def stageIvfAppend(s: org.apache.spark.sql.SparkSession,
+                             dir: String): (String, Array[Array[Double]]) =
+    Staging.cached(s"ivfappend:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(
+        emb.filter(col("vec_id") % 5 =!= 2), "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("index").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.ivfAppend(emb.filter(col("vec_id") % 5 === 2),
+        idx.centroids, path, "vec_id", "embedding")
+      (path, idx.centroids)
+    }
+
+  /** Incremental ANN index maintenance — the one 100 TB index artifact
+    * every other dedup/index op already has an incremental sibling for
+    * (q_incremental_dedup, q_stream_upsert): q_ivf_append upserts a new
+    * batch into the written IVF index (the reference's Pinecone upsert
+    * loop, utils/upload_data_to_pinecone.py:73-83) and PROVES, in-plan,
+    * the two properties that make the append trustworthy:
+    *
+    *  - `parity_exact`: probing the appended index is bit-identical to a
+    *    full rebuild of the union under the same frozen quantizer
+    *    (zero-mismatch full-outer join on (id, score) of the two top-10s)
+    *    — the append lost nothing and fragmented nothing;
+    *  - `recall_ge_08`: the probe still finds ≥8 of the exact top-10 on
+    *    the union at nProbe 6/8 (q_ann_ivf's threshold-boolean
+    *    convention — the oracle states the constant, a regression flips
+    *    the row).
+    *
+    * The probe itself stays a partition-pruned scan of nProbe centroid
+    * directories (PartitionFilters — asserted in PlanSpec), which is the
+    * whole point of appending INTO the partitioned layout.
+    */
+  private val ivfAppendQ: Q = (s, dir) => {
+    val (path, cents) = stageIvfAppend(s, dir)
+    val qv = Registry.queryVec(s, dir)
+    val union = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val appended = VectorOps.ivfTopKFromPath(s, path, cents,
+      "vec_id", "embedding", qv, k = 10, nProbe = 6)
+    val rebuilt = VectorOps.ivfTopK(
+      VectorOps.IvfIndex(union.withColumn("centroid",
+        VectorOps.ivfAssign(col("embedding"), cents)), cents),
+      "vec_id", "embedding", qv, k = 10, nProbe = 6)
+    val nHit = VectorOps.cosineTopK(union, "vec_id", "embedding", qv, 10)
+      .join(appended.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val mism = appended.select(col("vec_id"), col("score"))
+      .join(rebuilt.select(col("vec_id").as("vid_r"), col("score").as("score_r")),
+        col("vec_id") === col("vid_r") && col("score") === col("score_r"),
+        "full_outer")
+      .filter(col("vec_id").isNull || col("vid_r").isNull)
+      .agg(count(lit(1)).as("n_mism"))
+    val nNew = union.filter(col("vec_id") % 5 === 2)
+      .agg(count(lit(1)).as("n_appended"))
+    nHit.crossJoin(mism).crossJoin(nNew) // 1-row frames
+      .select(lit(10).as("k"), (col("n_hit") >= 8).as("recall_ge_08"),
+        (col("n_mism") === 0L).as("parity_exact"), col("n_appended"))
+  }
+  private val ivfAppendSql =
+    """SELECT 10 AS k, TRUE AS recall_ge_08, TRUE AS parity_exact,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 = 2) AS BIGINT) AS n_appended""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_ivf_append", ivfAppendQ, Some(ivfAppendSql)),
     ("q_knn_join", knnJoinQ, Some(knnJoinSql)),
     ("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
     ("q_temperature_mix", temperatureMixQ, Some(temperatureMixSql)),

@@ -318,15 +318,9 @@ object Mining {
     * in memory at 8× the vector count.
     */
   private val randomProjectionQ: Q = (s, dir) => {
-    def quant(emb: Column): Column = {
-      val sc = array_max(transform(emb, x => abs(x))).cast("double")
-      when(sc === 0, transform(emb, _ => lit(0L)))
-        .otherwise(transform(emb,
-          x => round(x.cast("double") * 127.0 / sc).cast("long")))
-    }
     val evenHex = Seq("0", "2", "4", "6", "8", "a", "c", "e")
     val q = Registry.spread(Tables.embeddings(s, dir))
-      .select(col("vec_id"), posexplode(quant(col("embedding")))
+      .select(col("vec_id"), posexplode(VectorOps.quantize127(col("embedding")))
         .as(Seq("i", "qval")))
     val signs = q.select(col("i")).distinct()
       .select(col("i"), explode(sequence(lit(0), lit(15))).as("j"))

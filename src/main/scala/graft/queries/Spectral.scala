@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Graph
+import graft.ops.{Graph, VectorOps}
 
 /** Round-6 registry extension, fifth batch — link-analysis and spectral
   * operators:
@@ -95,15 +95,9 @@ object Spectral {
     * same operation order by both engines.
     */
   private val pcaPowerQ: Q = (s, dir) => {
-    def quant(emb: Column): Column = {
-      val sc = array_max(transform(emb, x => abs(x))).cast("double")
-      when(sc === 0, transform(emb, _ => lit(0L)))
-        .otherwise(transform(emb,
-          x => round(x.cast("double") * 127.0 / sc).cast("long")))
-    }
     val q = Registry.spread(Tables.embeddings(s, dir))
       .select(col("vec_id"),
-        posexplode(quant(col("embedding"))).as(Seq("i", "qv")))
+        posexplode(VectorOps.quantize127(col("embedding"))).as(Seq("i", "qv")))
       .localCheckpoint() // reused: Gram pass + projection pass
     val gram = q.as("a").join(q.as("b"), col("a.vec_id") === col("b.vec_id"))
       .groupBy(col("a.i").as("gi"), col("b.i").as("gj"))

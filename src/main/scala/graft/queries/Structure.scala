@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.VectorOps
 
 /** Round-6 registry extension, seventh batch — structural operators:
   *
@@ -35,14 +36,8 @@ object Structure {
     * in a round or two. Finer grids at scale only grow the cell table.
     */
   private val gridDbscanQ: Q = (s, dir) => {
-    def quant(emb: Column): Column = {
-      val sc = array_max(transform(emb, x => abs(x))).cast("double")
-      when(sc === 0, transform(emb, _ => lit(0L)))
-        .otherwise(transform(emb,
-          x => round(x.cast("double") * 127.0 / sc).cast("long")))
-    }
     val pts = Registry.spread(Tables.embeddings(s, dir))
-      .select(col("vec_id"), quant(col("embedding")).as("q"))
+      .select(col("vec_id"), VectorOps.quantize127(col("embedding")).as("q"))
       .select(col("vec_id"),
         expr("(element_at(q, 1) + 128) div 16").as("cx"),
         expr("(element_at(q, 2) + 128) div 16").as("cy"))

@@ -19,4 +19,25 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
     println(s"QUERIES=${all.size} ORACLES=${SparkEntry.oracleSql.size}")
   }
+
+  test("oracle type portability: every oracleSql binds in DuckDB to " +
+      "portable output column types (no HUGEINT/DECIMAL promotion)") {
+    // DuckDB promotes sum(BIGINT)->HUGEINT through windowed prefix sums,
+    // which hash-mismatches against Spark's BIGINT even when every value
+    // is identical (this redded q_cusum in round 6). Bind — not execute —
+    // every oracle in DuckDB at sf0.001 and reject any final-SELECT
+    // column whose type is outside the portable set.
+    import scala.sys.process._
+    val probe = Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ()))
+    assume(probe == 0, "python3+duckdb unavailable; driver runs this gate")
+    val f = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    try {
+      java.nio.file.Files.writeString(f, Verify.oracleJson)
+      val out = new StringBuilder
+      val rc = Process(Seq("python3", "tools/check_oracle_types.py",
+        "/root/testdata/sf0.001", f.toString))
+        .!(ProcessLogger(l => out.append(l).append('\n')))
+      assert(rc == 0, s"non-portable oracle output types:\n$out")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
 }

@@ -314,6 +314,53 @@ class VectorOpsSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("quantize127: max-abs scaling to ±127 longs; zero vector stays zero") {
+    val rows = Seq(Seq(0.5f, -1.0f, 0.25f), Seq(0f, 0f, 0f), Seq(2f, 4f, -4f))
+      .toDF("v").select(VectorOps.quantize127(col("v"))).collect()
+      .map(_.getSeq[Long](0))
+    assert(rows(0) == Seq(64L, -127L, 32L))  // round(0.5*127/1)=63.5→64 HALF_UP
+    assert(rows(1) == Seq(0L, 0L, 0L))
+    assert(rows(2) == Seq(64L, 127L, -127L))
+  }
+
+  test("ivfAppend writes only the batch's files; probe parity with a frozen-quantizer rebuild") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val existing = embs.filter(col("vec_id") % 5 =!= 2)
+    val batch = embs.filter(col("vec_id") % 5 === 2)
+    val idx = VectorOps.ivfIndexDeterministic(existing, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_spec")
+    val path = dir.resolve("index").toString
+    try {
+      VectorOps.ivfWrite(idx, path)
+      def dataFiles: Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSet
+      }
+      val before = dataFiles
+      VectorOps.ivfAppend(batch, idx.centroids, path, "vec_id", "embedding")
+      val after = dataFiles
+      // incremental contract: every pre-existing file survives untouched,
+      // and the append contributed at least one new file
+      assert(before.subsetOf(after) && after.size > before.size,
+        s"append must only add files: before=${before.size} after=${after.size}")
+      // content parity: the appended index holds exactly the union under
+      // the frozen quantizer's assignment
+      val want = embs.select(col("vec_id"),
+        VectorOps.ivfAssign(col("embedding"), idx.centroids).as("centroid"))
+      val got = spark.read.parquet(path).select(col("vec_id"), col("centroid"))
+      assert(got.count() == embs.count())
+      assert(got.join(want, Seq("vec_id"))
+        .filter(got("centroid") =!= want("centroid")).count() == 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
+
   test("nearDupCosine finds planted near-duplicates within a block, not across") {
     val df = Seq(
       (1L, "blk1", Seq(1f, 0f, 0f)),

@@ -28,6 +28,18 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("seq pattern: hardcoded type list equals the data's event_type universe") {
+    // the pair pivot needs a static list on both the Spark and oracle
+    // side; this tripwire is what notices a NEW event_type in the data
+    // (which would otherwise silently vanish from both sides at once)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val inData = Tables.events(spark, d).select(col("event_type"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(inData == Behavior.SeqPatternTypes.toSet,
+        s"$d event_type universe $inData != hardcoded ${Behavior.SeqPatternTypes}")
+    }
+  }
+
   test("reciprocity: brute-force set check") {
     val r = Behavior.queries("q_reciprocity")(spark, sf).head()
     val es = SynthGraph.edges(spark, sf).filter(col("x") =!= col("y"))

@@ -40,6 +40,18 @@ class CurationSpec extends SparkSpec {
         s"first diff: ${out.toSeq.zip(brute.toSeq).find(p => p._1 != p._2)}")
   }
 
+  test("kNN-join probe guard fails loudly past the broadcast bound") {
+    val probes = spark.range(10).toDF("probe_id")
+    val e = intercept[IllegalArgumentException] {
+      Curation.requireProbeBound(probes, bound = 5L)
+    }
+    assert(e.getMessage.contains("q_knn_join") &&
+      e.getMessage.contains("broadcast"),
+      s"guard message must name the query and the broadcast layout: ${e.getMessage}")
+    // under the bound it is silent — q_knn_join's real probe set passes
+    Curation.requireProbeBound(probes, bound = 10L)
+  }
+
   test("q_knn_join plans a broadcast join and the bounded top-k aggregate, no window") {
     val p = Curation.queries("q_knn_join")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -206,6 +206,22 @@ class PlanSpec extends SparkSpec {
     assert(row.getInt(0) == 10 && row.getBoolean(1), row.toString)
   }
 
+  test("q_ivf_append probe stays partition-pruned; parity + recall hold") {
+    // the appended index must probe exactly like the original build:
+    // centroid IN-list in PartitionFilters (directory pruning), never a
+    // post-scan Filter — and the row's booleans prove the append lost
+    // nothing (exact parity with a frozen-quantizer full rebuild) and
+    // still recalls >= 8/10 of the exact answer
+    val df = Curation.queries("q_ivf_append")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val pfSections = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pfSections.exists(_.contains("centroid")), p)
+    val row = df.head()
+    assert(row.getInt(0) == 10 && row.getBoolean(1) && row.getBoolean(2),
+      row.toString)
+    assert(row.getLong(3) > 0, "fixture must append at least one vector")
+  }
+
   test("q_group_avg: one hash exchange, partial agg combines map-side, no window") {
     // r5 bench showed a transient 0.62→1.52 s wobble on this query; the
     // next bench was back at 0.40 s (noise, not a plan change). This pins

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Oracle type-portability gate (dev/test tooling, NOT part of the engine).
+
+DuckDB silently promotes sum(BIGINT) -> HUGEINT (and builds DECIMALs out of
+numeric literals), which hash-mismatches against Spark's BIGINT/DOUBLE even
+when every value is identical — this redded q_cusum in round 6. This tool
+binds every SparkEntry.oracleSql text in DuckDB (no execution: types come
+from the bound relation) and fails if any OUTPUT column's type is outside
+the portable set that round-trips 1:1 with Spark's writer.
+
+Usage: python3 tools/check_oracle_types.py <sfDir> <oracleSqlJson> [--list]
+  --list: dump every (query, column, type) instead of only violations.
+"""
+import sys, json, glob, os
+import duckdb
+
+PORTABLE = {
+    "BIGINT", "INTEGER", "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN",
+    "DATE", "TIMESTAMP",
+    # JSON fetches as its string form — value-compares 1:1 with Spark's
+    # to_json() VARCHAR (q_index_build, green since r4). The hazard this
+    # gate exists for is numeric promotion (HUGEINT/DECIMAL), not JSON.
+    "JSON",
+}
+
+def portable(t):
+    t = str(t)
+    if t in PORTABLE:
+        return True
+    # Nested portables round-trip through parquet the same on both sides.
+    if t.startswith("STRUCT("):
+        return True  # field types surfaced via --list; compare is by value
+    for t2 in PORTABLE:
+        if t == f"{t2}[]":
+            return True
+    return False
+
+def main(sf_dir, oracle_json, list_all=False):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(oracle_json))
+    bad = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            rel = con.sql(sql)
+        except Exception as e:
+            bad.append((name, "<bind>", f"BIND-ERROR: {e}"))
+            continue
+        for c, t in zip(rel.columns, rel.types):
+            if list_all:
+                print(f"{name}\t{c}\t{t}")
+            if not portable(t):
+                bad.append((name, c, str(t)))
+    if bad:
+        for name, c, t in bad:
+            print(f"NONPORTABLE {name}.{c}: {t}")
+        print(f"== {len(bad)} non-portable oracle columns ==")
+        return 1
+    print(f"== all {len(oracle)} oracles portable ==")
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], "--list" in sys.argv))
