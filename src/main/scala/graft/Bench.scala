@@ -47,7 +47,8 @@ object Bench {
     * without waiting for straggler tasks.
     */
   private def timedRep(spark: SparkSession, name: String, rep: Int,
-                       timeoutMs: Long)(body: => Unit): RepOutcome = {
+                       timeoutMs: Long, cancelAllOnTimeout: Boolean = true)
+                      (body: => Unit): RepOutcome = {
     System.err.println(s"[bench] $name rep $rep")
     val group = s"graft_bench_$name"
     val result = new java.util.concurrent.CompletableFuture[RepOutcome]()
@@ -71,7 +72,11 @@ object Bench {
       case _: java.util.concurrent.TimeoutException =>
         System.err.println(s"[bench] $name rep $rep TIMEOUT after ${timeoutMs}ms")
         spark.sparkContext.cancelJobGroup(group)
-        spark.sparkContext.cancelAllJobs()
+        // backstop for jobs that escaped the group label — valid ONLY
+        // when this loop owns the session (Bench.main). A test sharing
+        // the session with concurrently-running suites must opt out, or
+        // a wedge here kills an innocent suite's jobs.
+        if (cancelAllOnTimeout) spark.sparkContext.cancelAllJobs()
         t.interrupt()
         // grace: if cancellation/interrupt unwedged the thread, collect
         // its (failed) outcome so the session is quiet before the next
@@ -94,7 +99,8 @@ object Bench {
                           errors: collection.Map[String, String],
                           absorbed: collection.Map[String, Int],
                           sfDir: String,
-                          sentinel: Option[(Double, Double)] = None): String = {
+                          sentinel: Option[(Double, Double)] = None,
+                          jvm: Option[String] = None): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
@@ -113,7 +119,31 @@ object Bench {
       s""","sentinel":{"name":"$SentinelName","first":$first,"last":$last,"delta_pct":${math.round(delta * 10) / 10.0}}"""
     }.getOrElse("")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson$sentJson,"sf":"$sfDir"}"""
+    val jvmJson = jvm.map(j => s""","jvm":$j""").getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson$sentJson$jvmJson,"sf":"$sfDir"}"""
+  }
+
+  /** JIT code-cache / metaspace / heap snapshot as a JSON object — the
+    * direct evidence for (or against) the code-cache-pressure hypothesis
+    * behind registry-size bench inflation: 235 sequential codegen'd
+    * queries load thousands of generated classes, and a CodeHeap near
+    * its limit means C2 stopped compiling and later queries ran partly
+    * interpreted. Reported at run start and end so the delta is in the
+    * artifact.
+    */
+  private def jvmSnapshot(): String = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    def mb(n: Long): Long = n / (1024 * 1024)
+    val code = pools.filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum
+    val codeMax = pools.filter(_.getName.startsWith("CodeHeap"))
+      .map(p => math.max(p.getUsage.getMax, 0L)).sum
+    val meta = pools.find(_.getName == "Metaspace")
+      .map(_.getUsage.getUsed).getOrElse(0L)
+    val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed
+    s"""{"code_cache_mb":${mb(code)},"code_cache_max_mb":${mb(codeMax)},"metaspace_mb":${mb(meta)},"heap_mb":${mb(heap)}}"""
   }
 
   /** The fixed interference-probe query: mid-pack cost (~1 s at sf0.1),
@@ -169,7 +199,8 @@ object Bench {
           runOne: String => Unit, sfDir: String,
           timeoutMs: Long = DefaultRepTimeoutMs, reps: Int = 3,
           onQuery: String => Unit = _ => (),
-          hygieneEvery: Int = 0)
+          hygieneEvery: Int = 0,
+          cancelAllOnTimeout: Boolean = true)
       : (Seq[(String, Double)], Map[String, String], Map[String, Int]) = {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val absorbed = scala.collection.mutable.LinkedHashMap[String, Int]()
@@ -188,7 +219,7 @@ object Bench {
       var rep = 1
       var firstRepRetried = false
       while (!stop && rep <= reps) {
-        timedRep(spark, name, rep, timeoutMs)(runOne(name)) match {
+        timedRep(spark, name, rep, timeoutMs, cancelAllOnTimeout)(runOne(name)) match {
           case RepOk(sec) => times += sec; rep += 1
           case RepTimeout(_) if times.nonEmpty =>
             // transient box stall mid-query: keep what we measured, but
@@ -281,6 +312,7 @@ object Bench {
     // "+39% with no code change" inflation, separated from real
     // regressions in the artifact itself.
     val doSentinel = args.isEmpty && SparkEntry.queries.contains(SentinelName)
+    val jvmStart = jvmSnapshot()
     val sentFirst =
       if (doSentinel) timeSentinel(spark, runToNoop, DefaultRepTimeoutMs, "first")
       else None
@@ -290,7 +322,8 @@ object Bench {
       if (doSentinel) timeSentinel(spark, runToNoop, DefaultRepTimeoutMs, "last")
       else None
     val line = summaryLine(results, errors, absorbed, sfDir,
-      sentFirst.zip(sentLast))
+      sentFirst.zip(sentLast),
+      Some(s"""{"start":$jvmStart,"end":${jvmSnapshot()}}"""))
     println(line)
     // Also persist the full line to the repo root: the driver's BENCH
     // tail window truncates long per-query maps, which makes exact

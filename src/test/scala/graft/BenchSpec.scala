@@ -23,8 +23,11 @@ class BenchSpec extends SparkSpec {
       // wide enough that a cold-JIT fast query can't trip it (a 3 s cap
       // flaked once when this suite ran first in the JVM; 8 s flaked
       // once more under a loaded box at r6 — only wedged paths ever
-      // wait this long, so the width costs nothing in clean runs)
-      timeoutMs = 12000, reps = 2, onQuery = s => summaries += s)
+      // wait this long, so the width costs nothing in clean runs).
+      // cancelAllOnTimeout = false: the session is shared with
+      // concurrently-running suites (see the absorbed-stall test).
+      timeoutMs = 20000, reps = 2, onQuery = s => summaries += s,
+      cancelAllOnTimeout = false)
 
     val byName = results.toMap
     assert(byName("q_wedged") == -1.0)
@@ -73,9 +76,15 @@ class BenchSpec extends SparkSpec {
       else spark.range(10).write.format("noop").mode("overwrite").save()
     }
     val summaries = scala.collection.mutable.ArrayBuffer[String]()
+    // cancelAllOnTimeout = false: this suite SHARES the session with
+    // concurrently-running suites — the backstop would kill their jobs.
+    // 20 s rep timeout → 10 s grace: under a loaded box, cancellation
+    // propagation alone has exceeded a 6 s grace (observed flake when
+    // run concurrently with ContractSpec's Spark jobs).
     val (results, errors, absorbed) = Bench.run(spark,
       Seq("q_flaky_late", "q_flaky_first", "q_ok"), runOne, "spec_sf",
-      timeoutMs = 12000, reps = 3, onQuery = s => summaries += s)
+      timeoutMs = 20000, reps = 3, onQuery = s => summaries += s,
+      cancelAllOnTimeout = false)
     val byName = results.toMap
     assert(byName("q_flaky_late") > 0, s"late wedge must keep rep-1 timing: $results")
     assert(byName("q_flaky_first") > 0, s"first-rep wedge must recover via retry: $results")

@@ -16,6 +16,12 @@ class ContractSpec extends SparkSpec {
     val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
     assert(SparkEntry.queries.size == all.size)
+    // every query must carry an oracle: a missing oracleSql entry would
+    // silently downgrade that query to the driver's weaker rows-only
+    // check and the round's correctness artifact would never say so
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"queries without oracle: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
+        s"oracles without query: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
     assert(SparkEntry.entry(spark).count() > 0)
     println(s"QUERIES=${all.size} ORACLES=${SparkEntry.oracleSql.size}")
   }
