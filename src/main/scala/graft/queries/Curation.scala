@@ -522,10 +522,86 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings
       |        WHERE vec_id <> 0 AND vec_id % 5 = 2) AS BIGINT) AS n_appended""".stripMargin
 
+  // ------------------------------------- recall/selectivity budget curves
+  /** ANN recall as a function of the probe budget — the operational knob
+    * an IVF deployment tunes (probe more cells = more recall, more I/O),
+    * measured in ONE query over the SAME staged index q_ann_ivf probes.
+    * The hash-gate contract is a THEOREM, not a fixture accident:
+    * `nearestCentroids` takes a prefix of one distance-sorted centroid
+    * list, so the candidate set at nProbe p is a SUBSET of the set at
+    * p' > p — and any exact-top-10 member inside a candidate set is
+    * inside that set's top-10 (at most 9 corpus vectors precede it in
+    * the global (score desc, id) order). Hence n_hit is nondecreasing in
+    * p (`mono_ok`), and at p = 8 (all cells) the probe IS the exact scan
+    * (`n_hit_full` = 10). Both hold at every SF by construction; a
+    * centroid-pruning bug (wrong cell order, dropped partition) breaks
+    * one of them and fails the hash gate.
+    */
+  private val annRecallCurveQ: Q = (s, dir) => {
+    val (path, cents) = Registry.stageIvf(s, dir)
+    val qv = Registry.queryVec(s, dir)
+    val base = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val exact = VectorOps.cosineTopK(base, "vec_id", "embedding", qv, 10)
+    def hits(p: Int): DataFrame =
+      exact.join(
+          VectorOps.ivfTopKFromPath(s, path, cents, "vec_id", "embedding",
+            qv, k = 10, nProbe = p).select(col("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as(s"h$p"))
+    hits(2).crossJoin(hits(4)).crossJoin(hits(6)).crossJoin(hits(8)) // 1-row frames
+      .select(lit(10).as("k"),
+        (col("h2") <= col("h4") && col("h4") <= col("h6") &&
+          col("h6") <= col("h8")).as("mono_ok"),
+        col("h8").cast("int").as("n_hit_full"))
+  }
+  private val annRecallCurveSql =
+    "SELECT 10 AS k, TRUE AS mono_ok, 10 AS n_hit_full"
+
+  /** MinHash-LSH candidate recall as a function of the band count — the
+    * dedup sibling of the nProbe curve, same theorem shape: with k = 32
+    * signature entries cut into contiguous bands, every band at
+    * bands = b splits into exactly two bands at 2b, so agreement on a
+    * coarse band implies agreement on both halves — candidates (and the
+    * exactly-verified ≥-threshold pairs they yield) are NESTED across
+    * bands 4 ⊆ 8 ⊆ 16 and the pair count is nondecreasing (`mono_ok`).
+    * `n_pairs_full` at bands = 16 is the exact-integer anchor: the
+    * q_minhash_lsh oracle proves banding recall 1 at these settings, so
+    * the oracle recomputes it as the brute-force all-pairs Jaccard
+    * count. A banding bug (wrong chunking, lost band key) breaks
+    * monotonicity or the anchor.
+    */
+  private val lshBandCurveQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    def nPairs(b: Int): DataFrame =
+      TextOps.minHashNearDups(docs, "doc_id", "text",
+          shingleN = 3, k = 32, bands = b, threshold = 0.5)
+        .agg(count(lit(1)).as(s"p$b"))
+    nPairs(4).crossJoin(nPairs(8)).crossJoin(nPairs(16)) // 1-row frames
+      .select(
+        (col("p4") <= col("p8") && col("p8") <= col("p16")).as("mono_ok"),
+        col("p16").cast("long").as("n_pairs_full"))
+  }
+  private val lshBandCurveSql =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+2], ' ')
+      |               for i in range(1, len(toks) - 1)]
+      |    END) AS sh FROM tok)
+      |SELECT TRUE AS mono_ok, CAST(count(*) AS BIGINT) AS n_pairs_full
+      |FROM s a JOIN s b ON b.doc_id > a.doc_id
+      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_ivf_append", ivfAppendQ, Some(ivfAppendSql)),
+    ("q_ann_recall_curve", annRecallCurveQ, Some(annRecallCurveSql)),
+    ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),
     ("q_knn_join", knnJoinQ, Some(knnJoinSql)),
     ("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
     ("q_temperature_mix", temperatureMixQ, Some(temperatureMixSql)),
