@@ -548,7 +548,8 @@ object Curation {
             qv, k = 10, nProbe = p).select(col("vec_id")),
           Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as(s"h$p"))
-    hits(2).crossJoin(hits(4)).crossJoin(hits(6)).crossJoin(hits(8)) // 1-row frames
+    hits(2).crossJoin(broadcast(hits(4))).crossJoin(broadcast(hits(6)))
+      .crossJoin(broadcast(hits(8))) // 1-row frames
       .select(lit(10).as("k"),
         (col("h2") <= col("h4") && col("h4") <= col("h6") &&
           col("h6") <= col("h8")).as("mono_ok"),
@@ -576,7 +577,8 @@ object Curation {
       TextOps.minHashNearDups(docs, "doc_id", "text",
           shingleN = 3, k = 32, bands = b, threshold = 0.5)
         .agg(count(lit(1)).as(s"p$b"))
-    nPairs(4).crossJoin(nPairs(8)).crossJoin(nPairs(16)) // 1-row frames
+    nPairs(4).crossJoin(broadcast(nPairs(8)))
+      .crossJoin(broadcast(nPairs(16))) // 1-row frames
       .select(
         (col("p4") <= col("p8") && col("p8") <= col("p16")).as("mono_ok"),
         col("p16").cast("long").as("n_pairs_full"))

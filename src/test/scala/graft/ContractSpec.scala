@@ -23,6 +23,10 @@ class ContractSpec extends SparkSpec {
       s"queries without oracle: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}; " +
         s"oracles without query: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
     assert(SparkEntry.entry(spark).count() > 0)
+    // the bench sentinel must stay a real registry query — a rename
+    // would silently turn the interference probe into a no-op
+    assert(SparkEntry.queries.contains(Bench.SentinelName),
+      s"bench sentinel '${Bench.SentinelName}' is not a registry query")
     println(s"QUERIES=${all.size} ORACLES=${SparkEntry.oracleSql.size}")
   }
 

@@ -222,6 +222,28 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(3) > 0, "fixture must append at least one vector")
   }
 
+  test("q_ann_recall_curve: every probe scan partition-pruned; monotone + exact anchor hold") {
+    val df = Curation.queries("q_ann_recall_curve")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // four probe budgets → the centroid IN-lists must all live in
+    // PartitionFilters, never a post-scan Filter over data columns
+    assert(p.linesIterator.filter(_.contains("PartitionFilters:"))
+      .count(_.contains("centroid")) >= 4, p)
+    val row = df.head()
+    assert(row.getBoolean(1), "n_hit must be nondecreasing in nProbe")
+    assert(row.getInt(2) == 10, "probing all cells must equal the exact scan")
+  }
+
+  test("q_lsh_band_curve: banded equi-joins only — no cartesian at any band count") {
+    val p = Curation.queries("q_lsh_band_curve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must stay a (band, bucket) equi-join")
+    val row = Curation.queries("q_lsh_band_curve")(spark, sf).head()
+    assert(row.getBoolean(0), "pair count must be nondecreasing in bands")
+    assert(row.getLong(1) > 0, "fixture must contain near-dup pairs")
+  }
+
   test("q_group_avg: one hash exchange, partial agg combines map-side, no window") {
     // r5 bench showed a transient 0.62→1.52 s wobble on this query; the
     // next bench was back at 0.40 s (noise, not a plan change). This pins
