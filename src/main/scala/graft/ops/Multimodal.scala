@@ -278,6 +278,139 @@ object Multimodal {
     } catch { case _: java.io.IOException => Seq.empty }
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Deterministic synthetic-audio law, shared with the SQL oracle:
+    * sample count and every PCM16 sample are pure integer functions of
+    * (media_id, i), so decoded stats are recomputable without a codec.
+    * Samples sweep the full int16 range and change sign frequently, so
+    * peak / zero-crossing / energy stats exercise real signal paths.
+    */
+  def synthSampleCount(id: Long): Int = (400 + (id % 7) * 50).toInt
+  val SynthSampleRate: Int = 16000
+  def synthSample(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 37) % 65536).toInt - 32768
+
+  /** Encode ONE deterministic clip as a REAL RIFF/WAVE payload (44-byte
+    * canonical header + little-endian PCM16 mono) — decode walks the
+    * actual container format, not a toy framing.
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = synthSampleCount(id)
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16); bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(SynthSampleRate); bb.putInt(SynthSampleRate * 2)
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(synthSample(id, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Media table with WAV payloads, one per document id (the audio
+    * sibling of [[fromDocuments]]/[[videosFromDocuments]]).
+    */
+  def audiosFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val rdd = documents.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, "audio", synthWav(id),
+          Row("pcm_s16le", null, null,
+            synthSampleCount(id) * 1000L / SynthSampleRate))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** REAL WAV decode + per-clip signal statistics: walk the RIFF
+    * chunks (fmt → rate/channels/bits, data → PCM16 LE samples) and emit
+    * integer-exact stats — peak |sample|, zero crossings (sign change
+    * between consecutive samples, 0 counted non-negative), Σ|sample|.
+    * Null/truncated/non-PCM16 payloads yield null stats rather than
+    * failing the batch (the corrupt-blob contract of
+    * [[decodeImageStats]]). Integer outputs only, so comparisons are
+    * exact — no float tolerance anywhere.
+    */
+  def decodeAudioStats(df: DataFrame, idCol: String,
+                       contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("peak_abs", IntegerType),
+      StructField("n_zero_cross", LongType),
+      StructField("sum_abs", LongType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(contentCol)).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          decodeWav(bytes) match {
+            case Some((rate, samples)) =>
+              var peak = 0; var zc = 0L; var sumAbs = 0L
+              var i = 0
+              while (i < samples.length) {
+                val s = samples(i)
+                val a = math.abs(s.toInt)
+                if (a > peak) peak = a
+                sumAbs += a
+                if (i > 0 && ((samples(i - 1) < 0) != (s < 0))) zc += 1
+                i += 1
+              }
+              Row(r.getLong(0), samples.length, rate, peak, zc, sumAbs)
+            case None =>
+              Row(r.getLong(0), null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** RIFF/WAVE chunk walk: (sampleRate, PCM16 samples). None for
+    * null/short/malformed/non-(PCM16 mono) payloads.
+    */
+  private def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      bb.getInt // declared riff length — trust actual bounds instead
+      if (tag() != "WAVE") return None
+      var rate = -1; var ok = false
+      var data: Array[Short] = null
+      while (bb.remaining() >= 8 && data == null) {
+        val id = tag(); val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return None
+        if (id == "fmt ") {
+          val fmt = bb.getShort; val ch = bb.getShort
+          rate = bb.getInt; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          bb.position(bb.position() + len - 16)
+          ok = fmt == 1 && ch == 1 && bits == 16
+        } else if (id == "data") {
+          if (!ok) return None
+          val n = len / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort; i += 1 }
+          data = out
+        } else bb.position(bb.position() + len)
+      }
+      if (data == null) None else Some((rate, data))
+    } catch {
+      case _: RuntimeException => None // buffer underflow / bad offsets
+    }
+  }
+
   /** Byte-offset frame sampling (no decode): deterministic offsets into
     * the raw stream — the cheap shape for formats without an index.
     */

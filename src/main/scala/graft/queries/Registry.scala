@@ -1079,6 +1079,45 @@ object Registry {
       |       CAST(sum((fid * 31 + x * 7 + y * 13 + 202) % 256) AS BIGINT) AS sum_b
       |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin
 
+  /** Audio-clip signal statistics over REAL RIFF/WAVE payloads —
+    * completes the modality trio next to q_multimodal_features (PNG
+    * decode) and q_video_frames (container frame sampling). The staged
+    * media table carries one PCM16 WAV per `doc_id % 4 = 1` document
+    * ([[Multimodal.synthWav]] — the deterministic sample law the oracle
+    * replays via generate_series); [[Multimodal.decodeAudioStats]] walks
+    * the actual RIFF chunks and emits integer-exact per-clip stats, so
+    * every column crosses the hash gate with no float tolerance.
+    * 100 TB shape: identical to image decode — partition-local codec
+    * work over a binary column, no shuffle until the (tiny) stats rows.
+    */
+  private def stagedAudios(s: SparkSession, dir: String): String =
+    graft.ops.Staging.cached(s"audios:$dir") { tmp =>
+      val out = tmp.resolve("media").toString
+      Multimodal.audiosFromDocuments(
+        spread(Tables.documents(s, dir)).filter(col("doc_id") % 4 === 1))
+        .write.parquet(out)
+      out
+    }
+  private val audioStats: Q = (s, dir) => {
+    Multimodal.decodeAudioStats(s.read.parquet(stagedAudios(s, dir)),
+        "media_id", "content")
+      .orderBy(col("media_id"))
+  }
+  private val audioStatsSql =
+    """WITH a AS (SELECT doc_id, CAST(400 + (doc_id % 7) * 50 AS INT) AS n
+      |           FROM documents WHERE doc_id % 4 = 1),
+      |i AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM a),
+      |s AS (SELECT doc_id, n, i,
+      |             (doc_id * 31 + i * 37) % 65536 - 32768 AS v FROM i),
+      |l AS (SELECT doc_id, n, v,
+      |             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+      |SELECT doc_id AS media_id, n AS n_samples, 16000 AS sample_rate,
+      |       CAST(max(abs(v)) AS INT) AS peak_abs,
+      |       CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+      |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+      |FROM l GROUP BY doc_id, n ORDER BY media_id""".stripMargin
+
   // ------------------------------------- coverage batch 3: joins/sets/etc
 
   /** Left outer join with a join-side predicate (unmatched → count 0). */
@@ -1645,6 +1684,7 @@ object Registry {
     ("q_stream_window", streamWindow, Some(streamWindowSql)),
     ("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     ("q_video_frames", videoFrames, Some(videoFramesSql)),
+    ("q_audio_stats", audioStats, Some(audioStatsSql)),
     ("q_outer_join", outerJoin, Some(outerJoinSql)),
     ("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),
     ("q_intersect", intersectQ, Some(intersectSql)),

@@ -130,6 +130,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(_.getInt(1) % 2 == 0))
   }
 
+  test("synthWav -> decodeAudioStats is a real RIFF round trip: stats match the sample law") {
+    import spark.implicits._
+    val ids = Seq(3L, 10L, 25L)
+    val df = ids.map(id => (id, Multimodal.synthWav(id))).toDF("media_id", "content")
+    val got = Multimodal.decodeAudioStats(df, "media_id", "content")
+      .orderBy(col("media_id")).collect()
+    ids.zip(got).foreach { case (id, row) =>
+      val n = Multimodal.synthSampleCount(id)
+      val samples = (0 until n).map(i => Multimodal.synthSample(id, i))
+      assert(row.getLong(0) == id)
+      assert(row.getInt(1) == n)
+      assert(row.getInt(2) == Multimodal.SynthSampleRate)
+      assert(row.getInt(3) == samples.map(math.abs).max)
+      assert(row.getLong(4) == samples.sliding(2)
+        .count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+      assert(row.getLong(5) == samples.map(s => math.abs(s).toLong).sum)
+    }
+    // the payload is a spec-shaped WAV: canonical 44-byte header
+    val bytes = Multimodal.synthWav(3L)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(bytes.length == 44 + Multimodal.synthSampleCount(3L) * 2)
+  }
+
+  test("corrupt / truncated / non-PCM16 WAV payloads yield null stats, not failures") {
+    import spark.implicits._
+    val good = Multimodal.synthWav(7L)
+    val stereo = good.clone() // flip the channel-count field -> not mono
+    stereo(22) = 2
+    val bad = Seq(
+      (1L, "not a wav at all".getBytes("US-ASCII")),
+      (2L, good.slice(0, 30)),                   // truncated mid-header
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, stereo),                              // parseable but unsupported
+      (5L, good)                                 // one good row among them
+    ).toDF("media_id", "content")
+    val rows = Multimodal.decodeAudioStats(bad, "media_id", "content")
+      .orderBy(col("media_id")).collect()
+    assert(rows.length == 5, "corrupt rows must survive as rows")
+    rows.take(4).foreach(r => assert(r.isNullAt(1), s"expected null stats: $r"))
+    assert(rows(4).getInt(1) == Multimodal.synthSampleCount(7L))
+  }
+
   test("frame sampling survives corrupt containers (zero rows, no failure)") {
     import spark.implicits._
     val bad = Seq(

@@ -3,14 +3,17 @@
 engine — the engine is the Scala library). Runs DuckDB on the oracle SQL
 dumped by graft.Verify and compares against the Spark parquet outputs.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--strict]
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--strict] [--only]
   --strict: exact value equality (no float rounding) — the driver's hash
   compare may be exact, so strict must also pass.
+  --only: compare only queries actually dumped in <verifyOutDir> (for
+  filtered Verify runs — otherwise every undumped query reports FAIL).
 """
 import sys, json, glob, os
 import duckdb
 
 STRICT = "--strict" in sys.argv
+ONLY_DUMPED = "--only" in sys.argv
 
 def norm(v):
     if isinstance(v, float) and not STRICT:
@@ -31,6 +34,8 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         spark_dir = os.path.join(out_dir, name)
         if not os.path.isdir(spark_dir):
+            if ONLY_DUMPED:
+                continue
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             got = con.execute(
