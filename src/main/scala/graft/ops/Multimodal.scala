@@ -411,6 +411,60 @@ object Multimodal {
     }
   }
 
+  /** Per-window absolute-energy vector over decoded PCM16 clips: window
+    * of sample i is `(i * nWindows) div n` (near-equal proportional
+    * bins for any clip length), energy is the EXACT Σ|sample| long per
+    * window — the integer core both the float feature vector
+    * ([[extractAudioFeatures]]) and the exact-ppm registry oracle derive
+    * from. Undecodable payloads yield a null vector (the
+    * [[decodeAudioStats]] corrupt-blob contract).
+    */
+  def audioWindowEnergies(df: DataFrame, idCol: String, contentCol: String,
+                          nWindows: Int = 8): DataFrame = {
+    require(nWindows >= 1, s"audioWindowEnergies: nWindows >= 1, got $nWindows")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sums", ArrayType(LongType))))
+    val rdd = df.select(col(idCol).cast(LongType), col(contentCol)).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          decodeWav(bytes) match {
+            case Some((_, samples)) if samples.nonEmpty =>
+              val sums = new Array[Long](nWindows)
+              var i = 0
+              while (i < samples.length) {
+                sums((i.toLong * nWindows / samples.length).toInt) +=
+                  math.abs(samples(i).toInt)
+                i += 1
+              }
+              Row(r.getLong(0), sums.toSeq)
+            case _ => Row(r.getLong(0), null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** L1-normalized float feature vector from the window energies — the
+    * audio sibling of [[extractFeatures]]: bytes in, fixed-dim floats
+    * out, the contract a learned audio encoder would slot into.
+    * Undecodable/silent clips yield the zero vector.
+    */
+  def extractAudioFeatures(df: DataFrame, idCol: String, contentCol: String,
+                           nWindows: Int = 8): DataFrame =
+    audioWindowEnergies(df, idCol, contentCol, nWindows)
+      .select(col("media_id"),
+        when(col("sums").isNull ||
+            aggregate(col("sums"), lit(0L), (a, x) => a + x) === 0L,
+          typedLit(Seq.fill(nWindows)(0f)))
+        .otherwise(transform(col("sums"), s =>
+          (s.cast("double") /
+            aggregate(col("sums"), lit(0L), (a, x) => a + x).cast("double"))
+            .cast("float")))
+        .as("features"))
+
   /** Byte-offset frame sampling (no decode): deterministic offsets into
     * the raw stream — the cheap shape for formats without an index.
     */

@@ -1118,6 +1118,39 @@ object Registry {
       |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
       |FROM l GROUP BY doc_id, n ORDER BY media_id""".stripMargin
 
+  /** Windowed audio energies as exact ppm integers — the feature-
+    * extraction leg of the audio pipeline ([[Multimodal
+    * .audioWindowEnergies]]: window of sample i = (i·8) div n, energy =
+    * Σ|sample| per window, all longs; the float encoder-contract
+    * variant is [[Multimodal.extractAudioFeatures]], spec-locked).
+    * Normalization crosses the hash gate as `energy_ppm = sum·10⁶ div
+    * total` so no float ever reaches the oracle compare.
+    */
+  private val audioFeatures: Q = (s, dir) => {
+    Multimodal.audioWindowEnergies(s.read.parquet(stagedAudios(s, dir)),
+        "media_id", "content", nWindows = 8)
+      .select(col("media_id"),
+        aggregate(col("sums"), lit(0L), (a, x) => a + x).as("total"),
+        posexplode(col("sums")).as(Seq("window", "sum_abs")))
+      .select(col("media_id"), col("window").cast("int").as("win"),
+        col("sum_abs"), expr("sum_abs * 1000000 div total").as("energy_ppm"))
+      .orderBy(col("media_id"), col("win"))
+  }
+  private val audioFeaturesSql =
+    """WITH a AS (SELECT doc_id, CAST(400 + (doc_id % 7) * 50 AS INT) AS n
+      |           FROM documents WHERE doc_id % 4 = 1),
+      |i AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM a),
+      |s AS (SELECT doc_id, n,
+      |             abs((doc_id * 31 + i * 37) % 65536 - 32768) AS av,
+      |             CAST((i * 8) // n AS INT) AS w FROM i),
+      |g AS (SELECT doc_id, w, CAST(sum(av) AS BIGINT) AS sum_abs
+      |      FROM s GROUP BY doc_id, w),
+      |t AS (SELECT doc_id, CAST(sum(sum_abs) AS BIGINT) AS total
+      |      FROM g GROUP BY doc_id)
+      |SELECT doc_id AS media_id, w AS win, sum_abs,
+      |       sum_abs * 1000000 // total AS energy_ppm
+      |FROM g JOIN t USING (doc_id) ORDER BY media_id, win""".stripMargin
+
   // ------------------------------------- coverage batch 3: joins/sets/etc
 
   /** Left outer join with a join-side predicate (unmatched → count 0). */
@@ -1685,6 +1718,7 @@ object Registry {
     ("q_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     ("q_video_frames", videoFrames, Some(videoFramesSql)),
     ("q_audio_stats", audioStats, Some(audioStatsSql)),
+    ("q_audio_features", audioFeatures, Some(audioFeaturesSql)),
     ("q_outer_join", outerJoin, Some(outerJoinSql)),
     ("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),
     ("q_intersect", intersectQ, Some(intersectSql)),

@@ -173,6 +173,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(4).getInt(1) == Multimodal.synthSampleCount(7L))
   }
 
+  test("extractAudioFeatures: L1-normalized window energies; corrupt -> zero vector") {
+    import spark.implicits._
+    val df = Seq((9L, Multimodal.synthWav(9L)),
+      (1L, "junk".getBytes("US-ASCII"))).toDF("media_id", "content")
+    val rows = Multimodal.extractAudioFeatures(df, "media_id", "content", 8)
+      .orderBy(col("media_id")).collect()
+    val bad = rows(0).getSeq[Float](1)
+    assert(bad == Seq.fill(8)(0f), s"corrupt clip must yield the zero vector: $bad")
+    val feats = rows(1).getSeq[Float](1)
+    assert(feats.length == 8)
+    assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5, "L1-normalized")
+    // exact parity with the sample law, windowed by (i*8) div n
+    val n = Multimodal.synthSampleCount(9L)
+    val sums = new Array[Long](8)
+    (0 until n).foreach(i =>
+      sums((i.toLong * 8 / n).toInt) += math.abs(Multimodal.synthSample(9L, i)))
+    val total = sums.sum.toDouble
+    feats.zip(sums).foreach { case (f, w) =>
+      assert(f == (w / total).toFloat, s"window feature $f != ${(w / total).toFloat}")
+    }
+  }
+
   test("frame sampling survives corrupt containers (zero rows, no failure)") {
     import spark.implicits._
     val bad = Seq(
