@@ -46,8 +46,9 @@ object Curation {
     val n = probes.limit((bound + 1).toInt).count()
     require(n <= bound,
       s"q_knn_join: probe side has >= $n rows (> $bound) — the broadcast " +
-        "exact-kNN layout stops being valid at this scale; shuffle-join " +
-        "the probes (bucketed scoring join) instead of broadcasting them")
+        "exact-kNN layout stops being valid at this scale; use the " +
+        "shuffled scoring join (q_knn_shuffled's shard-replicated " +
+        "equi-join) instead of broadcasting the probes")
   }
 
   // --------------------------------------------------- batch exact kNN join
@@ -91,6 +92,60 @@ object Curation {
        |  SELECT probe_id, vec_id,
        |         round(${Registry.cosineSql("embedding", "qv")}, 4) AS score
        |  FROM embeddings, p WHERE vec_id % 97 <> 1),
+       |r AS (
+       |  SELECT probe_id, vec_id, score,
+       |         CAST(row_number() OVER (PARTITION BY probe_id
+       |           ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM sc)
+       |SELECT probe_id, rank, vec_id AS nbr_id, score
+       |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  // ------------------------------------------- shuffled exact kNN join
+  /** The scale path [[requireProbeBound]]'s error message points to:
+    * exact kNN join with NEITHER side broadcast. The index is hashed
+    * into `nBuckets` shards, every probe is replicated once per shard
+    * (explode over the shard ids), and the scoring runs under a plain
+    * shuffled equi-join on the shard key — each (probe, index row) pair
+    * meets exactly once, shuffle traffic is index×1 + probes×nBuckets,
+    * and the bounded [[graft.expr.TopKByScore]] hash aggregate again
+    * moves only probes×k rows. At 100 TB this is how hard-negative
+    * mining runs when the probe set IS the corpus slice (nBuckets scales
+    * with cluster width; no driver-sized anything). The join is
+    * hint-pinned to SHUFFLE_HASH so AQE can't broadcast the small
+    * fixture and silently turn the query back into q_knn_join
+    * (PlanSpec-locked). Same answer contract as q_knn_join — the oracle
+    * pays the identical cross product — on a disjoint probe slice
+    * (`vec_id % 89 = 2`, top-3 by cosine).
+    */
+  private val knnShuffledQ: Q = (s, dir) => {
+    import graft.expr.TopKByScore
+    val nBuckets = 8
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") % 89 === 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+      .withColumn("ib", explode(sequence(lit(0), lit(nBuckets - 1))))
+    val index = emb.filter(col("vec_id") % 89 =!= 2)
+      .withColumn("ib", pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).cast("int"))
+    val topk = udaf(new TopKByScore(3))
+    index.join(probes.hint("shuffle_hash"), Seq("ib"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("score"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("score"), col("vec_id"),
+        lit(0L), lit(0L), lit(0L), lit(0.0)).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.k1").as("nbr_id"), col("col.score").as("score"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+  private val knnShuffledSql =
+    s"""WITH p AS (
+       |  SELECT vec_id AS probe_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id % 89 = 2),
+       |sc AS (
+       |  SELECT probe_id, vec_id,
+       |         round(${Registry.cosineSql("embedding", "qv")}, 4) AS score
+       |  FROM embeddings, p WHERE vec_id % 89 <> 2),
        |r AS (
        |  SELECT probe_id, vec_id, score,
        |         CAST(row_number() OVER (PARTITION BY probe_id
@@ -605,6 +660,7 @@ object Curation {
     ("q_ann_recall_curve", annRecallCurveQ, Some(annRecallCurveSql)),
     ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),
     ("q_knn_join", knnJoinQ, Some(knnJoinSql)),
+    ("q_knn_shuffled", knnShuffledQ, Some(knnShuffledSql)),
     ("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
     ("q_temperature_mix", temperatureMixQ, Some(temperatureMixSql)),
     ("q_cusum", cusumQ, Some(cusumSql)),

@@ -46,7 +46,8 @@ class CurationSpec extends SparkSpec {
       Curation.requireProbeBound(probes, bound = 5L)
     }
     assert(e.getMessage.contains("q_knn_join") &&
-      e.getMessage.contains("broadcast"),
+      e.getMessage.contains("broadcast") &&
+      e.getMessage.contains("q_knn_shuffled"),
       s"guard message must name the query and the broadcast layout: ${e.getMessage}")
     // under the bound it is silent — q_knn_join's real probe set passes
     Curation.requireProbeBound(probes, bound = 10L)

@@ -222,6 +222,20 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(3) > 0, "fixture must append at least one vector")
   }
 
+  test("q_knn_shuffled: scoring join is genuinely shuffled — no broadcast, no window") {
+    // the whole point of the fallback is that NEITHER side broadcasts;
+    // AQE would happily broadcast the tiny fixture probes, so the hint
+    // must hold the shuffled shape or the query silently degenerates
+    // back into q_knn_join's layout
+    val p = Curation.queries("q_knn_shuffled")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "neither side may broadcast")
+    assert(!p.contains("CartesianProduct"), "the shard key makes it an equi-join")
+    assert(!p.contains("Window"), "per-probe top-k must be the aggregate, not a window")
+  }
+
   test("q_ann_recall_curve: every probe scan partition-pruned; monotone + exact anchor hold") {
     val df = Curation.queries("q_ann_recall_curve")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
