@@ -390,11 +390,13 @@ object Multimodal {
       while (bb.remaining() >= 8 && data == null) {
         val id = tag(); val len = bb.getInt
         if (len < 0 || len > bb.remaining()) return None
+        val pad = len & 1 // RIFF chunks are word-aligned: odd len → pad byte
         if (id == "fmt ") {
+          if (len < 16) return None // PCM fmt body is >= 16 bytes
           val fmt = bb.getShort; val ch = bb.getShort
           rate = bb.getInt; bb.getInt; bb.getShort
           val bits = bb.getShort
-          bb.position(bb.position() + len - 16)
+          bb.position(bb.position() + len - 16 + pad)
           ok = fmt == 1 && ch == 1 && bits == 16
         } else if (id == "data") {
           if (!ok) return None
@@ -403,7 +405,7 @@ object Multimodal {
           var i = 0
           while (i < n) { out(i) = bb.getShort; i += 1 }
           data = out
-        } else bb.position(bb.position() + len)
+        } else bb.position(bb.position() + len + pad)
       }
       if (data == null) None else Some((rate, data))
     } catch {
@@ -456,14 +458,14 @@ object Multimodal {
                            nWindows: Int = 8): DataFrame =
     audioWindowEnergies(df, idCol, contentCol, nWindows)
       .select(col("media_id"),
-        when(col("sums").isNull ||
-            aggregate(col("sums"), lit(0L), (a, x) => a + x) === 0L,
-          typedLit(Seq.fill(nWindows)(0f)))
-        .otherwise(transform(col("sums"), s =>
-          (s.cast("double") /
-            aggregate(col("sums"), lit(0L), (a, x) => a + x).cast("double"))
-            .cast("float")))
-        .as("features"))
+        // total is bound ONCE (TextOps.bind) — inlining it would re-fold
+        // the sums array per output element plus once for the guard
+        TextOps.bind(aggregate(col("sums"), lit(0L), (a, x) => a + x)) { total =>
+          when(col("sums").isNull || total === 0L,
+            typedLit(Seq.fill(nWindows)(0f)))
+          .otherwise(transform(col("sums"), s =>
+            (s.cast("double") / total.cast("double")).cast("float")))
+        }.as("features"))
 
   /** Byte-offset frame sampling (no decode): deterministic offsets into
     * the raw stream — the cheap shape for formats without an index.

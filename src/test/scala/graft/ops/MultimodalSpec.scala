@@ -159,18 +159,22 @@ class MultimodalSpec extends SparkSpec {
     val good = Multimodal.synthWav(7L)
     val stereo = good.clone() // flip the channel-count field -> not mono
     stereo(22) = 2
+    val zeroFmt = good.clone() // declare a 0-byte fmt body: the decoder
+    zeroFmt(16) = 0            // must refuse, not read the next chunk's
+                               // bytes as format fields
     val bad = Seq(
       (1L, "not a wav at all".getBytes("US-ASCII")),
       (2L, good.slice(0, 30)),                   // truncated mid-header
       (3L, null.asInstanceOf[Array[Byte]]),
       (4L, stereo),                              // parseable but unsupported
-      (5L, good)                                 // one good row among them
+      (5L, zeroFmt),                             // malformed fmt chunk length
+      (6L, good)                                 // one good row among them
     ).toDF("media_id", "content")
     val rows = Multimodal.decodeAudioStats(bad, "media_id", "content")
       .orderBy(col("media_id")).collect()
-    assert(rows.length == 5, "corrupt rows must survive as rows")
-    rows.take(4).foreach(r => assert(r.isNullAt(1), s"expected null stats: $r"))
-    assert(rows(4).getInt(1) == Multimodal.synthSampleCount(7L))
+    assert(rows.length == 6, "corrupt rows must survive as rows")
+    rows.take(5).foreach(r => assert(r.isNullAt(1), s"expected null stats: $r"))
+    assert(rows(5).getInt(1) == Multimodal.synthSampleCount(7L))
   }
 
   test("extractAudioFeatures: L1-normalized window energies; corrupt -> zero vector") {

@@ -32,7 +32,8 @@ class BehaviorSpec extends SparkSpec {
     // the pair pivot needs a static list on both the Spark and oracle
     // side; this tripwire is what notices a NEW event_type in the data
     // (which would otherwise silently vanish from both sides at once)
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { d =>
       val inData = Tables.events(spark, d).select(col("event_type"))
         .distinct().collect().map(_.getString(0)).toSet
       assert(inData == Behavior.SeqPatternTypes.toSet,

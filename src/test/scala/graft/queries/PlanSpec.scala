@@ -249,11 +249,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_lsh_band_curve: banded equi-joins only — no cartesian at any band count") {
-    val p = Curation.queries("q_lsh_band_curve")(spark, sf)
-      .queryExecution.executedPlan.toString
+    val df = Curation.queries("q_lsh_band_curve")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       "candidate generation must stay a (band, bucket) equi-join")
-    val row = Curation.queries("q_lsh_band_curve")(spark, sf).head()
+    val row = df.head()
     assert(row.getBoolean(0), "pair count must be nondecreasing in bands")
     assert(row.getLong(1) > 0, "fixture must contain near-dup pairs")
   }

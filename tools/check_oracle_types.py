@@ -24,16 +24,17 @@ PORTABLE = {
 }
 
 def portable(t):
-    t = str(t)
-    if t in PORTABLE:
-        return True
-    # Nested portables round-trip through parquet the same on both sides.
-    if t.startswith("STRUCT("):
-        return True  # field types surfaced via --list; compare is by value
-    for t2 in PORTABLE:
-        if t == f"{t2}[]":
-            return True
-    return False
+    # Recurse through nested types via the duckdb type API — a HUGEINT
+    # hiding inside a struct field or list element is exactly as fatal to
+    # the hash compare as a top-level one.
+    tid = getattr(t, "id", None)
+    if tid in ("struct", "list"):
+        try:
+            children = t.children  # [(name, type)] for struct, [("child", type)] for list
+        except Exception:
+            return False
+        return all(portable(ct) for _, ct in children)
+    return str(t) in PORTABLE
 
 def main(sf_dir, oracle_json, list_all=False):
     con = duckdb.connect()
