@@ -291,25 +291,31 @@ object Multimodal {
   def synthSample(id: Long, i: Int): Int =
     ((id * 31 + i.toLong * 37) % 65536).toInt - 32768
 
-  /** Encode ONE deterministic clip as a REAL RIFF/WAVE payload (44-byte
-    * canonical header + little-endian PCM16 mono) — decode walks the
-    * actual container format, not a toy framing.
+  /** Canonical RIFF/WAVE encoder (44-byte header + little-endian PCM16
+    * mono) for ANY sample array — [[synthWav]] is this under the
+    * deterministic law, and the PropertiesSpec round-trip drives it with
+    * arbitrary signals.
     */
-  def synthWav(id: Long): Array[Byte] = {
-    val n = synthSampleCount(id)
-    val dataLen = n * 2
+  def pcm16Wav(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
     bb.put("WAVE".getBytes("US-ASCII")); bb.put("fmt ".getBytes("US-ASCII"))
     bb.putInt(16); bb.putShort(1); bb.putShort(1) // PCM, mono
-    bb.putInt(SynthSampleRate); bb.putInt(SynthSampleRate * 2)
+    bb.putInt(rate); bb.putInt(rate * 2)
     bb.putShort(2); bb.putShort(16) // block align, bits/sample
     bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
-    var i = 0
-    while (i < n) { bb.putShort(synthSample(id, i).toShort); i += 1 }
+    samples.foreach(bb.putShort)
     bb.array()
   }
+
+  /** Encode ONE deterministic clip as a REAL RIFF/WAVE payload — decode
+    * walks the actual container format, not a toy framing.
+    */
+  def synthWav(id: Long): Array[Byte] =
+    pcm16Wav(Array.tabulate(synthSampleCount(id))(i =>
+      synthSample(id, i).toShort), SynthSampleRate)
 
   /** Media table with WAV payloads, one per document id (the audio
     * sibling of [[fromDocuments]]/[[videosFromDocuments]]).

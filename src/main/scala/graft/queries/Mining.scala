@@ -918,7 +918,14 @@ object Mining {
     * radius 5, etc.); the shape is unchanged. Everything is map-side
     * fingerprinting + one keyed self-join + per-pair O(16) verify.
     */
-  private val simhashJoinQ: Q = (s, dir) => {
+  /** (id_a, id_b, dist) pairs within Hamming radius 3 — the banded
+    * candidate join + exact verify shared by q_simhash_join (pair list)
+    * and q_simhash_radius_curve (radius histogram). The 4×16-bit
+    * pigeonhole guarantees completeness ONLY for dist ≤ 3, so the
+    * filter is part of the helper's contract.
+    */
+  private def simhashDistPairs(s: org.apache.spark.sql.SparkSession,
+                               dir: String): DataFrame = {
     // signatures normalize to two 32-bit integer words per half right in
     // the signature frame: the banding keys become 16-bit ints (smaller
     // shuffle keys than 4-hex strings) and the per-pair verify is 4
@@ -952,8 +959,10 @@ object Mining {
       .withColumn("dist", dist)
       .filter(col("dist") <= 3)
       .select(col("id_a"), col("id_b"), col("dist"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  private val simhashJoinQ: Q = (s, dir) =>
+    simhashDistPairs(s, dir).orderBy(col("id_a"), col("id_b"))
   private val simhashJoinSql =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
@@ -978,6 +987,47 @@ object Mining {
       |FROM sig a JOIN sig b ON b.doc_id > a.doc_id
       |WHERE bit_count(CAST(xor(a.v, b.v) AS UBIGINT)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup pair count as a function of the Hamming radius — the
+    * SimHash sibling of q_ann_recall_curve / q_lsh_band_curve, and the
+    * strongest-oracled member of the curve family: the radii nest
+    * (dist ≤ 0 ⊆ ≤ 1 ⊆ ≤ 3) AND every count is exactly recomputable by
+    * the oracle's all-pairs XOR, so all three cross the hash gate as
+    * exact integers — no theorem booleans needed. One banded join
+    * (complete for dist ≤ 3 by the 4×16-bit pigeonhole) feeds all three
+    * counts; r = 0 is the exact-duplicate-fingerprint count, the knob's
+    * floor.
+    */
+  private val simhashRadiusCurveQ: Q = (s, dir) =>
+    simhashDistPairs(s, dir).agg(
+      sum(when(col("dist") <= 0, 1L).otherwise(0L)).as("n_r0"),
+      sum(when(col("dist") <= 1, 1L).otherwise(0L)).as("n_r1"),
+      sum(when(col("dist") <= 3, 1L).otherwise(0L)).as("n_r3"))
+  private val simhashRadiusCurveSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents),
+      |bit AS (SELECT unnest(range(64)) AS b),
+      |votes AS MATERIALIZED (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef',
+      |            substr(md5(t), CAST(16 - b // 4 AS INT), 1)) - 1)
+      |          >> (b % 4)) & 1 = 1
+      |        THEN 1 ELSE -1 END) AS s
+      |  FROM tok CROSS JOIN bit
+      |  GROUP BY doc_id, b),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN 1::HUGEINT << CAST(b AS INT)
+      |        ELSE 0 END) AS v
+      |  FROM votes GROUP BY doc_id),
+      |d AS (
+      |  SELECT bit_count(CAST(xor(a.v, b.v) AS UBIGINT)) AS dist
+      |  FROM sig a JOIN sig b ON b.doc_id > a.doc_id)
+      |SELECT CAST(sum(CASE WHEN dist <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r0,
+      |       CAST(sum(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r1,
+      |       CAST(sum(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3
+      |FROM d""".stripMargin
 
   // ------------------------------------------- exact substring dedup
 
@@ -1367,6 +1417,7 @@ object Mining {
     ("q_window_hll", windowHllQ, Some(windowHllSql)),
     ("q_grouped_quantiles", groupedQuantilesQ, Some(groupedQuantilesSql)),
     ("q_simhash_join", simhashJoinQ, Some(simhashJoinSql)),
+    ("q_simhash_radius_curve", simhashRadiusCurveQ, Some(simhashRadiusCurveSql)),
     ("q_substring_dedup", substringDedupQ, Some(substringDedupSql)),
     ("q_ann_pq", annPqQ, Some(annPqSql)),
     ("q_quality_classifier", qualityClassifierQ, Some(qualityClassifierSql)),

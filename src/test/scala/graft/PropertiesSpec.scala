@@ -21,6 +21,31 @@ object GraftProperties extends Properties("graft") {
     v <- Gen.choose(1L, 100L)
   } yield (s"k$k", v))
 
+  private val pcmGen = for {
+    n <- Gen.choose(1, 200)
+    samples <- Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    rate <- Gen.oneOf(8000, 16000, 44100)
+  } yield (samples.map(_.toShort).toArray, rate)
+
+  property("WAV codec round trip: decodeAudioStats recovers exact stats for any PCM16 signal") =
+    forAll(pcmGen) { case (samples, rate) =>
+      import spark.implicits._
+      val df = Seq((1L, Multimodal.pcm16Wav(samples, rate)))
+        .toDF("media_id", "content")
+      val r = Multimodal.decodeAudioStats(df, "media_id", "content").head()
+      val wantPeak = samples.map(s => math.abs(s.toInt)).max
+      val wantZc = samples.toSeq.sliding(2).count {
+        case Seq(a, b) => (a < 0) != (b < 0)
+        case _ => false
+      }.toLong
+      val wantSum = samples.map(s => math.abs(s.toInt).toLong).sum
+      (r.getInt(1) == samples.length) :| s"n ${r.getInt(1)}" &&
+        (r.getInt(2) == rate) :| s"rate ${r.getInt(2)}" &&
+        (r.getInt(3) == wantPeak) :| s"peak ${r.getInt(3)} want $wantPeak" &&
+        (r.getLong(4) == wantZc) :| s"zc ${r.getLong(4)} want $wantZc" &&
+        (r.getLong(5) == wantSum) :| s"sum ${r.getLong(5)} want $wantSum"
+    }
+
   property("hilbert walk is a grid-adjacent permutation at any bit width") =
     forAll(Gen.choose(2, 5)) { bits =>
       val cells = 1L << bits
