@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A full-registry bench compiles thousands of generated classes; the
+  // 240 MB default CodeCache measured 148 MB used after 241 queries —
+  // headroom before C2 stops compiling and late queries run partly
+  // interpreted. Bench asserts end occupancy < 80% in its summary JSON.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -100,7 +100,9 @@ object Bench {
                           absorbed: collection.Map[String, Int],
                           sfDir: String,
                           sentinel: Option[(Double, Double)] = None,
-                          jvm: Option[String] = None): String = {
+                          jvm: Option[String] = None,
+                          retried: collection.Map[String, (Double, Double, Double)]
+                            = Map.empty): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
@@ -109,6 +111,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val absJson = absorbed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val retriedJson = retried.map { case (k, (was, now, med)) =>
+      s"\"" + k + s"\":{\"was\":$was,\"now\":$now,\"median\":$med}"
+    }.mkString(""","retried":{""", ",", "}")
     // session-interference probe (r6 postmortem: carried-query times
     // inflated +39% round-over-round with no code change): the SAME
     // query timed before the first and after the last registry query.
@@ -120,8 +125,60 @@ object Bench {
     }.getOrElse("")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val jvmJson = jvm.map(j => s""","jvm":$j""").getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson$sentJson$jvmJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson$retriedJson$sentJson$jvmJson,"sf":"$sfDir"}"""
   }
+
+  /** Per-query timing medians from prior full-registry runs of the SAME
+    * fixture (`bench_history.jsonl` — one JSON line per run). The median
+    * across runs is the robust yardstick the outlier retry compares
+    * against: a single interfered run in the history can't shift it much,
+    * and queries the history has never seen simply have no median (no
+    * retry). Unparseable lines and non-positive (error) timings are
+    * skipped.
+    */
+  private[graft] def parseHistoryMedians(lines: Seq[String],
+                                         sfDir: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val perRun: Seq[Seq[(String, Double)]] = lines.flatMap { l =>
+      try {
+        val n = mapper.readTree(l)
+        if (n.path("sf").asText() == sfDir && n.has("queries"))
+          Some(n.get("queries").properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble())
+            .filter(_._2 > 0).toSeq)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    perRun.flatten.groupBy(_._1).map { case (k, vs) =>
+      val s = vs.map(_._2).sorted
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      k -> med
+    }
+  }
+
+  /** Queries whose measured min is a history OUTLIER: above `factor`× the
+    * history median AND more than `minDeltaSec` absolute above it (the
+    * absolute floor keeps sub-100 ms queries from retrying on pure
+    * jitter). Returns (name, measured, median). Rationale (r7 postmortem):
+    * the official r7 artifact carried ~60 s of box interference on 12
+    * queries that min-of-3 could not absorb — q_auc measured 22.58 s
+    * against a 6-run history median of ~0.9 s with zero code change. A
+    * genuine regression re-measures just as slow on the retry and keeps
+    * its honest time; machine noise does not.
+    */
+  private[graft] def outliersToRetry(results: Seq[(String, Double)],
+                                     medians: Map[String, Double],
+                                     factor: Double = 3.0,
+                                     minDeltaSec: Double = 0.5)
+      : Seq[(String, Double, Double)] =
+    results.collect {
+      case (n, t) if t > 0 && medians.get(n).exists(m =>
+          t > m * factor && t - m > minDeltaSec) =>
+        (n, t, medians(n))
+    }
 
   /** JIT code-cache / metaspace / heap snapshot as a JSON object — the
     * direct evidence for (or against) the code-cache-pressure hypothesis
@@ -143,7 +200,11 @@ object Bench {
       .map(_.getUsage.getUsed).getOrElse(0L)
     val heap = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed
-    s"""{"code_cache_mb":${mb(code)},"code_cache_max_mb":${mb(codeMax)},"metaspace_mb":${mb(meta)},"heap_mb":${mb(heap)}}"""
+    // the occupancy assertion (r7 directive): < 80% of the reserved cache,
+    // or C2 compilation stops and late queries run partly interpreted —
+    // a false flag in the END snapshot means raise ReservedCodeCacheSize
+    val ok = codeMax <= 0 || code < codeMax * 8L / 10L
+    s"""{"code_cache_mb":${mb(code)},"code_cache_max_mb":${mb(codeMax)},"code_cache_ok":$ok,"metaspace_mb":${mb(meta)},"heap_mb":${mb(heap)}}"""
   }
 
   /** The fixed interference-probe query: mid-pack cost (~1 s at sf0.1),
@@ -282,6 +343,9 @@ object Bench {
       Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity"))).write.format("noop").mode("overwrite").save()
       runToNoop("q_broadcast_dim")
+      // fixture-property guards run here, untimed, so their bounded probe
+      // jobs never land inside a first timed rep (ADVICE r7)
+      graft.queries.Curation.primeProbeGuard(spark, sfDir)
     } catch { case _: Throwable => () }
 
     // min of 3 runs per query: steady-state time, robust to JIT/GC noise
@@ -318,12 +382,47 @@ object Bench {
       else None
     val (results, errors, absorbed) = run(spark, names,
       runToNoop, sfDir, onQuery = persist, hygieneEvery = 25)
+    // history-aware outlier retry (r7 directive): min-of-3 cannot defend
+    // against a sustained interference window (r7 lost ~60 s across 12
+    // queries to one). Any query whose min landed far above its own
+    // multi-run history median gets ONE more rep at the end of the run;
+    // the better time stands and every retry is recorded in the summary's
+    // `retried` map so the artifact shows what was re-measured and why.
+    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val finalResults = if (args.nonEmpty) results else {
+      val medians =
+        try {
+          val p = java.nio.file.Paths.get(sys.env.getOrElse(
+            "SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            parseHistoryMedians(
+              java.nio.file.Files.readAllLines(p).asScala.toSeq, sfDir)
+          } else Map.empty[String, Double]
+        } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
+      val toRetry = outliersToRetry(results, medians)
+      if (toRetry.isEmpty) results
+      else {
+        System.err.println(s"[bench] retrying ${toRetry.size} history-outlier " +
+          s"queries: ${toRetry.map(_._1).mkString(", ")}")
+        val updated = toRetry.map { case (n, was, med) =>
+          val now = timedRep(spark, n, 99, DefaultRepTimeoutMs)(runToNoop(n)) match {
+            case RepOk(sec) => math.min(was, sec)
+            case _ => was // failed retry: the measured time stands
+          }
+          retried(n) = (was, now, med)
+          n -> now
+        }.toMap
+        results.map { case (n, t) => n -> updated.getOrElse(n, t) }
+      }
+    }
     val sentLast =
       if (doSentinel) timeSentinel(spark, runToNoop, DefaultRepTimeoutMs, "last")
       else None
-    val line = summaryLine(results, errors, absorbed, sfDir,
+    val line = summaryLine(finalResults, errors, absorbed, sfDir,
       sentFirst.zip(sentLast),
-      Some(s"""{"start":$jvmStart,"end":${jvmSnapshot()}}"""))
+      Some(s"""{"start":$jvmStart,"end":${jvmSnapshot()}}"""),
+      retried)
     println(line)
     // Also persist the full line to the repo root: the driver's BENCH
     // tail window truncates long per-query maps, which makes exact

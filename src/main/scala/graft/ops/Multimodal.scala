@@ -216,7 +216,7 @@ object Multimodal {
     */
   def videosFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
-    val rdd = documents.select(col("doc_id")).rdd.mapPartitions { rows =>
+    val rdd = documents.select(col("doc_id").cast(LongType)).rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, "video", synthVideo(id),
@@ -322,7 +322,9 @@ object Multimodal {
     */
   def audiosFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
-    val rdd = documents.select(col("doc_id")).rdd.mapPartitions { rows =>
+    // cast matches the decode-side convention (decodeAudioStats casts its
+    // idCol) — an IntegerType doc_id must not ClassCastException here
+    val rdd = documents.select(col("doc_id").cast(LongType)).rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, "audio", synthWav(id),
@@ -514,7 +516,7 @@ object Multimodal {
     */
   def fromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
-    val rdd = documents.select(col("doc_id")).rdd.mapPartitions { rows =>
+    val rdd = documents.select(col("doc_id").cast(LongType)).rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, "image", synthPng(id),

@@ -99,6 +99,33 @@ class BenchSpec extends SparkSpec {
       summaries.last)
   }
 
+  test("history medians: same-fixture runs only, error timings skipped, " +
+      "even/odd run counts") {
+    val lines = Seq(
+      """{"queries":{"q_a":1.0,"q_b":0.5,"q_err":-1.0},"sf":"/d/sf0.1"}""",
+      """{"queries":{"q_a":3.0,"q_b":0.7},"sf":"/d/sf0.1"}""",
+      """{"queries":{"q_a":2.0},"sf":"/d/sf0.1"}""",
+      """{"queries":{"q_a":99.0},"sf":"/d/sf0.01"}""", // other fixture: ignored
+      "not json at all")
+    val m = Bench.parseHistoryMedians(lines, "/d/sf0.1")
+    assert(m("q_a") == 2.0, m.toString)             // odd count: middle of 1,2,3
+    assert(math.abs(m("q_b") - 0.6) < 1e-12, m.toString) // even count: mean of 0.5,0.7
+    assert(!m.contains("q_err"), "error (-1) timings must not enter the median")
+  }
+
+  test("outlier retry selection: 3x median AND 0.5s absolute floor, " +
+      "no-median and error queries never retried") {
+    val medians = Map("q_slow" -> 0.9, "q_tiny" -> 0.05, "q_ok" -> 1.0)
+    val results = Seq(
+      "q_slow" -> 22.58,  // the r7 q_auc shape: retry
+      "q_tiny" -> 0.3,    // 6x median but only +0.25s absolute: jitter, skip
+      "q_ok" -> 1.2,      // within 3x: skip
+      "q_new" -> 50.0,    // no history: skip
+      "q_dead" -> -1.0)   // error: skip
+    val r = Bench.outliersToRetry(results, medians)
+    assert(r == Seq(("q_slow", 22.58, 0.9)), r.toString)
+  }
+
   test("a post-success throw is absorbed with a marker — never timing AND error") {
     val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val runOne: String => Unit = { name =>

@@ -243,4 +243,33 @@ class CurationSpec extends SparkSpec {
       "CUSUM windows must never collapse to one partition")
     assert(p.contains("TakeOrderedAndProject"), "final top-20 is a TakeOrdered")
   }
+
+  test("budget-curve raw anchors (diagnostic: q_lsh_band_curve pair counts, " +
+      "q_ivf_append raw recall) — printed so a future hash-gate red " +
+      "diagnoses as fixture-drift vs regression without a rerun") {
+    // q_lsh_band_curve gates on (mono_ok, n_pairs_full) and q_ivf_append
+    // on threshold booleans — empirical anchors, not theorems (ADVICE r7).
+    // The raw values behind them land in the test log on every `sbt test`.
+    val docs = Tables.documents(spark, sf)
+    val pairCounts = Seq(4, 8, 16).map { b =>
+      b -> graft.ops.TextOps.minHashNearDups(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = b, threshold = 0.5).count()
+    }
+    info(s"lsh_band_curve raw pairs by band count: $pairCounts")
+    assert(pairCounts.map(_._2) == pairCounts.map(_._2).sorted,
+      "banded pair counts must be nondecreasing in the band count")
+
+    val (path, cents) = Curation.stageIvfAppend(spark, sf)
+    val qv = Registry.queryVec(spark, sf)
+    val union = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    val appended = graft.ops.VectorOps.ivfTopKFromPath(spark, path, cents,
+      "vec_id", "embedding", qv, k = 10, nProbe = 7)
+    val nHit = graft.ops.VectorOps
+      .cosineTopK(union, "vec_id", "embedding", qv, 10)
+      .join(appended.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .count()
+    info(s"ivf_append raw recall: n_hit=$nHit/10 at nProbe=7 " +
+      s"(gate asserts >= 8)")
+    assert(nHit >= 8, s"ivf_append recall regressed: $nHit/10")
+  }
 }

@@ -23,16 +23,46 @@ PORTABLE = {
     "JSON",
 }
 
+def portable_str(s):
+    # String-level fallback for duckdb builds whose DuckDBPyType lacks
+    # .id/.children (older Python API): recurse through the rendered type
+    # text. Conservative — an unparseable container is non-portable.
+    s = s.strip()
+    if s in PORTABLE:
+        return True
+    if s.endswith("[]"):  # list renders as ELEM[]
+        return portable_str(s[:-2])
+    for prefix in ("STRUCT(", "MAP("):
+        if s.startswith(prefix) and s.endswith(")"):
+            body, depth, parts, cur = s[len(prefix):-1], 0, [], []
+            for ch in body:
+                if ch in "(<[":
+                    depth += 1
+                elif ch in ")>]":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append("".join(cur)); cur = []
+                else:
+                    cur.append(ch)
+            parts.append("".join(cur))
+            if prefix == "MAP(":  # MAP(K, V): both positions are types
+                return all(portable_str(p) for p in parts)
+            # STRUCT fields render as `name TYPE` — drop the name token
+            return all(portable_str(p.strip().split(" ", 1)[-1]) for p in parts)
+    return False
+
 def portable(t):
     # Recurse through nested types via the duckdb type API — a HUGEINT
     # hiding inside a struct field or list element is exactly as fatal to
-    # the hash compare as a top-level one.
+    # the hash compare as a top-level one. Verified against duckdb 1.x
+    # (DuckDBPyType.id/.children); older builds without .children fall
+    # back to parsing the rendered type string.
     tid = getattr(t, "id", None)
-    if tid in ("struct", "list"):
+    if tid in ("struct", "list", "map"):
         try:
-            children = t.children  # [(name, type)] for struct, [("child", type)] for list
+            children = t.children  # [(name, type)] pairs
         except Exception:
-            return False
+            return portable_str(str(t))
         return all(portable(ct) for _, ct in children)
     return str(t) in PORTABLE
 
