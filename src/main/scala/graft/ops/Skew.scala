@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   * the join key becomes (key, salt) so one hot key spreads over `factor`
   * reducers. Row multiplicity is unchanged — each probe row matches
   * exactly the one replica carrying its salt.
+  *
+  * When is manual salting still REQUIRED, given AQE? AQE's
+  * `OptimizeSkewedJoin` splits an oversized shuffle partition of a
+  * sort-merge/shuffled-hash JOIN at runtime (PlanSpec asserts `skew=true`
+  * on a deliberately skewed join), so plain skewed equi-joins need no
+  * hand-salting on Spark 3.2+. What AQE does NOT rebalance is a skewed
+  * AGGREGATION: `groupBy(hotKey).agg(...)` sends every row of the hot key
+  * to ONE reducer and no runtime rule can split it, because correctness
+  * requires all rows of a group in one place. The manual remedy is
+  * two-level aggregation — salt the group key, partially aggregate
+  * (key, salt), then aggregate the partials by key — which only works for
+  * COMBINABLE aggregates (sum/count/min/max/...); for those Spark's own
+  * map-side partial aggregation usually already absorbs the skew, so the
+  * two-level form pays off only when the map-side hash runs out of room
+  * (huge per-key state, e.g. collect_list). [[saltedJoin]] remains for
+  * the join cases AQE can't reach: a skewed LEFT side whose join must
+  * stay shuffled while the right side is small-but-over-broadcast, or a
+  * shuffle the planner pinned for another reason.
   */
 object Skew {
 

@@ -182,6 +182,70 @@ object Curation {
        |SELECT probe_id, rank, vec_id AS nbr_id, score
        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
+  // ------------------------------------------- MaxSim late interaction
+  /** Multi-vector retrieval with MaxSim late interaction (ColBERT —
+    * Khattab & Zaharia, SIGIR 2020, public literature): the query is a
+    * BAG of token vectors, each document a bag of token vectors, and
+    * score(doc) = Σ_q max_d ⟨q_i, d_j⟩ — each query token claims its best
+    * match inside the document. This is the modern retrieval scoring the
+    * reference's single-vector cosine path (usda-food-assistant/
+    * app.py:63-66) graduates to when one pooled vector per document
+    * throws away too much.
+    *
+    * Fixture mapping: query tokens = embeddings vec_id 1..4 (vec_id 0
+    * stays the single-vector query), documents = vec_id ≥ 5 grouped 8
+    * token vectors per doc (doc_id = vec_id div 8). Similarities are
+    * micro-quantized ONCE (round(cos·10⁶) as long — the q_dsir_weights
+    * convention) so max and sum are exact integer arithmetic across any
+    * partitioning.
+    *
+    * Scale shape: the query bag is tiny and driver-collected (the
+    * queryVec convention), so each per-token max is a CONDITIONAL
+    * AGGREGATE COLUMN of one hash aggregate — the whole query is ONE
+    * shuffle on doc_id with map-side partial max/count, then a
+    * TakeOrdered top-20. No explode of the query side, no (doc, token)
+    * intermediate shuffle, no window (PlanSpec-locked). At 100 TB the
+    * scan is the corpus' token vectors once; only |docs| × |Q| longs
+    * cross the wire.
+    */
+  private val maxSimQ: Q = (s, dir) => {
+    val qTokens = Tables.embeddings(s, dir)
+      .filter(col("vec_id").between(1, 4))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(qTokens.length == 4, s"fixture must carry vec_id 1..4")
+    val mxCols = qTokens.map { case (qid, qv) =>
+      max(round(VectorOps.cosine(col("embedding"), typedLit(qv)) * 1e6, 0)
+        .cast("long")).as(s"mx_$qid")
+    }
+    Tables.embeddings(s, dir).filter(col("vec_id") >= 5)
+      .select(expr("vec_id div 8").as("doc_id"), col("embedding"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"), mxCols: _*)
+      .select(col("doc_id"), col("n_tokens"),
+        qTokens.map(q => col(s"mx_${q._1}")).reduce(_ + _).as("maxsim_micro"))
+      .orderBy(col("maxsim_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+  private val maxSimSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+       |sc AS (
+       |  SELECT vec_id // 8 AS doc_id, qid,
+       |         CAST(round((${Registry.cosineSql("embedding", "qv")}) * 1e6, 0)
+       |              AS BIGINT) AS sim
+       |  FROM embeddings, q WHERE vec_id >= 5),
+       |mx AS (SELECT doc_id, qid, max(sim) AS mx FROM sc GROUP BY doc_id, qid),
+       |nt AS (SELECT vec_id // 8 AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+       |       FROM embeddings WHERE vec_id >= 5 GROUP BY 1)
+       |SELECT doc_id, n_tokens, CAST(sum(mx) AS BIGINT) AS maxsim_micro
+       |FROM mx JOIN nt USING (doc_id)
+       |GROUP BY doc_id, n_tokens
+       |ORDER BY maxsim_micro DESC, doc_id LIMIT 20""".stripMargin
+
   // ----------------------------------------------- DSIR importance weights
   /** Hashed importance weights for data selection (DSIR — Xie et al.,
     * NeurIPS 2023, public literature): score every document by
@@ -689,6 +753,7 @@ object Curation {
     ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),
     ("q_knn_join", knnJoinQ, Some(knnJoinSql)),
     ("q_knn_shuffled", knnShuffledQ, Some(knnShuffledSql)),
+    ("q_maxsim", maxSimQ, Some(maxSimSql)),
     ("q_dsir_weights", dsirWeightsQ, Some(dsirWeightsSql)),
     ("q_temperature_mix", temperatureMixQ, Some(temperatureMixSql)),
     ("q_cusum", cusumQ, Some(cusumSql)),

@@ -273,6 +273,21 @@ class PlanSpec extends SparkSpec {
       || "HashAggregate.*avg".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_maxsim: ONE hash exchange (per-token maxes as conditional agg " +
+      "columns), TakeOrdered top-k, no window, no join") {
+    // the whole MaxSim scoring must stay a single combinable hash
+    // aggregate on doc_id — a (doc, token) intermediate shuffle, a join
+    // against an exploded query side, or a window rank would all be the
+    // shapes this query exists to avoid at 100 TB
+    val p = Curation.queries("q_maxsim")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"maxsim must shuffle exactly once: $p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_ntile and q_global_rank plan no single-partition window (distributed tiling)") {
     for (q <- Seq("q_ntile", "q_global_rank")) {
     val df = Registry.queries(q)(spark, sf)
