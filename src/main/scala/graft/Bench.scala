@@ -95,13 +95,23 @@ object Bench {
     }
   }
 
+  /** Full audit record of one outlier retry (ADVICE r8: `now =
+    * min(was, rep)` alone cannot distinguish 'retry confirmed the slow
+    * time' from 'retry errored' — the per-rep raw times preserve the
+    * evidence). `reps` holds every retry rep's ACTUAL measured seconds
+    * (-1 for a rep that errored/timed out); `exhausted` = the kept time
+    * is STILL above the outlier threshold after the retry budget.
+    */
+  final case class RetryRecord(was: Double, now: Double, median: Double,
+                               reps: Seq[Double], exhausted: Boolean)
+
   private def summaryLine(results: Seq[(String, Double)],
                           errors: collection.Map[String, String],
                           absorbed: collection.Map[String, Int],
                           sfDir: String,
                           sentinel: Option[(Double, Double)] = None,
                           jvm: Option[String] = None,
-                          retried: collection.Map[String, (Double, Double, Double)]
+                          retried: collection.Map[String, RetryRecord]
                             = Map.empty): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -111,8 +121,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val absJson = absorbed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val retriedJson = retried.map { case (k, (was, now, med)) =>
-      s"\"" + k + s"\":{\"was\":$was,\"now\":$now,\"median\":$med}"
+    val retriedJson = retried.map { case (k, r) =>
+      s"\"" + k + s"\":{\"was\":${r.was},\"now\":${r.now},\"median\":${r.median}" +
+        s""","reps":${r.reps.mkString("[", ",", "]")},"exhausted":${r.exhausted}}"""
     }.mkString(""","retried":{""", ",", "}")
     // session-interference probe (r6 postmortem: carried-query times
     // inflated +39% round-over-round with no code change): the SAME
@@ -137,7 +148,8 @@ object Bench {
     * skipped.
     */
   private[graft] def parseHistoryMedians(lines: Seq[String],
-                                         sfDir: String): Map[String, Double] = {
+                                         sfDir: String,
+                                         lastN: Int = 6): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val perRun: Seq[Seq[(String, Double)]] = lines.flatMap { l =>
@@ -150,7 +162,11 @@ object Bench {
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
     }
-    perRun.flatten.groupBy(_._1).map { case (k, vs) =>
+    // window to the LAST lastN runs (r8 verdict item 6): medians pooled
+    // over all history never age out — after a genuine algorithmic
+    // improvement a stale slow median keeps the retry rule blind to
+    // regressions of the improved query
+    perRun.takeRight(lastN).flatten.groupBy(_._1).map { case (k, vs) =>
       val s = vs.map(_._2).sorted
       val med =
         if (s.size % 2 == 1) s(s.size / 2)
@@ -169,14 +185,31 @@ object Bench {
     * genuine regression re-measures just as slow on the retry and keeps
     * its honest time; machine noise does not.
     */
+  /** The single outlier predicate shared by initial selection AND the
+    * second-chance rule: a kept time that still satisfies it after a
+    * retry has NOT been explained by transient interference.
+    */
+  private[graft] def isOutlier(t: Double, median: Double,
+                               factor: Double = 3.0,
+                               minDeltaSec: Double = 0.5): Boolean =
+    t > 0 && t > median * factor && t - median > minDeltaSec
+
+  /** Retry budget per outlier query (r8 verdict item 6: the single-shot
+    * retry left q_approx_distinct at 2.1× its history median when the
+    * interference window outlasted the one extra rep). Bounded at 2 so a
+    * genuine regression costs at most two extra reps before its honest
+    * slow time stands, flagged `exhausted`.
+    */
+  private[graft] val MaxOutlierRetries = 2
+
   private[graft] def outliersToRetry(results: Seq[(String, Double)],
                                      medians: Map[String, Double],
                                      factor: Double = 3.0,
                                      minDeltaSec: Double = 0.5)
       : Seq[(String, Double, Double)] =
     results.collect {
-      case (n, t) if t > 0 && medians.get(n).exists(m =>
-          t > m * factor && t - m > minDeltaSec) =>
+      case (n, t) if medians.get(n).exists(m =>
+          isOutlier(t, m, factor, minDeltaSec)) =>
         (n, t, medians(n))
     }
 
@@ -339,13 +372,16 @@ object Bench {
 
     // Warmup: prime codegen/JIT + parquet readers on a small, shuffling
     // query (not timed).
+    // fixture-property guards FIRST and in their own try (ADVICE r8: when
+    // the guard shared one try with the other warmup statements, an
+    // earlier warmup failure silently skipped it and its bounded probe
+    // job landed back inside q_knn_join's first timed rep)
+    try graft.queries.Curation.primeProbeGuard(spark, sfDir)
+    catch { case _: Throwable => () }
     try {
       Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity"))).write.format("noop").mode("overwrite").save()
       runToNoop("q_broadcast_dim")
-      // fixture-property guards run here, untimed, so their bounded probe
-      // jobs never land inside a first timed rep (ADVICE r7)
-      graft.queries.Curation.primeProbeGuard(spark, sfDir)
     } catch { case _: Throwable => () }
 
     // min of 3 runs per query: steady-state time, robust to JIT/GC noise
@@ -382,13 +418,23 @@ object Bench {
       else None
     val (results, errors, absorbed) = run(spark, names,
       runToNoop, sfDir, onQuery = persist, hygieneEvery = 25)
+    // sentinel "last" probe BEFORE the retry block (ADVICE r8): the
+    // first-vs-last delta brackets exactly the registry loop it was
+    // designed to measure — retry reps must not sit inside the bracket
+    val sentLast =
+      if (doSentinel) timeSentinel(spark, runToNoop, DefaultRepTimeoutMs, "last")
+      else None
     // history-aware outlier retry (r7 directive): min-of-3 cannot defend
     // against a sustained interference window (r7 lost ~60 s across 12
     // queries to one). Any query whose min landed far above its own
-    // multi-run history median gets ONE more rep at the end of the run;
-    // the better time stands and every retry is recorded in the summary's
-    // `retried` map so the artifact shows what was re-measured and why.
-    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    // recent-history median gets up to MaxOutlierRetries extra reps at
+    // the end of the run (a second chance only while the kept time STILL
+    // qualifies as an outlier — r8's q_approx_distinct carried 2.1× its
+    // median because one rep wasn't enough); the best time stands and
+    // every retry is recorded in the summary's `retried` map — raw
+    // per-rep times included — so the artifact shows what was
+    // re-measured, why, and what each re-measurement actually said.
+    val retried = scala.collection.mutable.LinkedHashMap[String, RetryRecord]()
     val finalResults = if (args.nonEmpty) results else {
       val medians =
         try {
@@ -406,19 +452,23 @@ object Bench {
         System.err.println(s"[bench] retrying ${toRetry.size} history-outlier " +
           s"queries: ${toRetry.map(_._1).mkString(", ")}")
         val updated = toRetry.map { case (n, was, med) =>
-          val now = timedRep(spark, n, 99, DefaultRepTimeoutMs)(runToNoop(n)) match {
-            case RepOk(sec) => math.min(was, sec)
-            case _ => was // failed retry: the measured time stands
+          val reps = scala.collection.mutable.ArrayBuffer[Double]()
+          var now = was
+          var attempt = 0
+          while (attempt < MaxOutlierRetries && isOutlier(now, med)) {
+            timedRep(spark, n, 99 + attempt, DefaultRepTimeoutMs)(runToNoop(n)) match {
+              case RepOk(sec) => reps += sec; now = math.min(now, sec)
+              case _ => reps += -1.0 // failed retry: the measured time stands
+            }
+            attempt += 1
           }
-          retried(n) = (was, now, med)
+          retried(n) = RetryRecord(was, now, med, reps.toSeq,
+            exhausted = isOutlier(now, med))
           n -> now
         }.toMap
         results.map { case (n, t) => n -> updated.getOrElse(n, t) }
       }
     }
-    val sentLast =
-      if (doSentinel) timeSentinel(spark, runToNoop, DefaultRepTimeoutMs, "last")
-      else None
     val line = summaryLine(finalResults, errors, absorbed, sfDir,
       sentFirst.zip(sentLast),
       Some(s"""{"start":$jvmStart,"end":${jvmSnapshot()}}"""),

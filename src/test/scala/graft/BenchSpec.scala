@@ -113,6 +113,36 @@ class BenchSpec extends SparkSpec {
     assert(!m.contains("q_err"), "error (-1) timings must not enter the median")
   }
 
+  test("history medians are windowed: runs beyond the last 6 age out") {
+    // r8 verdict item 6: a genuine improvement must eventually LOWER the
+    // median so the retry rule sees later regressions of the improved
+    // query. 7 runs: one stale 10.0 followed by six 1.0 — the stale run
+    // must not survive the window.
+    val lines = """{"queries":{"q_a":10.0},"sf":"/d/sf0.1"}""" +:
+      Seq.fill(6)("""{"queries":{"q_a":1.0},"sf":"/d/sf0.1"}""")
+    assert(Bench.parseHistoryMedians(lines, "/d/sf0.1").apply("q_a") == 1.0)
+    // the window counts same-fixture runs only: other-sf lines between
+    // them must not push matching runs out of the window
+    val mixed = """{"queries":{"q_a":10.0},"sf":"/d/sf0.1"}""" +:
+      Seq.fill(10)("""{"queries":{"q_a":99.0},"sf":"/d/sf0.01"}""") :+
+      """{"queries":{"q_a":1.0},"sf":"/d/sf0.1"}"""
+    assert(Bench.parseHistoryMedians(mixed, "/d/sf0.1").apply("q_a") == 5.5)
+  }
+
+  test("second-chance rule: isOutlier drives both selection and retry " +
+      "exhaustion; budget is bounded") {
+    // initial selection and the keep-retrying predicate are the SAME
+    // rule — a kept time that no longer qualifies stops the retries
+    assert(Bench.isOutlier(22.58, 0.9))
+    assert(!Bench.isOutlier(2.0, 0.9))   // below 3x
+    assert(!Bench.isOutlier(0.3, 0.05))  // 6x but under the 0.5s floor
+    assert(!Bench.isOutlier(-1.0, 0.9))  // error timings never qualify
+    // r8's carried case: 5.51s vs 2.69s median is NOT an outlier (2.1x)
+    // — after one successful retry that lands there, retrying stops
+    assert(!Bench.isOutlier(5.51, 2.69))
+    assert(Bench.MaxOutlierRetries == 2)
+  }
+
   test("outlier retry selection: 3x median AND 0.5s absolute floor, " +
       "no-median and error queries never retried") {
     val medians = Map("q_slow" -> 0.9, "q_tiny" -> 0.05, "q_ok" -> 1.0)

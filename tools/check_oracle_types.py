@@ -47,8 +47,21 @@ def portable_str(s):
             parts.append("".join(cur))
             if prefix == "MAP(":  # MAP(K, V): both positions are types
                 return all(portable_str(p) for p in parts)
-            # STRUCT fields render as `name TYPE` — drop the name token
-            return all(portable_str(p.strip().split(" ", 1)[-1]) for p in parts)
+            # STRUCT fields render as `name TYPE` — drop the name token.
+            # A quoted field name may itself contain spaces ("my col"
+            # BIGINT): strip the quoted identifier first, or the split
+            # would yield a garbage type token (safe-direction false
+            # positive, but a false positive nonetheless).
+            def field_type(p):
+                p = p.strip()
+                if p.startswith('"'):
+                    end = p.find('"', 1)
+                    while end != -1 and p[end:end + 2] == '""':  # escaped ""
+                        end = p.find('"', end + 2)
+                    if end != -1:
+                        return p[end + 1:].strip()
+                return p.split(" ", 1)[-1]
+            return all(portable_str(field_type(p)) for p in parts)
     return False
 
 def portable(t):
