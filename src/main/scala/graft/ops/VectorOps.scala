@@ -492,6 +492,30 @@ object VectorOps {
         s => s.getField("code")).as("codes"))
   }
 
+  /** Incremental IVF-PQ maintenance — the PQ sibling of [[ivfAppend]]
+    * and the index append that actually matters at 100 TB (the serving
+    * index IS the PQ-coded one): encode a new batch under the EXISTING
+    * (frozen) codebooks and assign it under the EXISTING (frozen) coarse
+    * quantizer, then append ONLY the batch's code files into their
+    * centroid partition directories. Freezing BOTH models is the point:
+    * [[pqEncode]] is a deterministic function of (vector, codebooks), so
+    * the appended index is bit-identical to a full re-encode of the
+    * union under the same models (q_ivfpq_append proves exact ADC
+    * parity), no existing file is rewritten, and the append costs the
+    * batch's bytes, not the corpus's — the reference's Pinecone upsert
+    * loop (utils/upload_data_to_pinecone.py:73-83) against the
+    * compressed layout. Codebook RE-training is a rarer compaction
+    * decision, deliberately NOT part of this path (same contract as
+    * [[ivfAppend]]).
+    */
+  def ivfPqAppend(batch: DataFrame, centroids: Array[Array[Double]],
+                  model: PqModel, path: String, idCol: String,
+                  vecCol: String): Unit =
+    pqEncode(batch, idCol, vecCol, model)
+      .join(batch.select(col(idCol).as("vid"),
+        ivfAssign(col(vecCol), centroids).as("centroid")), "vid")
+      .write.partitionBy("centroid").mode("append").parquet(path)
+
   /** ADC (asymmetric distance computation) top-k over an encoded corpus:
     * the query is NOT quantized — its per-subspace distances to every
     * centroid form an M×K lookup table (driver-computed, broadcast as a

@@ -669,6 +669,257 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings
       |        WHERE vec_id <> 0 AND vec_id % 5 = 2) AS BIGINT) AS n_appended""".stripMargin
 
+  // ------------------------------------------- incremental IVF-PQ append
+  /** Staged PQ append fixture, once per (process, fixture): train the
+    * deterministic coarse quantizer AND the PQ codebooks on the EXISTING
+    * corpus only (`vec_id % 5 ≠ 2` — a real deployment's models predate
+    * the batch), encode+write the existing codes
+    * `partitionBy(centroid)`, then [[VectorOps.ivfPqAppend]] the NEW
+    * batch (`vec_id % 5 = 2`) under BOTH frozen models — only the
+    * batch's code files land.
+    */
+  private[queries] def stageIvfPqAppend(s: org.apache.spark.sql.SparkSession,
+                                        dir: String)
+      : (String, Array[Array[Double]], VectorOps.PqModel) =
+    Staging.cached(s"ivfpqappend:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val existing = emb.filter(col("vec_id") % 5 =!= 2)
+      val idx = VectorOps.ivfIndexDeterministic(existing, "vec_id",
+        "embedding", nCentroids = 8)
+      val model = VectorOps.pqTrain(existing, "vec_id", "embedding",
+        m = 16, dim = 64, k = 16, iters = 3)
+      val path = tmp.resolve("ivfpq").toString
+      VectorOps.pqEncode(existing, "vec_id", "embedding", model)
+        .join(existing.select(col("vec_id").as("vid"),
+          VectorOps.ivfAssign(col("embedding"), idx.centroids)
+            .as("centroid")), "vid")
+        .write.partitionBy("centroid").mode("overwrite").parquet(path)
+      VectorOps.ivfPqAppend(emb.filter(col("vec_id") % 5 === 2),
+        idx.centroids, model, path, "vec_id", "embedding")
+      (path, idx.centroids, model)
+    }
+
+  /** Incremental maintenance of the COMPRESSED serving index — closes
+    * the gap q_ivf_append left: that query proves the float IVF layout
+    * absorbs a batch, but the index that actually runs at 100 TB is the
+    * PQ-coded one (q_ann_ivfpq), and until now it rebuilt from scratch.
+    * q_ivfpq_append upserts a new batch under BOTH frozen models (coarse
+    * quantizer + PQ codebooks) and proves, in-plan, the q_ivf_append
+    * contract transposed to ADC:
+    *
+    *  - `parity_exact`: the ADC-shortlist-then-exact-rerank top-10 over
+    *    the appended index is bit-identical to a full re-encode of the
+    *    union under the same frozen models (zero-mismatch full-outer
+    *    join on (vid, d2)) — [[VectorOps.pqEncode]] is deterministic
+    *    given the codebooks, so the append lost nothing, fragmented
+    *    nothing, and coded nothing differently;
+    *  - `recall_ge_08`: the pruned-and-compressed probe over the
+    *    appended index still recovers ≥8 of the exact L2 top-10 on the
+    *    union at nProbe 7/8 (the q_ann_ivfpq budget; models trained on
+    *    the 80% existing slice only, so cells and codebooks sit slightly
+    *    off the union's mass — the honest post-append regime).
+    *
+    * The probe reads nProbe centroid directories of CODE rows only
+    * (PartitionFilters — asserted in PlanSpec); rerank touches the float
+    * vectors of the shortlist alone.
+    */
+  private val ivfPqAppendQ: Q = (s, dir) => {
+    val (path, cents, model) = stageIvfPqAppend(s, dir)
+    val qv = Registry.queryVec(s, dir)
+    val union = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val probes = VectorOps.nearestCentroids(cents, qv, nProbe = 7)
+    val budget = math.max(100L, union.count() / 10).toInt
+    def l2(v: Column): Column = aggregate(
+      zip_with(v, typedLit(qv.map(_.toDouble)),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    def rerankedTop10(codes: DataFrame): DataFrame =
+      VectorOps.pqAdcTopK(codes, model, qv, k = budget)
+        .join(union.select(col("vec_id").as("vid"), col("embedding")), "vid")
+        .select(col("vid"), l2(col("embedding")).as("d2"))
+        .orderBy(col("d2").asc, col("vid").asc).limit(10)
+    val appended = rerankedTop10(
+      s.read.parquet(path).filter(col("centroid").isin(probes: _*)))
+    val rebuilt = rerankedTop10(
+      VectorOps.pqEncode(union, "vec_id", "embedding", model)
+        .join(union.select(col("vec_id").as("vid"),
+          VectorOps.ivfAssign(col("embedding"), cents).as("centroid")), "vid")
+        .filter(col("centroid").isin(probes: _*)))
+    val exact = union
+      .select(col("vec_id").as("vid"), l2(col("embedding")).as("d2"))
+      .orderBy(col("d2").asc, col("vid").asc).limit(10)
+    val nHit = exact
+      .join(appended.select(col("vid")), Seq("vid"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val mism = appended
+      .join(rebuilt.select(col("vid").as("vid_r"), col("d2").as("d2_r")),
+        col("vid") === col("vid_r") && col("d2") === col("d2_r"),
+        "full_outer")
+      .filter(col("vid").isNull || col("vid_r").isNull)
+      .agg(count(lit(1)).as("n_mism"))
+    val nNew = union.filter(col("vec_id") % 5 === 2)
+      .agg(count(lit(1)).as("n_appended"))
+    nHit.crossJoin(mism).crossJoin(nNew) // 1-row frames
+      .select(lit(10).as("k"), lit(7).as("n_probe"),
+        (col("n_hit") >= 8).as("recall_ge_08"),
+        (col("n_mism") === 0L).as("parity_exact"), col("n_appended"))
+  }
+  private val ivfPqAppendSql =
+    """SELECT 10 AS k, 7 AS n_probe, TRUE AS recall_ge_08,
+      |  TRUE AS parity_exact,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 = 2) AS BIGINT) AS n_appended""".stripMargin
+
+  // ------------------------------------------- streaming index maintenance
+  /** Staged streaming-append fixture, once per (process, fixture): build
+    * the deterministic IVF index on the EXISTING corpus (`vec_id % 5 ≠
+    * 2`), write it `partitionBy(centroid)`, split the NEW batch into 4
+    * parquet files, and drain them as REAL micro-batches
+    * ([[graft.streaming.IndexStream.runStreamIvfAppend]]) — each batch
+    * appended under the frozen quantizer.
+    */
+  private[queries] def stageStreamIvf(s: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : (String, Array[Array[Double]], Int) =
+    Staging.cached(s"streamivf:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(
+        emb.filter(col("vec_id") % 5 =!= 2), "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("index").toString
+      VectorOps.ivfWrite(idx, path)
+      val inDir = tmp.resolve("incoming").toString
+      emb.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(4, col("vec_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val nb = graft.streaming.IndexStream.runStreamIvfAppend(
+        s, inDir, idx.centroids, path)
+      (path, idx.centroids, nb)
+    }
+
+  /** Streaming index maintenance — q_ivf_append's contract driven from a
+    * REAL micro-batch stream instead of one batch call: the new slice
+    * arrives as 4 AvailableNow micro-batches, each `foreachBatch`-
+    * appended into the written IVF layout under the frozen quantizer.
+    * Because the quantizer is frozen and appends are file-additive (a
+    * commutative set union), the post-drain index is bit-identical to a
+    * batch rebuild of the union under the same centroids for ANY batch
+    * order — `parity_exact` asserts it (zero-mismatch full-outer join of
+    * the two top-10s), `recall_ge_08` re-asserts the q_ivf_append recall
+    * budget (nProbe 7/8, quantizer trained on the 80% slice), and
+    * `n_batches` proves the drain really micro-batched (4 files → 4
+    * batches). The probe stays a partition-pruned scan (PartitionFilters
+    * — PlanSpec). Closes the engine's last static/streaming asymmetry:
+    * the serving index can now absorb a live stream.
+    */
+  private val streamIvfQ: Q = (s, dir) => {
+    val (path, cents, nb) = stageStreamIvf(s, dir)
+    val qv = Registry.queryVec(s, dir)
+    val union = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val streamed = VectorOps.ivfTopKFromPath(s, path, cents,
+      "vec_id", "embedding", qv, k = 10, nProbe = 7)
+    val rebuilt = VectorOps.ivfTopK(
+      VectorOps.IvfIndex(union.withColumn("centroid",
+        VectorOps.ivfAssign(col("embedding"), cents)), cents),
+      "vec_id", "embedding", qv, k = 10, nProbe = 7)
+    val nHit = VectorOps.cosineTopK(union, "vec_id", "embedding", qv, 10)
+      .join(streamed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val mism = streamed.select(col("vec_id"), col("score"))
+      .join(rebuilt.select(col("vec_id").as("vid_r"), col("score").as("score_r")),
+        col("vec_id") === col("vid_r") && col("score") === col("score_r"),
+        "full_outer")
+      .filter(col("vec_id").isNull || col("vid_r").isNull)
+      .agg(count(lit(1)).as("n_mism"))
+    val nNew = union.filter(col("vec_id") % 5 === 2)
+      .agg(count(lit(1)).as("n_streamed"))
+    nHit.crossJoin(mism).crossJoin(nNew) // 1-row frames
+      .select(lit(10).as("k"), lit(nb).as("n_batches"),
+        (col("n_hit") >= 8).as("recall_ge_08"),
+        (col("n_mism") === 0L).as("parity_exact"), col("n_streamed"))
+  }
+  private val streamIvfSql =
+    """SELECT 10 AS k, 4 AS n_batches, TRUE AS recall_ge_08,
+      |  TRUE AS parity_exact,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 = 2) AS BIGINT) AS n_streamed""".stripMargin
+
+  // --------------------------------------------------- batched MaxSim
+  /** Batched MaxSim — q_maxsim scores ONE driver-collected query bag as
+    * conditional aggregate columns; the production retrieval path scores
+    * MANY query bags per corpus pass, where per-bag literal columns stop
+    * scaling. This is that path: query bags = the `vec_id % 25 = 7`
+    * token slice grouped 8 tokens per bag (`query_id = vec_id div 200`),
+    * scored against every document's token bag in the q_knn_shuffled
+    * layout — doc tokens hashed into 8 shards, query tokens replicated
+    * once per shard, scoring under a SHUFFLE_HASH-pinned equi-join on
+    * the shard key (each (doc token, query token) pair meets exactly
+    * once; AQE can't re-broadcast it back into a nested loop —
+    * PlanSpec). Similarities are micro-quantized ONCE, then MaxSim is
+    * two exact integer hash aggregates — max over doc tokens per
+    * (query, doc, query-token), sum over query tokens per (query, doc)
+    * — and the per-query top-5 moves through the bounded
+    * [[graft.expr.TopKByScore]] aggregate: 5 rows per query per
+    * partition over the wire, no window, no sort. At 100 TB: shuffle
+    * traffic is doc-tokens×1 + query-tokens×shards, and shards scale
+    * with cluster width — nothing driver-sized anywhere (the contrast
+    * with q_maxsim's collected 4-vector bag is the point).
+    */
+  private val maxSimBatchQ: Q = (s, dir) => {
+    import graft.expr.TopKByScore
+    val nBuckets = 8
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qTokens = emb.filter(col("vec_id") % 25 === 7)
+      .select(col("vec_id").as("qtok_id"),
+        expr("vec_id div 200").as("query_id"), col("embedding").as("qv"))
+      .withColumn("ib", explode(sequence(lit(0), lit(nBuckets - 1))))
+    val docs = emb.filter(col("vec_id") >= 5 && col("vec_id") % 25 =!= 7)
+      .select(expr("vec_id div 8").as("doc_id"), col("vec_id"), col("embedding"))
+      .withColumn("ib",
+        pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).cast("int"))
+    val topk = udaf(new TopKByScore(5))
+    docs.join(qTokens.hint("shuffle_hash"), Seq("ib"))
+      .select(col("query_id"), col("doc_id"), col("qtok_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")) * 1e6, 0)
+          .cast("long").as("sim_micro"))
+      .groupBy(col("query_id"), col("doc_id"), col("qtok_id"))
+      .agg(max(col("sim_micro")).as("mx"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("mx")).as("ms"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("ms").cast("double"), col("doc_id"),
+        lit(0L), lit(0L), lit(0L), lit(0.0)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.k1").as("doc_id"),
+        col("col.score").cast("long").as("maxsim_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val maxSimBatchSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qtok_id, vec_id // 200 AS query_id,
+       |         embedding AS qv
+       |  FROM embeddings WHERE vec_id % 25 = 7),
+       |d AS (
+       |  SELECT vec_id // 8 AS doc_id, embedding
+       |  FROM embeddings WHERE vec_id >= 5 AND vec_id % 25 <> 7),
+       |sc AS (
+       |  SELECT query_id, doc_id, qtok_id,
+       |         CAST(round((${Registry.cosineSql("embedding", "qv")}) * 1e6, 0)
+       |              AS BIGINT) AS sim
+       |  FROM d, q),
+       |mx AS (SELECT query_id, doc_id, qtok_id, max(sim) AS mx
+       |       FROM sc GROUP BY 1, 2, 3),
+       |ms AS (SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim_micro
+       |       FROM mx GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, maxsim_micro,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY maxsim_micro DESC, doc_id) AS INT) AS rank
+       |      FROM ms)
+       |SELECT query_id, rank, doc_id, maxsim_micro
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------- recall/selectivity budget curves
   /** ANN recall as a function of the probe budget — the operational knob
     * an IVF deployment tunes (probe more cells = more recall, more I/O),
@@ -749,6 +1000,9 @@ object Curation {
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_ivf_append", ivfAppendQ, Some(ivfAppendSql)),
+    ("q_ivfpq_append", ivfPqAppendQ, Some(ivfPqAppendSql)),
+    ("q_stream_ivf", streamIvfQ, Some(streamIvfSql)),
+    ("q_maxsim_batch", maxSimBatchQ, Some(maxSimBatchSql)),
     ("q_ann_recall_curve", annRecallCurveQ, Some(annRecallCurveSql)),
     ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),
     ("q_knn_join", knnJoinQ, Some(knnJoinSql)),

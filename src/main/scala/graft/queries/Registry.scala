@@ -1151,6 +1151,98 @@ object Registry {
       |       sum_abs * 1000000 // total AS energy_ppm
       |FROM g JOIN t USING (doc_id) ORDER BY media_id, win""".stripMargin
 
+  /** Multimodal training-example assembly — the multimodal sibling of
+    * q_corpus_pipeline, proving the modality columns COMPOSE into packed
+    * training rows (the individual decode queries can't make that
+    * statement): over the audio-carrying slice (`doc_id % 4 = 1`), text
+    * scoring (integer [[TextOps.qualityPoints]] + token count) →
+    * exact-dedup survivors (min doc_id per md5 fingerprint, one keyed
+    * agg + semi join) → quality gate → join REAL decoded image stats
+    * ([[Multimodal.decodeImageStats]], `javax.imageio`; ViT-style patch
+    * count = (w div 4)·(h div 4)) and REAL decoded audio stats
+    * ([[Multimodal.decodeAudioStats]], RIFF/WAVE walk; frame count =
+    * n_samples div 100) → per-example cost = text tokens + image patches
+    * + audio frames → greedy 256-budget packing (the q_pack_sequences
+    * window, partitioned by lang) → per-bin occupancy rollup. Every
+    * column is integer-exact; the oracle replays the decode laws
+    * arithmetically, so both codec paths AND the composition are
+    * hash-gated end to end. 100 TB shape: decodes are partition-local
+    * map work, dedup is one keyed shuffle, joins are equi on doc_id,
+    * packing windows never leave the lang partition.
+    */
+  private val multimodalPipelineQ: Q = (s, dir) => {
+    val slice = spread(Tables.documents(s, dir)).filter(col("doc_id") % 4 === 1)
+    val text = slice.select(col("doc_id"), col("lang"),
+      TextOps.qualityPoints(col("text")).as("q_points"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_text_tokens"),
+      md5(col("text")).as("fp"))
+    val keep = text.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = text.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .filter(col("q_points") >= 4)
+    val img = Multimodal.decodeImageStats(
+        Multimodal.fromDocuments(slice), "media_id", "content")
+      .select(col("media_id").as("doc_id"),
+        (expr("width div 4") * expr("height div 4")).cast("long").as("n_patches"))
+    val aud = Multimodal.decodeAudioStats(
+        s.read.parquet(stagedAudios(s, dir)), "media_id", "content")
+      .select(col("media_id").as("doc_id"),
+        expr("n_samples div 100").cast("long").as("n_frames"))
+    val ex = kept.join(img, "doc_id").join(aud, "doc_id")
+      .select(col("lang"), col("doc_id"), col("n_text_tokens"),
+        col("n_patches"), col("n_frames"),
+        (col("n_text_tokens") + col("n_patches") + col("n_frames")).as("cost"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ex.withColumn("bin",
+        floor(coalesce(sum(col("cost")).over(w), lit(0L)) / lit(256.0)))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col("n_text_tokens")).cast("long").as("text_tokens"),
+        sum(col("n_patches")).cast("long").as("image_patches"),
+        sum(col("n_frames")).cast("long").as("audio_frames"),
+        sum(col("cost")).cast("long").as("total_cost"))
+      .orderBy(col("lang"), col("bin"))
+  }
+  private val multimodalPipelineSql = {
+    val stopList = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, md5(text) AS fp,
+       |    length(text) AS n_chars,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+       |    len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |        [$stopList])) AS stop_hits
+       |  FROM documents WHERE doc_id % 4 = 1),
+       |q AS (
+       |  SELECT doc_id, lang, fp, CAST(n_tok AS BIGINT) AS n_text_tokens,
+       |    ${TextOps.qualityPointsSql("n_chars", "n_tok", "punct", "stop_hits")} AS q_points
+       |  FROM t),
+       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp),
+       |kept AS (SELECT q.* FROM q JOIN keep USING (fp, doc_id)
+       |         WHERE q_points >= 4),
+       |ex AS (
+       |  SELECT lang, doc_id, n_text_tokens,
+       |    CAST(((8 + doc_id % 9) // 4) * ((8 + doc_id % 7) // 4) AS BIGINT)
+       |      AS n_patches,
+       |    CAST((400 + (doc_id % 7) * 50) // 100 AS BIGINT) AS n_frames
+       |  FROM kept),
+       |c AS (
+       |  SELECT lang, doc_id, n_text_tokens, n_patches, n_frames,
+       |    n_text_tokens + n_patches + n_frames AS cost,
+       |    COALESCE(SUM(n_text_tokens + n_patches + n_frames) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM ex)
+       |SELECT lang, CAST(FLOOR(cum / 256.0) AS BIGINT) AS bin,
+       |  count(*) AS n_examples,
+       |  CAST(sum(n_text_tokens) AS BIGINT) AS text_tokens,
+       |  CAST(sum(n_patches) AS BIGINT) AS image_patches,
+       |  CAST(sum(n_frames) AS BIGINT) AS audio_frames,
+       |  CAST(sum(cost) AS BIGINT) AS total_cost
+       |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+  }
+
   // ------------------------------------- coverage batch 3: joins/sets/etc
 
   /** Left outer join with a join-side predicate (unmatched → count 0). */
@@ -1719,6 +1811,7 @@ object Registry {
     ("q_video_frames", videoFrames, Some(videoFramesSql)),
     ("q_audio_stats", audioStats, Some(audioStatsSql)),
     ("q_audio_features", audioFeatures, Some(audioFeaturesSql)),
+    ("q_multimodal_pipeline", multimodalPipelineQ, Some(multimodalPipelineSql)),
     ("q_outer_join", outerJoin, Some(outerJoinSql)),
     ("q_full_outer_join", fullOuterJoin, Some(fullOuterJoinSql)),
     ("q_intersect", intersectQ, Some(intersectSql)),

@@ -361,6 +361,52 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqAppend writes only the batch's code files; codes identical to a " +
+      "frozen-codebook re-encode") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val existing = embs.filter(col("vec_id") % 5 =!= 2)
+    val batch = embs.filter(col("vec_id") % 5 === 2)
+    val idx = VectorOps.ivfIndexDeterministic(existing, "vec_id", "embedding", 8)
+    val model = VectorOps.pqTrain(existing, "vec_id", "embedding",
+      m = 16, dim = 64, k = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_append_spec")
+    val path = dir.resolve("codes").toString
+    try {
+      VectorOps.pqEncode(existing, "vec_id", "embedding", model)
+        .join(existing.select(col("vec_id").as("vid"),
+          VectorOps.ivfAssign(col("embedding"), idx.centroids).as("centroid")),
+          "vid")
+        .write.partitionBy("centroid").parquet(path)
+      def dataFiles: Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSet
+      }
+      val before = dataFiles
+      VectorOps.ivfPqAppend(batch, idx.centroids, model, path,
+        "vec_id", "embedding")
+      val after = dataFiles
+      // incremental contract: every pre-existing code file survives
+      // untouched, the append only adds
+      assert(before.subsetOf(after) && after.size > before.size,
+        s"append must only add files: before=${before.size} after=${after.size}")
+      // code parity: pqEncode is deterministic under frozen codebooks, so
+      // the appended index's codes equal a full re-encode of the union
+      val want = VectorOps.pqEncode(embs, "vec_id", "embedding", model)
+        .select(col("vid"), col("codes").as("codes_w"))
+      val got = spark.read.parquet(path).select(col("vid"), col("codes"))
+      assert(got.count() == embs.count())
+      assert(got.join(want, "vid")
+        .filter(col("codes") =!= col("codes_w")).count() == 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
+
   test("nearDupCosine finds planted near-duplicates within a block, not across") {
     val df = Seq(
       (1L, "blk1", Seq(1f, 0f, 0f)),

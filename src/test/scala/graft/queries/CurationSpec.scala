@@ -63,6 +63,47 @@ class CurationSpec extends SparkSpec {
     assert(!p.contains("Window"), "per-probe top-k must be the aggregate, not a window")
   }
 
+  test("q_maxsim_batch equals a driver-side brute-force MaxSim per query bag") {
+    val out = Curation.queries("q_maxsim_batch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "fixture must yield at least one query bag")
+    // independent algorithm: collect the fixture and fold MaxSim by hand
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = rows.filter(_._1 % 25 == 7)
+      .map { case (id, v) => (id / 200, v) }.groupBy(_._1)
+    val docs = rows.filter { case (id, _) => id >= 5 && id % 25 != 7 }
+      .map { case (id, v) => (id / 8, v) }.groupBy(_._1)
+    val brute = qs.toSeq.flatMap { case (qid, qtoks) =>
+      docs.toSeq.map { case (did, dtoks) =>
+        val ms = qtoks.map { case (_, qv) =>
+          dtoks.map { case (_, dv) =>
+            // HALF_UP away from zero — Spark/DuckDB round(x, 0) semantics
+            // (math.round would round -0.5 toward +inf instead)
+            BigDecimal(cos(dv, qv) * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }.max
+        }.sum
+        (qid, did, ms)
+      }.sortBy { case (_, did, ms) => (-ms, did) }.take(5).zipWithIndex
+        .map { case ((q, d, ms), i) => (q, i + 1, d, ms) }
+    }.sortBy { case (q, r, _, _) => (q, r) }
+    assert(out.toSeq == brute,
+      s"batched MaxSim must match the brute force; first diff: " +
+        s"${out.toSeq.zip(brute).find(p => p._1 != p._2)}")
+  }
+
   // ---------------------------------------------------------- DSIR weights
 
   test("q_dsir_weights equals an independent driver-side model (exact longs)") {

@@ -222,6 +222,58 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(3) > 0, "fixture must append at least one vector")
   }
 
+  test("q_ivfpq_append probe stays partition-pruned; ADC parity + recall hold") {
+    // the appended PQ index must probe exactly like the original build:
+    // centroid IN-list in PartitionFilters over the CODE directories —
+    // and the booleans prove the append coded nothing differently under
+    // the frozen codebooks (exact ADC parity with a full re-encode) and
+    // still recalls >= 8/10 of the exact answer
+    val df = Curation.queries("q_ivfpq_append")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val pfSections = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pfSections.exists(_.contains("centroid")), p)
+    val row = df.head()
+    assert(row.getInt(0) == 10 && row.getInt(1) == 7, row.toString)
+    assert(row.getBoolean(2) && row.getBoolean(3), row.toString)
+    assert(row.getLong(4) > 0, "fixture must append at least one vector")
+  }
+
+  test("q_stream_ivf: probe stays partition-pruned; the drain really " +
+      "micro-batched; parity + recall hold") {
+    val df = Curation.queries("q_stream_ivf")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val pfSections = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pfSections.exists(_.contains("centroid")), p)
+    val row = df.head()
+    assert(row.getInt(0) == 10, row.toString)
+    assert(row.getInt(1) == 4, s"4 staged files must drain as 4 micro-batches: $row")
+    assert(row.getBoolean(2) && row.getBoolean(3), row.toString)
+    assert(row.getLong(4) > 0, "fixture must stream at least one vector")
+  }
+
+  test("q_maxsim_batch: scoring join is genuinely shuffled — no broadcast, " +
+      "no cartesian, no window") {
+    // many-query MaxSim must keep the q_knn_shuffled layout: a
+    // SHUFFLE_HASH equi-join on the shard key (AQE would broadcast the
+    // tiny fixture back into a nested loop), per-query top-k through the
+    // bounded aggregate — never a window
+    val df = Curation.queries("q_maxsim_batch")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "neither side may broadcast")
+    assert(!p.contains("CartesianProduct"), "the shard key makes it an equi-join")
+    assert(!p.contains("Window"), "per-query top-k must be the aggregate, not a window")
+  }
+
+  test("q_multimodal_pipeline: packing window stays partitioned by lang " +
+      "(no SinglePartition)") {
+    val p = Registry.queries("q_multimodal_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p) // the per-lang packing window IS there
+  }
+
   test("q_knn_shuffled: scoring join is genuinely shuffled — no broadcast, no window") {
     // the whole point of the fallback is that NEITHER side broadcasts;
     // AQE would happily broadcast the tiny fixture probes, so the hint
