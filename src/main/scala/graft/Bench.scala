@@ -103,9 +103,10 @@ object Bench {
     * is STILL above the outlier threshold after the retry budget.
     */
   final case class RetryRecord(was: Double, now: Double, median: Double,
-                               reps: Seq[Double], exhausted: Boolean)
+                               reps: Seq[Double], exhausted: Boolean,
+                               error: Option[String] = None)
 
-  private def summaryLine(results: Seq[(String, Double)],
+  private[graft] def summaryLine(results: Seq[(String, Double)],
                           errors: collection.Map[String, String],
                           absorbed: collection.Map[String, Int],
                           sfDir: String,
@@ -122,8 +123,13 @@ object Bench {
     val absJson = absorbed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val retriedJson = retried.map { case (k, r) =>
+      // recovered_error: present ONLY on end-of-run error recovery —
+      // preserves the mid-run failure text the recovery rep replaced
+      val errField = r.error.map(e =>
+        s""","recovered_error":"${e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)}"""" + "")
+        .getOrElse("")
       s"\"" + k + s"\":{\"was\":${r.was},\"now\":${r.now},\"median\":${r.median}" +
-        s""","reps":${r.reps.mkString("[", ",", "]")},"exhausted":${r.exhausted}}"""
+        s""","reps":${r.reps.mkString("[", ",", "]")},"exhausted":${r.exhausted}$errField}"""
     }.mkString(""","retried":{""", ",", "}")
     // session-interference probe (r6 postmortem: carried-query times
     // inflated +39% round-over-round with no code change): the SAME
@@ -378,6 +384,13 @@ object Bench {
     // job landed back inside q_knn_join's first timed rep)
     try graft.queries.Curation.primeProbeGuard(spark, sfDir)
     catch { case _: Throwable => () }
+    // heavy index fixtures staged NOW, untimed (r9 postmortem: staging
+    // the IVF-PQ fixture inside q_ivfpq_append's first timed rep costs
+    // ~45 s at sf0.1 — one breath of box load pushes it over the 60 s
+    // watchdog and records a healthy query as -1). Per-stager try/catch
+    // lives inside primeIndexFixtures.
+    try graft.queries.Fixtures.primeIndexFixtures(spark, sfDir)
+    catch { case _: Throwable => () }
     try {
       Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity"))).write.format("noop").mode("overwrite").save()
@@ -435,17 +448,17 @@ object Bench {
     // per-rep times included — so the artifact shows what was
     // re-measured, why, and what each re-measurement actually said.
     val retried = scala.collection.mutable.LinkedHashMap[String, RetryRecord]()
+    val medians =
+      try {
+        val p = java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          parseHistoryMedians(
+            java.nio.file.Files.readAllLines(p).asScala.toSeq, sfDir)
+        } else Map.empty[String, Double]
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
     val finalResults = if (args.nonEmpty) results else {
-      val medians =
-        try {
-          val p = java.nio.file.Paths.get(sys.env.getOrElse(
-            "SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
-          if (java.nio.file.Files.exists(p)) {
-            import scala.jdk.CollectionConverters._
-            parseHistoryMedians(
-              java.nio.file.Files.readAllLines(p).asScala.toSeq, sfDir)
-          } else Map.empty[String, Double]
-        } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Double] }
       val toRetry = outliersToRetry(results, medians)
       if (toRetry.isEmpty) results
       else {
@@ -469,7 +482,37 @@ object Bench {
         results.map { case (n, t) => n -> updated.getOrElse(n, t) }
       }
     }
-    val line = summaryLine(finalResults, errors, absorbed, sfDir,
+    // end-of-run ERROR recovery (r9 postmortem: a query whose first rep
+    // hit the watchdog twice during a transient box wedge is recorded -1
+    // even though the code is healthy — the targeted re-run measured the
+    // same q_ivf_append at 0.88 s minutes later). Each errored query gets
+    // ONE recovery rep after everything else has run: success replaces
+    // the -1 and MOVES the original failure text into the retried map as
+    // `recovered_error` (the artifact keeps the full story — what failed,
+    // what the recovery measured); a failed recovery leaves the error
+    // standing untouched. A genuine breakage fails here too, so nothing
+    // real can hide.
+    val (recoveredResults, finalErrors) =
+      if (args.nonEmpty || errors.isEmpty) (finalResults, errors)
+      else {
+        val recovered = errors.toSeq.flatMap { case (n, err) =>
+          System.err.println(s"[bench] $n errored mid-run ($err) — " +
+            "one end-of-run recovery rep")
+          timedRep(spark, n, 98, DefaultRepTimeoutMs)(runToNoop(n)) match {
+            case RepOk(sec) =>
+              retried(n) = RetryRecord(-1.0, sec, medians.getOrElse(n, -1.0),
+                Seq(sec), exhausted = false, error = Some(err))
+              Some(n -> sec)
+            case _ =>
+              retried(n) = RetryRecord(-1.0, -1.0, medians.getOrElse(n, -1.0),
+                Seq(-1.0), exhausted = true, error = Some(err))
+              None
+          }
+        }.toMap
+        (finalResults.map { case (n, t) => n -> recovered.getOrElse(n, t) },
+          errors -- recovered.keys)
+      }
+    val line = summaryLine(recoveredResults, finalErrors, absorbed, sfDir,
       sentFirst.zip(sentLast),
       Some(s"""{"start":$jvmStart,"end":${jvmSnapshot()}}"""),
       retried)

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Untimed priming of the EXPENSIVE staged fixtures (the written
+  * vector indexes) for Bench warmup.
+  *
+  * Why this exists (r9 bench postmortem): [[graft.ops.Staging.cached]]
+  * stages once per (process, fixture) — but "once" lands inside the
+  * FIRST timed rep of whichever query touches the fixture first.
+  * Index construction (kmeans + PQ codebook training + partitioned
+  * writes + the streaming drain of stageStreamIvf) costs tens of
+  * seconds at sf0.1, which sits right under the 60 s per-rep watchdog:
+  * under mild box load the staging rep crosses the line, the watchdog
+  * cancels the half-built fixture (a failed build is NOT cached), and
+  * the retry re-stages from scratch against the leaked first attempt —
+  * the exact double-timeout that recorded q_ivf_append as -1 in the
+  * first r9 bench artifact. One-time index-build cost is not query
+  * cost; staging it in warmup keeps the watchdog pointed at what it is
+  * meant to guard.
+  *
+  * Each stager runs in its OWN try (the ADVICE-r8 primeProbeGuard
+  * lesson: one shared try means the first failure silently skips the
+  * rest): a failed prime logs loudly and the query's first timed rep
+  * re-stages — degraded, never wrong.
+  */
+object Fixtures {
+
+  /** (label, stager) for every fixture whose build is heavy enough to
+    * threaten a rep watchdog. Cheap dir stagers (csv/json/orc/text
+    * re-encodes, stream input dirs) deliberately stay out: they cost
+    * well under a second and the min-of-3 absorbs them.
+    */
+  private val heavy: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "ivf" -> ((s, d) => { Registry.stageIvf(s, d); () }),
+    "ivfpq" -> ((s, d) => { Mining.stageIvfPq(s, d); () }),
+    "ivfappend" -> ((s, d) => { Curation.stageIvfAppend(s, d); () }),
+    "ivfpqappend" -> ((s, d) => { Curation.stageIvfPqAppend(s, d); () }),
+    "streamivf" -> ((s, d) => { Curation.stageStreamIvf(s, d); () })
+  )
+
+  /** Names of the primed fixtures, in prime order (tested: every heavy
+    * index stager must be listed here or its first timed rep pays the
+    * build under the watchdog). */
+  def primedFixtureNames: Seq[String] = heavy.map(_._1)
+
+  /** Build every heavy index fixture now, on the caller's (untimed)
+    * clock. Failures are per-stager, loud, and non-fatal. */
+  def primeIndexFixtures(s: SparkSession, dir: String): Unit =
+    heavy.foreach { case (label, stage) =>
+      try stage(s, dir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] fixture prime '$label' failed — " +
+            s"its first timed rep will re-stage under the watchdog: $e")
+      }
+    }
+}

@@ -1244,7 +1244,7 @@ object Mining {
     * written `partitionBy(centroid)` — the physical layout where a probe
     * reads nProbe directories of byte codes and never touches a float.
     */
-  private def stageIvfPq(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[queries] def stageIvfPq(s: org.apache.spark.sql.SparkSession, dir: String)
       : (String, Array[Array[Double]], VectorOps.PqModel) =
     Staging.cached(s"ivfpq:$dir") { tmp =>
       val (ivfPath, centroids) = Registry.stageIvf(s, dir)

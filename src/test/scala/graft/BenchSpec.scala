@@ -156,6 +156,30 @@ class BenchSpec extends SparkSpec {
     assert(r == Seq(("q_slow", 22.58, 0.9)), r.toString)
   }
 
+  test("recovered_error serialization: an end-of-run recovery keeps the " +
+      "original failure text in the retried map, sanitized") {
+    val rec = Bench.RetryRecord(-1.0, 0.88, 0.7, Seq(0.88), exhausted = false,
+      error = Some("timeout after 60000ms \"quoted\"\nline2"))
+    val line = Bench.summaryLine(Seq("q_r" -> 0.88), Map.empty, Map.empty,
+      "/d/sf0.1", retried = Map("q_r" -> rec))
+    assert(line.contains(""""q_r":{"was":-1.0,"now":0.88"""), line)
+    assert(line.contains(""""recovered_error":"timeout after 60000ms"""), line)
+    assert(!line.contains("\nline2"), "newlines must be sanitized: " + line)
+    assert(line.contains(""""errors":{}"""), line)
+    // an ordinary outlier retry carries NO recovered_error field
+    val plain = Bench.summaryLine(Seq("q_r" -> 0.88), Map.empty, Map.empty,
+      "/d/sf0.1", retried = Map("q_r" ->
+        Bench.RetryRecord(3.0, 0.88, 0.7, Seq(0.88), exhausted = false)))
+    assert(!plain.contains("recovered_error"), plain)
+  }
+
+  test("every heavy index stager is primed by Fixtures (warmup staging " +
+      "guard: an unprimed index fixture pays its build under the watchdog)") {
+    val names = graft.queries.Fixtures.primedFixtureNames
+    for (f <- Seq("ivf", "ivfpq", "ivfappend", "ivfpqappend", "streamivf"))
+      assert(names.contains(f), s"fixture '$f' missing from warmup priming")
+  }
+
   test("a post-success throw is absorbed with a marker — never timing AND error") {
     val calls = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val runOne: String => Unit = { name =>
