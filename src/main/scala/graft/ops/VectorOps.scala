@@ -336,6 +336,29 @@ object VectorOps {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** The nProbe nearest centroid indexes of each ROW's vector, as a pure
+    * column expression — [[nearestCentroids]] is the driver-side form for
+    * ONE query vector; this is the in-plan form batched serving needs
+    * (q_knn_ivf_batch: thousands of probes per pass, so cell selection
+    * must run on the executors, not in a driver loop). Sorting
+    * (distance, index) structs gives the same first-index tie-break as
+    * [[ivfAssign]] — `ivfProbeCells(v, c, 1)[0] == ivfAssign(v, c)` by
+    * construction, so batched probing and index assignment can never
+    * disagree on cell 1.
+    */
+  def ivfProbeCells(vecCol: Column, centroids: Array[Array[Double]],
+                    nProbe: Int): Column = {
+    val lit2 = typedLit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(sequence(lit(0), lit(centroids.length - 1)), ci =>
+      aggregate(
+        zip_with(vecCol, element_at(lit2, ci + 1),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x))
+    val idxed = transform(dists, (d, i) => struct(d.as("d"), i.as("i")))
+    transform(slice(array_sort(idxed), 1, nProbe),
+      s => s.getField("i").cast("int"))
+  }
+
   /** Incremental IVF maintenance: assign a new batch under the EXISTING
     * (frozen) coarse quantizer and append ONLY the batch's files into
     * their centroid partition directories — the upsert loop of the
@@ -515,6 +538,59 @@ object VectorOps {
       .join(batch.select(col(idCol).as("vid"),
         ivfAssign(col(vecCol), centroids).as("centroid")), "vid")
       .write.partitionBy("centroid").mode("append").parquet(path)
+
+  /** Targeted small-file compaction of a partitioned index layout — the
+    * maintenance step every append path ([[ivfAppend]], [[ivfPqAppend]],
+    * the streaming drain) eventually forces: each appended batch lands
+    * new files in its centroid directories, and at 100 TB a
+    * many-appends index degenerates into millions of KB-files whose
+    * open/footer cost dominates the probe. Compaction is TARGETED: the
+    * driver lists per-partition file counts (metadata-scale — one listing
+    * per centroid directory, the same class of bounded driver work as
+    * [[nearestCentroids]]), rewrites ONLY the directories holding more
+    * than one file (one coalesced job each), and file-copies the
+    * already-compact singletons — cost proportional to the HOT
+    * partitions' bytes, never the corpus's. Rewriting row-identical
+    * content is the contract: no re-assignment, no re-encoding
+    * (q_ivfpq_compact proves exact set parity), which is what separates
+    * compaction from the rarer retrain/rebalance decision.
+    *
+    * Returns (partitionsRewritten, filesBefore, filesAfter) for the
+    * caller's audit row. Uses the Hadoop FS API so the same code drives
+    * an object store at scale.
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                 outPath: String): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    def dataFiles(p: HPath) =
+      fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
+      .sortBy(_.getPath.getName)
+    var rewritten = 0; var before = 0; var after = 0
+    parts.foreach { part =>
+      val files = dataFiles(part.getPath)
+      before += files.length
+      val dst = new HPath(outPath, part.getPath.getName)
+      if (files.length > 1) {
+        // hot partition: one coalesced rewrite of just this directory
+        spark.read.parquet(part.getPath.toString).coalesce(1)
+          .write.mode("overwrite").parquet(dst.toString)
+        rewritten += 1
+      } else {
+        // already compact: a file copy (a metadata move on a real store),
+        // never a decode+re-encode of bytes that are already right
+        fs.mkdirs(dst)
+        files.foreach(f => FileUtil.copy(fs, f.getPath, fs,
+          new HPath(dst, f.getPath.getName), false, conf))
+      }
+      after += dataFiles(dst).length
+    }
+    (rewritten, before, after)
+  }
 
   /** ADC (asymmetric distance computation) top-k over an encoded corpus:
     * the query is NOT quantized — its per-subspace distances to every

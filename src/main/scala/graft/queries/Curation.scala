@@ -845,6 +845,217 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings
       |        WHERE vec_id <> 0 AND vec_id % 5 = 2) AS BIGINT) AS n_streamed""".stripMargin
 
+  // ---------------------------------------------------- batched IVF serving
+  /** Batched ANN serving — every single-query probe so far
+    * (q_ann_ivf, q_ivf_append, …) collects ONE query vector and prunes
+    * with a driver-computed centroid list; the production retrieval path
+    * answers THOUSANDS of probes per corpus pass, where per-query driver
+    * planning stops scaling. This is that path: the probe slice
+    * (`vec_id % 97 = 1`, the q_knn_join family) selects its nProbe=3
+    * nearest cells IN-PLAN ([[VectorOps.ivfProbeCells]] — a pure column
+    * expression over the broadcast centroid literal, same tie-break as
+    * the index's own assignment), explodes to (probe, cell) pairs, and
+    * equi-joins the written IVF layout on `centroid` — each corpus row is
+    * scored ONLY against the probes that probe its cell. Scored pairs
+    * shrink from |probes|·|corpus| (q_knn_join's exact layout) to the
+    * probes' cell masses (`pruned_lt_06` proves < 60% in-plan from
+    * cell-size metadata; the measured fraction is 0.40–0.52 across the
+    * three SFs — cell imbalance on the tiny sf0.001 fixture is what keeps
+    * the honest bound at 0.6, not half); the per-probe top-3 moves
+    * through the bounded [[graft.expr.TopKByScore]] aggregate — no
+    * window, no sort. At 100 TB the shape holds with the probe side
+    * broadcast (bounded by the q_knn_join guard) or, past the bound,
+    * shuffled on the SAME centroid equi-key — either way the corpus is
+    * read once and never crossed.
+    *
+    * `recall_ge_06`: the pruned top-3 recovers ≥60% of the exact top-3
+    * pairs across all probes (measured 0.68–0.78 across the three SFs —
+    * well above the ~0.4–0.5 scanned mass, so the cells genuinely
+    * localize neighbors; threshold-boolean convention: the oracle states
+    * the constant, a regression flips the row). nProbe=3 of 8 cells is
+    * the measured knee: nProbe=2 scans ~30% but recalls only ~0.56–0.61,
+    * nProbe=4 recalls 0.78+ but scans ~0.55–0.71 — no longer pruning.
+    */
+  private val knnIvfBatchQ: Q = (s, dir) => {
+    import graft.expr.TopKByScore
+    val (path, cents) = Registry.stageIvf(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val probes = emb.filter(col("vec_id") % 97 === 1)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv"))
+    val probeCells = probes.withColumn("centroid",
+      explode(VectorOps.ivfProbeCells(col("qv"), cents, nProbe = 3)))
+    val index = s.read.parquet(path)
+    val topk = udaf(new TopKByScore(3))
+    def top3(pairs: DataFrame): DataFrame = pairs
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qv")) * 1e6, 0)
+          .cast("long").as("sim_micro"))
+      .groupBy(col("probe_id"))
+      .agg(topk(col("sim_micro").cast("double"), col("vec_id"),
+        lit(0L), lit(0L), lit(0L), lit(0.0)).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("e"))
+      .select(col("probe_id"), col("e.k1").as("vec_id"))
+    val approx = top3(index.join(broadcast(probeCells), Seq("centroid")))
+    val exact = top3(emb.crossJoin(broadcast(probes)))
+    val nHit = approx.join(exact, Seq("probe_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    // pruning proof from cell-size metadata, not a re-score: the pruned
+    // candidate mass is the probes' cells' sizes summed
+    val cellSizes = index.groupBy(col("centroid")).agg(count(lit(1)).as("cn"))
+    val pairsPruned = probeCells.join(cellSizes, Seq("centroid"))
+      .agg(sum(col("cn")).cast("long").as("pairs_pruned"))
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    nHit.crossJoin(nProbes).crossJoin(pairsPruned).crossJoin(nAll) // 1-row frames
+      .select(lit(3).as("k"), lit(3).as("n_probe"), col("n_probes"),
+        (col("n_hit") * 10 >= col("n_probes") * 3 * 6).as("recall_ge_06"),
+        (col("pairs_pruned") * 10 < col("n_probes") * col("n_all") * 6)
+          .as("pruned_lt_06"))
+  }
+  private val knnIvfBatchSql =
+    """SELECT 3 AS k, 3 AS n_probe,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 97 = 1) AS BIGINT) AS n_probes,
+      |  TRUE AS recall_ge_06, TRUE AS pruned_lt_06""".stripMargin
+
+  // ------------------------------------------------- index compaction
+  /** Staged compaction fixture, once per (process, fixture): run
+    * [[VectorOps.ivfCompact]] over the APPENDED IVF-PQ layout (the
+    * fixture with real small-file debt: stageIvfPqAppend's base write
+    * plus the appended batch files). Returns the source path, compacted
+    * path, and the audit counts (#partitions, #rewritten, files
+    * before/after).
+    */
+  private[queries] def stageIvfPqCompact(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : (String, String, Int, Int, Int, Int) =
+    Staging.cached(s"ivfpqcompact:$dir") { tmp =>
+      val (path, _, _) = stageIvfPqAppend(s, dir)
+      val out = tmp.resolve("compacted").toString
+      val (rewritten, before, after) = VectorOps.ivfCompact(s, path, out)
+      val nParts = new java.io.File(path).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("centroid="))
+      (path, out, nParts, rewritten, before, after)
+    }
+
+  /** Index compaction — the maintenance step the append family
+    * (q_ivf_append, q_ivfpq_append, q_stream_ivf) makes inevitable:
+    * every appended batch lands new files in its centroid directories,
+    * and at 100 TB a many-appends index degenerates into millions of
+    * KB-files whose open/footer cost dominates the probe. q_ivfpq_compact
+    * runs [[VectorOps.ivfCompact]] over the appended PQ layout and
+    * proves, in-plan, the two properties that make compaction safe and
+    * worth scheduling:
+    *
+    *  - `parity_exact`: the compacted layout holds EXACTLY the same
+    *    (vid, codes, centroid) rows — symmetric exceptAll both ways is
+    *    empty. Compaction moved bytes, never meaning (the contract that
+    *    separates it from the rarer retrain/rebalance decision);
+    *  - `all_singleton_after` + `files_reduced` + `compacted_ge_1`: every
+    *    partition ends at one file, strictly fewer files than before,
+    *    and at least one partition actually carried append debt — the
+    *    fixture exercised the path it claims to.
+    *
+    * Only hot directories are rewritten (cost ∝ appended partitions'
+    * bytes); singletons are file-copied (a metadata move on a real
+    * store). The compacted layout still serves partition-pruned probes
+    * (PartitionFilters — PlanSpec).
+    */
+  private val ivfPqCompactQ: Q = (s, dir) => {
+    val (path, out, nParts, rewritten, before, after) = stageIvfPqCompact(s, dir)
+    val cols = Seq(col("vid"), col("codes"), col("centroid"))
+    val old = s.read.parquet(path).select(cols: _*)
+    val neu = s.read.parquet(out).select(cols: _*)
+    val mism = old.exceptAll(neu).union(neu.exceptAll(old))
+      .agg(count(lit(1)).as("n_mism"))
+    val nRows = neu.agg(count(lit(1)).as("n_rows"))
+    mism.crossJoin(nRows) // 1-row frames
+      .select((col("n_mism") === 0L).as("parity_exact"),
+        lit(after == nParts).as("all_singleton_after"),
+        lit(before > after).as("files_reduced"),
+        lit(rewritten >= 1).as("compacted_ge_1"),
+        col("n_rows"))
+  }
+  private val ivfPqCompactSql =
+    """SELECT TRUE AS parity_exact, TRUE AS all_singleton_after,
+      |  TRUE AS files_reduced, TRUE AS compacted_ge_1,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_rows""".stripMargin
+
+  // ------------------------------------------------- index rebalance
+  /** Staged rebalance fixture, once per (process, fixture): retrain the
+    * coarse quantizer on the FULL union (existing + appended slices) and
+    * rewrite the index under the new centroids — the full-rewrite
+    * sibling of compaction, run only after stageIvfAppend so old and new
+    * layouts coexist for the move audit.
+    */
+  private[queries] def stageIvfRebalance(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : (String, Array[Array[Double]]) =
+    Staging.cached(s"ivfrebalance:$dir") { tmp =>
+      stageIvfAppend(s, dir) // the pre-rebalance layout must exist first
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("rebalanced").toString
+      VectorOps.ivfWrite(idx, path)
+      (path, idx.centroids)
+    }
+
+  /** Index rebalance — the decision the append docs defer ("re-training
+    * centroids is a rarer compaction decision, deliberately NOT part of
+    * this path"): after enough appends under a quantizer trained on the
+    * 80% slice, retrain on the union and rewrite. q_ivf_rebalance is
+    * that rewrite plus its audit:
+    *
+    *  - `reassign_exact`: every stored row's partition equals
+    *    [[VectorOps.ivfAssign]] under the NEW centroids (zero
+    *    mismatches) — the rewrite fragmented nothing;
+    *  - `moved_ge_1`: at least one vector changed cells vs the appended
+    *    layout — retraining actually rebalanced (the fixture's models
+    *    differ: 80%-trained vs union-trained seeds);
+    *  - `recall_ge_08`: the union-trained index still meets the append
+    *    family's probe budget (≥8 of the exact top-10 at nProbe 7/8).
+    *
+    * Unlike the appends (batch-bytes cost) and compaction (hot-partition
+    * bytes), rebalance reads and rewrites the corpus once — which is
+    * exactly why it is the RARE step; the query family documents the
+    * full lifecycle: build → append/stream → compact → rebalance.
+    */
+  private val ivfRebalanceQ: Q = (s, dir) => {
+    val (oldPath, _) = stageIvfAppend(s, dir)
+    val (newPath, newCents) = stageIvfRebalance(s, dir)
+    val qv = Registry.queryVec(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val reassigned = s.read.parquet(newPath)
+      .filter(col("centroid") =!=
+        VectorOps.ivfAssign(col("embedding"), newCents))
+      .agg(count(lit(1)).as("n_frag"))
+    val moved = s.read.parquet(oldPath)
+      .select(col("vec_id"), col("centroid").as("c_old"))
+      .join(s.read.parquet(newPath)
+        .select(col("vec_id"), col("centroid").as("c_new")), "vec_id")
+      .filter(col("c_old") =!= col("c_new"))
+      .agg(count(lit(1)).as("n_moved"))
+    val probed = VectorOps.ivfTopKFromPath(s, newPath, newCents,
+      "vec_id", "embedding", qv, k = 10, nProbe = 7)
+    val nHit = VectorOps.cosineTopK(emb, "vec_id", "embedding", qv, 10)
+      .join(probed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nRows = s.read.parquet(newPath).agg(count(lit(1)).as("n_rows"))
+    reassigned.crossJoin(moved).crossJoin(nHit).crossJoin(nRows) // 1-row frames
+      .select(lit(10).as("k"), lit(7).as("n_probe"),
+        (col("n_frag") === 0L).as("reassign_exact"),
+        (col("n_moved") >= 1L).as("moved_ge_1"),
+        (col("n_hit") >= 8).as("recall_ge_08"), col("n_rows"))
+  }
+  private val ivfRebalanceSql =
+    """SELECT 10 AS k, 7 AS n_probe, TRUE AS reassign_exact,
+      |  TRUE AS moved_ge_1, TRUE AS recall_ge_08,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_rows""".stripMargin
+
   // --------------------------------------------------- batched MaxSim
   /** Batched MaxSim — q_maxsim scores ONE driver-collected query bag as
     * conditional aggregate columns; the production retrieval path scores
@@ -1002,6 +1213,9 @@ object Curation {
     ("q_ivf_append", ivfAppendQ, Some(ivfAppendSql)),
     ("q_ivfpq_append", ivfPqAppendQ, Some(ivfPqAppendSql)),
     ("q_stream_ivf", streamIvfQ, Some(streamIvfSql)),
+    ("q_knn_ivf_batch", knnIvfBatchQ, Some(knnIvfBatchSql)),
+    ("q_ivfpq_compact", ivfPqCompactQ, Some(ivfPqCompactSql)),
+    ("q_ivf_rebalance", ivfRebalanceQ, Some(ivfRebalanceSql)),
     ("q_maxsim_batch", maxSimBatchQ, Some(maxSimBatchSql)),
     ("q_ann_recall_curve", annRecallCurveQ, Some(annRecallCurveSql)),
     ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),

@@ -36,7 +36,9 @@ object Fixtures {
     "ivfpq" -> ((s, d) => { Mining.stageIvfPq(s, d); () }),
     "ivfappend" -> ((s, d) => { Curation.stageIvfAppend(s, d); () }),
     "ivfpqappend" -> ((s, d) => { Curation.stageIvfPqAppend(s, d); () }),
-    "streamivf" -> ((s, d) => { Curation.stageStreamIvf(s, d); () })
+    "streamivf" -> ((s, d) => { Curation.stageStreamIvf(s, d); () }),
+    "ivfpqcompact" -> ((s, d) => { Curation.stageIvfPqCompact(s, d); () }),
+    "ivfrebalance" -> ((s, d) => { Curation.stageIvfRebalance(s, d); () })
   )
 
   /** Names of the primed fixtures, in prime order (tested: every heavy

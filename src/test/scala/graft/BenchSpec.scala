@@ -176,7 +176,8 @@ class BenchSpec extends SparkSpec {
   test("every heavy index stager is primed by Fixtures (warmup staging " +
       "guard: an unprimed index fixture pays its build under the watchdog)") {
     val names = graft.queries.Fixtures.primedFixtureNames
-    for (f <- Seq("ivf", "ivfpq", "ivfappend", "ivfpqappend", "streamivf"))
+    for (f <- Seq("ivf", "ivfpq", "ivfappend", "ivfpqappend", "streamivf",
+        "ivfpqcompact", "ivfrebalance"))
       assert(names.contains(f), s"fixture '$f' missing from warmup priming")
   }
 

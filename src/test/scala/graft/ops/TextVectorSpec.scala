@@ -484,4 +484,57 @@ class VectorOpsSpec extends SparkSpec {
     assert(dedupGuarded.exceptAll(dedupPlain).isEmpty &&
       dedupPlain.exceptAll(dedupGuarded).isEmpty)
   }
+
+  test("ivfProbeCells: cell 1 equals ivfAssign on every real vector; " +
+      "cells are distinct and within range") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val idx = VectorOps.ivfIndexDeterministic(embs, "vec_id", "embedding", 8)
+    val cells = embs.select(
+      VectorOps.ivfAssign(col("embedding"), idx.centroids).as("assigned"),
+      VectorOps.ivfProbeCells(col("embedding"), idx.centroids, 3).as("probe"))
+    // batched probing and index assignment must never disagree on cell 1
+    assert(cells.filter(col("probe")(0) =!= col("assigned")).count() == 0)
+    val bad = cells.filter(
+      size(array_distinct(col("probe"))) =!= 3 ||
+        exists(col("probe"), c => c < 0 || c >= 8)).count()
+    assert(bad == 0, "probe cells must be 3 distinct in-range indexes")
+  }
+
+  test("ivfCompact: only multi-file partitions rewritten, every partition " +
+      "ends at one file, rows identical") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val idx = VectorOps.ivfIndexDeterministic(
+      embs.filter(col("vec_id") % 5 =!= 2), "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact_spec")
+    val path = dir.resolve("index").toString
+    val out = dir.resolve("compacted").toString
+    try {
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.ivfAppend(embs.filter(col("vec_id") % 5 === 2),
+        idx.centroids, path, "vec_id", "embedding")
+      val (rewritten, before, after) = VectorOps.ivfCompact(spark, path, out)
+      val parts = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("centroid="))
+      assert(rewritten >= 1, "append debt must force at least one rewrite")
+      assert(after == parts.length, s"one file per partition after: $after")
+      assert(before > after, s"compaction must shrink file count: $before -> $after")
+      new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("centroid="))
+        .foreach { d =>
+          assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+            s"${d.getName} not a singleton")
+        }
+      val old = spark.read.parquet(path).select("vec_id", "centroid")
+      val neu = spark.read.parquet(out).select("vec_id", "centroid")
+      assert(old.exceptAll(neu).isEmpty && neu.exceptAll(old).isEmpty,
+        "compaction must move bytes, never meaning")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
 }

@@ -251,6 +251,55 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(4) > 0, "fixture must stream at least one vector")
   }
 
+  test("q_knn_ivf_batch: pruned path is a broadcast EQUI-join on centroid " +
+      "— no cartesian, no window; recall + pruning hold") {
+    // batched serving must join the corpus to the exploded (probe, cell)
+    // pairs on the centroid key: a BroadcastHashJoin of the bounded probe
+    // side. A CartesianProduct would mean cell pruning silently degraded
+    // to q_knn_join's exact all-pairs layout. (The exact-recall baseline
+    // inside the same plan contributes the guarded BroadcastNestedLoop —
+    // that one is the point of comparison, not a regression.)
+    val df = Curation.queries("q_knn_ivf_batch")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "per-probe top-k must be the aggregate, not a window")
+    val row = df.head()
+    assert(row.getInt(0) == 3 && row.getInt(1) == 3, row.toString)
+    assert(row.getLong(2) > 0, "fixture must contain probes")
+    assert(row.getBoolean(3), s"recall floor violated: $row")
+    assert(row.getBoolean(4), s"cell pruning must cut candidate mass below 0.6: $row")
+  }
+
+  test("q_ivfpq_compact: exact set parity, singleton partitions — and the " +
+      "compacted layout still serves partition-pruned probes") {
+    val df = Curation.queries("q_ivfpq_compact")(spark, sf)
+    val row = df.head()
+    assert(row.getBoolean(0), "compaction moved meaning, not just bytes")
+    assert(row.getBoolean(1) && row.getBoolean(2) && row.getBoolean(3),
+      row.toString)
+    assert(row.getLong(4) > 0, row.toString)
+    val (_, out, _, _, _, _) = Curation.stageIvfPqCompact(spark, sf)
+    val p = spark.read.parquet(out).filter(col("centroid").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.filter(_.contains("PartitionFilters:"))
+      .exists(_.contains("centroid")), p)
+  }
+
+  test("q_ivf_rebalance: probe stays partition-pruned; reassignment exact, " +
+      "vectors actually moved, recall budget holds") {
+    val df = Curation.queries("q_ivf_rebalance")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.filter(_.contains("PartitionFilters:"))
+      .exists(_.contains("centroid")), p)
+    val row = df.head()
+    assert(row.getInt(0) == 10 && row.getInt(1) == 7, row.toString)
+    assert(row.getBoolean(2), "rewrite fragmented the assignment")
+    assert(row.getBoolean(3), "retraining on the union must move at least one vector")
+    assert(row.getBoolean(4), s"recall floor violated: $row")
+    assert(row.getLong(5) > 0, row.toString)
+  }
+
   test("q_maxsim_batch: scoring join is genuinely shuffled — no broadcast, " +
       "no cartesian, no window") {
     // many-query MaxSim must keep the q_knn_shuffled layout: a
