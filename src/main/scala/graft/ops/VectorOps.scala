@@ -502,6 +502,35 @@ object VectorOps {
     model
   }
 
+  /** Per-row PQ quantization error under FROZEN codebooks, micro-rounded
+    * once to an exact long: `(vid, err_micro)` where err is the sum over
+    * subspaces of the squared distance to the chosen centroid. This is
+    * the health metric of a compressed index that keeps absorbing
+    * appends ([[ivfPqAppend]]): rising error on new batches means the
+    * frozen codebooks no longer fit the data and the RARE retrain
+    * (q_ivf_rebalance's cost class) is due — the drift statistic behind
+    * q_pq_drift's trigger booleans. `codeShift` > 0 scores each
+    * subvector against the ((argmin + shift) mod K)-th centroid instead
+    * of its argmin — by construction at least the true error on every
+    * row, which gives the query a built-in positive control: a metric
+    * that can't tell optimal codes from shifted ones couldn't detect
+    * drift either. One corpus scan, subvector expand, one hash aggregate
+    * — no joins, no windows.
+    */
+  def pqQuantError(df: DataFrame, idCol: String, vecCol: String,
+                   model: PqModel, codeShift: Int = 0): DataFrame = {
+    val sub = subvectors(df, idCol, vecCol, model.m, model.dsub)
+    val dists = centroidDists(model, col("sv"), col("m"))
+    val chosen =
+      if (codeShift == 0) array_min(dists)
+      else element_at(dists,
+        (((array_position(dists, array_min(dists)) - 1 + codeShift)
+          % model.k) + 1).cast("int"))
+    sub.select(col("vid"), chosen.as("e"))
+      .groupBy(col("vid"))
+      .agg(round(sum(col("e")) * 1e6, 0).cast("long").as("err_micro"))
+  }
+
   /** Encode every vector to its M codes: `(vid, codes: array<int>)`. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                model: PqModel): DataFrame = {
@@ -590,6 +619,80 @@ object VectorOps {
       after += dataFiles(dst).length
     }
     (rewritten, before, after)
+  }
+
+  // --------------------------------------- manifest-pinned index versions
+
+  /** Relative data-file paths (`centroid=K/part-….parquet`) of a
+    * partitioned index layout, sorted — the driver-side listing is
+    * metadata-scale (one listStatus per centroid directory, the same
+    * bounded class as [[ivfCompact]]'s audit), and the RELATIVE form is
+    * what belongs in a manifest: the layout can move roots (bucket
+    * rename, replication) without invalidating its history.
+    */
+  def listIndexFiles(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
+      .flatMap(part => fs.listStatus(part.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"${part.getPath.getName}/${f.getPath.getName}"))
+      .sorted.toIndexedSeq
+  }
+
+  /** Commit an index version: write the file list as
+    * `_manifests/v{version}.manifest` (one relative path per line),
+    * failing if the version already exists. On an object store this
+    * single-file create IS the atomic commit point — appended data files
+    * are invisible to every reader pinned to an older manifest until the
+    * new manifest lands, which is how snapshot isolation works without
+    * directory rename (the Iceberg/Delta commit idea, public
+    * literature: Armbrust et al., "Delta Lake: High-Performance ACID
+    * Table Storage over Cloud Object Stores", VLDB 2020). The underscore
+    * prefix keeps parquet's directory discovery from reading manifests
+    * as data.
+    */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    version: Int, files: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, f"_manifests/v$version%05d.manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, /* overwrite = */ false)
+    try out.write(files.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The file list committed as `version` — fails loudly on a missing
+    * manifest (a reader must never silently fall back to "whatever files
+    * are in the directory": that is exactly the torn read manifests
+    * exist to prevent).
+    */
+  def readManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                   version: Int): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, f"_manifests/v$version%05d.manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toIndexedSeq
+    finally in.close()
+  }
+
+  /** Read an index AS OF a committed version: exactly the manifest's
+    * files, with `basePath` so the `centroid=` directory structure still
+    * yields the partition column — a probe against any version stays
+    * partition-pruned (PartitionFilters, locked in PlanSpec). Files
+    * appended after this version's commit are invisible by construction:
+    * they are not in the list.
+    */
+  def readIndexVersion(spark: org.apache.spark.sql.SparkSession,
+                       path: String, version: Int): DataFrame = {
+    val files = readManifest(spark, path, version).map(f => s"$path/$f")
+    spark.read.option("basePath", path).parquet(files: _*)
   }
 
   /** ADC (asymmetric distance computation) top-k over an encoded corpus:

@@ -1056,6 +1056,135 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS n_rows""".stripMargin
 
+  // ------------------------------------------------ manifest versions
+  /** Staged versioned-index fixture, once per (process, fixture): build
+    * the IVF layout on the 80% slice, commit manifest v1, append the
+    * `vec_id % 5 = 2` batch, commit manifest v2 — two pinnable versions
+    * of one directory tree, exactly the state an object-store index is
+    * in right after an upsert.
+    */
+  private[queries] def stageIvfVersioned(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : (String, Array[Array[Double]]) =
+    Staging.cached(s"ivfversioned:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 5 =!= 2)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("versioned").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path))
+      VectorOps.ivfAppend(emb.filter(col("vec_id") % 5 === 2), idx.centroids,
+        path, "vec_id", "embedding")
+      VectorOps.writeManifest(s, path, 2, VectorOps.listIndexFiles(s, path))
+      (path, idx.centroids)
+    }
+
+  /** Manifest-pinned index versions — the commit protocol the whole
+    * append family runs on at 100 TB: a directory listing is NOT a
+    * consistent snapshot on an object store (no atomic rename, and a
+    * reader that lists mid-append sees a torn index), so each
+    * [[VectorOps.writeManifest]] commit pins a version to an explicit
+    * file list and readers scan exactly that list (the Delta/Iceberg
+    * idea — Armbrust et al., VLDB 2020). q_index_versions proves the two
+    * isolation properties on a real appended layout:
+    *
+    *  - `v1_isolated`: version 1, read AFTER the append committed v2,
+    *    still holds exactly the base rows — zero appended vec_ids leak
+    *    in (time travel is repeatable reads, not just file bookkeeping);
+    *  - `v2_complete`: version 2 holds the full union — the commit
+    *    lost nothing;
+    *  - `probe_parity`: the top-5 cosine probe over the PINNED v1 read
+    *    is bit-identical (micro-quantized sims, vid tie-break) to brute
+    *    force over the base slice — the version serves the right
+    *    ANSWERS, not merely the right row count. The v1 scan stays
+    *    partition-pruned through `basePath` (PartitionFilters —
+    *    PlanSpec).
+    */
+  private val indexVersionsQ: Q = (s, dir) => {
+    val (path, _) = stageIvfVersioned(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val base = emb.filter(col("vec_id") % 5 =!= 2)
+    val batchIds = emb.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+    val v1 = VectorOps.readIndexVersion(s, path, 1)
+    val v2 = VectorOps.readIndexVersion(s, path, 2)
+    val qv = Registry.queryVec(s, dir)
+    def top5(df: DataFrame): DataFrame = df
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), typedLit(qv)) * 1e6, 0)
+          .cast("long").as("sim_micro"))
+      .orderBy(col("sim_micro").desc, col("vec_id").asc).limit(5)
+    val leak = v1.join(batchIds, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_leak"))
+    val n1 = v1.agg(count(lit(1)).as("n_v1"))
+    val n2 = v2.agg(count(lit(1)).as("n_v2"))
+    val nBase = base.agg(count(lit(1)).as("n_base"))
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    val parity = top5(v1).exceptAll(top5(base))
+      .union(top5(base).exceptAll(top5(v1)))
+      .agg(count(lit(1)).as("n_mism"))
+    n1.crossJoin(n2).crossJoin(nBase).crossJoin(nAll).crossJoin(leak)
+      .crossJoin(parity) // 1-row frames
+      .select(
+        (col("n_v1") === col("n_base") && col("n_leak") === 0L)
+          .as("v1_isolated"),
+        (col("n_v2") === col("n_all")).as("v2_complete"),
+        (col("n_mism") === 0L).as("probe_parity"),
+        col("n_base"), col("n_all"))
+  }
+  private val indexVersionsSql =
+    """SELECT TRUE AS v1_isolated, TRUE AS v2_complete, TRUE AS probe_parity,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 2) AS BIGINT) AS n_base,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_all""".stripMargin
+
+  // --------------------------------------------------- PQ drift trigger
+  /** PQ codebook drift — the DECISION the index lifecycle was missing:
+    * append (cheap, q_ivfpq_append) and rebalance (corpus-priced,
+    * q_ivf_rebalance) both exist, but nothing said WHEN the rare rewrite
+    * is due. The trigger statistic is quantization error under the
+    * frozen codebooks ([[VectorOps.pqQuantError]], exact micro-rounded
+    * longs): when new batches stop fitting the books their error rises.
+    * On this fixture the appended slice is drawn from the same synthetic
+    * distribution as the training slice, so the truthful verdict is NO
+    * drift — `no_drift`: batch mean error ≤ 1.5× base mean error,
+    * compared exactly by integer cross-multiplication (a broken encoder,
+    * a codebook overwritten in the append path, or a genuinely shifted
+    * batch flips the row). `control_sensitive` is the built-in positive
+    * control: the SAME rows scored against shift-by-one codes must carry
+    * strictly more total error — a metric that can't separate optimal
+    * from shifted codes couldn't detect drift either, so the query
+    * certifies its own instrument. Cost: two scans of the corpus slices
+    * and one of the control, each a subvector expand into one hash
+    * aggregate — no joins, no windows, nothing corpus-crossed.
+    */
+  private val pqDriftQ: Q = (s, dir) => {
+    val (_, _, model) = stageIvfPqAppend(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val base = emb.filter(col("vec_id") % 5 =!= 2)
+    val batch = emb.filter(col("vec_id") % 5 === 2)
+    def sums(df: DataFrame, shift: Int, sumName: String, nName: String) =
+      VectorOps.pqQuantError(df, "vec_id", "embedding", model, shift)
+        .agg(sum(col("err_micro")).cast("long").as(sumName),
+          count(lit(1)).as(nName))
+    val b = sums(base, 0, "base_sum", "n_base")
+    val a = sums(batch, 0, "batch_sum", "n_batch")
+    val c = sums(base, 1, "ctrl_sum", "n_ctrl")
+    b.crossJoin(a).crossJoin(c) // 1-row frames
+      .select(col("n_base"), col("n_batch"),
+        (col("batch_sum") * col("n_base") * 2
+          <= col("base_sum") * col("n_batch") * 3).as("no_drift"),
+        (col("ctrl_sum") > col("base_sum")).as("control_sensitive"))
+  }
+  private val pqDriftSql =
+    """SELECT
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 2) AS BIGINT) AS n_base,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 = 2) AS BIGINT) AS n_batch,
+      |  TRUE AS no_drift, TRUE AS control_sensitive""".stripMargin
+
   // --------------------------------------------------- batched MaxSim
   /** Batched MaxSim — q_maxsim scores ONE driver-collected query bag as
     * conditional aggregate columns; the production retrieval path scores
@@ -1216,6 +1345,8 @@ object Curation {
     ("q_knn_ivf_batch", knnIvfBatchQ, Some(knnIvfBatchSql)),
     ("q_ivfpq_compact", ivfPqCompactQ, Some(ivfPqCompactSql)),
     ("q_ivf_rebalance", ivfRebalanceQ, Some(ivfRebalanceSql)),
+    ("q_index_versions", indexVersionsQ, Some(indexVersionsSql)),
+    ("q_pq_drift", pqDriftQ, Some(pqDriftSql)),
     ("q_maxsim_batch", maxSimBatchQ, Some(maxSimBatchSql)),
     ("q_ann_recall_curve", annRecallCurveQ, Some(annRecallCurveSql)),
     ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),

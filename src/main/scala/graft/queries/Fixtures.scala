@@ -38,7 +38,8 @@ object Fixtures {
     "ivfpqappend" -> ((s, d) => { Curation.stageIvfPqAppend(s, d); () }),
     "streamivf" -> ((s, d) => { Curation.stageStreamIvf(s, d); () }),
     "ivfpqcompact" -> ((s, d) => { Curation.stageIvfPqCompact(s, d); () }),
-    "ivfrebalance" -> ((s, d) => { Curation.stageIvfRebalance(s, d); () })
+    "ivfrebalance" -> ((s, d) => { Curation.stageIvfRebalance(s, d); () }),
+    "ivfversioned" -> ((s, d) => { Curation.stageIvfVersioned(s, d); () })
   )
 
   /** Names of the primed fixtures, in prime order (tested: every heavy

@@ -22,11 +22,12 @@ class BenchSpec extends SparkSpec {
       Seq("q_fast_a", "q_wedged", "q_fast_b"), runOne, "spec_sf",
       // wide enough that a cold-JIT fast query can't trip it (a 3 s cap
       // flaked once when this suite ran first in the JVM; 8 s flaked
-      // once more under a loaded box at r6 — only wedged paths ever
-      // wait this long, so the width costs nothing in clean runs).
+      // once more under a loaded box at r6; 20 s flaked once at r9 when
+      // the host measured 3-5x slow — only wedged paths ever wait this
+      // long, so the width costs nothing in clean runs).
       // cancelAllOnTimeout = false: the session is shared with
       // concurrently-running suites (see the absorbed-stall test).
-      timeoutMs = 20000, reps = 2, onQuery = s => summaries += s,
+      timeoutMs = 30000, reps = 2, onQuery = s => summaries += s,
       cancelAllOnTimeout = false)
 
     val byName = results.toMap
@@ -78,12 +79,13 @@ class BenchSpec extends SparkSpec {
     val summaries = scala.collection.mutable.ArrayBuffer[String]()
     // cancelAllOnTimeout = false: this suite SHARES the session with
     // concurrently-running suites — the backstop would kill their jobs.
-    // 20 s rep timeout → 10 s grace: under a loaded box, cancellation
-    // propagation alone has exceeded a 6 s grace (observed flake when
-    // run concurrently with ContractSpec's Spark jobs).
+    // 30 s rep timeout: under a loaded box, cancellation propagation
+    // alone has exceeded a 6 s grace (observed flake when run
+    // concurrently with ContractSpec's Spark jobs), and 20 s flaked
+    // once more at r9 on a 3-5x-degraded host.
     val (results, errors, absorbed) = Bench.run(spark,
       Seq("q_flaky_late", "q_flaky_first", "q_ok"), runOne, "spec_sf",
-      timeoutMs = 20000, reps = 3, onQuery = s => summaries += s,
+      timeoutMs = 30000, reps = 3, onQuery = s => summaries += s,
       cancelAllOnTimeout = false)
     val byName = results.toMap
     assert(byName("q_flaky_late") > 0, s"late wedge must keep rep-1 timing: $results")
@@ -177,7 +179,7 @@ class BenchSpec extends SparkSpec {
       "guard: an unprimed index fixture pays its build under the watchdog)") {
     val names = graft.queries.Fixtures.primedFixtureNames
     for (f <- Seq("ivf", "ivfpq", "ivfappend", "ivfpqappend", "streamivf",
-        "ivfpqcompact", "ivfrebalance"))
+        "ivfpqcompact", "ivfrebalance", "ivfversioned"))
       assert(names.contains(f), s"fixture '$f' missing from warmup priming")
   }
 

@@ -501,6 +501,63 @@ class VectorOpsSpec extends SparkSpec {
     assert(bad == 0, "probe cells must be 3 distinct in-range indexes")
   }
 
+  test("manifest versions: roundtrip, duplicate-version commit refused, " +
+      "pinned read invisible to a later append") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val base = embs.filter(col("vec_id") % 5 =!= 2)
+    val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_versions_spec")
+    val path = dir.resolve("index").toString
+    try {
+      VectorOps.ivfWrite(idx, path)
+      val v1Files = VectorOps.listIndexFiles(spark, path)
+      VectorOps.writeManifest(spark, path, 1, v1Files)
+      assert(VectorOps.readManifest(spark, path, 1) == v1Files)
+      // a version is immutable: re-committing v1 must fail loudly
+      intercept[Exception] {
+        VectorOps.writeManifest(spark, path, 1, v1Files)
+      }
+      VectorOps.ivfAppend(embs.filter(col("vec_id") % 5 === 2),
+        idx.centroids, path, "vec_id", "embedding")
+      VectorOps.writeManifest(spark, path, 2, VectorOps.listIndexFiles(spark, path))
+      val v1 = VectorOps.readIndexVersion(spark, path, 1)
+      val v2 = VectorOps.readIndexVersion(spark, path, 2)
+      assert(v1.count() == base.count(), "pinned v1 must hold exactly the base rows")
+      assert(v1.filter(col("vec_id") % 5 === 2).count() == 0,
+        "appended rows must be invisible to the pinned v1 read")
+      assert(v2.count() == embs.count(), "v2 must hold the full union")
+      assert(v1.columns.contains("centroid"),
+        "basePath read must recover the partition column")
+      // a missing version must fail, never silently fall back to a listing
+      intercept[Exception] { VectorOps.readManifest(spark, path, 3) }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
+
+  test("pqQuantError: shifted codes carry >= the optimal error on every " +
+      "row, strictly more in total") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val model = VectorOps.pqTrain(embs, "vec_id", "embedding",
+      m = 16, dim = 64, k = 16, iters = 2)
+    val opt = VectorOps.pqQuantError(embs, "vec_id", "embedding", model)
+      .withColumnRenamed("err_micro", "e0")
+    val ctl = VectorOps.pqQuantError(embs, "vec_id", "embedding", model, 1)
+      .withColumnRenamed("err_micro", "e1")
+    val j = opt.join(ctl, "vid").cache()
+    assert(j.filter(col("e1") < col("e0")).count() == 0,
+      "argmin is optimal: no row's shifted error may undercut it")
+    val sums = j.agg(sum(col("e0")), sum(col("e1"))).head()
+    assert(sums.getLong(1) > sums.getLong(0),
+      "shift-by-one must cost strictly more error in total")
+    j.unpersist()
+  }
+
   test("ivfCompact: only multi-file partitions rewritten, every partition " +
       "ends at one file, rows identical") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

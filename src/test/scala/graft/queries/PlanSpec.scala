@@ -300,6 +300,39 @@ class PlanSpec extends SparkSpec {
     assert(row.getLong(5) > 0, row.toString)
   }
 
+  test("q_index_versions: a pinned-version probe stays partition-pruned; " +
+      "isolation + completeness + probe parity hold") {
+    val df = Curation.queries("q_index_versions")(spark, sf)
+    val row = df.head()
+    assert(row.getBoolean(0), s"v1 leaked appended rows or lost base rows: $row")
+    assert(row.getBoolean(1), s"v2 must hold the full union: $row")
+    assert(row.getBoolean(2), s"pinned-version probe diverged from brute force: $row")
+    assert(row.getLong(3) > 0 && row.getLong(4) > row.getLong(3), row.toString)
+    // the manifest read path (explicit file list + basePath) must still
+    // prune on the centroid partition column, at ANY version
+    val (path, _) = Curation.stageIvfVersioned(spark, sf)
+    val p = graft.ops.VectorOps.readIndexVersion(spark, path, 1)
+      .filter(col("centroid").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.filter(_.contains("PartitionFilters:"))
+      .exists(_.contains("centroid")), p)
+  }
+
+  test("q_pq_drift: pure aggregate shape — no window, no corpus-crossing " +
+      "join; no-drift verdict and positive control hold") {
+    val df = Curation.queries("q_pq_drift")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "drift statistic must be an aggregate, not a window")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing corpus-sized may join in the drift statistic")
+    val row = df.head()
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0, row.toString)
+    assert(row.getBoolean(2),
+      s"iid append slice must not read as drift (threshold too tight?): $row")
+    assert(row.getBoolean(3),
+      s"shift-by-one control must carry strictly more error: $row")
+  }
+
   test("q_maxsim_batch: scoring join is genuinely shuffled — no broadcast, " +
       "no cartesian, no window") {
     // many-query MaxSim must keep the q_knn_shuffled layout: a
