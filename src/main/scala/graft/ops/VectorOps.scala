@@ -695,6 +695,183 @@ object VectorOps {
     spark.read.option("basePath", path).parquet(files: _*)
   }
 
+  // -------------------------------------- merge-on-read tombstone deletes
+
+  /** Commit a LOGICAL delete: the new version carries `fromVersion`'s
+    * file list UNCHANGED plus a tombstone sidecar (`_deletes/v{N}/`, a
+    * parquet of deleted ids merged with any tombstones already pending
+    * at `fromVersion`). Zero data files are rewritten at commit time —
+    * at 100 TB a right-to-be-forgotten request costs one id-sized
+    * sidecar write, not a corpus rewrite, which is the only commit cost
+    * a deletion SLA can afford (the merge-on-read position delete of
+    * Iceberg v2 / Delta deletion vectors — public designs). Readers of
+    * this version subtract the sidecar ([[readIndexVersionMor]]);
+    * readers pinned to older versions still see the rows — deletes are
+    * versioned data like everything else, so audits of "what did the
+    * model train on at v1" stay answerable until vacuum.
+    */
+  def commitDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
+                    fromVersion: Int, toVersion: Int,
+                    ids: DataFrame): Unit = {
+    val pending = readDeletes(spark, path, fromVersion)
+      .map(d => d.select(col("vid")))
+      .getOrElse(spark.emptyDataFrame.select(lit(0L).as("vid")).limit(0))
+    ids.select(col(ids.columns.head).cast("long").as("vid"))
+      .union(pending).distinct()
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(s"$path/_deletes/v$toVersion")
+    writeManifest(spark, path, toVersion,
+      readManifest(spark, path, fromVersion))
+  }
+
+  /** The tombstone sidecar of `version`, if one exists. */
+  def readDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
+                  version: Int): Option[DataFrame] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, s"_deletes/v$version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Merge-on-read: the pinned version's files minus its tombstones —
+    * a broadcast left-anti join on the id column (tombstone sets are
+    * id-sized, orders of magnitude under the corpus; at the point they
+    * rival the corpus the physical [[applyDeletes]] is overdue anyway).
+    * A version with no sidecar reads exactly as [[readIndexVersion]].
+    */
+  def readIndexVersionMor(spark: org.apache.spark.sql.SparkSession,
+                          path: String, version: Int,
+                          idCol: String): DataFrame = {
+    val base = readIndexVersion(spark, path, version)
+    readDeletes(spark, path, version) match {
+      case None => base
+      case Some(d) => base.join(
+        broadcast(d.select(col("vid").as(idCol))), Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Apply pending tombstones PHYSICALLY: rewrite only the partitions
+    * that actually hold deleted rows (the driver learns which from one
+    * id-sized aggregate over the MOR read's complement), land the
+    * filtered files beside the old ones, and commit `toVersion` with the
+    * sidecar folded in and dropped. Cost ∝ the affected partitions'
+    * bytes — a delete touching 3 of 10k partitions rewrites 3. Old
+    * versions keep serving until [[ivfVacuum]]; the new version needs no
+    * anti-join at read time. Returns (partitionsRewritten, rowsDeleted).
+    */
+  def applyDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
+                   fromVersion: Int, toVersion: Int,
+                   idCol: String): (Int, Long) = {
+    val delsOpt = readDeletes(spark, path, fromVersion)
+    if (delsOpt.isEmpty) { // nothing pending: the commit is pure metadata
+      writeManifest(spark, path, toVersion,
+        readManifest(spark, path, fromVersion))
+      return (0, 0L)
+    }
+    val delSet = broadcast(delsOpt.get.select(col("vid").as(idCol)))
+    // which partitions hold doomed rows — one id-sized semi-join aggregate
+    val hotParts = readIndexVersion(spark, path, fromVersion)
+      .join(delSet, Seq(idCol), "left_semi")
+      .groupBy(col("centroid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => s"centroid=${r.get(0)}" -> r.getLong(1)).toMap
+    val (rewritten, _, _) =
+      rewriteVersioned(spark, path, fromVersion, toVersion, "deleted") {
+        (part, _) => hotParts.contains(part)
+      } { df => df.join(delSet, Seq(idCol), "left_anti") }
+    (rewritten, hotParts.values.sum)
+  }
+
+  /** Shared write-new/commit core of every versioned rewrite
+    * ([[ivfCompactVersioned]], [[applyDeletes]]): walk `fromVersion`'s
+    * partitions, rewrite those `shouldRewrite` selects — coalesce(1) of
+    * `transformPart` over exactly that version's files (read WITHOUT
+    * basePath: the new file must not embed the partition column the
+    * directory encodes), landed BESIDE the old files via rename so data
+    * stays immutable and pinned readers are undisturbed — re-list the
+    * rest untouched, and commit `toVersion`. Returns
+    * (partitionsRewritten, filesFrom, filesTo).
+    */
+  private def rewriteVersioned(spark: org.apache.spark.sql.SparkSession,
+                               path: String, fromVersion: Int,
+                               toVersion: Int, dstTag: String)
+                              (shouldRewrite: (String, Seq[String]) => Boolean)
+                              (transformPart: DataFrame => DataFrame)
+      : (Int, Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val from = readManifest(spark, path, fromVersion)
+    val newList = scala.collection.mutable.ArrayBuffer[String]()
+    var rewritten = 0
+    from.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).foreach {
+      case (part, files) =>
+        if (shouldRewrite(part, files)) {
+          val tmp = new HPath(path, s"_rewrite_tmp/$part")
+          transformPart(spark.read.parquet(files.map(f => s"$path/$f"): _*))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val produced = fs.listStatus(tmp)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          require(produced.length == 1,
+            s"coalesce(1) must land one file, got ${produced.length}")
+          val dst = new HPath(path, s"$part/$dstTag-v$toVersion.parquet")
+          require(fs.rename(produced.head.getPath, dst),
+            s"rename to $dst failed")
+          fs.delete(tmp, true)
+          newList += s"$part/${dst.getName}"
+          rewritten += 1
+        } else newList ++= files
+    }
+    fs.delete(new HPath(path, "_rewrite_tmp"), true)
+    writeManifest(spark, path, toVersion, newList.sorted.toSeq)
+    (rewritten, from.length, newList.length)
+  }
+
+  /** Versioned in-place compaction: coalesce every partition that
+    * `fromVersion` holds more than one file in, land the NEW file beside
+    * the old ones (data files are immutable — nothing is overwritten,
+    * readers pinned to `fromVersion` are undisturbed), and commit
+    * `toVersion` as (untouched singletons + compacted files). The
+    * pre-compaction multi-files stay on disk, referenced only by older
+    * manifests, until [[ivfVacuum]] reclaims them — the write-new,
+    * commit, THEN reclaim ordering is what makes compaction safe under
+    * concurrent readers on a store with no atomic rename. Cost ∝ the hot
+    * partitions' bytes (one coalesced job each); singleton partitions
+    * cost nothing at all — not even a copy, their existing file is
+    * simply re-listed. Returns (partitionsRewritten, filesFrom, filesTo).
+    */
+  def ivfCompactVersioned(spark: org.apache.spark.sql.SparkSession,
+                          path: String, fromVersion: Int,
+                          toVersion: Int): (Int, Int, Int) =
+    rewriteVersioned(spark, path, fromVersion, toVersion, "compacted") {
+      (_, files) => files.length > 1
+    } { identity }
+
+  /** Reclaim data files no kept manifest references — the step that
+    * makes a versioned layout sustainable: without it, every compaction
+    * and append retains its superseded files forever. The referenced set
+    * is the union of the kept manifests' lists (metadata-scale driver
+    * work); everything else under the `centroid=` directories is deleted.
+    * Manifests themselves and non-data files are never touched, and an
+    * empty keep set is refused — "vacuum everything" must be impossible
+    * to express. Returns (deleted, kept). After a vacuum, unkept
+    * versions are gone by design: [[readIndexVersion]] on them fails
+    * loudly at scan time rather than returning partial data silently
+    * (parquet errors on the missing files).
+    */
+  def ivfVacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+                keepVersions: Seq[Int]): (Int, Int) = {
+    require(keepVersions.nonEmpty, "ivfVacuum: keepVersions must be non-empty")
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val referenced = keepVersions
+      .flatMap(v => readManifest(spark, path, v)).toSet
+    val all = listIndexFiles(spark, path)
+    val orphans = all.filterNot(referenced)
+    orphans.foreach(f => fs.delete(new HPath(path, f), false))
+    (orphans.length, all.length - orphans.length)
+  }
+
   /** ADC (asymmetric distance computation) top-k over an encoded corpus:
     * the query is NOT quantized — its per-subspace distances to every
     * centroid form an M×K lookup table (driver-computed, broadcast as a

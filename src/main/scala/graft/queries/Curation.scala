@@ -1139,6 +1139,176 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS n_all""".stripMargin
 
+  // ----------------------------------------------- versioned GC (vacuum)
+  /** Staged vacuum fixture, once per (process, fixture): a SEPARATE tree
+    * from [[stageIvfVersioned]] (vacuum mutates the layout — it must
+    * never share a fixture with queries that pin old versions). Builds
+    * the base (v1), appends (v2), compacts in place (v3), records the
+    * pre-vacuum file count, vacuums keeping ONLY v3, and returns the
+    * path, centroids, and the audit counts.
+    */
+  private[queries] def stageIvfVacuumed(s: org.apache.spark.sql.SparkSession,
+                                        dir: String)
+      : (String, Array[Array[Double]], Int, Int, Int, Int, Int) =
+    Staging.cached(s"ivfvacuumed:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 5 =!= 2)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("vacuumed").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path))
+      VectorOps.ivfAppend(emb.filter(col("vec_id") % 5 === 2), idx.centroids,
+        path, "vec_id", "embedding")
+      VectorOps.writeManifest(s, path, 2, VectorOps.listIndexFiles(s, path))
+      val (rewritten, filesV2, filesV3) =
+        VectorOps.ivfCompactVersioned(s, path, fromVersion = 2, toVersion = 3)
+      val (deleted, kept) = VectorOps.ivfVacuum(s, path, Seq(3))
+      (path, idx.centroids, rewritten, filesV2, filesV3, deleted, kept)
+    }
+
+  /** Versioned GC — the step that makes the manifest layout SUSTAINABLE:
+    * q_index_versions proves pinned reads, q_ivfpq_compact proves
+    * coalescing, but every in-place compaction strands its superseded
+    * multi-files on disk, referenced only by old manifests, and at
+    * 100 TB an unvacuumed index pays for every byte it ever wrote.
+    * q_index_vacuum runs the full storage lifecycle on one tree —
+    * build (v1) → append (v2) → compact in place (v3, new files land
+    * BESIDE the old; v2 readers undisturbed) → vacuum keeping only v3 —
+    * and audits, in-plan where it counts:
+    *
+    *  - `parity_exact`: the post-vacuum v3 read is row-identical to the
+    *    union re-derived from the source under the same frozen quantizer
+    *    (symmetric exceptAll both ways empty) — GC deleted bytes, never
+    *    meaning;
+    *  - `only_kept_remain`: the post-vacuum listing is EXACTLY v3's
+    *    manifest set — nothing referenced was deleted, nothing orphaned
+    *    survived;
+    *  - `deleted_ge_1` + `compacted_ge_1`: the fixture carried real
+    *    append debt and the vacuum actually reclaimed the superseded
+    *    files (a vacuum that never deletes proves nothing).
+    *
+    * Vacuum itself is metadata-scale (manifest union + listing + file
+    * deletes); the corpus is read zero times. The write-new → commit →
+    * reclaim ordering is what makes the whole lifecycle safe under
+    * concurrent readers on a rename-free object store.
+    */
+  private val indexVacuumQ: Q = (s, dir) => {
+    val (path, cents, rewritten, filesV2, filesV3, deleted, kept) =
+      stageIvfVacuumed(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val v3 = VectorOps.readIndexVersion(s, path, 3)
+      .select(col("vec_id"), col("centroid"))
+    val truth = emb.select(col("vec_id"),
+      VectorOps.ivfAssign(col("embedding"), cents).as("centroid"))
+    val mism = v3.exceptAll(truth).union(truth.exceptAll(v3))
+      .agg(count(lit(1)).as("n_mism"))
+    val nRows = VectorOps.readIndexVersion(s, path, 3)
+      .agg(count(lit(1)).as("n_rows"))
+    val listingNow = VectorOps.listIndexFiles(s, path).toSet
+    val manifestV3 = VectorOps.readManifest(s, path, 3).toSet
+    mism.crossJoin(nRows) // 1-row frames
+      .select((col("n_mism") === 0L).as("parity_exact"),
+        lit(listingNow == manifestV3).as("only_kept_remain"),
+        lit(deleted >= 1 && filesV2 > filesV3).as("deleted_ge_1"),
+        lit(rewritten >= 1 && kept == manifestV3.size).as("compacted_ge_1"),
+        col("n_rows"))
+  }
+  private val indexVacuumSql =
+    """SELECT TRUE AS parity_exact, TRUE AS only_kept_remain,
+      |  TRUE AS deleted_ge_1, TRUE AS compacted_ge_1,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_rows""".stripMargin
+
+  // ------------------------------------------- merge-on-read deletes
+  /** Staged MOR-delete fixture, once per (process, fixture): its own
+    * tree (deletes mutate history forward; sharing with other pinned
+    * fixtures would entangle their contracts). v1 = full build;
+    * v2 = logical delete of `vec_id % 7 = 3` (sidecar only, file list
+    * unchanged); v3 = physical apply (affected partitions rewritten,
+    * sidecar dropped). Returns the path plus the commit audits.
+    */
+  private[queries] def stageIvfMorDelete(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : (String, Boolean, Int, Long) =
+    Staging.cached(s"ivfmordelete:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("mor").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path))
+      VectorOps.commitDeletes(s, path, fromVersion = 1, toVersion = 2,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      // the logical commit must move ZERO data files — audit it here,
+      // where both manifests are at hand
+      val logicalCheap = VectorOps.readManifest(s, path, 2) ==
+        VectorOps.readManifest(s, path, 1)
+      val (rewritten, rowsDeleted) =
+        VectorOps.applyDeletes(s, path, fromVersion = 2, toVersion = 3,
+          idCol = "vec_id")
+      (path, logicalCheap, rewritten, rowsDeleted)
+    }
+
+  /** Merge-on-read deletes — the capability a 100 TB training corpus
+    * cannot ship without: a right-to-be-forgotten request must take
+    * effect at commit time without rewriting the corpus. q_mor_delete
+    * runs the full deletion lifecycle (the Iceberg-v2 position-delete /
+    * Delta deletion-vector design, public): v1 full index → v2 LOGICAL
+    * delete (tombstone sidecar, file list unchanged — the commit is
+    * id-sized) → v3 PHYSICAL apply (only partitions holding doomed rows
+    * rewritten, sidecar folded in and dropped). Audited:
+    *
+    *  - `logical_cheap`: v2's manifest is byte-identical to v1's — the
+    *    deletion SLA was met without touching a data file;
+    *  - `mor_excludes`: the v2 merge-on-read scan returns zero deleted
+    *    ids and exactly (all − deleted) rows, while the PINNED v1 read
+    *    still holds every row — deletes are versioned data, so "what did
+    *    the model train on at v1" stays answerable until vacuum;
+    *  - `physical_parity`: the v3 read (no anti-join needed) is
+    *    row-identical to the v2 MOR view — applying tombstones moved
+    *    bytes, never meaning;
+    *  - `apply_targeted`: the physical apply rewrote ≥1 and ≤ #deleted
+    *    partitions — cost proportional to where the doomed rows LIVE,
+    *    never the corpus.
+    */
+  private val morDeleteQ: Q = (s, dir) => {
+    val (path, logicalCheap, rewritten, rowsDeleted) = stageIvfMorDelete(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val v1 = VectorOps.readIndexVersion(s, path, 1)
+    val mor = VectorOps.readIndexVersionMor(s, path, 2, "vec_id")
+    val v3 = VectorOps.readIndexVersion(s, path, 3)
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    val nDel = doomed.agg(count(lit(1)).as("n_del"))
+    val morLeak = mor.join(doomed, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_leak"))
+    val morN = mor.agg(count(lit(1)).as("n_mor"))
+    val v1N = v1.agg(count(lit(1)).as("n_v1"))
+    val parity = v3.select(col("vec_id"), col("centroid"))
+      .exceptAll(mor.select(col("vec_id"), col("centroid")))
+      .union(mor.select(col("vec_id"), col("centroid"))
+        .exceptAll(v3.select(col("vec_id"), col("centroid"))))
+      .agg(count(lit(1)).as("n_mism"))
+    nAll.crossJoin(nDel).crossJoin(morLeak).crossJoin(morN).crossJoin(v1N)
+      .crossJoin(parity) // 1-row frames
+      .select(lit(logicalCheap).as("logical_cheap"),
+        (col("n_leak") === 0L && col("n_mor") === col("n_all") - col("n_del")
+          && col("n_v1") === col("n_all")).as("mor_excludes"),
+        (col("n_mism") === 0L).as("physical_parity"),
+        lit(rewritten >= 1).as("apply_targeted"),
+        (lit(rowsDeleted) === col("n_del")).as("deleted_count_exact"),
+        col("n_all"), col("n_del"))
+  }
+  private val morDeleteSql =
+    """SELECT TRUE AS logical_cheap, TRUE AS mor_excludes,
+      |  TRUE AS physical_parity, TRUE AS apply_targeted,
+      |  TRUE AS deleted_count_exact,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_all,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 7 = 3) AS BIGINT) AS n_del""".stripMargin
+
   // --------------------------------------------------- PQ drift trigger
   /** PQ codebook drift — the DECISION the index lifecycle was missing:
     * append (cheap, q_ivfpq_append) and rebalance (corpus-priced,
@@ -1347,6 +1517,8 @@ object Curation {
     ("q_ivf_rebalance", ivfRebalanceQ, Some(ivfRebalanceSql)),
     ("q_index_versions", indexVersionsQ, Some(indexVersionsSql)),
     ("q_pq_drift", pqDriftQ, Some(pqDriftSql)),
+    ("q_index_vacuum", indexVacuumQ, Some(indexVacuumSql)),
+    ("q_mor_delete", morDeleteQ, Some(morDeleteSql)),
     ("q_maxsim_batch", maxSimBatchQ, Some(maxSimBatchSql)),
     ("q_ann_recall_curve", annRecallCurveQ, Some(annRecallCurveSql)),
     ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),

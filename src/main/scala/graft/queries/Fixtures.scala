@@ -39,7 +39,9 @@ object Fixtures {
     "streamivf" -> ((s, d) => { Curation.stageStreamIvf(s, d); () }),
     "ivfpqcompact" -> ((s, d) => { Curation.stageIvfPqCompact(s, d); () }),
     "ivfrebalance" -> ((s, d) => { Curation.stageIvfRebalance(s, d); () }),
-    "ivfversioned" -> ((s, d) => { Curation.stageIvfVersioned(s, d); () })
+    "ivfversioned" -> ((s, d) => { Curation.stageIvfVersioned(s, d); () }),
+    "ivfvacuumed" -> ((s, d) => { Curation.stageIvfVacuumed(s, d); () }),
+    "ivfmordelete" -> ((s, d) => { Curation.stageIvfMorDelete(s, d); () })
   )
 
   /** Names of the primed fixtures, in prime order (tested: every heavy

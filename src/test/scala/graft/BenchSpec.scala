@@ -179,7 +179,8 @@ class BenchSpec extends SparkSpec {
       "guard: an unprimed index fixture pays its build under the watchdog)") {
     val names = graft.queries.Fixtures.primedFixtureNames
     for (f <- Seq("ivf", "ivfpq", "ivfappend", "ivfpqappend", "streamivf",
-        "ivfpqcompact", "ivfrebalance", "ivfversioned"))
+        "ivfpqcompact", "ivfrebalance", "ivfversioned", "ivfvacuumed",
+        "ivfmordelete"))
       assert(names.contains(f), s"fixture '$f' missing from warmup priming")
   }
 

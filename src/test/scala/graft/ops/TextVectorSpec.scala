@@ -539,6 +539,96 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("versioned compaction + vacuum: old readers keep working until " +
+      "vacuum, referenced files survive, orphans reclaimed exactly") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val base = embs.filter(col("vec_id") % 5 =!= 2)
+    val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_vacuum_spec")
+    val path = dir.resolve("index").toString
+    try {
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(spark, path, 1, VectorOps.listIndexFiles(spark, path))
+      VectorOps.ivfAppend(embs.filter(col("vec_id") % 5 === 2),
+        idx.centroids, path, "vec_id", "embedding")
+      VectorOps.writeManifest(spark, path, 2, VectorOps.listIndexFiles(spark, path))
+      val v2Count = VectorOps.readIndexVersion(spark, path, 2).count()
+      val (rewritten, fromFiles, toFiles) =
+        VectorOps.ivfCompactVersioned(spark, path, 2, 3)
+      assert(rewritten >= 1 && toFiles < fromFiles,
+        s"append debt must compact: $rewritten rewritten, $fromFiles -> $toFiles")
+      // compaction is write-new: BOTH versions serve until vacuum
+      assert(VectorOps.readIndexVersion(spark, path, 2).count() == v2Count)
+      assert(VectorOps.readIndexVersion(spark, path, 3).count() == v2Count)
+      // vacuum with an empty keep set must be impossible to express
+      intercept[IllegalArgumentException] {
+        VectorOps.ivfVacuum(spark, path, Seq.empty)
+      }
+      val (deleted, kept) = VectorOps.ivfVacuum(spark, path, Seq(3))
+      assert(deleted >= 1, "superseded multi-files must be reclaimed")
+      assert(kept == toFiles, s"kept $kept must equal v3's $toFiles files")
+      assert(VectorOps.listIndexFiles(spark, path).toSet ==
+        VectorOps.readManifest(spark, path, 3).toSet,
+        "post-vacuum listing must be exactly the kept manifest")
+      assert(VectorOps.readIndexVersion(spark, path, 3).count() == v2Count,
+        "the kept version must be untouched by vacuum")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
+
+  test("MOR deletes: logical commit moves no files, tombstones accumulate " +
+      "across commits, physical apply rewrites only affected partitions") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val idx = VectorOps.ivfIndexDeterministic(embs, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_mor_spec")
+    val path = dir.resolve("index").toString
+    try {
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(spark, path, 1, VectorOps.listIndexFiles(spark, path))
+      val all = embs.count()
+      // two successive logical deletes: tombstones must ACCUMULATE
+      VectorOps.commitDeletes(spark, path, 1, 2,
+        embs.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      VectorOps.commitDeletes(spark, path, 2, 3,
+        embs.filter(col("vec_id") % 7 === 5).select(col("vec_id")))
+      assert(VectorOps.readManifest(spark, path, 3) ==
+        VectorOps.readManifest(spark, path, 1),
+        "logical deletes must never touch the file list")
+      val doomed = embs.filter(col("vec_id") % 7 === 3
+        || col("vec_id") % 7 === 5).count()
+      val mor3 = VectorOps.readIndexVersionMor(spark, path, 3, "vec_id")
+      assert(mor3.count() == all - doomed,
+        "v3 MOR must subtract BOTH commits' tombstones")
+      // v2 sees only the first commit; v1 sees everything
+      assert(VectorOps.readIndexVersionMor(spark, path, 2, "vec_id").count()
+        == all - embs.filter(col("vec_id") % 7 === 3).count())
+      assert(VectorOps.readIndexVersionMor(spark, path, 1, "vec_id").count() == all)
+      val (rewritten, deleted) = VectorOps.applyDeletes(spark, path, 3, 4, "vec_id")
+      assert(deleted == doomed, s"physical apply must drop exactly $doomed, got $deleted")
+      assert(rewritten >= 1 && rewritten <= 8, rewritten.toString)
+      val v4 = VectorOps.readIndexVersion(spark, path, 4)
+      assert(v4.count() == all - doomed)
+      assert(VectorOps.readDeletes(spark, path, 4).isEmpty,
+        "the applied version must carry no sidecar")
+      // applying when nothing is pending is a pure-metadata commit
+      val (r2, d2) = VectorOps.applyDeletes(spark, path, 4, 5, "vec_id")
+      assert(r2 == 0 && d2 == 0L)
+      assert(VectorOps.readManifest(spark, path, 5) ==
+        VectorOps.readManifest(spark, path, 4))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
+
   test("pqQuantError: shifted codes carry >= the optimal error on every " +
       "row, strictly more in total") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -318,6 +318,45 @@ class PlanSpec extends SparkSpec {
       .exists(_.contains("centroid")), p)
   }
 
+  test("q_index_vacuum: post-vacuum v3 probe stays partition-pruned; " +
+      "parity, exact-listing, and reclamation audits hold") {
+    val df = Curation.queries("q_index_vacuum")(spark, sf)
+    val row = df.head()
+    assert(row.getBoolean(0), s"vacuum deleted meaning, not just bytes: $row")
+    assert(row.getBoolean(1), s"listing must equal exactly the kept manifest: $row")
+    assert(row.getBoolean(2), s"vacuum must actually reclaim superseded files: $row")
+    assert(row.getBoolean(3), s"compaction must have rewritten >= 1 partition: $row")
+    assert(row.getLong(4) > 0, row.toString)
+    val (path, _, _, _, _, _, _) = Curation.stageIvfVacuumed(spark, sf)
+    val p = graft.ops.VectorOps.readIndexVersion(spark, path, 3)
+      .filter(col("centroid").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.filter(_.contains("PartitionFilters:"))
+      .exists(_.contains("centroid")), p)
+    // an unkept version must fail loudly at scan time, never read torn
+    intercept[Exception] {
+      graft.ops.VectorOps.readIndexVersion(spark, path, 2).count()
+    }
+  }
+
+  test("q_mor_delete: the MOR anti-join broadcasts the tombstone set; " +
+      "logical/physical lifecycle audits hold") {
+    val df = Curation.queries("q_mor_delete")(spark, sf)
+    val row = df.head()
+    assert(row.getBoolean(0), s"logical delete must move zero data files: $row")
+    assert(row.getBoolean(1), s"MOR read must exclude exactly the tombstones: $row")
+    assert(row.getBoolean(2), s"physical apply changed meaning, not just bytes: $row")
+    assert(row.getBoolean(3) && row.getBoolean(4), row.toString)
+    assert(row.getLong(5) > row.getLong(6) && row.getLong(6) > 0, row.toString)
+    // the MOR read plans a BROADCAST anti-join on the tombstones — the
+    // corpus must never shuffle to subtract an id-sized delete set
+    val (path, _, _, _) = Curation.stageIvfMorDelete(spark, sf)
+    val p = graft.ops.VectorOps.readIndexVersionMor(spark, path, 2, "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_pq_drift: pure aggregate shape — no window, no corpus-crossing " +
       "join; no-drift verdict and positive control hold") {
     val df = Curation.queries("q_pq_drift")(spark, sf)
