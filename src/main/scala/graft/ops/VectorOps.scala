@@ -846,6 +846,103 @@ object VectorOps {
       (_, files) => files.length > 1
     } { identity }
 
+  // -------------------------------------------- servability audit (fsck)
+
+  /** Distributed parquet-footer row counts for a version's files: one
+    * metadata read per file, executor-side (the file list rides an RDD —
+    * genuine per-partition imperative I/O, the one place RDDs earn their
+    * keep — and the Hadoop conf travels as a broadcast so object-store
+    * credentials aren't silently rebuilt from defaults). A file whose
+    * footer fails to open or parse reports -1 instead of throwing: a
+    * torn file is a VERDICT for the audit, not a crash. No data pages
+    * are read — at 100 TB the audit costs one footer round-trip per
+    * file, embarrassingly parallel.
+    */
+  private def footerCounts(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val confGet = GraftShim.hadoopConfAccessor(spark.sparkContext)
+    val root = path
+    spark.sparkContext
+      .parallelize(files, math.min(files.length, 32))
+      .map { f =>
+        import org.apache.hadoop.fs.{Path => HPath}
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val n =
+          try {
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new HPath(s"$root/$f"), confGet()))
+            try r.getRecordCount finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => -1L }
+        (f, n)
+      }
+      .collect().toMap // one (path, long) pair per file — metadata-scale
+  }
+
+  /** Commit-time integrity stats: `_manifests/v{N}.stats`, one
+    * `relpath<TAB>rows` line per manifest file, from a footer-only scan.
+    * Same commit discipline as manifests (single-file create, duplicate
+    * version refused), and a commit of a torn file fails HERE — the
+    * stats write is the last moment corruption is cheap to catch.
+    */
+  def writeStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                 version: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val files = readManifest(spark, path, version)
+    val counts = footerCounts(spark, path, files)
+    files.foreach(f => require(counts.getOrElse(f, -1L) >= 0L,
+      s"unreadable footer at commit time: $f"))
+    val p = new HPath(path, f"_manifests/v$version%05d.stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, /* overwrite = */ false)
+    try out.write(files.map(f => s"$f\t${counts(f)}")
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The commit-time stats of `version` — loud on a missing sidecar,
+    * like [[readManifest]]. */
+  def readStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                version: Int): Map[String, Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, f"_manifests/v$version%05d.stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty)
+      .map { l => val i = l.lastIndexOf('\t'); l.take(i) -> l.drop(i + 1).toLong }
+      .toMap
+    finally in.close()
+  }
+
+  /** Servability audit of a pinned version — the check that runs BEFORE
+    * production traffic repins: (present) every manifest file still
+    * exists; (intact) every present file's footer row count equals the
+    * commit-time stats, with unreadable footers counting as corrupt,
+    * never as a crash. Footer-only: no data page is read at any scale.
+    * Returns (allPresent, allIntact, nFiles, totalRows) where totalRows
+    * sums the readable footers — equal to the source row count when the
+    * audit passes (q_index_fsck pins that equality to the oracle).
+    */
+  def indexFsck(spark: org.apache.spark.sql.SparkSession, path: String,
+                version: Int): (Boolean, Boolean, Int, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = readManifest(spark, path, version)
+    val stats = readStats(spark, path, version)
+    val present = files.filter(f => fs.exists(new HPath(path, f)))
+    val allPresent = present.length == files.length
+    val counts = footerCounts(spark, path, present)
+    val allIntact = allPresent && files.forall(f =>
+      counts.get(f).exists(n => n >= 0 && stats.get(f).contains(n)))
+    (allPresent, allIntact, files.length,
+      counts.values.filter(_ >= 0).sum)
+  }
+
   /** Reclaim data files no kept manifest references — the step that
     * makes a versioned layout sustainable: without it, every compaction
     * and append retains its superseded files forever. The referenced set

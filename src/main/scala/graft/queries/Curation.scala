@@ -1074,9 +1074,11 @@ object Curation {
       val path = tmp.resolve("versioned").toString
       VectorOps.ivfWrite(idx, path)
       VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path))
+      VectorOps.writeStats(s, path, 1)
       VectorOps.ivfAppend(emb.filter(col("vec_id") % 5 === 2), idx.centroids,
         path, "vec_id", "embedding")
       VectorOps.writeManifest(s, path, 2, VectorOps.listIndexFiles(s, path))
+      VectorOps.writeStats(s, path, 2)
       (path, idx.centroids)
     }
 
@@ -1219,6 +1221,46 @@ object Curation {
       |  TRUE AS deleted_ge_1, TRUE AS compacted_ge_1,
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS n_rows""".stripMargin
+
+  // --------------------------------------------- servability audit
+  /** Index fsck — the audit that runs BEFORE production traffic repins
+    * to a version: every manifest file still present, every footer row
+    * count equal to the commit-time stats sidecar
+    * ([[VectorOps.indexFsck]] — footer-only, executor-distributed, no
+    * data page read at any scale; unreadable footers are a verdict, not
+    * a crash). The query audits BOTH committed versions of the shared
+    * versioned fixture and pins the strongest available equality to the
+    * oracle: the footer row-count SUMS equal the source row counts of
+    * each version's slice exactly — corruption, truncation, a lost
+    * file, or a stats/manifest mismatch all flip a row. The corruption
+    * positive control (garbage bytes → intact=false; deleted file →
+    * present=false) lives in the unit suite on a scratch tree — the
+    * shared fixture is never mutated.
+    */
+  private val indexFsckQ: Q = (s, dir) => {
+    val (path, _) = stageIvfVersioned(s, dir)
+    val (p1, i1, n1, rows1) = VectorOps.indexFsck(s, path, 1)
+    val (p2, i2, n2, rows2) = VectorOps.indexFsck(s, path, 2)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val nBase = emb.filter(col("vec_id") % 5 =!= 2)
+      .agg(count(lit(1)).as("n_rows_v1"))
+    val nAll = emb.agg(count(lit(1)).as("n_rows_v2"))
+    nBase.crossJoin(nAll) // 1-row frames
+      .select(lit(p1 && i1).as("v1_servable"),
+        lit(p2 && i2).as("v2_servable"),
+        lit(n2 > n1).as("append_added_files"),
+        (lit(rows1) === col("n_rows_v1")).as("v1_rows_exact"),
+        (lit(rows2) === col("n_rows_v2")).as("v2_rows_exact"),
+        col("n_rows_v1"), col("n_rows_v2"))
+  }
+  private val indexFsckSql =
+    """SELECT TRUE AS v1_servable, TRUE AS v2_servable,
+      |  TRUE AS append_added_files, TRUE AS v1_rows_exact,
+      |  TRUE AS v2_rows_exact,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 2) AS BIGINT) AS n_rows_v1,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_rows_v2""".stripMargin
 
   // ------------------------------------------- merge-on-read deletes
   /** Staged MOR-delete fixture, once per (process, fixture): its own
@@ -1519,6 +1561,7 @@ object Curation {
     ("q_pq_drift", pqDriftQ, Some(pqDriftSql)),
     ("q_index_vacuum", indexVacuumQ, Some(indexVacuumSql)),
     ("q_mor_delete", morDeleteQ, Some(morDeleteSql)),
+    ("q_index_fsck", indexFsckQ, Some(indexFsckSql)),
     ("q_maxsim_batch", maxSimBatchQ, Some(maxSimBatchSql)),
     ("q_ann_recall_curve", annRecallCurveQ, Some(annRecallCurveSql)),
     ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),

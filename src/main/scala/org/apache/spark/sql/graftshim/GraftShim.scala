@@ -23,4 +23,16 @@ object GraftShim {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Executor-side access to the session's Hadoop configuration: returns
+    * a serializable thunk wrapping a broadcast `SerializableConfiguration`
+    * (`private[spark]`, hence the shim) — the standard way distributed
+    * filesystem/footer work picks up the driver's FS settings instead of
+    * silently rebuilding defaults on the executors.
+    */
+  def hadoopConfAccessor(sc: org.apache.spark.SparkContext)
+      : () => org.apache.hadoop.conf.Configuration = {
+    val b = org.apache.spark.util.SerializableConfiguration.broadcast(sc)
+    () => b.value.value
+  }
 }

@@ -629,6 +629,44 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("indexFsck: clean version servable; garbage bytes flip intact; " +
+      "a deleted file flips present; duplicate stats commit refused") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") =!= 0)
+    val idx = VectorOps.ivfIndexDeterministic(embs, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fsck_spec")
+    val path = dir.resolve("index").toString
+    try {
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(spark, path, 1, VectorOps.listIndexFiles(spark, path))
+      VectorOps.writeStats(spark, path, 1)
+      intercept[Exception] { VectorOps.writeStats(spark, path, 1) }
+      val (p0, i0, n0, rows0) = VectorOps.indexFsck(spark, path, 1)
+      assert(p0 && i0, "a freshly committed version must be servable")
+      assert(n0 >= 1 && rows0 == embs.count(), s"footer sum $rows0")
+      // corruption control: garbage bytes in one data file → intact=false,
+      // present=true, and the audit must report, never throw
+      val victim = VectorOps.readManifest(spark, path, 1).head
+      val vPath = java.nio.file.Paths.get(path, victim)
+      val original = java.nio.file.Files.readAllBytes(vPath)
+      java.nio.file.Files.write(vPath, "not a parquet file".getBytes)
+      val (p1, i1, _, _) = VectorOps.indexFsck(spark, path, 1)
+      assert(p1 && !i1, "garbage bytes must flip intact, not present")
+      java.nio.file.Files.write(vPath, original) // restore
+      val (_, iRestored, _, _) = VectorOps.indexFsck(spark, path, 1)
+      assert(iRestored, "restoring the bytes must restore servability")
+      // lost-file control: present=false
+      java.nio.file.Files.delete(vPath)
+      val (p2, i2, _, _) = VectorOps.indexFsck(spark, path, 1)
+      assert(!p2 && !i2, "a missing manifest file must flip present")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
+
   test("pqQuantError: shifted codes carry >= the optimal error on every " +
       "row, strictly more in total") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

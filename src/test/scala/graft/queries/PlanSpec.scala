@@ -339,6 +339,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_index_fsck: both committed versions servable, footer sums " +
+      "exactly the source counts, stats sidecars present") {
+    val df = Curation.queries("q_index_fsck")(spark, sf)
+    val row = df.head()
+    assert(row.getBoolean(0) && row.getBoolean(1),
+      s"committed versions must audit servable: $row")
+    assert(row.getBoolean(2), s"the append must have added files: $row")
+    assert(row.getBoolean(3) && row.getBoolean(4),
+      s"footer sums must equal source counts exactly: $row")
+    assert(row.getLong(6) > row.getLong(5) && row.getLong(5) > 0, row.toString)
+    val (path, _) = Curation.stageIvfVersioned(spark, sf)
+    for (v <- Seq(1, 2))
+      assert(graft.ops.VectorOps.readStats(spark, path, v).nonEmpty,
+        s"stats sidecar v$v must exist on the versioned fixture")
+  }
+
   test("q_mor_delete: the MOR anti-join broadcasts the tombstone set; " +
       "logical/physical lifecycle audits hold") {
     val df = Curation.queries("q_mor_delete")(spark, sf)
