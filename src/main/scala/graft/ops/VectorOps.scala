@@ -846,6 +846,22 @@ object VectorOps {
       (_, files) => files.length > 1
     } { identity }
 
+  /** [[readIndexVersion]] with parquet schema merging: the pinned
+    * version's files may carry DIFFERENT schemas (a later append added a
+    * column; older files predate it) and the merged read unions them,
+    * nulling the missing column on old rows — the backfill-free column
+    * add of q_schema_evolution. Merging costs a footer read per file at
+    * planning (metadata-scale, the same class as the fsck audit), which
+    * is why it is a separate entry point and not the default: a reader
+    * that knows its version is schema-uniform should not pay it.
+    */
+  def readIndexVersionMerged(spark: org.apache.spark.sql.SparkSession,
+                             path: String, version: Int): DataFrame = {
+    val files = readManifest(spark, path, version).map(f => s"$path/$f")
+    spark.read.option("basePath", path).option("mergeSchema", "true")
+      .parquet(files: _*)
+  }
+
   // -------------------------------------------- servability audit (fsck)
 
   /** Distributed parquet-footer row counts for a version's files: one

@@ -1222,6 +1222,85 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS n_rows""".stripMargin
 
+  // --------------------------------------------- schema evolution
+  /** Staged schema-evolution fixture, once per (process, fixture): v1 is
+    * the base build with the original (vec_id, embedding, centroid)
+    * schema; v2 appends the `vec_id % 5 = 2` batch carrying an EXTRA
+    * `quality` column (deterministic `vec_id % 100`) under the frozen
+    * quantizer — two schemas coexisting in one committed version, the
+    * state every long-lived corpus reaches the day a new signal lands.
+    */
+  private[queries] def stageIvfEvolved(s: org.apache.spark.sql.SparkSession,
+                                       dir: String)
+      : (String, Array[Array[Double]]) =
+    Staging.cached(s"ivfevolved:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 5 =!= 2)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("evolved").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path))
+      emb.filter(col("vec_id") % 5 === 2)
+        .select(col("vec_id"), col("embedding"),
+          (col("vec_id") % 100).cast("long").as("quality"),
+          VectorOps.ivfAssign(col("embedding"), idx.centroids).as("centroid"))
+        .write.partitionBy("centroid").mode("append").parquet(path)
+      VectorOps.writeManifest(s, path, 2, VectorOps.listIndexFiles(s, path))
+      (path, idx.centroids)
+    }
+
+  /** Schema evolution across pinned versions — the backfill-free column
+    * add: at 100 TB a new per-row signal (a quality score, a license
+    * flag) cannot wait for a corpus rewrite, so new files simply carry
+    * the new column and old files stay untouched. q_schema_evolution
+    * proves the three contracts that make that safe:
+    *
+    *  - `old_unaffected`: the v1 read (no merge) still has EXACTLY the
+    *    original schema and row count — readers pinned before the
+    *    evolution never even see the new column;
+    *  - `nulls_old_exact`: the merged v2 read
+    *    ([[VectorOps.readIndexVersionMerged]]) nulls `quality` on
+    *    exactly the old rows and populates exactly the new ones —
+    *    integer counts, no sampling;
+    *  - `sum_quality`: the populated values survive the merge
+    *    bit-exactly — the oracle recomputes Σ(vec_id % 100) over the
+    *    batch slice independently.
+    *
+    * Merging costs a footer read per file at planning (metadata-scale);
+    * schema-uniform readers keep the cheap unmergeed path.
+    */
+  private val schemaEvolutionQ: Q = (s, dir) => {
+    val (path, _) = stageIvfEvolved(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val v1 = VectorOps.readIndexVersion(s, path, 1)
+    val merged = VectorOps.readIndexVersionMerged(s, path, 2)
+    val oldSchemaStable = !v1.columns.contains("quality")
+    val nBase = emb.filter(col("vec_id") % 5 =!= 2)
+      .agg(count(lit(1)).as("n_base"))
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    val v1N = v1.agg(count(lit(1)).as("n_v1"))
+    val m = merged.agg(
+      count(lit(1)).as("n_merged"),
+      sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_null_q"),
+      sum(coalesce(col("quality"), lit(0L))).cast("long").as("sum_quality"))
+    nBase.crossJoin(nAll).crossJoin(v1N).crossJoin(m) // 1-row frames
+      .select(
+        (lit(oldSchemaStable) && col("n_v1") === col("n_base"))
+          .as("old_unaffected"),
+        (col("n_merged") === col("n_all")
+          && col("n_null_q") === col("n_base")).as("nulls_old_exact"),
+        col("sum_quality"), col("n_base"), col("n_all"))
+  }
+  private val schemaEvolutionSql =
+    """SELECT TRUE AS old_unaffected, TRUE AS nulls_old_exact,
+      |  CAST((SELECT sum(vec_id % 100) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 = 2) AS BIGINT) AS sum_quality,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 2) AS BIGINT) AS n_base,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_all""".stripMargin
+
   // --------------------------------------------- servability audit
   /** Index fsck — the audit that runs BEFORE production traffic repins
     * to a version: every manifest file still present, every footer row
@@ -1562,6 +1641,7 @@ object Curation {
     ("q_index_vacuum", indexVacuumQ, Some(indexVacuumSql)),
     ("q_mor_delete", morDeleteQ, Some(morDeleteSql)),
     ("q_index_fsck", indexFsckQ, Some(indexFsckSql)),
+    ("q_schema_evolution", schemaEvolutionQ, Some(schemaEvolutionSql)),
     ("q_maxsim_batch", maxSimBatchQ, Some(maxSimBatchSql)),
     ("q_ann_recall_curve", annRecallCurveQ, Some(annRecallCurveSql)),
     ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),

@@ -41,7 +41,8 @@ object Fixtures {
     "ivfrebalance" -> ((s, d) => { Curation.stageIvfRebalance(s, d); () }),
     "ivfversioned" -> ((s, d) => { Curation.stageIvfVersioned(s, d); () }),
     "ivfvacuumed" -> ((s, d) => { Curation.stageIvfVacuumed(s, d); () }),
-    "ivfmordelete" -> ((s, d) => { Curation.stageIvfMorDelete(s, d); () })
+    "ivfmordelete" -> ((s, d) => { Curation.stageIvfMorDelete(s, d); () }),
+    "ivfevolved" -> ((s, d) => { Curation.stageIvfEvolved(s, d); () })
   )
 
   /** Names of the primed fixtures, in prime order (tested: every heavy

@@ -339,6 +339,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_schema_evolution: merged read still partition-prunes; old " +
+      "schema stable, nulls exact, values survive the merge") {
+    val df = Curation.queries("q_schema_evolution")(spark, sf)
+    val row = df.head()
+    assert(row.getBoolean(0), s"pinned v1 must never see the new column: $row")
+    assert(row.getBoolean(1), s"merge must null exactly the old rows: $row")
+    assert(row.getLong(2) > 0 && row.getLong(4) > row.getLong(3), row.toString)
+    // schema merging must not cost partition pruning
+    val (path, _) = Curation.stageIvfEvolved(spark, sf)
+    val p = graft.ops.VectorOps.readIndexVersionMerged(spark, path, 2)
+      .filter(col("centroid").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.filter(_.contains("PartitionFilters:"))
+      .exists(_.contains("centroid")), p)
+  }
+
   test("q_index_fsck: both committed versions servable, footer sums " +
       "exactly the source counts, stats sidecars present") {
     val df = Curation.queries("q_index_fsck")(spark, sf)
