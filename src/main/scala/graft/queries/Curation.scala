@@ -1222,6 +1222,81 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS n_rows""".stripMargin
 
+  // ---------------------------------------------- streaming deletes
+  /** Staged streaming-delete fixture, once per (process, fixture): full
+    * build committed as v1, then the doomed ids (`vec_id % 7 = 3`)
+    * staged as 4 parquet files and drained as 4 AvailableNow
+    * micro-batches, each committing one logical delete version.
+    */
+  private[queries] def stageStreamDelete(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : (String, Int, Int) =
+    Staging.cached(s"streamdelete:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("index").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path))
+      val inDir = tmp.resolve("tombstones").toString
+      emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+        .repartition(4, col("vec_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val (nb, finalV) = graft.streaming.IndexStream.runStreamDeletes(
+        s, inDir, path, fromVersion = 1)
+      (path, nb, finalV)
+    }
+
+  /** Streaming tombstone ingestion — q_mor_delete's contract driven from
+    * a REAL micro-batch stream: the right-to-be-forgotten queue arrives
+    * as 4 AvailableNow micro-batches, each committed as one logical
+    * delete version (id-sized sidecar + manifest create, zero data files
+    * rewritten — `logical_cheap` asserts the final manifest is
+    * byte-identical to v1's across the whole drain). Because
+    * [[VectorOps.commitDeletes]] folds pending tombstones forward, the
+    * post-drain version carries the UNION of every batch regardless of
+    * how the queue was chunked: `stream_excludes` proves the final MOR
+    * read drops exactly the doomed set (zero leaks, exact survivor
+    * count), while the PINNED v1 read still holds every row — history
+    * stays auditable under a live deletion stream. Closes the
+    * static/streaming symmetry for deletes the way q_stream_ivf closed
+    * it for appends; the pair means the versioned index can absorb BOTH
+    * live upserts and live deletions.
+    */
+  private val streamDeleteQ: Q = (s, dir) => {
+    val (path, nb, finalV) = stageStreamDelete(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val mor = VectorOps.readIndexVersionMor(s, path, finalV, "vec_id")
+    val logicalCheap = VectorOps.readManifest(s, path, finalV) ==
+      VectorOps.readManifest(s, path, 1)
+    val nLeak = mor.join(doomed, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_leak"))
+    val nMor = mor.agg(count(lit(1)).as("n_mor"))
+    val nV1 = VectorOps.readIndexVersion(s, path, 1)
+      .agg(count(lit(1)).as("n_v1"))
+    val nSurv = emb.filter(col("vec_id") % 7 =!= 3)
+      .agg(count(lit(1)).as("n_survivors"))
+    val nDel = doomed.agg(count(lit(1)).as("n_del"))
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    nLeak.crossJoin(nMor).crossJoin(nV1).crossJoin(nSurv).crossJoin(nDel)
+      .crossJoin(nAll) // 1-row frames
+      .select(
+        (col("n_leak") === 0L && col("n_mor") === col("n_survivors"))
+          .as("stream_excludes"),
+        (col("n_v1") === col("n_all")).as("v1_unaffected"),
+        lit(logicalCheap).as("logical_cheap"),
+        lit(nb >= 2).as("micro_batched"),
+        col("n_survivors"), col("n_del"))
+  }
+  private val streamDeleteSql =
+    """SELECT TRUE AS stream_excludes, TRUE AS v1_unaffected,
+      |  TRUE AS logical_cheap, TRUE AS micro_batched,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 7 <> 3) AS BIGINT) AS n_survivors,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 7 = 3) AS BIGINT) AS n_del""".stripMargin
+
   // --------------------------------------------- schema evolution
   /** Staged schema-evolution fixture, once per (process, fixture): v1 is
     * the base build with the original (vec_id, embedding, centroid)
@@ -1642,6 +1717,7 @@ object Curation {
     ("q_mor_delete", morDeleteQ, Some(morDeleteSql)),
     ("q_index_fsck", indexFsckQ, Some(indexFsckSql)),
     ("q_schema_evolution", schemaEvolutionQ, Some(schemaEvolutionSql)),
+    ("q_stream_delete", streamDeleteQ, Some(streamDeleteSql)),
     ("q_maxsim_batch", maxSimBatchQ, Some(maxSimBatchSql)),
     ("q_ann_recall_curve", annRecallCurveQ, Some(annRecallCurveSql)),
     ("q_lsh_band_curve", lshBandCurveQ, Some(lshBandCurveSql)),

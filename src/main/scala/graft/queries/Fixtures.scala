@@ -42,7 +42,8 @@ object Fixtures {
     "ivfversioned" -> ((s, d) => { Curation.stageIvfVersioned(s, d); () }),
     "ivfvacuumed" -> ((s, d) => { Curation.stageIvfVacuumed(s, d); () }),
     "ivfmordelete" -> ((s, d) => { Curation.stageIvfMorDelete(s, d); () }),
-    "ivfevolved" -> ((s, d) => { Curation.stageIvfEvolved(s, d); () })
+    "ivfevolved" -> ((s, d) => { Curation.stageIvfEvolved(s, d); () }),
+    "streamdelete" -> ((s, d) => { Curation.stageStreamDelete(s, d); () })
   )
 
   /** Names of the primed fixtures, in prime order (tested: every heavy

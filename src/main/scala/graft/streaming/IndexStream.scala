@@ -35,6 +35,44 @@ object IndexStream {
     * written IVF index at `indexPath` under the frozen `centroids`.
     * Returns the number of micro-batches that ran.
     */
+  /** Canonical file-source schema for staged tombstone batches. */
+  val tombstoneRawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType)))
+
+  /** Drain a directory of tombstone-id parquet files as micro-batches
+    * (AvailableNow, one file per trigger), committing each as a LOGICAL
+    * delete version on the manifest-pinned index at `indexPath` —
+    * the delete-side sibling of [[runStreamIvfAppend]], and the live
+    * shape of a right-to-be-forgotten queue: each micro-batch costs one
+    * id-sized sidecar write plus one manifest create, never a data-file
+    * rewrite ([[graft.ops.VectorOps.commitDeletes]] folds the pending
+    * tombstones forward, so the final version carries the union no
+    * matter how the queue was batched). foreachBatch bodies run
+    * sequentially on the stream thread, so version numbers never race.
+    * Returns (nBatches, finalVersion).
+    */
+  def runStreamDeletes(spark: SparkSession, inputDir: String,
+                       indexPath: String, fromVersion: Int,
+                       queryName: String = "graft_stream_delete")
+      : (Int, Int) = {
+    val raw = spark.readStream
+      .schema(tombstoneRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+    val version = new java.util.concurrent.atomic.AtomicInteger(fromVersion)
+    val q = raw.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val v = version.get
+        graft.ops.VectorOps.commitDeletes(spark, indexPath, v, v + 1, batch)
+        version.incrementAndGet(): Unit
+      }
+      .start()
+    EventStream.awaitDrain(q)
+    (version.get - fromVersion, version.get)
+  }
+
   def runStreamIvfAppend(spark: SparkSession, inputDir: String,
                          centroids: Array[Array[Double]], indexPath: String,
                          queryName: String = "graft_stream_ivf"): Int = {

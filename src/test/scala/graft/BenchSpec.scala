@@ -180,7 +180,7 @@ class BenchSpec extends SparkSpec {
     val names = graft.queries.Fixtures.primedFixtureNames
     for (f <- Seq("ivf", "ivfpq", "ivfappend", "ivfpqappend", "streamivf",
         "ivfpqcompact", "ivfrebalance", "ivfversioned", "ivfvacuumed",
-        "ivfmordelete", "ivfevolved"))
+        "ivfmordelete", "ivfevolved", "streamdelete"))
       assert(names.contains(f), s"fixture '$f' missing from warmup priming")
   }
 

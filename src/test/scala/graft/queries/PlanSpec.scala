@@ -339,6 +339,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_delete: drain really micro-batched; final MOR read " +
+      "broadcast-anti-joins; history pinned, commits all metadata-only") {
+    val df = Curation.queries("q_stream_delete")(spark, sf)
+    val row = df.head()
+    assert(row.getBoolean(0), s"post-drain MOR must drop exactly the doomed set: $row")
+    assert(row.getBoolean(1), s"pinned v1 must survive a live deletion stream: $row")
+    assert(row.getBoolean(2), s"streamed deletes must never rewrite data files: $row")
+    assert(row.getBoolean(3), s"the drain must have micro-batched: $row")
+    assert(row.getLong(4) > 0 && row.getLong(5) > 0, row.toString)
+    val (path, _, finalV) = Curation.stageStreamDelete(spark, sf)
+    val p = graft.ops.VectorOps
+      .readIndexVersionMor(spark, path, finalV, "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_schema_evolution: merged read still partition-prunes; old " +
       "schema stable, nulls exact, values survive the merge") {
     val df = Curation.queries("q_schema_evolution")(spark, sf)
