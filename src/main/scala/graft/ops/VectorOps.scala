@@ -654,33 +654,127 @@ object VectorOps {
     * Table Storage over Cloud Object Stores", VLDB 2020). The underscore
     * prefix keeps parquet's directory discovery from reading manifests
     * as data.
+    *
+    * `meta` entries are committed ATOMICALLY with the file list as
+    * `#key:value` header lines — the transactional home for commit
+    * metadata (a streaming batch id, a tombstone-sidecar pointer): a
+    * side marker file could land without the manifest (or vice versa)
+    * across a crash, a header line cannot. Keys/values must not contain
+    * newlines; keys must not contain ':'.
     */
   def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
-                    version: Int, files: Seq[String]): Unit = {
+                    version: Int, files: Seq[String],
+                    meta: Map[String, String] = Map.empty): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
+    require(meta.forall { case (k, v) =>
+      !k.contains(':') && !k.contains('\n') && !v.contains('\n') },
+      s"manifest meta keys must not contain ':' and entries no newlines: $meta")
     val p = new HPath(path, f"_manifests/v$version%05d.manifest")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val header = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k:$v" }
     val out = fs.create(p, /* overwrite = */ false)
-    try out.write(files.mkString("", "\n", "\n")
+    try out.write((header ++ files).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** The file list committed as `version` — fails loudly on a missing
-    * manifest (a reader must never silently fall back to "whatever files
-    * are in the directory": that is exactly the torn read manifests
-    * exist to prevent).
-    */
-  def readManifest(spark: org.apache.spark.sql.SparkSession, path: String,
-                   version: Int): Seq[String] = {
+  private def manifestPath(path: String, version: Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val p = new HPath(path, f"_manifests/v$version%05d.manifest")
+    new HPath(path, f"_manifests/v$version%05d.manifest")
+  }
+
+  /** True iff `version` has been committed (its manifest exists). */
+  def manifestExists(spark: org.apache.spark.sql.SparkSession, path: String,
+                     version: Int): Boolean = {
+    val p = manifestPath(path, version)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def manifestLines(spark: org.apache.spark.sql.SparkSession,
+                            path: String, version: Int): Seq[String] = {
+    val p = manifestPath(path, version)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toIndexedSeq
     finally in.close()
   }
+
+  /** The file list committed as `version` — fails loudly on a missing
+    * manifest (a reader must never silently fall back to "whatever files
+    * are in the directory": that is exactly the torn read manifests
+    * exist to prevent). `#`-prefixed header lines are commit metadata
+    * ([[readManifestMeta]]), not files.
+    */
+  def readManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                   version: Int): Seq[String] =
+    manifestLines(spark, path, version).filterNot(_.startsWith("#"))
+
+  /** The commit metadata of `version` (the `#key:value` header lines).
+    * Empty for manifests committed without metadata — old manifests stay
+    * readable unchanged.
+    */
+  def readManifestMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String, version: Int): Map[String, String] =
+    manifestLines(spark, path, version)
+      .filter(_.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(':')
+        require(i > 1, s"malformed manifest meta line: $l")
+        l.substring(1, i) -> l.substring(i + 1)
+      }.toMap
+
+  /** Every committed version, ascending — one `_manifests/` listing
+    * (metadata-scale). Empty when the index has never been committed.
+    */
+  def listVersions(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Seq[Int] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = new HPath(path, "_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted.toIndexedSeq
+  }
+
+  /** The newest committed version — the resolution every reader was
+    * hand-coding ("readers must know the version integer" was the gap):
+    * max over the `_manifests/` listing, None on a never-committed
+    * layout. One directory listing; the manifests themselves are not
+    * read.
+    */
+  def latestVersion(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Option[Int] =
+    listVersions(spark, path).lastOption
+
+  /** Read the index at its newest committed version, tombstones applied
+    * ([[readIndexVersionMor]] — HEAD must never serve deleted rows).
+    * The default entry point of a reader that doesn't care about time
+    * travel; pinned readers keep using [[readIndexVersion]] /
+    * [[readIndexVersionMor]] with an explicit version.
+    */
+  def readIndexLatest(spark: org.apache.spark.sql.SparkSession,
+                      path: String, idCol: String): DataFrame = {
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path"))
+    readIndexVersionMor(spark, path, v, idCol)
+  }
+
+  /** Every streaming batch id ever committed (the `batch` manifest-meta
+    * key) — the replay-idempotence check of [[ivfAppendBatch]] /
+    * [[commitDeletesBatch]]: foreachBatch delivery is at-least-once, and
+    * a redelivered batch whose id is already in a committed manifest
+    * must be skipped, not re-appended. Cost: one small read per
+    * committed manifest (metadata-scale; a long-lived production stream
+    * would cache the scan and check only new versions).
+    */
+  def committedBatchIds(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Set[Long] =
+    listVersions(spark, path).flatMap(v =>
+      readManifestMeta(spark, path, v).get("batch").map(_.toLong)).toSet
 
   /** Read an index AS OF a committed version: exactly the manifest's
     * files, with `basePath` so the `centroid=` directory structure still
@@ -711,26 +805,187 @@ object VectorOps {
     * model train on at v1" stay answerable until vacuum.
     */
   def commitDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
-                    fromVersion: Int, toVersion: Int,
-                    ids: DataFrame): Unit = {
+                    fromVersion: Int, toVersion: Int, ids: DataFrame,
+                    meta: Map[String, String] = Map.empty): Unit = {
+    require(!manifestExists(spark, path, toVersion),
+      s"version $toVersion is already committed under $path")
     val pending = readDeletes(spark, path, fromVersion)
       .map(d => d.select(col("vid")))
       .getOrElse(spark.emptyDataFrame.select(lit(0L).as("vid")).limit(0))
+    // The sidecar directory is named by the version that CREATES it but
+    // becomes visible ONLY through the manifest's `deletes` header line
+    // — the manifest create below is the single commit point. A crash
+    // between the two leaves an UNREFERENCED sidecar that no reader can
+    // observe; the retry's overwrite write reclaims it (the
+    // errorifexists-then-manifest ordering this replaces wedged the
+    // version number permanently on exactly that crash).
+    val sidecarRel = s"_deletes/v$toVersion"
     ids.select(col(ids.columns.head).cast("long").as("vid"))
       .union(pending).distinct()
-      .coalesce(1).write.mode("errorifexists")
-      .parquet(s"$path/_deletes/v$toVersion")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/$sidecarRel")
     writeManifest(spark, path, toVersion,
-      readManifest(spark, path, fromVersion))
+      readManifest(spark, path, fromVersion),
+      meta + ("deletes" -> sidecarRel))
   }
 
-  /** The tombstone sidecar of `version`, if one exists. */
+  /** The tombstone sidecar of `version`, if its manifest references one.
+    * Resolution is via the `deletes` manifest header — never by probing
+    * the `_deletes/` directory: an orphaned sidecar (a crashed or
+    * version-race-losing commit attempt) must be invisible, or a later
+    * writer landing the same version number would silently inherit
+    * someone else's tombstones.
+    */
   def readDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
-                  version: Int): Option[DataFrame] = {
+                  version: Int): Option[DataFrame] =
+    readManifestMeta(spark, path, version).get("deletes")
+      .map(rel => spark.read.parquet(s"$path/$rel"))
+
+  // ------------------------------------ optimistic-concurrency commits
+
+  /** Result of an OCC commit: the version that landed and how many
+    * create attempts it took (1 = no conflict; >1 = the commit raced a
+    * concurrent writer and retried against the new HEAD).
+    */
+  final case class OccCommit(version: Int, attempts: Int)
+
+  /** Commit `newFiles` as a new version on top of the CURRENT head with
+    * optimistic concurrency — the Delta/Iceberg OCC protocol (public
+    * design: read HEAD, attempt the next version's single-file create,
+    * and on losing the race re-read and retry). Appends are always
+    * file-DISJOINT with each other (every appender lands its own new
+    * files; nobody removes anything), so the conflict resolution is a
+    * pure merge: the loser's retry simply stacks its files on the
+    * winner's manifest. Two pipelines feeding one index both land; the
+    * union is exact. Rewrites (compaction, physical deletes) are NOT
+    * routed through this path — they remove files, and a remove/remove
+    * or remove/append race needs a conflict CHECK, not a merge
+    * ([[rewriteVersioned]] stays single-writer; its duplicate-version
+    * refusal makes the race loud, never silent).
+    *
+    * A pending tombstone pointer on the head is carried forward
+    * automatically: an append commits new rows, it must not resurrect
+    * deleted ones. `assumeHead` seeds the FIRST attempt with a stale
+    * head (testing hook: it forces the retry path deterministically —
+    * q_concurrent_commit); production callers leave it None.
+    *
+    * Cost per attempt: one `_manifests/` listing + one manifest
+    * read/write — metadata-scale, zero data-file I/O, which is what
+    * makes retry-on-conflict affordable at any corpus size.
+    */
+  def commitFilesOcc(spark: org.apache.spark.sql.SparkSession, path: String,
+                     newFiles: Seq[String],
+                     meta: Map[String, String] = Map.empty,
+                     assumeHead: Option[Int] = None,
+                     maxAttempts: Int = 10): OccCommit = {
+    require(newFiles.nonEmpty, "commitFilesOcc: newFiles must be non-empty")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head =
+        if (attempt == 1 && assumeHead.isDefined) assumeHead.get
+        else latestVersion(spark, path).getOrElse(0)
+      val headFiles =
+        if (head == 0) Seq.empty else readManifest(spark, path, head)
+      val carried =
+        if (head == 0) Map.empty[String, String]
+        else readManifestMeta(spark, path, head)
+          .view.filterKeys(_ == "deletes").toMap
+      try {
+        writeManifest(spark, path, head + 1,
+          (headFiles ++ newFiles).sorted, carried ++ meta)
+        return OccCommit(head + 1, attempt)
+      } catch {
+        case e: java.io.IOException =>
+          // conflict iff someone else created this version in the window
+          // between our head read and our create — anything else is a
+          // real I/O failure and must propagate, not retry
+          if (!manifestExists(spark, path, head + 1)) throw e
+      }
+    }
+    throw new IllegalStateException(
+      s"OCC commit lost the version race $maxAttempts times under $path")
+  }
+
+  /** Idempotent, versioned batch append — the streaming-safe sibling of
+    * [[ivfAppend]]: foreachBatch delivery is at-least-once, and the bare
+    * `mode("append")` write double-appends on a post-crash replay. Here
+    * every physical artifact is keyed by `batchId` and the commit is a
+    * batchId-tagged manifest create, so the whole operation is a no-op
+    * when replayed:
+    *
+    *  1. already committed? (`batch` meta in any manifest) → skip;
+    *  2. stage the assigned batch under `_staging/batch_{id}/`
+    *     (overwrite — a half-written crash leftover is reclaimed);
+    *  3. rename into the centroid directories under DETERMINISTIC names
+    *     (`centroid=K/batch{id}-{i}.parquet`): un-committed leftovers
+    *     from a crashed attempt are overwritten, never duplicated, and
+    *     no manifest references them until…
+    *  4. …the OCC manifest create commits, carrying `batch:{id}` —
+    *     the atomic point after which step 1 short-circuits replays.
+    *
+    * Returns (committed version, skippedAsReplay). The reference anchor
+    * is the at-least-once upsert retry of
+    * `utils/upload_data_to_pinecone.py:73-83` — retried delivery with
+    * exactly-once EFFECT, which only the idempotent commit provides.
+    */
+  def ivfAppendBatch(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, centroids: Array[Array[Double]],
+                     path: String, idCol: String, vecCol: String,
+                     batchId: Long): (Int, Boolean) = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val p = new HPath(path, s"_deletes/v$version")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (committedBatchIds(spark, path).contains(batchId))
+      return (latestVersion(spark, path).get, true)
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stageRel = s"_staging/batch_$batchId"
+    batch.select(col(idCol), col(vecCol),
+        ivfAssign(col(vecCol), centroids).as("centroid"))
+      .write.partitionBy("centroid").mode("overwrite")
+      .parquet(s"$path/$stageRel")
+    val newFiles = scala.collection.mutable.ArrayBuffer[String]()
+    fs.listStatus(new HPath(path, stageRel))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
+      .sortBy(_.getPath.getName)
+      .foreach { part =>
+        val files = fs.listStatus(part.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        fs.mkdirs(new HPath(path, part.getPath.getName))
+        files.zipWithIndex.foreach { case (f, i) =>
+          val rel = s"${part.getPath.getName}/batch$batchId-$i.parquet"
+          val dst = new HPath(path, rel)
+          fs.delete(dst, false) // crash leftover: un-committed by step 1
+          require(fs.rename(f.getPath, dst), s"rename to $dst failed")
+          newFiles += rel
+        }
+      }
+    fs.delete(new HPath(path, stageRel), true)
+    val c = commitFilesOcc(spark, path, newFiles.toSeq,
+      Map("batch" -> batchId.toString))
+    (c.version, false)
+  }
+
+  /** Idempotent streaming delete commit — [[commitDeletes]] keyed by
+    * `batchId` with the same replay contract as [[ivfAppendBatch]]: an
+    * already-committed batch id short-circuits, a crash after the
+    * sidecar write but before the manifest create leaves only an
+    * unreferenced sidecar the retry overwrites. Version numbers come
+    * from HEAD at commit time (foreachBatch bodies run sequentially on
+    * the stream thread, so delete commits never race each other).
+    * Returns (committed version, skippedAsReplay).
+    */
+  def commitDeletesBatch(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batchId: Long,
+                         ids: DataFrame): (Int, Boolean) = {
+    if (committedBatchIds(spark, path).contains(batchId))
+      return (latestVersion(spark, path).get, true)
+    val head = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"streaming deletes need an initial committed version under $path"))
+    commitDeletes(spark, path, head, head + 1, ids,
+      Map("batch" -> batchId.toString))
+    (head + 1, false)
   }
 
   /** Merge-on-read: the pinned version's files minus its tombstones —
@@ -775,7 +1030,10 @@ object VectorOps {
       .groupBy(col("centroid")).agg(count(lit(1)).as("n"))
       .collect().map(r => s"centroid=${r.get(0)}" -> r.getLong(1)).toMap
     val (rewritten, _, _) =
-      rewriteVersioned(spark, path, fromVersion, toVersion, "deleted") {
+      rewriteVersioned(spark, path, fromVersion, toVersion, "deleted",
+        // tombstones are FOLDED IN here — the new version must not carry
+        // the pointer forward or the anti-join would run twice
+        carryMeta = Map.empty) {
         (part, _) => hotParts.contains(part)
       } { df => df.join(delSet, Seq(idCol), "left_anti") }
     (rewritten, hotParts.values.sum)
@@ -793,7 +1051,8 @@ object VectorOps {
     */
   private def rewriteVersioned(spark: org.apache.spark.sql.SparkSession,
                                path: String, fromVersion: Int,
-                               toVersion: Int, dstTag: String)
+                               toVersion: Int, dstTag: String,
+                               carryMeta: Map[String, String])
                               (shouldRewrite: (String, Seq[String]) => Boolean)
                               (transformPart: DataFrame => DataFrame)
       : (Int, Int, Int) = {
@@ -807,7 +1066,12 @@ object VectorOps {
       case (part, files) =>
         if (shouldRewrite(part, files)) {
           val tmp = new HPath(path, s"_rewrite_tmp/$part")
-          transformPart(spark.read.parquet(files.map(f => s"$path/$f"): _*))
+          // mergeSchema: a partition may mix pre- and post-evolution
+          // files (q_schema_evolution's exact layout) — without the
+          // merge, rewriting such a partition silently DROPS the evolved
+          // column from the rows whose files carried it
+          transformPart(spark.read.option("mergeSchema", "true")
+              .parquet(files.map(f => s"$path/$f"): _*))
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val produced = fs.listStatus(tmp)
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -822,7 +1086,7 @@ object VectorOps {
         } else newList ++= files
     }
     fs.delete(new HPath(path, "_rewrite_tmp"), true)
-    writeManifest(spark, path, toVersion, newList.sorted.toSeq)
+    writeManifest(spark, path, toVersion, newList.sorted.toSeq, carryMeta)
     (rewritten, from.length, newList.length)
   }
 
@@ -841,10 +1105,17 @@ object VectorOps {
     */
   def ivfCompactVersioned(spark: org.apache.spark.sql.SparkSession,
                           path: String, fromVersion: Int,
-                          toVersion: Int): (Int, Int, Int) =
-    rewriteVersioned(spark, path, fromVersion, toVersion, "compacted") {
+                          toVersion: Int): (Int, Int, Int) = {
+    // compaction moves bytes, not meaning: tombstones still PENDING at
+    // fromVersion stay pending — the pointer rides the new manifest so
+    // MOR readers of the compacted version keep subtracting them
+    val carried = readManifestMeta(spark, path, fromVersion)
+      .view.filterKeys(_ == "deletes").toMap
+    rewriteVersioned(spark, path, fromVersion, toVersion, "compacted",
+      carryMeta = carried) {
       (_, files) => files.length > 1
     } { identity }
+  }
 
   /** [[readIndexVersion]] with parquet schema merging: the pinned
     * version's files may carry DIFFERENT schemas (a later append added a
@@ -970,9 +1241,18 @@ object VectorOps {
     * versions are gone by design: [[readIndexVersion]] on them fails
     * loudly at scan time rather than returning partial data silently
     * (parquet errors on the missing files).
+    *
+    * CONCURRENCY CONTRACT: with `minAgeMs` = 0 the caller asserts NO
+    * writer is mid-append — a concurrent appender's freshly-landed but
+    * not-yet-committed files are unreferenced by every manifest and
+    * would be deleted out from under its commit. A deployment with
+    * concurrent appenders ([[commitFilesOcc]]) must pass a retention
+    * window comfortably above its longest land-to-commit gap (the
+    * Delta/Iceberg vacuum retention design): files whose modification
+    * time is within `minAgeMs` of now survive even when unreferenced.
     */
   def ivfVacuum(spark: org.apache.spark.sql.SparkSession, path: String,
-                keepVersions: Seq[Int]): (Int, Int) = {
+                keepVersions: Seq[Int], minAgeMs: Long = 0L): (Int, Int) = {
     require(keepVersions.nonEmpty, "ivfVacuum: keepVersions must be non-empty")
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = new HPath(path).getFileSystem(
@@ -980,7 +1260,10 @@ object VectorOps {
     val referenced = keepVersions
       .flatMap(v => readManifest(spark, path, v)).toSet
     val all = listIndexFiles(spark, path)
-    val orphans = all.filterNot(referenced)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val orphans = all.filterNot(referenced).filter(f =>
+      minAgeMs <= 0L ||
+        fs.getFileStatus(new HPath(path, f)).getModificationTime <= cutoff)
     orphans.foreach(f => fs.delete(new HPath(path, f), false))
     (orphans.length, all.length - orphans.length)
   }

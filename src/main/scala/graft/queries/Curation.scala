@@ -773,14 +773,20 @@ object Curation {
   // ------------------------------------------- streaming index maintenance
   /** Staged streaming-append fixture, once per (process, fixture): build
     * the deterministic IVF index on the EXISTING corpus (`vec_id % 5 ≠
-    * 2`), write it `partitionBy(centroid)`, split the NEW batch into 4
-    * parquet files, and drain them as REAL micro-batches
-    * ([[graft.streaming.IndexStream.runStreamIvfAppend]]) — each batch
-    * appended under the frozen quantizer.
+    * 2`), write it `partitionBy(centroid)` and COMMIT it as manifest v1,
+    * split the NEW batch into 4 parquet files, and drain them as REAL
+    * checkpointed micro-batches
+    * ([[graft.streaming.IndexStream.runStreamIvfAppend]]) — each batch a
+    * batchId-keyed versioned commit under the frozen quantizer. Returns
+    * (indexPath, centroids, drain, nStagedFiles): `nStagedFiles` is the
+    * ACTUAL staged parquet file count, not an assumed 4 — Spark skips
+    * empty write partitions (SPARK-21435), so the honest batch count is
+    * whatever the source directory really holds.
     */
   private[queries] def stageStreamIvf(s: org.apache.spark.sql.SparkSession,
                                       dir: String)
-      : (String, Array[Array[Double]], Int) =
+      : (String, Array[Array[Double]],
+         graft.streaming.IndexStream.DrainResult, Int) =
     Staging.cached(s"streamivf:$dir") { tmp =>
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
       val idx = VectorOps.ivfIndexDeterministic(
@@ -788,37 +794,54 @@ object Curation {
         nCentroids = 8)
       val path = tmp.resolve("index").toString
       VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path))
       val inDir = tmp.resolve("incoming").toString
       emb.filter(col("vec_id") % 5 === 2)
         .select(col("vec_id"), col("embedding"))
         .repartition(4, col("vec_id"))
         .write.mode("overwrite").parquet(inDir)
-      val nb = graft.streaming.IndexStream.runStreamIvfAppend(
-        s, inDir, idx.centroids, path)
-      (path, idx.centroids, nb)
+      val nStaged = new java.io.File(inDir).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val drain = graft.streaming.IndexStream.runStreamIvfAppend(
+        s, inDir, idx.centroids, path,
+        checkpointDir = Some(tmp.resolve("ckpt").toString))
+      (path, idx.centroids, drain, nStaged)
     }
 
   /** Streaming index maintenance — q_ivf_append's contract driven from a
     * REAL micro-batch stream instead of one batch call: the new slice
-    * arrives as 4 AvailableNow micro-batches, each `foreachBatch`-
-    * appended into the written IVF layout under the frozen quantizer.
-    * Because the quantizer is frozen and appends are file-additive (a
-    * commutative set union), the post-drain index is bit-identical to a
-    * batch rebuild of the union under the same centroids for ANY batch
-    * order — `parity_exact` asserts it (zero-mismatch full-outer join of
-    * the two top-10s), `recall_ge_08` re-asserts the q_ivf_append recall
-    * budget (nProbe 7/8, quantizer trained on the 80% slice), and
-    * `n_batches` proves the drain really micro-batched (4 files → 4
-    * batches). The probe stays a partition-pruned scan (PartitionFilters
-    * — PlanSpec). Closes the engine's last static/streaming asymmetry:
-    * the serving index can now absorb a live stream.
+    * arrives as AvailableNow micro-batches, each a batchId-keyed
+    * VERSIONED commit into the manifest-pinned IVF layout under the
+    * frozen quantizer (checkpointed and replay-idempotent —
+    * IndexStreamSpec proves the kill-and-restart bit-parity; here the
+    * clean-drain contract is oracled). Because the quantizer is frozen
+    * and appends are file-additive (a commutative set union), the
+    * post-drain HEAD is bit-identical to a batch rebuild of the union
+    * under the same centroids for ANY batch order — `parity_exact`
+    * asserts it (zero-mismatch full-outer join of the two top-10s) with
+    * the streamed side read THROUGH the committed manifest
+    * ([[VectorOps.readIndexVersion]] at HEAD), `recall_ge_08` re-asserts
+    * the q_ivf_append recall budget (nProbe 7/8, quantizer trained on
+    * the 80% slice), `micro_batched` proves the drain really
+    * micro-batched — one commit per ACTUALLY-STAGED file (Spark skips
+    * empty write partitions, SPARK-21435, so the count is derived, not
+    * the literal 4), at least 2, zero replay skips — and `versioned`
+    * proves one manifest version landed per batch on top of the base
+    * commit. The probe stays a partition-pruned scan (PartitionFilters —
+    * PlanSpec). Closes the engine's last static/streaming asymmetry:
+    * the serving index absorbs a live stream with exactly-once effect.
     */
   private val streamIvfQ: Q = (s, dir) => {
-    val (path, cents, nb) = stageStreamIvf(s, dir)
+    val (path, cents, drain, nStaged) = stageStreamIvf(s, dir)
     val qv = Registry.queryVec(s, dir)
     val union = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
-    val streamed = VectorOps.ivfTopKFromPath(s, path, cents,
-      "vec_id", "embedding", qv, k = 10, nProbe = 7)
+    val probes = VectorOps.nearestCentroids(cents, qv, nProbe = 7)
+    val streamed = VectorOps.readIndexVersion(s, path, drain.finalVersion)
+      .filter(col("centroid").isin(probes: _*))
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), typedLit(qv)), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
     val rebuilt = VectorOps.ivfTopK(
       VectorOps.IvfIndex(union.withColumn("centroid",
         VectorOps.ivfAssign(col("embedding"), cents)), cents),
@@ -835,13 +858,16 @@ object Curation {
     val nNew = union.filter(col("vec_id") % 5 === 2)
       .agg(count(lit(1)).as("n_streamed"))
     nHit.crossJoin(mism).crossJoin(nNew) // 1-row frames
-      .select(lit(10).as("k"), lit(nb).as("n_batches"),
+      .select(lit(10).as("k"),
+        lit(drain.nCommitted == nStaged && drain.nCommitted >= 2 &&
+          drain.nSkipped == 0).as("micro_batched"),
+        lit(drain.finalVersion == 1 + drain.nCommitted).as("versioned"),
         (col("n_hit") >= 8).as("recall_ge_08"),
         (col("n_mism") === 0L).as("parity_exact"), col("n_streamed"))
   }
   private val streamIvfSql =
-    """SELECT 10 AS k, 4 AS n_batches, TRUE AS recall_ge_08,
-      |  TRUE AS parity_exact,
+    """SELECT 10 AS k, TRUE AS micro_batched, TRUE AS versioned,
+      |  TRUE AS recall_ge_08, TRUE AS parity_exact,
       |  CAST((SELECT count(*) FROM embeddings
       |        WHERE vec_id <> 0 AND vec_id % 5 = 2) AS BIGINT) AS n_streamed""".stripMargin
 
@@ -1230,7 +1256,7 @@ object Curation {
     */
   private[queries] def stageStreamDelete(s: org.apache.spark.sql.SparkSession,
                                          dir: String)
-      : (String, Int, Int) =
+      : (String, graft.streaming.IndexStream.DrainResult) =
     Staging.cached(s"streamdelete:$dir") { tmp =>
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
       val idx = VectorOps.ivfIndexDeterministic(emb, "vec_id", "embedding",
@@ -1242,9 +1268,10 @@ object Curation {
       emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
         .repartition(4, col("vec_id"))
         .write.mode("overwrite").parquet(inDir)
-      val (nb, finalV) = graft.streaming.IndexStream.runStreamDeletes(
-        s, inDir, path, fromVersion = 1)
-      (path, nb, finalV)
+      val drain = graft.streaming.IndexStream.runStreamDeletes(
+        s, inDir, path,
+        checkpointDir = Some(tmp.resolve("ckpt").toString))
+      (path, drain)
     }
 
   /** Streaming tombstone ingestion — q_mor_delete's contract driven from
@@ -1264,7 +1291,8 @@ object Curation {
     * live upserts and live deletions.
     */
   private val streamDeleteQ: Q = (s, dir) => {
-    val (path, nb, finalV) = stageStreamDelete(s, dir)
+    val (path, drain) = stageStreamDelete(s, dir)
+    val (nb, finalV) = (drain.nCommitted, drain.finalVersion)
     val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
     val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
     val mor = VectorOps.readIndexVersionMor(s, path, finalV, "vec_id")
@@ -1286,7 +1314,8 @@ object Curation {
           .as("stream_excludes"),
         (col("n_v1") === col("n_all")).as("v1_unaffected"),
         lit(logicalCheap).as("logical_cheap"),
-        lit(nb >= 2).as("micro_batched"),
+        lit(nb >= 2 && drain.nSkipped == 0 && finalV == 1 + nb)
+          .as("micro_batched"),
         col("n_survivors"), col("n_del"))
   }
   private val streamDeleteSql =

@@ -503,18 +503,27 @@ object Registry {
     */
   private[queries] def stageIvf(s: SparkSession, dir: String): (String, Array[Array[Double]]) =
     Staging.cached(s"ivf:$dir") { tmp =>
-      val idx = VectorOps.ivfIndex(
+      // ivfIndexDeterministic, NOT Spark ML KMeans: k-means|| init samples
+      // depend on partitioning, so ML-trained cells differ per session
+      // shape — which flipped downstream recall booleans (r10: sf0.001
+      // recall_ge_06 measured under one environment, failed under
+      // another). The deterministic Lloyd builder pins the centroids at
+      // any parallelism; every recall/pruning threshold downstream is now
+      // a constant of the fixture, not of the box.
+      val idx = VectorOps.ivfIndexDeterministic(
         Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", nCentroids = 8)
       val path = tmp.resolve("index").toString
       VectorOps.ivfWrite(idx, path)
       (path, idx.centroids)
     }
-  // 6-of-8 probes: isotropic fixture vectors spread true neighbors nearly
-  // uniformly over cells (recall ≈ probed fraction — measured 1.0 at
-  // these settings, asserted ≥ 0.8 in spec). At corpus scale nCentroids
-  // grows to thousands and the probed FRACTION shrinks accordingly; the
-  // pruning SHAPE (PartitionFilters over centroid dirs) is what carries.
+  // 7-of-8 probes: isotropic fixture vectors spread true neighbors nearly
+  // uniformly over cells (recall ≈ probed fraction; ≥ 0.8 needs ≥ 7
+  // probes under the deterministic centroids — 6 probes measured 7/10 at
+  // sf0.1, the same budget knee q_ann_ivfpq documents). At corpus scale
+  // nCentroids grows to thousands and the probed FRACTION shrinks
+  // accordingly; the pruning SHAPE (PartitionFilters over centroid dirs)
+  // is what carries.
   // Emits the same recall-threshold summary as q_ann_topk (and for the
   // same reason): the probe itself stays partition-pruned — PlanSpec
   // asserts PartitionFilters on the centroid directories under the agg.
@@ -522,7 +531,7 @@ object Registry {
     val (path, centroids) = stageIvf(s, dir)
     val qv = queryVec(s, dir)
     val ivf = VectorOps.ivfTopKFromPath(s, path, centroids, "vec_id",
-      "embedding", qv, k = 10, nProbe = 6)
+      "embedding", qv, k = 10, nProbe = 7)
     VectorOps.cosineTopK(Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", qv, 10)
       .join(ivf.select(col("vec_id")), Seq("vec_id"), "left_semi")

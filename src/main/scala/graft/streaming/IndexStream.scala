@@ -4,24 +4,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-/** Streaming ANN-index maintenance (SURVEY §2.10 × §2.7): drive
-  * [[graft.ops.VectorOps.ivfAppend]] from a micro-batch vector stream —
-  * the streaming sibling of the batch upsert the reference runs against
+/** Streaming ANN-index maintenance (SURVEY §2.10 × §2.7): drive the
+  * versioned index commits from a micro-batch vector stream — the
+  * streaming sibling of the batch upsert the reference runs against
   * its vector index (utils/upload_data_to_pinecone.py:73-83), and the
   * closure of the last static/streaming asymmetry in the engine (every
   * other index/dedup op already has an incremental sibling).
   *
   * Shape: `foreachBatch` is the right tool, not a stateful operator —
-  * the index IS the state, it lives in the partitioned parquet layout
-  * (restarts free, same argument as [[EventStream.runStreamUpsert]]),
-  * and each micro-batch's work is exactly the batch append: assign under
-  * the FROZEN coarse quantizer, write only the batch's files into their
-  * centroid directories. Because the quantizer is frozen and the append
-  * is file-additive, the post-drain index is bit-identical to a batch
-  * build over the same rows REGARDLESS of micro-batch boundaries or
-  * order — which is what makes it value-oracle-able (q_stream_ivf).
-  * At 100 TB/day the file source becomes a real bus; the per-batch plan
-  * (one map-side assign + partitioned write, no shuffle) is unchanged.
+  * the index IS the state, it lives in the manifest-committed parquet
+  * layout, and each micro-batch's work is exactly the batch commit.
+  * FAULT TOLERANCE is the part `foreachBatch` does NOT give for free:
+  * its delivery contract is at-least-once (the reference's own upsert
+  * loop retries 15×, `utils/upload_data_to_pinecone.py:73-83` — same
+  * contract), so after a mid-drain crash the recovered query REDELIVERS
+  * the in-flight batch under the SAME batchId. Both sinks here are
+  * therefore keyed by that id: every commit tags its manifest with
+  * `batch:{id}` ([[graft.ops.VectorOps.ivfAppendBatch]] /
+  * [[graft.ops.VectorOps.commitDeletesBatch]]), a redelivered id is
+  * skipped, and with a durable `checkpointLocation` the post-recovery
+  * index is bit-identical to a clean run (IndexStreamSpec proves the
+  * kill-and-restart replay). At-least-once delivery + idempotent commit
+  * = exactly-once EFFECT — the only exactly-once there is over an
+  * object store.
+  *
+  * Because the coarse quantizer is frozen and appends are file-additive,
+  * the post-drain index is also bit-identical to a batch build over the
+  * same rows REGARDLESS of micro-batch boundaries or order — which is
+  * what makes it value-oracle-able (q_stream_ivf). At 100 TB/day the
+  * file source becomes a real bus; the per-batch plan (one map-side
+  * assign + partitioned write + one metadata-scale manifest create, no
+  * shuffle) is unchanged.
   */
 object IndexStream {
 
@@ -30,14 +43,18 @@ object IndexStream {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
-  /** Drain a directory of embedding parquet files as micro-batches
-    * (AvailableNow, one file per trigger), appending each batch into the
-    * written IVF index at `indexPath` under the frozen `centroids`.
-    * Returns the number of micro-batches that ran.
-    */
   /** Canonical file-source schema for staged tombstone batches. */
   val tombstoneRawSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType)))
+
+  /** Outcome of a stream drain against the versioned index:
+    * `nCommitted` batches landed a new version this drain, `nSkipped`
+    * were recognized as already-committed replays (non-zero exactly on
+    * a post-crash recovery drain), `finalVersion` is HEAD after the
+    * drain.
+    */
+  final case class DrainResult(nCommitted: Int, nSkipped: Int,
+                               finalVersion: Int)
 
   /** Drain a directory of tombstone-id parquet files as micro-batches
     * (AvailableNow, one file per trigger), committing each as a LOGICAL
@@ -45,53 +62,82 @@ object IndexStream {
     * the delete-side sibling of [[runStreamIvfAppend]], and the live
     * shape of a right-to-be-forgotten queue: each micro-batch costs one
     * id-sized sidecar write plus one manifest create, never a data-file
-    * rewrite ([[graft.ops.VectorOps.commitDeletes]] folds the pending
-    * tombstones forward, so the final version carries the union no
-    * matter how the queue was batched). foreachBatch bodies run
+    * rewrite ([[graft.ops.VectorOps.commitDeletesBatch]] folds the
+    * pending tombstones forward, so the final version carries the union
+    * no matter how the queue was batched). foreachBatch bodies run
     * sequentially on the stream thread, so version numbers never race.
-    * Returns (nBatches, finalVersion).
+    *
+    * `checkpointDir` makes the drain RESTARTABLE: offsets are durably
+    * tracked, a killed drain resumes from its last committed batch, and
+    * the batchId-keyed commit absorbs the one redelivered in-flight
+    * batch. `afterCommit` is a test seam (fires after each non-skipped
+    * commit with the batchId — a throwing hook simulates a crash in the
+    * window between index commit and checkpoint commit, the exact
+    * window replay-idempotence exists for).
     */
   def runStreamDeletes(spark: SparkSession, inputDir: String,
-                       indexPath: String, fromVersion: Int,
-                       queryName: String = "graft_stream_delete")
-      : (Int, Int) = {
+                       indexPath: String,
+                       checkpointDir: Option[String] = None,
+                       queryName: String = "graft_stream_delete",
+                       afterCommit: Long => Unit = _ => ())
+      : DrainResult = {
     val raw = spark.readStream
       .schema(tombstoneRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inputDir)
-    val version = new java.util.concurrent.atomic.AtomicInteger(fromVersion)
-    val q = raw.writeStream
+    // counted on the stream thread (foreachBatch bodies run sequentially)
+    val nCommitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = raw.writeStream
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val v = version.get
-        graft.ops.VectorOps.commitDeletes(spark, indexPath, v, v + 1, batch)
-        version.incrementAndGet(): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (_, skipped) = graft.ops.VectorOps.commitDeletesBatch(
+          spark, indexPath, batchId, batch)
+        if (skipped) nSkipped.incrementAndGet(): Unit
+        else { nCommitted.incrementAndGet(); afterCommit(batchId) }
       }
-      .start()
-    EventStream.awaitDrain(q)
-    (version.get - fromVersion, version.get)
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    EventStream.awaitDrain(writer.start())
+    DrainResult(nCommitted.get, nSkipped.get,
+      graft.ops.VectorOps.latestVersion(spark, indexPath).getOrElse(0))
   }
 
+  /** Drain a directory of embedding parquet files as micro-batches
+    * (AvailableNow, one file per trigger), committing each batch as a
+    * new index version under the frozen coarse `centroids` — the
+    * versioned, replay-idempotent append
+    * ([[graft.ops.VectorOps.ivfAppendBatch]]): batch files land under
+    * deterministic batch-keyed names, the manifest create is the atomic
+    * commit, and a redelivered batchId is skipped. The index at
+    * `indexPath` must carry an initial committed version (the base
+    * build's manifest) before the stream starts. `checkpointDir` /
+    * `afterCommit` as in [[runStreamDeletes]].
+    */
   def runStreamIvfAppend(spark: SparkSession, inputDir: String,
                          centroids: Array[Array[Double]], indexPath: String,
-                         queryName: String = "graft_stream_ivf"): Int = {
+                         checkpointDir: Option[String] = None,
+                         queryName: String = "graft_stream_ivf",
+                         afterCommit: Long => Unit = _ => ())
+      : DrainResult = {
     val raw = spark.readStream
       .schema(embeddingsRawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inputDir)
-    // counted on the stream thread (foreachBatch bodies run sequentially)
-    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
-    val q = raw.writeStream
+    val nCommitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = raw.writeStream
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.VectorOps.ivfAppend(batch, centroids, indexPath,
-          "vec_id", "embedding")
-        nBatches.incrementAndGet(): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (_, skipped) = graft.ops.VectorOps.ivfAppendBatch(
+          spark, batch, centroids, indexPath, "vec_id", "embedding", batchId)
+        if (skipped) nSkipped.incrementAndGet(): Unit
+        else { nCommitted.incrementAndGet(); afterCommit(batchId) }
       }
-      .start()
-    EventStream.awaitDrain(q)
-    nBatches.get
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    EventStream.awaitDrain(writer.start())
+    DrainResult(nCommitted.get, nSkipped.get,
+      graft.ops.VectorOps.latestVersion(spark, indexPath).getOrElse(0))
   }
 }

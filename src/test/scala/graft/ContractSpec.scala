@@ -65,6 +65,10 @@ class ContractSpec extends SparkSpec {
         "/root/testdata/sf0.001", f.toString))
         .!(ProcessLogger(l => out.append(l).append('\n')))
       assert(rc == 0, s"non-portable oracle output types:\n$out")
+      // the tool's own parser unit cases (quoted STRUCT field names etc.)
+      val st = Process(Seq("python3", "tools/check_oracle_types.py",
+        "--selftest")).!(ProcessLogger(l => out.append(l).append('\n')))
+      assert(st == 0, s"check_oracle_types selftest failed:\n$out")
     } finally java.nio.file.Files.deleteIfExists(f)
   }
 }

@@ -1,0 +1,274 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Commit-protocol suite for the versioned index layout: manifest
+  * metadata, latest/time-travel resolution, optimistic-concurrency
+  * commits (including a real two-thread race), batchId-keyed idempotent
+  * appends, the sidecar-after-crash retry, the mixed-schema rewrite,
+  * and the vacuum retention guard.
+  */
+class IndexCommitSpec extends SparkSpec {
+
+  private def embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .filter(col("vec_id") =!= 0)
+
+  /** Fresh committed-v1 index on the `vec_id % 5 != 2` slice. */
+  private def freshIndex(tag: String)
+      : (java.nio.file.Path, String, Array[Array[Double]]) = {
+    val base = embs.filter(col("vec_id") % 5 =!= 2)
+    val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory(s"idx_commit_$tag")
+    val path = dir.resolve("index").toString
+    VectorOps.ivfWrite(idx, path)
+    VectorOps.writeManifest(spark, path, 1, VectorOps.listIndexFiles(spark, path))
+    (dir, path, idx.centroids)
+  }
+
+  private def rmrf(dir: java.nio.file.Path): Unit =
+    Staging.deleteRecursively(dir)
+
+  test("manifest meta commits atomically with the file list; " +
+      "metadata-free manifests read back unchanged") {
+    val (dir, path, _) = freshIndex("meta")
+    try {
+      val files = VectorOps.readManifest(spark, path, 1)
+      assert(VectorOps.readManifestMeta(spark, path, 1).isEmpty)
+      VectorOps.writeManifest(spark, path, 2, files,
+        Map("batch" -> "7", "deletes" -> "_deletes/v2"))
+      // header lines are metadata, never files
+      assert(VectorOps.readManifest(spark, path, 2) == files)
+      assert(VectorOps.readManifestMeta(spark, path, 2) ==
+        Map("batch" -> "7", "deletes" -> "_deletes/v2"))
+      // a ':' in a key (or a newline anywhere) would corrupt the header
+      intercept[IllegalArgumentException] {
+        VectorOps.writeManifest(spark, path, 3, files, Map("a:b" -> "x"))
+      }
+    } finally rmrf(dir)
+  }
+
+  test("listVersions/latestVersion/readIndexLatest: HEAD resolution " +
+      "with tombstones applied; pinned older reads unaffected") {
+    val (dir, path, cents) = freshIndex("latest")
+    try {
+      assert(VectorOps.listVersions(spark, path) == Seq(1))
+      VectorOps.ivfAppend(embs.filter(col("vec_id") % 5 === 2), cents,
+        path, "vec_id", "embedding")
+      VectorOps.writeManifest(spark, path, 2,
+        VectorOps.listIndexFiles(spark, path))
+      val doomed = embs.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      VectorOps.commitDeletes(spark, path, 2, 3, doomed)
+      assert(VectorOps.listVersions(spark, path) == Seq(1, 2, 3))
+      assert(VectorOps.latestVersion(spark, path).contains(3))
+      val latest = VectorOps.readIndexLatest(spark, path, "vec_id")
+      // HEAD must never serve deleted rows
+      assert(latest.join(doomed, Seq("vec_id"), "left_semi").count() == 0)
+      assert(latest.count() ==
+        embs.filter(col("vec_id") % 7 =!= 3).count())
+      // pinned v1 still time-travels to the pre-append, pre-delete state
+      assert(VectorOps.readIndexVersion(spark, path, 1).count() ==
+        embs.filter(col("vec_id") % 5 =!= 2).count())
+      // a never-committed layout resolves to None, and the latest read
+      // fails loudly instead of inventing an empty index
+      val empty = dir.resolve("nothing").toString
+      assert(VectorOps.latestVersion(spark, empty).isEmpty)
+      intercept[IllegalStateException] {
+        VectorOps.readIndexLatest(spark, empty, "vec_id")
+      }
+    } finally rmrf(dir)
+  }
+
+  test("commitFilesOcc: a stale-head writer loses the race, retries, " +
+      "and its files MERGE with the winner's") {
+    val (dir, path, cents) = freshIndex("occ")
+    try {
+      // two appenders' files staged by the real batch path
+      val (v2, s2) = VectorOps.ivfAppendBatch(spark,
+        embs.filter(col("vec_id") % 5 === 2), cents, path,
+        "vec_id", "embedding", batchId = 100L)
+      assert(v2 == 2 && !s2)
+      // writer B read HEAD before A committed (assumeHead = 1): its
+      // first create attempt at v2 MUST collide and the retry must land
+      // v3 carrying BOTH writers' files
+      val extra = embs.filter(col("vec_id") % 5 === 2)
+        .limit(3).select(col("vec_id") + 1000000, col("embedding"))
+        .toDF("vec_id", "embedding")
+      val stage = dir.resolve("bfiles").toString
+      extra.select(col("vec_id"), col("embedding"),
+          VectorOps.ivfAssign(col("embedding"), cents).as("centroid"))
+        .coalesce(1).write.partitionBy("centroid").parquet(stage)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val rels = new java.io.File(stage).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("centroid="))
+        .sortBy(_.getName).flatMap { part =>
+          part.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).zipWithIndex.map { case (f, i) =>
+              val rel = s"${part.getName}/occ-b-$i.parquet"
+              fs.mkdirs(new org.apache.hadoop.fs.Path(path, part.getName))
+              assert(fs.rename(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                new org.apache.hadoop.fs.Path(path, rel)))
+              rel
+            }
+        }.toSeq
+      val c = VectorOps.commitFilesOcc(spark, path, rels,
+        assumeHead = Some(1))
+      assert(c.version == 3, "retry must land on top of the real HEAD")
+      assert(c.attempts == 2, "the stale first attempt must have collided")
+      val v3files = VectorOps.readManifest(spark, path, 3).toSet
+      assert(VectorOps.readManifest(spark, path, 2).toSet.subsetOf(v3files),
+        "the loser's merge must keep the winner's files")
+      assert(rels.forall(v3files), "…and add its own")
+      assert(VectorOps.readIndexVersion(spark, path, 3).count() ==
+        embs.count() + 3)
+    } finally rmrf(dir)
+  }
+
+  test("two genuinely concurrent appenders both land; the union is exact") {
+    val (dir, path, cents) = freshIndex("race")
+    try {
+      val batchA = embs.filter(col("vec_id") % 5 === 2 && col("vec_id") % 2 === 0)
+      val batchB = embs.filter(col("vec_id") % 5 === 2 && col("vec_id") % 2 === 1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = VectorOps.ivfAppendBatch(spark, batchA, cents,
+            path, "vec_id", "embedding", batchId = 1L)._1
+        })
+        val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = VectorOps.ivfAppendBatch(spark, batchB, cents,
+            path, "vec_id", "embedding", batchId = 2L)._1
+        })
+        val versions = Set(fa.get(), fb.get())
+        assert(versions == Set(2, 3), s"both must commit, got $versions")
+      } finally pool.shutdown()
+      val head = VectorOps.readIndexVersion(spark, path, 3)
+      assert(head.count() == embs.count(), "no append may be lost")
+      assert(head.select(col("vec_id")).distinct().count() == embs.count(),
+        "…and none duplicated")
+      assert(VectorOps.committedBatchIds(spark, path) == Set(1L, 2L))
+    } finally rmrf(dir)
+  }
+
+  test("ivfAppendBatch replay (same batchId) is a no-op: skipped, " +
+      "file set and row set unchanged") {
+    val (dir, path, cents) = freshIndex("replay")
+    try {
+      val batch = embs.filter(col("vec_id") % 5 === 2)
+      val (v1st, s1st) = VectorOps.ivfAppendBatch(spark, batch, cents, path,
+        "vec_id", "embedding", batchId = 42L)
+      assert(v1st == 2 && !s1st)
+      val filesAfter = VectorOps.readManifest(spark, path, 2)
+      val (v2nd, s2nd) = VectorOps.ivfAppendBatch(spark, batch, cents, path,
+        "vec_id", "embedding", batchId = 42L)
+      assert(s2nd, "a redelivered batchId must be recognized")
+      assert(v2nd == 2, "…and commit nothing")
+      assert(VectorOps.latestVersion(spark, path).contains(2))
+      assert(VectorOps.listIndexFiles(spark, path) == filesAfter,
+        "replay must not land even an unreferenced file")
+      assert(VectorOps.readIndexVersion(spark, path, 2).count() == embs.count())
+    } finally rmrf(dir)
+  }
+
+  test("commitDeletes survives a crash between sidecar write and " +
+      "manifest create: the retry reclaims the orphan and commits") {
+    val (dir, path, _) = freshIndex("crash")
+    try {
+      val doomed = embs.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      // simulate the crash: the sidecar landed, the manifest did not
+      doomed.select(col("vec_id").cast("long").as("vid"))
+        .coalesce(1).write.parquet(s"$path/_deletes/v2")
+      // the orphan is INVISIBLE (no manifest references it) …
+      assert(VectorOps.latestVersion(spark, path).contains(1))
+      // … and the retry at the same version number succeeds (the old
+      // errorifexists ordering wedged v2 permanently here)
+      VectorOps.commitDeletes(spark, path, 1, 2, doomed)
+      val mor = VectorOps.readIndexVersionMor(spark, path, 2, "vec_id")
+      assert(mor.join(doomed, Seq("vec_id"), "left_semi").count() == 0)
+      // an already-committed target version is refused loudly
+      intercept[IllegalArgumentException] {
+        VectorOps.commitDeletes(spark, path, 1, 2, doomed)
+      }
+    } finally rmrf(dir)
+  }
+
+  test("an orphan sidecar under a version later committed by a plain " +
+      "append is never inherited (resolution is via manifest meta only)") {
+    val (dir, path, cents) = freshIndex("orphan")
+    try {
+      // a crashed/racing delete attempt left _deletes/v2 behind …
+      embs.limit(5).select(col("vec_id").cast("long").as("vid"))
+        .coalesce(1).write.parquet(s"$path/_deletes/v2")
+      // … then an APPEND commits version 2 (no deletes intended)
+      val (v, _) = VectorOps.ivfAppendBatch(spark,
+        embs.filter(col("vec_id") % 5 === 2), cents, path,
+        "vec_id", "embedding", batchId = 9L)
+      assert(v == 2)
+      assert(VectorOps.readDeletes(spark, path, 2).isEmpty,
+        "the append's v2 must not inherit the orphan's tombstones")
+      assert(VectorOps.readIndexVersionMor(spark, path, 2, "vec_id")
+        .count() == embs.count())
+    } finally rmrf(dir)
+  }
+
+  test("versioned rewrite of a mixed-schema partition keeps the evolved " +
+      "column (mergeSchema in rewriteVersioned)") {
+    val (dir, path, cents) = freshIndex("evolve")
+    try {
+      // evolution: the appended files carry an extra `quality` column
+      val batch = embs.filter(col("vec_id") % 5 === 2)
+      batch.select(col("vec_id"), col("embedding"),
+          (col("vec_id") % 100).cast("long").as("quality"),
+          VectorOps.ivfAssign(col("embedding"), cents).as("centroid"))
+        .write.partitionBy("centroid").mode("append").parquet(path)
+      VectorOps.writeManifest(spark, path, 2,
+        VectorOps.listIndexFiles(spark, path))
+      // compact the mixed-schema layout — pre-fix this silently dropped
+      // `quality` from every rewritten partition
+      val (rewritten, _, _) =
+        VectorOps.ivfCompactVersioned(spark, path, 2, 3)
+      assert(rewritten >= 1, "fixture must carry real multi-file partitions")
+      val merged = VectorOps.readIndexVersionMerged(spark, path, 3)
+      val expect = batch.agg(sum(col("vec_id") % 100)).head().getLong(0)
+      assert(merged.agg(sum(col("quality"))).head().getLong(0) == expect,
+        "evolved values must survive the rewrite bit-exactly")
+      assert(merged.filter(col("quality").isNotNull).count() == batch.count())
+    } finally rmrf(dir)
+  }
+
+  test("ivfVacuum retention guard: young unreferenced files survive, " +
+      "aged ones are reclaimed") {
+    val (dir, path, cents) = freshIndex("vacuum")
+    try {
+      VectorOps.ivfAppend(embs.filter(col("vec_id") % 5 === 2), cents,
+        path, "vec_id", "embedding")
+      VectorOps.writeManifest(spark, path, 2,
+        VectorOps.listIndexFiles(spark, path))
+      val (_, filesV2, _) = VectorOps.ivfCompactVersioned(spark, path, 2, 3)
+      val orphans = VectorOps.readManifest(spark, path, 2).toSet --
+        VectorOps.readManifest(spark, path, 3).toSet
+      assert(orphans.nonEmpty && filesV2 > 0)
+      // all superseded files look freshly written → a retention window
+      // spares every one of them (the concurrent-appender guarantee)
+      val (del0, kept0) = VectorOps.ivfVacuum(spark, path, Seq(3),
+        minAgeMs = 3600L * 1000L)
+      assert(del0 == 0, "files inside the retention window must survive")
+      // age them past the window → the same vacuum reclaims exactly them
+      orphans.foreach { f =>
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(path, f),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 7200L * 1000L))
+      }
+      val (del1, _) = VectorOps.ivfVacuum(spark, path, Seq(3),
+        minAgeMs = 3600L * 1000L)
+      assert(del1 == orphans.size)
+      assert(VectorOps.listIndexFiles(spark, path).toSet ==
+        VectorOps.readManifest(spark, path, 3).toSet)
+      assert(kept0 >= VectorOps.readManifest(spark, path, 3).size)
+    } finally rmrf(dir)
+  }
+}

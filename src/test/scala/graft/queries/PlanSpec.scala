@@ -246,9 +246,12 @@ class PlanSpec extends SparkSpec {
     assert(pfSections.exists(_.contains("centroid")), p)
     val row = df.head()
     assert(row.getInt(0) == 10, row.toString)
-    assert(row.getInt(1) == 4, s"4 staged files must drain as 4 micro-batches: $row")
-    assert(row.getBoolean(2) && row.getBoolean(3), row.toString)
-    assert(row.getLong(4) > 0, "fixture must stream at least one vector")
+    assert(row.getBoolean(1),
+      s"every staged file must drain as exactly one committed batch: $row")
+    assert(row.getBoolean(2),
+      s"one manifest version must land per micro-batch: $row")
+    assert(row.getBoolean(3) && row.getBoolean(4), row.toString)
+    assert(row.getLong(5) > 0, "fixture must stream at least one vector")
   }
 
   test("q_knn_ivf_batch: pruned path is a broadcast EQUI-join on centroid " +
@@ -348,9 +351,9 @@ class PlanSpec extends SparkSpec {
     assert(row.getBoolean(2), s"streamed deletes must never rewrite data files: $row")
     assert(row.getBoolean(3), s"the drain must have micro-batched: $row")
     assert(row.getLong(4) > 0 && row.getLong(5) > 0, row.toString)
-    val (path, _, finalV) = Curation.stageStreamDelete(spark, sf)
+    val (path, drain) = Curation.stageStreamDelete(spark, sf)
     val p = graft.ops.VectorOps
-      .readIndexVersionMor(spark, path, finalV, "vec_id")
+      .readIndexVersionMor(spark, path, drain.finalVersion, "vec_id")
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
     assert(!p.contains("SortMergeJoin"), p)

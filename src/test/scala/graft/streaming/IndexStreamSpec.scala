@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Fault-tolerance suite for the streaming index sinks: foreachBatch
+  * delivery is at-least-once, so the contract under test is
+  * kill-and-restart REPLAY — the recovered drain redelivers the
+  * in-flight batch under the same batchId and the batchId-keyed commit
+  * must absorb it, leaving the index bit-identical to a clean run.
+  */
+class IndexStreamSpec extends SparkSpec {
+
+  private def embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .filter(col("vec_id") =!= 0)
+
+  /** Committed-v1 base index + a 3-file incoming directory + checkpoint
+    * dir, on a fresh temp tree.
+    */
+  private def fixture(tag: String) = {
+    val base = embs.filter(col("vec_id") % 5 =!= 2)
+    val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding", 8)
+    val dir = java.nio.file.Files.createTempDirectory(s"idx_stream_$tag")
+    val path = dir.resolve("index").toString
+    VectorOps.ivfWrite(idx, path)
+    VectorOps.writeManifest(spark, path, 1, VectorOps.listIndexFiles(spark, path))
+    val inDir = dir.resolve("incoming").toString
+    embs.filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(3, col("vec_id"))
+      .write.mode("overwrite").parquet(inDir)
+    (dir, path, idx.centroids, inDir, dir.resolve("ckpt").toString)
+  }
+
+  private def rmrf(dir: java.nio.file.Path): Unit =
+    graft.ops.Staging.deleteRecursively(dir)
+
+  test("append stream killed after a commit replays idempotently: " +
+      "post-recovery index is bit-identical to a clean run") {
+    val (dir, path, cents, inDir, ckpt) = fixture("append")
+    try {
+      // crash in THE window: index commit done, checkpoint commit not —
+      // the exact at-least-once gap batchId keying exists for
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val boom = intercept[Exception] {
+        IndexStream.runStreamIvfAppend(spark, inDir, cents, path,
+          checkpointDir = Some(ckpt), queryName = "spec_ivf_kill",
+          afterCommit = _ =>
+            if (fired.compareAndSet(false, true))
+              throw new RuntimeException("injected crash after commit"))
+      }
+      assert(boom.getMessage != null)
+      assert(VectorOps.latestVersion(spark, path).contains(2),
+        "exactly one batch must have committed before the crash")
+      // recovery: same checkpoint → the in-flight batch is REDELIVERED
+      // with its original batchId and must be skipped, not re-appended
+      val drain = IndexStream.runStreamIvfAppend(spark, inDir, cents, path,
+        checkpointDir = Some(ckpt), queryName = "spec_ivf_recover")
+      assert(drain.nSkipped == 1,
+        s"the redelivered batch must be recognized, got $drain")
+      assert(drain.nCommitted == 2)
+      assert(drain.finalVersion == 4, "1 base + 3 batches")
+      assert(VectorOps.committedBatchIds(spark, path) == Set(0L, 1L, 2L))
+      // bit-parity with a clean batch build under the same frozen model:
+      // every row exactly once, assigned to the same centroid
+      val got = VectorOps.readIndexVersion(spark, path, 4)
+        .select(col("vec_id"), col("centroid"))
+      val want = embs.select(col("vec_id"),
+        VectorOps.ivfAssign(col("embedding"), cents).as("centroid"))
+      assert(got.exceptAll(want).union(want.exceptAll(got)).count() == 0,
+        "replay must not double-append or drop any vector")
+    } finally rmrf(dir)
+  }
+
+  test("delete stream killed after a commit replays idempotently: " +
+      "final MOR view equals a clean single-pass delete") {
+    val (dir, path, _, _, ckpt) = fixture("delete")
+    try {
+      val inDir = dir.resolve("tombstones").toString
+      val doomed = embs.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      doomed.repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      intercept[Exception] {
+        IndexStream.runStreamDeletes(spark, inDir, path,
+          checkpointDir = Some(ckpt), queryName = "spec_del_kill",
+          afterCommit = _ =>
+            if (fired.compareAndSet(false, true))
+              throw new RuntimeException("injected crash after commit"))
+      }
+      val drain = IndexStream.runStreamDeletes(spark, inDir, path,
+        checkpointDir = Some(ckpt), queryName = "spec_del_recover")
+      assert(drain.nSkipped == 1 && drain.nCommitted == 2)
+      assert(drain.finalVersion == 4)
+      val mor = VectorOps.readIndexVersionMor(spark, path,
+        drain.finalVersion, "vec_id")
+      assert(mor.join(doomed, Seq("vec_id"), "left_semi").count() == 0,
+        "every streamed tombstone must apply exactly once")
+      val baseN = embs.filter(col("vec_id") % 5 =!= 2).count()
+      val doomedInBase = embs
+        .filter(col("vec_id") % 5 =!= 2 && col("vec_id") % 7 === 3).count()
+      assert(mor.count() == baseN - doomedInBase)
+      // pinned v1 history is untouched by the whole crash-recover cycle
+      assert(VectorOps.readIndexVersion(spark, path, 1).count() == baseN)
+    } finally rmrf(dir)
+  }
+
+  test("a checkpoint-free drain still commits every batch exactly once " +
+      "(no-crash path keeps working without durable state)") {
+    val (dir, path, cents, inDir, _) = fixture("nockpt")
+    try {
+      val drain = IndexStream.runStreamIvfAppend(spark, inDir, cents, path,
+        queryName = "spec_ivf_nockpt")
+      assert(drain.nCommitted == 3 && drain.nSkipped == 0)
+      assert(drain.finalVersion == 4)
+      assert(VectorOps.readIndexVersion(spark, path, 4).count() == embs.count())
+    } finally rmrf(dir)
+  }
+}

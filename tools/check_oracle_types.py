@@ -105,5 +105,36 @@ def main(sf_dir, oracle_json, list_all=False):
     print(f"== all {len(oracle)} oracles portable ==")
     return 0
 
+def selftest():
+    # Unit cases for the string-level fallback — especially the
+    # quoted-identifier handling (ADVICE r9: a STRUCT field rendered as
+    # `"my col" BIGINT` used to split on the first space and test the
+    # garbage token `col" BIGINT` as a type → false positive).
+    cases = [
+        ("BIGINT", True),
+        ("HUGEINT", False),
+        ("DECIMAL(38,0)", False),
+        ("BIGINT[]", True),
+        ("HUGEINT[]", False),
+        ('STRUCT(a BIGINT, b VARCHAR)', True),
+        ('STRUCT(a HUGEINT)', False),
+        ('STRUCT("my col" BIGINT)', True),          # quoted name w/ space
+        ('STRUCT("my col" HUGEINT)', False),        # …still catches the type
+        ('STRUCT("odd""name" BIGINT)', True),       # escaped "" in the name
+        ('STRUCT("odd""name" HUGEINT)', False),
+        ('MAP(VARCHAR, BIGINT)', True),
+        ('MAP(VARCHAR, HUGEINT)', False),
+        ('STRUCT(a STRUCT(b BIGINT[], c VARCHAR))', True),
+        ('STRUCT(a STRUCT(b HUGEINT))', False),
+    ]
+    failed = [(s, want, portable_str(s)) for s, want in cases
+              if portable_str(s) != want]
+    for s, want, got in failed:
+        print(f"SELFTEST FAIL portable_str({s!r}) = {got}, want {want}")
+    print("selftest OK" if not failed else f"== {len(failed)} selftest failures ==")
+    return 1 if failed else 0
+
 if __name__ == "__main__":
+    if "--selftest" in sys.argv:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2], "--list" in sys.argv))
