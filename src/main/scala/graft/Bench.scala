@@ -113,7 +113,9 @@ object Bench {
                           sentinel: Option[(Double, Double)] = None,
                           jvm: Option[String] = None,
                           retried: collection.Map[String, RetryRecord]
-                            = Map.empty): String = {
+                            = Map.empty,
+                          calibration: Option[(Double, Double)] = None)
+      : String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
@@ -140,9 +142,38 @@ object Bench {
       val delta = if (first > 0) (last - first) / first * 100.0 else 0.0
       s""","sentinel":{"name":"$SentinelName","first":$first,"last":$last,"delta_pct":${math.round(delta * 10) / 10.0}}"""
     }.getOrElse("")
+    // host-speed calibration (r9 verdict item 6): the SAME fixed-cost
+    // CPU-bound probe timed at run start and end — a judge normalizes a
+    // suspicious total against these two numbers instead of a manual
+    // worktree A/B. Distinct from the sentinel: the sentinel is a
+    // REGISTRY query bracketing session degradation; the calibration is
+    // registry-independent and measures the BOX.
+    val calJson = calibration.map { case (st, en) =>
+      s""","calibration":{"start_s":$st,"end_s":$en}"""
+    }.getOrElse("")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val jvmJson = jvm.map(j => s""","jvm":$j""").getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson$retriedJson$sentJson$jvmJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson$retriedJson$sentJson$calJson$jvmJson,"sf":"$sfDir"}"""
+  }
+
+  /** Fixed-cost host-speed probe: a deterministic, registry- and
+    * fixture-independent CPU-bound job (range → xxhash64 → sum; one
+    * stage, no I/O, no shuffle), timed min-of-3. Run at bench start and
+    * end; the pair lands in the artifact (`calibration`) so host
+    * degradation can be separated from code regressions WITHOUT
+    * re-running old commits (the r9 adjudication cost hours of exactly
+    * that). min-of-3: the minimum is the least-interfered measurement —
+    * it rises only when the box has no quiet 150M-row window at all,
+    * which is precisely the signal.
+    */
+  private def timeCalibration(spark: SparkSession): Double = {
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 150000000L, 1, 32)
+        .select(sum(xxhash64(col("id")))).collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.round(times.min * 1000) / 1000.0
   }
 
   /** Per-query timing medians from prior full-registry runs of the SAME
@@ -376,6 +407,11 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // calibration BEFORE any warmup/staging: the purest host reading —
+    // nothing of the registry has touched the session yet (min-of-3
+    // absorbs this probe's own first-run codegen)
+    val calStart = if (args.isEmpty) Some(timeCalibration(spark)) else None
+
     // Warmup: prime codegen/JIT + parquet readers on a small, shuffling
     // query (not timed).
     // fixture-property guards FIRST and in their own try (ADVICE r8: when
@@ -512,10 +548,13 @@ object Bench {
         (finalResults.map { case (n, t) => n -> recovered.getOrElse(n, t) },
           errors -- recovered.keys)
       }
+    // calibration end probe LAST — after retries and recovery, so the
+    // pair brackets everything the total was measured under
+    val calEnd = if (args.isEmpty) Some(timeCalibration(spark)) else None
     val line = summaryLine(recoveredResults, finalErrors, absorbed, sfDir,
       sentFirst.zip(sentLast),
       Some(s"""{"start":$jvmStart,"end":${jvmSnapshot()}}"""),
-      retried)
+      retried, calStart.zip(calEnd))
     println(line)
     // Also persist the full line to the repo root: the driver's BENCH
     // tail window truncates long per-query maps, which makes exact

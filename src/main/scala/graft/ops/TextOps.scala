@@ -27,6 +27,30 @@ object TextOps {
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Unicode normalization to `form` (NFC/NFD/NFKC/NFKD) — the custom
+    * codegen'd [[graft.expr.UnicodeNormalize]] expression (Spark has no
+    * builtin; a UDF would break whole-stage codegen). Already-normalized
+    * strings (the pure-ASCII common case) pass through allocation-free.
+    */
+  def normalizeUnicode(c: Column, form: String = "NFKC"): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expr.UnicodeNormalize(GraftShim.expression(c), form))
+  }
+
+  /** The full unicode-hygiene fold a multilingual corpus gets at ingest
+    * (q_unicode_normalize): NFKC-normalize (folds compatibility forms —
+    * ligatures, fullwidth digits, NBSP — and composes combining marks,
+    * so visually-identical strings become codepoint-identical for dedup
+    * / shingling / tokenizer vocabularies), strip C0 controls + DEL,
+    * casefold via `lower`. One map-side projection: zero shuffles, stays
+    * in whole-stage codegen, embarrassingly parallel at 100 TB. The
+    * strip set is deliberately C0+DEL only — the smallest class every
+    * engine's regex treats identically (C1 handling differs across
+    * regex dialects and would fork the oracle).
+    */
+  def unicodeClean(c: Column, form: String = "NFKC"): Column =
+    lower(regexp_replace(normalizeUnicode(c, form), "[\\x00-\\x1F\\x7F]", ""))
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword count: word pieces + digits + punctuation as
@@ -278,6 +302,16 @@ object TextOps {
     * chains overlap).
     */
   def bpeMergeStats(docs: DataFrame, idCol: String, toksCol: String)
+      : DataFrame =
+    bpeStatsOf(bpeMarked(docs, idCol, toksCol))
+
+  /** The marked candidate frame shared by [[bpeMergeStats]] (aggregate
+    * it) and [[bpeApplyMerge]] (rebuild token arrays from it): one row
+    * per (doc, pos) with the round's winning pair broadcast alongside
+    * and the greedy-non-overlap `active` / `prevActive` markers
+    * computed by run-parity windows.
+    */
+  private def bpeMarked(docs: DataFrame, idCol: String, toksCol: String)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bigrams = when(size(col(toksCol)) >= 2,
@@ -307,10 +341,13 @@ object TextOps {
     val offset = sum(when(col("c"), 1L).otherwise(0L))
       .over(Window.partitionBy(col(idCol), col("runId"))
         .orderBy(col("pos")))
-    val marked = cand
+    cand
       .withColumn("active", col("c") && offset % 2 === 1)
       .withColumn("prevActive",
         coalesce(lag(col("active"), 1).over(wOrd), lit(false)))
+  }
+
+  private def bpeStatsOf(marked: DataFrame): DataFrame =
     marked.agg(
       max(concat_ws(" ", col("a"), col("b"))).as("pair"),
       max(col("pc")).as("pair_count"),
@@ -319,6 +356,57 @@ object TextOps {
       sum(when(!col("active") && !col("prevActive"), 1L)
         .otherwise(when(col("active"), 1L).otherwise(0L)))
         .as("tokens_after"))
+
+  /** Apply the round's winning merge to every document: active positions
+    * become the concatenated pair `a+b`, the position consumed by each
+    * merge (`prevActive`) is dropped, everything else passes through;
+    * token arrays are rebuilt in position order. One exchange on the doc
+    * key (the windows and the rebuild groupBy share it).
+    */
+  private def bpeApplied(marked: DataFrame, idCol: String,
+                         toksCol: String): DataFrame =
+    marked
+      .filter(col("active") || !col("prevActive"))
+      .select(col(idCol), col("pos"),
+        when(col("active"), concat(col("tok"), col("nxt")))
+          .otherwise(col("tok")).as("t2"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("t2")))),
+        x => x.getField("t2")).as(toksCol))
+
+  /** Iterated BPE training over a fixed merge budget — the tokenizer-
+    * training loop completed ([[bpeMergeStats]] is its single inner
+    * step): each round counts adjacent pairs, elects the global winner
+    * (count desc, pair asc — a total order, so training is
+    * deterministic in any engine), applies it greedily per document,
+    * and proceeds on the MERGED corpus. Returns one row per round —
+    * (round, pair, pair_count, n_merges, tokens_before, tokens_after),
+    * all exact integers plus the learned vocabulary entry itself — the
+    * replayable training log an oracle can re-derive round by round
+    * (q_bpe_train replays all K rounds in SQL).
+    *
+    * Scale shape per round: one pair-count aggregate (map-side combine,
+    * 1-row winner broadcast back) + one windowed pass and rebuild on the
+    * doc key — the corpus crosses the wire once per round, which is the
+    * real cost structure of distributed BPE training; `localCheckpoint`
+    * cuts the per-round lineage (merged tokens are data, not a
+    * 4-round-deep recompute plan), the same budget-bounded iteration
+    * contract as [[graft.ops.Graph.labelPropagation]].
+    */
+  def bpeTrain(docs: DataFrame, idCol: String, toksCol: String,
+               rounds: Int): DataFrame = {
+    require(rounds >= 1, "bpeTrain: rounds must be >= 1")
+    var cur = docs
+    val stats = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to rounds) {
+      val marked = bpeMarked(cur, idCol, toksCol).localCheckpoint()
+      stats += bpeStatsOf(marked).withColumn("round", lit(r))
+      if (r < rounds) cur = bpeApplied(marked, idCol, toksCol)
+    }
+    stats.reduce(_ unionByName _)
+      .select(col("round"), col("pair"), col("pair_count"),
+        col("n_merges"), col("tokens_before"), col("tokens_after"))
+      .orderBy(col("round"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -672,10 +672,40 @@ object VectorOps {
     val p = new HPath(path, f"_manifests/v$version%05d.manifest")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val header = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k:$v" }
-    val out = fs.create(p, /* overwrite = */ false)
-    try out.write((header ++ files).mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val bytes = (header ++ files).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // Write-temp-then-publish, NOT create-then-write: `fs.create(p, false)`
+    // makes the manifest VISIBLE before its content lands, so a racing
+    // OCC loser's retry can read a torn (empty) HEAD and commit a merge
+    // that silently drops the winner's files. The publish step must be
+    // atomic on BOTH axes — create-if-absent AND full-content visibility:
+    //  - local / NFS: POSIX link(2) (Files.createLink) fails EEXIST
+    //    atomically and links the fully-written temp;
+    //  - HDFS: rename refuses an existing destination atomically;
+    //  - object stores: this is the conditional PUT (if-none-match),
+    //    where the full object appears atomically by construction.
+    val tmp = new HPath(path,
+      s"_manifests/.tmp-v$version-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, /* overwrite = */ true)
+    try out.write(bytes) finally out.close()
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch { case e: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"manifest version $version already committed under $path", e)
+      }
+      fs.delete(tmp, false)
+    } else {
+      if (fs.exists(p) || !fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"manifest version $version already committed under $path")
+      }
+    }
   }
 
   private def manifestPath(path: String, version: Int) = {
@@ -824,9 +854,11 @@ object VectorOps {
       .union(pending).distinct()
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/$sidecarRel")
+    // op:delete tags the commit for the change feed ([[indexChanges]]):
+    // a logical delete's tombstone delta IS its change set
     writeManifest(spark, path, toVersion,
       readManifest(spark, path, fromVersion),
-      meta + ("deletes" -> sidecarRel))
+      Map("op" -> "delete") ++ meta + ("deletes" -> sidecarRel))
   }
 
   /** The tombstone sidecar of `version`, if its manifest references one.
@@ -932,10 +964,11 @@ object VectorOps {
   def ivfAppendBatch(spark: org.apache.spark.sql.SparkSession,
                      batch: DataFrame, centroids: Array[Array[Double]],
                      path: String, idCol: String, vecCol: String,
-                     batchId: Long): (Int, Boolean) = {
+                     batchId: Long,
+                     assumeHead: Option[Int] = None): (Int, Boolean, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
     if (committedBatchIds(spark, path).contains(batchId))
-      return (latestVersion(spark, path).get, true)
+      return (latestVersion(spark, path).get, true, 0)
     val fs = new HPath(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val stageRel = s"_staging/batch_$batchId"
@@ -962,8 +995,8 @@ object VectorOps {
       }
     fs.delete(new HPath(path, stageRel), true)
     val c = commitFilesOcc(spark, path, newFiles.toSeq,
-      Map("batch" -> batchId.toString))
-    (c.version, false)
+      Map("batch" -> batchId.toString, "op" -> "append"), assumeHead)
+    (c.version, false, c.attempts)
   }
 
   /** Idempotent streaming delete commit — [[commitDeletes]] keyed by
@@ -1032,8 +1065,11 @@ object VectorOps {
     val (rewritten, _, _) =
       rewriteVersioned(spark, path, fromVersion, toVersion, "deleted",
         // tombstones are FOLDED IN here — the new version must not carry
-        // the pointer forward or the anti-join would run twice
-        carryMeta = Map.empty) {
+        // the pointer forward or the anti-join would run twice. op:apply
+        // marks the commit dataChange-free for the change feed: these rows
+        // were reported deleted when the LOGICAL commit landed; the
+        // physical purge must not report them twice
+        carryMeta = Map("op" -> "apply")) {
         (part, _) => hotParts.contains(part)
       } { df => df.join(delSet, Seq(idCol), "left_anti") }
     (rewritten, hotParts.values.sum)
@@ -1052,7 +1088,8 @@ object VectorOps {
   private def rewriteVersioned(spark: org.apache.spark.sql.SparkSession,
                                path: String, fromVersion: Int,
                                toVersion: Int, dstTag: String,
-                               carryMeta: Map[String, String])
+                               carryMeta: Map[String, String],
+                               extraFiles: Seq[String] = Nil)
                               (shouldRewrite: (String, Seq[String]) => Boolean)
                               (transformPart: DataFrame => DataFrame)
       : (Int, Int, Int) = {
@@ -1086,7 +1123,11 @@ object VectorOps {
         } else newList ++= files
     }
     fs.delete(new HPath(path, "_rewrite_tmp"), true)
-    writeManifest(spark, path, toVersion, newList.sorted.toSeq, carryMeta)
+    // extraFiles: already-landed data files committed ATOMICALLY with the
+    // rewrite (the upsert's appended rows — replace-old and insert-new
+    // must be one version or a reader between them sees the id vanish)
+    writeManifest(spark, path, toVersion,
+      (newList ++ extraFiles).sorted.toSeq, carryMeta)
     (rewritten, from.length, newList.length)
   }
 
@@ -1111,8 +1152,10 @@ object VectorOps {
     // MOR readers of the compacted version keep subtracting them
     val carried = readManifestMeta(spark, path, fromVersion)
       .view.filterKeys(_ == "deletes").toMap
+    // op:compact marks the commit dataChange-free: compaction moves bytes,
+    // the change feed must stay silent across it (the Delta CDF design)
     rewriteVersioned(spark, path, fromVersion, toVersion, "compacted",
-      carryMeta = carried) {
+      carryMeta = carried + ("op" -> "compact")) {
       (_, files) => files.length > 1
     } { identity }
   }
@@ -1296,5 +1339,365 @@ object VectorOps {
           lit(0.0), (acc, x) => acc + x).as("adc"))
       .orderBy(col("adc").asc, col("vid").asc)
       .limit(k)
+  }
+
+  // ------------------------------------------------ copy-on-write upsert
+
+  /** Row-level upsert as ONE atomic commit — the reference's own
+    * operation (`utils/upload_data_to_pinecone.py:60-83` upserts
+    * re-embedded rows by id): rows in `updates` REPLACE existing rows
+    * with the same id and INSERT where the id is new. Copy-on-write (the
+    * Delta MERGE shape): the update batch is assigned under the frozen
+    * coarse quantizer and landed as new files; only the partitions that
+    * actually hold a replaced id are rewritten (filtered through a
+    * broadcast anti-join on the id set — the id set is batch-sized,
+    * never corpus-sized); every other file is re-listed untouched. The
+    * manifest create commits replace-old and insert-new TOGETHER — no
+    * reader can observe the id missing, which is why this cannot be
+    * composed from a delete commit followed by an append commit.
+    *
+    * Pending tombstones at `fromVersion` carry forward MINUS the
+    * upserted ids: an upsert of a tombstoned id resurrects it by intent
+    * (the new row must not be subtracted by the old tombstone).
+    *
+    * Rewrites remove files, so like [[ivfCompactVersioned]] this path is
+    * single-writer by design — a concurrent upsert/append race needs a
+    * conflict CHECK, and the duplicate-version refusal keeps the race
+    * loud ([[commitFilesOcc]] documents the split). Cost: the batch's
+    * bytes + the hot partitions' bytes; a batch of brand-new ids
+    * rewrites nothing and degenerates to a pure append.
+    *
+    * Returns (partitionsRewritten, nReplaced, nInserted).
+    */
+  def ivfUpsert(spark: org.apache.spark.sql.SparkSession, path: String,
+                fromVersion: Int, toVersion: Int, updates: DataFrame,
+                centroids: Array[Array[Double]], idCol: String,
+                vecCol: String,
+                extraMeta: Map[String, String] = Map.empty)
+      : (Int, Long, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // land the assigned batch under deterministic upsert-tagged names
+    // (same stage-then-rename discipline as ivfAppendBatch: nothing is
+    // visible until the manifest below commits)
+    val stageRel = s"_staging/upsert_$toVersion"
+    updates.select(col(idCol), col(vecCol),
+        ivfAssign(col(vecCol), centroids).as("centroid"))
+      .write.partitionBy("centroid").mode("overwrite")
+      .parquet(s"$path/$stageRel")
+    val newFiles = scala.collection.mutable.ArrayBuffer[String]()
+    fs.listStatus(new HPath(path, stageRel))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
+      .sortBy(_.getPath.getName)
+      .foreach { part =>
+        val files = fs.listStatus(part.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        fs.mkdirs(new HPath(path, part.getPath.getName))
+        files.zipWithIndex.foreach { case (f, i) =>
+          val rel = s"${part.getPath.getName}/upsert$toVersion-$i.parquet"
+          val dst = new HPath(path, rel)
+          fs.delete(dst, false) // crash leftover: never committed
+          require(fs.rename(f.getPath, dst), s"rename to $dst failed")
+          newFiles += rel
+        }
+      }
+    fs.delete(new HPath(path, stageRel), true)
+    val upIds = broadcast(
+      updates.select(col(idCol).cast("long").as(idCol)).distinct())
+    val nInserted = updates.count()
+    // which partitions hold rows being replaced — one batch-sized
+    // semi-join aggregate. Over the PHYSICAL read, not the MOR read: a
+    // TOMBSTONED row whose id is being upserted is invisible but still on
+    // disk, and since the upsert drops its id from the carried sidecar
+    // (resurrection by intent), leaving its partition un-rewritten would
+    // resurrect the STALE row beside the new one.
+    val physHot = readIndexVersion(spark, path, fromVersion)
+      .join(upIds, Seq(idCol), "left_semi")
+    val hot = physHot
+      .groupBy(col("centroid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => s"centroid=${r.get(0)}" -> r.getLong(1)).toMap
+    // replaced = VISIBLE rows superseded (the caller-facing number;
+    // purging a stale tombstoned row is hygiene, not a replacement)
+    val nReplaced = readIndexVersionMor(spark, path, fromVersion, idCol)
+      .join(upIds, Seq(idCol), "left_semi").count()
+    // pending tombstones carry forward MINUS the upserted ids
+    val meta = readDeletes(spark, path, fromVersion) match {
+      case None => Map("op" -> "upsert")
+      case Some(d) =>
+        val kept = d.select(col("vid"))
+          .join(upIds.select(col(idCol).as("vid")), Seq("vid"), "left_anti")
+        if (kept.isEmpty) Map("op" -> "upsert")
+        else {
+          val rel = s"_deletes/v$toVersion"
+          kept.coalesce(1).write.mode("overwrite").parquet(s"$path/$rel")
+          Map("op" -> "upsert", "deletes" -> rel)
+        }
+    }
+    val (rewritten, _, _) =
+      rewriteVersioned(spark, path, fromVersion, toVersion, "upserted",
+        carryMeta = meta ++ extraMeta, extraFiles = newFiles.toSeq) {
+        (part, _) => hot.contains(part)
+      } { df => df.join(upIds, Seq(idCol), "left_anti") }
+    (rewritten, nReplaced, nInserted)
+  }
+
+  /** Idempotent, versioned streaming UPSERT — [[ivfUpsert]] keyed by
+    * `batchId` with the replay contract of [[ivfAppendBatch]]: an
+    * already-committed batch id short-circuits (foreachBatch delivery is
+    * at-least-once; a replayed upsert must not re-rewrite partitions or
+    * double-land its rows). Versions come from HEAD at commit time —
+    * upserts REWRITE files, so this path is strictly single-writer
+    * ([[commitFilesOcc]] documents the append/rewrite split), which a
+    * foreachBatch sink satisfies by construction: micro-batch bodies run
+    * sequentially on the stream thread. This is the reference's own
+    * production loop — `utils/upload_data_to_pinecone.py:60-83` streams
+    * re-embedded rows as retried (at-least-once) upserts — landed with
+    * exactly-once EFFECT. Returns (version, skippedAsReplay, nReplaced).
+    */
+  def ivfUpsertBatch(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, centroids: Array[Array[Double]],
+                     path: String, idCol: String, vecCol: String,
+                     batchId: Long): (Int, Boolean, Long) = {
+    if (committedBatchIds(spark, path).contains(batchId))
+      return (latestVersion(spark, path).get, true, 0L)
+    val head = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"streaming upserts need an initial committed version under $path"))
+    val (_, nReplaced, _) = ivfUpsert(spark, path, head, head + 1, batch,
+      centroids, idCol, vecCol, extraMeta = Map("batch" -> batchId.toString))
+    (head + 1, false, nReplaced)
+  }
+
+  // ------------------------------------------------- change feed (CDC)
+
+  /** The change feed between two committed versions — one row per
+    * changed id per commit, `(version, vid, change_type)` with
+    * change_type ∈ insert | update | delete (the Delta Change Data Feed
+    * contract, public design). Cost ∝ the CHANGED bytes, never the
+    * corpus: each step reads only the files its commit added or removed
+    * (id-sized tombstone sidecars beside them); a downstream consumer —
+    * a re-embedding queue, a cache invalidator, an incremental
+    * materialization — pays for what changed, which is the only cost
+    * model that works on a 100 TB index taking small daily commits.
+    *
+    * Per step the diff is CONTENT-level, not id-level: rows identical on
+    * (id, vector) in removed and re-added files cancel in the two
+    * `exceptAll`s, so a partition rewrite that carries a row through
+    * unchanged (the upsert rewriting a hot partition's untouched
+    * neighbors) reports nothing for it, while an id present on both
+    * sides with a DIFFERENT vector is exactly an `update`. Commits
+    * tagged op:compact / op:apply are dataChange-free by construction —
+    * compaction moves bytes and the physical tombstone purge
+    * materializes deletes the logical commit already reported — and are
+    * skipped without reading anything.
+    */
+  def indexChanges(spark: org.apache.spark.sql.SparkSession, path: String,
+                   fromVersion: Int, toVersion: Int, idCol: String,
+                   vecCol: String): DataFrame = {
+    require(fromVersion >= 1 && toVersion > fromVersion,
+      s"indexChanges: need 1 <= from < to, got $fromVersion..$toVersion")
+    def emptyIds = spark.range(0).select(col("id").cast("long").as("vid"))
+    def rowsOf(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.range(0).select(col("id").cast("long").as("vid"),
+          array().cast("array<double>").as("v"))
+      else
+        spark.read.option("basePath", path)
+          .parquet(files.map(f => s"$path/$f"): _*)
+          .select(col(idCol).cast("long").as("vid"),
+            col(vecCol).cast("array<double>").as("v"))
+    def delsOf(v: Int): DataFrame =
+      readDeletes(spark, path, v)
+        .map(_.select(col("vid").cast("long").as("vid")))
+        .getOrElse(emptyIds)
+    val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val op = readManifestMeta(spark, path, v).getOrElse("op", "")
+      if (op == "compact" || op == "apply") None
+      else {
+        val a = readManifest(spark, path, v - 1).toSet
+        val b = readManifest(spark, path, v).toSet
+        val addRows = rowsOf((b -- a).toSeq.sorted)
+        val remRows = rowsOf((a -- b).toSeq.sorted)
+        val delsA = delsOf(v - 1)
+        val delsB = delsOf(v)
+        // content diff; visibility-masked (a row tombstoned at B was
+        // never visible as an add; a row already dead at A is no delete)
+        val insVis = addRows.exceptAll(remRows)
+          .join(broadcast(delsB), Seq("vid"), "left_anti")
+          .select(col("vid")).distinct()
+        val delVis = remRows.exceptAll(addRows)
+          .join(broadcast(delsA), Seq("vid"), "left_anti")
+          .select(col("vid")).distinct()
+        val upd = insVis.intersect(delVis)
+        val ins = insVis.except(delVis)
+        val delP = delVis.except(insVis)
+        // logical deletes: the tombstone delta, minus ids the file diff
+        // already accounted for
+        val tombL = delsB.except(delsA).except(insVis).except(delVis)
+        Some(upd.select(col("vid"), lit("update").as("change_type"))
+          .unionByName(ins.select(col("vid"), lit("insert").as("change_type")))
+          .unionByName(delP.select(col("vid"), lit("delete").as("change_type")))
+          .unionByName(tombL.select(col("vid"), lit("delete").as("change_type")))
+          .select(lit(v).as("version"), col("vid"), col("change_type")))
+      }
+    }
+    if (steps.isEmpty)
+      spark.range(0).select(lit(0).as("version"),
+        col("id").cast("long").as("vid"), lit("").as("change_type"))
+    else steps.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------- file skipping (zone maps)
+
+  /** Per-file (min, max) of `colName` straight from the parquet FOOTER
+    * column-chunk statistics — no data page is read (the writer already
+    * paid for the stats at write time; harvesting them is the same
+    * footer round-trip class as [[footerCounts]], executor-distributed).
+    * A file whose footer lacks usable stats for the column maps to the
+    * full range — unprunable, never wrong.
+    */
+  private def footerMinMax(spark: org.apache.spark.sql.SparkSession,
+                           path: String, files: Seq[String],
+                           colName: String): Map[String, (Long, Long)] = {
+    if (files.isEmpty) return Map.empty
+    val confGet = GraftShim.hadoopConfAccessor(spark.sparkContext)
+    val root = path
+    spark.sparkContext
+      .parallelize(files, math.min(files.length, 32))
+      .map { f =>
+        import org.apache.hadoop.fs.{Path => HPath}
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import scala.jdk.CollectionConverters._
+        val range =
+          try {
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new HPath(s"$root/$f"), confGet()))
+            try {
+              val perBlock = r.getFooter.getBlocks.asScala.toSeq.flatMap {
+                blk =>
+                  blk.getColumns.asScala
+                    .find(_.getPath.toDotString == colName)
+                    .flatMap { c =>
+                      val s = c.getStatistics
+                      if (s == null || !s.hasNonNullValue) None
+                      else (s.genericGetMin, s.genericGetMax) match {
+                        case (mn: java.lang.Number, mx: java.lang.Number) =>
+                          Some((mn.longValue, mx.longValue))
+                        case _ => None
+                      }
+                    }
+              }
+              // every block must carry stats or the file is unprunable
+              if (perBlock.length == r.getFooter.getBlocks.size)
+                perBlock.reduceOption { (x, y) =>
+                  (math.min(x._1, y._1), math.max(x._2, y._2)) }
+              else None
+            } finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        (f, range.getOrElse((Long.MinValue, Long.MaxValue)))
+      }
+      .collect().toMap // one (path, min, max) triple per file
+  }
+
+  /** Commit-time zone map: `_manifests/v{N}.colstats`, one
+    * `relpath<TAB>col<TAB>min<TAB>max` line per manifest file, harvested
+    * from parquet footers ([[footerMinMax]]). Same single-file-create
+    * commit discipline as manifests and `.stats`. The point of paying a
+    * footer pass ONCE at commit: every later pruned read
+    * ([[readIndexVersionPruned]]) plans against one small sidecar
+    * instead of touching N footers — at 100 TB with millions of files
+    * the planning I/O is what data skipping actually buys (the
+    * Delta/Snowflake data-skipping design, public literature).
+    */
+  def writeColStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                    version: Int, colName: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val files = readManifest(spark, path, version)
+    val ranges = footerMinMax(spark, path, files, colName)
+    val p = new HPath(path, f"_manifests/v$version%05d.colstats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, /* overwrite = */ false)
+    try out.write(files.map { f =>
+        val (mn, mx) = ranges(f); s"$f\t$colName\t$mn\t$mx" }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The committed zone map of `version` — file → (min, max) for the
+    * column it was built on. Loud on a missing sidecar. */
+  def readColStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                   version: Int): Map[String, (Long, Long)] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, f"_manifests/v$version%05d.colstats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty)
+      .map { l =>
+        val parts = l.split('\t')
+        require(parts.length == 4, s"malformed colstats line: $l")
+        parts(0) -> (parts(2).toLong, parts(3).toLong)
+      }.toMap
+    finally in.close()
+  }
+
+  /** Read a pinned version with FILE SKIPPING for the range predicate
+    * `lo <= col <= hi`: files whose committed zone-map range is disjoint
+    * from [lo, hi] are never opened — not even their footers — and the
+    * precise filter still applies on top (zone maps prune, they do not
+    * answer). Planning cost: one sidecar read; scan cost ∝ the
+    * INTERSECTING files' bytes. On a layout clustered on the column
+    * (range-partitioned writes) that is the fraction of the corpus the
+    * range covers; on an uncorrelated layout it degrades to the full
+    * scan — correct either way, which is the zone-map contract. Returns
+    * (rows, filesRead, filesTotal) so callers can audit the pruning
+    * actually happened.
+    */
+  def readIndexVersionPruned(spark: org.apache.spark.sql.SparkSession,
+                             path: String, version: Int, colName: String,
+                             lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    require(lo <= hi, s"readIndexVersionPruned: lo $lo > hi $hi")
+    val files = readManifest(spark, path, version)
+    val zones = readColStats(spark, path, version)
+    val keep = files.filter { f =>
+      val (mn, mx) = zones.getOrElse(f, (Long.MinValue, Long.MaxValue))
+      mx >= lo && mn <= hi
+    }
+    val rows =
+      if (keep.isEmpty)
+        readIndexVersion(spark, path, version).limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(keep.map(f => s"$path/$f"): _*)
+    (rows.filter(col(colName) >= lo && col(colName) <= hi),
+      keep.length, files.length)
+  }
+
+  // ------------------------------------------------------------ restore
+
+  /** Roll the index BACK by rolling the history FORWARD: commit a new
+    * version whose file list (and pending-tombstone pointer) is exactly
+    * `restoreTo`'s — the Delta RESTORE design (public). Metadata-only:
+    * zero data files move, the bad version stays pinned-readable for the
+    * post-mortem (history is append-only; a restore that erased it would
+    * destroy the audit trail exactly when it matters), and
+    * [[ivfVacuum]] keeping HEAD automatically keeps the restored files.
+    * Returns the new HEAD version.
+    */
+  def restoreVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                     restoreTo: Int): Int = {
+    val head = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed version under $path"))
+    require(restoreTo <= head,
+      s"restoreVersion: v$restoreTo is not committed (head is v$head)")
+    val carried = readManifestMeta(spark, path, restoreTo)
+      .view.filterKeys(_ == "deletes").toMap
+    writeManifest(spark, path, head + 1,
+      readManifest(spark, path, restoreTo),
+      carried ++ Map("op" -> "restore", "restore_of" -> restoreTo.toString))
+    head + 1
   }
 }

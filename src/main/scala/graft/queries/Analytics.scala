@@ -872,6 +872,104 @@ object Analytics {
       |                     ELSE 0 END) AS BIGINT) AS tokens_after
       |FROM c5""".stripMargin
 
+  // ------------------------------------------------- BPE training loop
+
+  /** Iterated BPE training — q_bpe_merge's single inner step looped to a
+    * fixed K = 4 merge budget ([[TextOps.bpeTrain]]): each round elects
+    * the globally most frequent adjacent pair (count desc, pair asc — a
+    * total order, so the learned vocabulary is deterministic in any
+    * engine), applies it greedily per document under the run-parity
+    * non-overlap rule, and trains the next round on the MERGED corpus.
+    * The output is the training log itself — one row per round with the
+    * learned pair and exact merge/token counts — and the oracle replays
+    * ALL FOUR rounds in SQL (the per-round CTE chain is generated from
+    * one template; same replayable-iteration contract as q_kcore).
+    * Later rounds genuinely depend on earlier merges, so a wrong merge
+    * application in ANY round cascades into every later row — the gate
+    * checks the loop, not just the step. Per round the corpus crosses
+    * the wire once (pair-count aggregate + one windowed doc-key pass);
+    * K rounds = K passes, the real cost structure of distributed
+    * tokenizer training.
+    */
+  private val bpeTrainQ: Q = (s, dir) => {
+    TextOps.bpeTrain(
+      Registry.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      "doc_id", "toks", rounds = 4)
+  }
+  /** One BPE round as DuckDB CTEs: reads `t${k-1}` (doc_id, toks LIST),
+    * defines `stat$k` (the round's log row) and `t$k` (the merged
+    * corpus). The chain mirrors q_bpe_merge's single-round SQL exactly.
+    */
+  private def bpeRoundSql(k: Int): String = {
+    val in = s"t${k - 1}"
+    s"""tok$k AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+       |  FROM $in),
+       |bg$k AS (
+       |  SELECT x.t || ' ' || y.t AS bg, count(*) AS pc
+       |  FROM tok$k x JOIN tok$k y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+       |  GROUP BY 1),
+       |top$k AS (
+       |  SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+       |         pc
+       |  FROM bg$k ORDER BY pc DESC, bg LIMIT 1),
+       |c${k}a AS (
+       |  SELECT doc_id, pos, t, a, b, pc,
+       |    lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+       |    coalesce(t = a AND
+       |      lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = b, FALSE)
+       |      AS c
+       |  FROM tok$k, top$k),
+       |c${k}b AS (
+       |  SELECT *, (c AND NOT coalesce(
+       |      lag(c) OVER (PARTITION BY doc_id ORDER BY pos), FALSE))
+       |    AS run_start
+       |  FROM c${k}a),
+       |c${k}c AS (
+       |  SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+       |  FROM c${k}b),
+       |c${k}d AS (
+       |  SELECT *, (c AND sum(CASE WHEN c THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id, run_id ORDER BY pos) % 2 = 1)
+       |    AS active
+       |  FROM c${k}c),
+       |c${k}e AS (
+       |  SELECT *, coalesce(
+       |      lag(active) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+       |    AS prev_active
+       |  FROM c${k}d),
+       |stat$k AS (
+       |  SELECT $k AS round, max(a || ' ' || b) AS pair,
+       |         CAST(max(pc) AS BIGINT) AS pair_count,
+       |         CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_merges,
+       |         CAST(count(*) AS BIGINT) AS tokens_before,
+       |         CAST(sum(CASE WHEN active THEN 1
+       |                       WHEN NOT prev_active THEN 1
+       |                       ELSE 0 END) AS BIGINT) AS tokens_after
+       |  FROM c${k}e),
+       |t$k AS (
+       |  SELECT doc_id,
+       |         list(CASE WHEN active THEN t || nxt ELSE t END ORDER BY pos)
+       |           AS toks
+       |  FROM c${k}e
+       |  WHERE active OR NOT prev_active
+       |  GROUP BY doc_id)""".stripMargin
+  }
+  private val bpeTrainSql = {
+    val rounds = (1 to 4).map(bpeRoundSql).mkString(",\n")
+    val union = (1 to 4).map(k => s"SELECT * FROM stat$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |$rounds
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   // --------------------------------------------- compaction planner
 
   /** Small-file compaction planner — the layout pass a 100 TB table
@@ -1016,6 +1114,7 @@ object Analytics {
     ("q_key_skew_profile", keySkewProfileQ, Some(keySkewProfileSql)),
     ("q_negative_pairs", negativePairsQ, Some(negativePairsSql)),
     ("q_bpe_merge", bpeMergeQ, Some(bpeMergeSql)),
+    ("q_bpe_train", bpeTrainQ, Some(bpeTrainSql)),
     ("q_compaction_plan", compactionPlanQ, Some(compactionPlanSql)),
     ("q_interpolate", interpolateQ, Some(interpolateSql)))
 

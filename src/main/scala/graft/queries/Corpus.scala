@@ -735,9 +735,81 @@ object Corpus {
       |       (top2_frac <= 0.2 AND dup5_frac <= 0.15) AS gopher_pass
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- unicode normalization
+  /** Unicode normalization + control strip + casefold — the hygiene fold
+    * a multilingual corpus needs at ingest (visually-identical strings
+    * with different codepoint sequences defeat exact dedup, shingle
+    * hashing, and tokenizer vocabularies). The fixture text is ASCII, so
+    * the query GARNISHES each doc deterministically by `doc_id % 3` with
+    * the codepoint classes that exercise each law:
+    *
+    *  - combining sequence `e` + U+0301 — NFC/NFKC must COMPOSE to é;
+    *  - compatibility forms U+FB01 (ﬁ) and U+2460 (①) — NFKC must fold
+    *    to `fi` / `1`;
+    *  - BEL control + NBSP U+00A0 — the strip must remove the control,
+    *    NFKC must fold NBSP to a plain space.
+    *
+    * The Spark side runs [[TextOps.unicodeClean]] (custom codegen'd
+    * normalizer, one map-side projection, zero shuffles). The oracle
+    * replays the SAME bytes independently: DuckDB's `nfc_normalize`
+    * covers canonical composition, and because the garnished input is
+    * ASCII + exactly these known compatibility codepoints, NFKC ≡
+    * compat-replace then NFC — the replace list is exhaustive for the
+    * input by construction, so the oracle is exact, not approximate.
+    * Every row's normalized tail, char counts, and shrink boolean cross
+    * the hash gate — a composition, folding, stripping, or casefold
+    * divergence between java.text.Normalizer and utf8proc would flip
+    * bytes here.
+    */
+  private val unicodeNormalizeQ: Q = (s, dir) => {
+    // \u escapes, never literal glyphs: the combining sequence must
+    // reach the engine DECOMPOSED (an editor or transcoder normalizing
+    // the source file would silently gut the test)
+    val garnish = when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("Cafe\u0301 STOP"))             // e + combining acute U+0301
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        lit("\uFB01le \u2460 STOP"))        // fi-ligature + circled one
+      .otherwise(lit("bel\u0007l\u00A0gap STOP")) // BEL control + NBSP
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), garnish).as("raw"))
+      .select(col("doc_id"),
+        TextOps.unicodeClean(col("raw")).as("norm"),
+        length(col("raw")).as("n_chars_raw"))
+      .select(col("doc_id"),
+        expr("right(norm, 14)").as("norm_tail"),
+        length(col("norm")).as("n_chars_norm"), col("n_chars_raw"),
+        (length(col("norm")) < col("n_chars_raw")).as("shrunk"))
+      .orderBy(col("doc_id"))
+  }
+  private val unicodeNormalizeSql =
+    """WITH raw AS (
+      |  SELECT doc_id, text || ' ' ||
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN 'Cafe' || chr(769) || ' STOP'
+      |      WHEN 1 THEN chr(64257) || 'le ' || chr(9312) || ' STOP'
+      |      ELSE 'bel' || chr(7) || 'l' || chr(160) || 'gap STOP'
+      |    END AS raw
+      |  FROM documents),
+      |norm AS (
+      |  SELECT doc_id, length(raw) AS n_chars_raw,
+      |    lower(regexp_replace(
+      |      nfc_normalize(
+      |        replace(replace(replace(raw,
+      |          chr(64257), 'fi'), chr(9312), '1'), chr(160), ' ')),
+      |      '[\x00-\x1f\x7f]', '', 'g')) AS norm
+      |  FROM raw)
+      |SELECT doc_id,
+      |  right(norm, 14) AS norm_tail,
+      |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+      |  CAST(n_chars_raw AS BIGINT) AS n_chars_raw,
+      |  length(norm) < n_chars_raw AS shrunk
+      |FROM norm ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_unicode_normalize", unicodeNormalizeQ, Some(unicodeNormalizeSql)),
     ("q_decontaminate", decontaminateQ, Some(decontaminateSql)),
     ("q_split_hash", splitHashQ, Some(splitHashSql)),
     ("q_domain_mix", domainMixQ, Some(domainMixSql)),

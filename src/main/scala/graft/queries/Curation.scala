@@ -1167,6 +1167,143 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS n_all""".stripMargin
 
+  // -------------------------------------------- latest / time travel
+  /** Latest-version resolution — the call every reader of the versioned
+    * layout was hand-coding ("readers must know the version integer"):
+    * [[VectorOps.latestVersion]] is one `_manifests/` listing, and
+    * [[VectorOps.readIndexLatest]] serves HEAD with tombstones applied.
+    * On the shared versioned fixture (v1 base commit, v2 append commit)
+    * the query proves the three resolution contracts:
+    *
+    *  - `latest_resolves`: the listing finds exactly {1, 2} and HEAD is
+    *    2 — commit order IS the time axis, no timestamps needed (and
+    *    none wanted: a clock-skewed writer must not reorder history);
+    *  - `latest_complete`: the HEAD read holds the full union — the
+    *    resolution serves the newest committed data, not a stale pin;
+    *  - `pinned_unaffected`: an explicit v1 read AFTER HEAD moved is
+    *    still exactly the base slice — time travel by version number is
+    *    repeatable regardless of what the latest pointer does.
+    *
+    * Cost: one directory listing + one manifest read on top of the
+    * pinned scan — nothing corpus-scale anywhere.
+    */
+  private val indexLatestQ: Q = (s, dir) => {
+    val (path, _) = stageIvfVersioned(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val versions = VectorOps.listVersions(s, path)
+    val latestResolves = versions == Seq(1, 2) &&
+      VectorOps.latestVersion(s, path).contains(2)
+    val nLatest = VectorOps.readIndexLatest(s, path, "vec_id")
+      .agg(count(lit(1)).as("n_latest"))
+    val nV1 = VectorOps.readIndexVersion(s, path, 1)
+      .agg(count(lit(1)).as("n_v1"))
+    val nBase = emb.filter(col("vec_id") % 5 =!= 2)
+      .agg(count(lit(1)).as("n_base"))
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    nLatest.crossJoin(nV1).crossJoin(nBase).crossJoin(nAll) // 1-row frames
+      .select(lit(latestResolves).as("latest_resolves"),
+        (col("n_latest") === col("n_all")).as("latest_complete"),
+        (col("n_v1") === col("n_base")).as("pinned_unaffected"),
+        col("n_base"), col("n_all"))
+  }
+  private val indexLatestSql =
+    """SELECT TRUE AS latest_resolves, TRUE AS latest_complete,
+      |  TRUE AS pinned_unaffected,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 2) AS BIGINT) AS n_base,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_all""".stripMargin
+
+  // -------------------------------------- optimistic-concurrency commit
+  /** Staged OCC-race fixture, once per (process, fixture): its own tree.
+    * Base = `vec_id % 5 ∉ {2, 4}` committed as v1; appender A lands the
+    * `% 5 = 2` slice (v2); appender B lands the `% 5 = 4` slice having
+    * read HEAD BEFORE A committed (`assumeHead = 1` pins the stale read
+    * deterministically) — B's first create attempt collides at v2 and
+    * the OCC retry must merge on top of A. Returns the path, centroids,
+    * and B's commit audit.
+    */
+  private[queries] def stageOccCommit(s: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : (String, Array[Array[Double]], VectorOps.OccCommit) =
+    Staging.cached(s"occcommit:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 5 =!= 2 && col("vec_id") % 5 =!= 4)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("occ").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path))
+      val (vA, _, _) = VectorOps.ivfAppendBatch(s,
+        emb.filter(col("vec_id") % 5 === 2), idx.centroids, path,
+        "vec_id", "embedding", batchId = 1L)
+      require(vA == 2, s"appender A must land v2, got $vA")
+      // B stages its files, then commits believing HEAD is still 1
+      val (vB, _, attemptsB) = VectorOps.ivfAppendBatch(s,
+        emb.filter(col("vec_id") % 5 === 4), idx.centroids, path,
+        "vec_id", "embedding", batchId = 2L, assumeHead = Some(1))
+      (path, idx.centroids, VectorOps.OccCommit(vB, attemptsB))
+    }
+
+  /** Optimistic-concurrency commit — the protocol two independent
+    * pipelines feeding ONE index need on day one: both read HEAD, both
+    * attempt the next version's single-file create, the loser's create
+    * is REFUSED (the same duplicate-version refusal q_index_versions
+    * locks in) and its retry re-reads HEAD and merges — appends are
+    * file-disjoint, so the merge is exact, never a conflict (the
+    * Delta-style OCC loop; Armbrust et al., VLDB 2020 §4 — public
+    * design). The fixture forces the race deterministically: appender B
+    * commits under a stale HEAD view pinned to v1 after A already
+    * landed v2. Audited:
+    *
+    *  - `loser_retried`: B's commit took exactly 2 attempts and landed
+    *    v3 — the collision really happened and really resolved;
+    *  - `union_exact`: HEAD holds base ∪ A ∪ B with every row assigned
+    *    exactly as the frozen quantizer dictates (symmetric exceptAll
+    *    against the re-derived truth) — neither writer lost a row to
+    *    the race, none duplicated;
+    *  - `winner_isolated`: v2, pinned, holds exactly base ∪ A — the
+    *    loser's retry stacked ON TOP of the winner instead of
+    *    rewriting history.
+    *
+    * Conflict-CHECK cases (rewrites racing appends) are deliberately
+    * out of this path: [[VectorOps.rewriteVersioned]] keeps the loud
+    * duplicate-version refusal, because a remove/append race must abort,
+    * not merge. Cost per attempt: one listing + one manifest write.
+    */
+  private val concurrentCommitQ: Q = (s, dir) => {
+    val (path, cents, occB) = stageOccCommit(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val head = VectorOps.readIndexVersion(s, path, 3)
+      .select(col("vec_id"), col("centroid"))
+    val truth = emb.select(col("vec_id"),
+      VectorOps.ivfAssign(col("embedding"), cents).as("centroid"))
+    val mism = head.exceptAll(truth).union(truth.exceptAll(head))
+      .agg(count(lit(1)).as("n_mism"))
+    val v2 = VectorOps.readIndexVersion(s, path, 2)
+    val v2Leak = v2.filter(col("vec_id") % 5 === 4)
+      .agg(count(lit(1)).as("n_leak"))
+    val nV2 = v2.agg(count(lit(1)).as("n_v2"))
+    val nWinner = emb.filter(col("vec_id") % 5 =!= 4)
+      .agg(count(lit(1)).as("n_winner"))
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    mism.crossJoin(v2Leak).crossJoin(nV2).crossJoin(nWinner)
+      .crossJoin(nAll) // 1-row frames
+      .select(
+        lit(occB.version == 3 && occB.attempts == 2).as("loser_retried"),
+        (col("n_mism") === 0L).as("union_exact"),
+        (col("n_leak") === 0L && col("n_v2") === col("n_winner"))
+          .as("winner_isolated"),
+        col("n_winner"), col("n_all"))
+  }
+  private val concurrentCommitSql =
+    """SELECT TRUE AS loser_retried, TRUE AS union_exact,
+      |  TRUE AS winner_isolated,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 4) AS BIGINT) AS n_winner,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_all""".stripMargin
+
   // ----------------------------------------------- versioned GC (vacuum)
   /** Staged vacuum fixture, once per (process, fixture): a SEPARATE tree
     * from [[stageIvfVersioned]] (vacuum mutates the layout — it must
@@ -1566,10 +1703,18 @@ object Curation {
     val b = sums(base, 0, "base_sum", "n_base")
     val a = sums(batch, 0, "batch_sum", "n_batch")
     val c = sums(base, 1, "ctrl_sum", "n_ctrl")
+    // exact cross-multiplied mean comparison in DECIMAL(38,0): the long
+    // form batch_sum·n_base·2 is an n_rows²-scale product that overflows
+    // Long a few orders above the tested SFs — under ANSI the query
+    // would throw exactly at the scale the trigger is for (ADVICE r9).
+    // DECIMAL(38) holds ~1e38: err sums cap at rows·1e9 micro, so the
+    // product stays exact past 1e12-row corpora, and the comparison
+    // keeps bit-exactness (no float division anywhere).
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     b.crossJoin(a).crossJoin(c) // 1-row frames
       .select(col("n_base"), col("n_batch"),
-        (col("batch_sum") * col("n_base") * 2
-          <= col("base_sum") * col("n_batch") * 3).as("no_drift"),
+        (dec(col("batch_sum")) * dec(col("n_base")) * 2
+          <= dec(col("base_sum")) * dec(col("n_batch")) * 3).as("no_drift"),
         (col("ctrl_sum") > col("base_sum")).as("control_sensitive"))
   }
   private val pqDriftSql =
@@ -1731,9 +1876,319 @@ object Curation {
       |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5""".stripMargin
 
+  // --------------------------------------- index lifecycle: full story
+  /** Staged full-lifecycle fixture, once per (process, fixture) — ONE
+    * versioned tree exercising every commit kind the change feed must
+    * classify, shared by q_index_upsert / q_index_cdc / q_index_restore:
+    *
+    *  v1  base append   — all rows except the held-out NEW slice
+    *                      (vec_id % 11 = 5)
+    *  v2  logical delete — DOOM = base ∧ vec_id % 7 = 3 tombstoned
+    *  v3  compaction     — bytes move, data doesn't (op:compact)
+    *  v4  upsert         — UPD = base ∧ %7≠3 ∧ %11=2 re-embedded
+    *                      (every element +1.0f) + NEW inserted, one
+    *                      atomic copy-on-write commit
+    *  v5  restore(v3)    — the upsert rolled back metadata-only
+    *
+    * Returns (path, upsert audit (partitionsRewritten, nReplaced,
+    * nInserted), total partition count, filesBefore == filesAfter for
+    * the restore).
+    */
+  private[queries] def stageLifecycle(s: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : (String, (Int, Long, Long), Int, Boolean) =
+    Staging.cached(s"lifecycle:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 11 =!= 5)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("lifecycle").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append"))
+      VectorOps.commitDeletes(s, path, 1, 2,
+        base.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      VectorOps.ivfCompactVersioned(s, path, 2, 3)
+      val updates = emb.filter(col("vec_id") % 11 =!= 5 &&
+          col("vec_id") % 7 =!= 3 && col("vec_id") % 11 === 2)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 11 === 5)
+          .select(col("vec_id"), col("embedding")))
+      val up = VectorOps.ivfUpsert(s, path, 3, 4, updates, idx.centroids,
+        "vec_id", "embedding")
+      val nParts = VectorOps.readManifest(s, path, 4)
+        .map(_.takeWhile(_ != '/')).distinct.length
+      val filesBefore = VectorOps.listIndexFiles(s, path)
+      VectorOps.restoreVersion(s, path, 3)
+      val metadataOnly = VectorOps.listIndexFiles(s, path) == filesBefore
+      (path, up, nParts, metadataOnly)
+    }
+
+  /** Row-level upsert as one atomic commit — the reference's OWN
+    * operation (`utils/upload_data_to_pinecone.py:60-83` upserts
+    * re-embedded rows by id): [[VectorOps.ivfUpsert]] replaces where the
+    * id exists and inserts where it doesn't, copy-on-write (the Delta
+    * MERGE shape, public design): only partitions holding a replaced id
+    * are rewritten (batch-sized broadcast anti-join), the new rows land
+    * as their own files, and ONE manifest create commits replace-old and
+    * insert-new together — no reader can catch the id missing between a
+    * delete and an append. Audited on the lifecycle fixture's v3→v4
+    * step:
+    *
+    *  - `replaced_updated`: every UPD row at v4 is bit-identical to the
+    *    deterministic re-embedding (+1.0f per element) of its original —
+    *    the replace landed the NEW content, everywhere;
+    *  - `inserted_new`: every NEW id is present at v4 with its ORIGINAL
+    *    vector bit-intact;
+    *  - `union_exact`: v4 serves exactly (all \ DOOM) ids, no dupes —
+    *    nothing lost, nothing double-landed, tombstones still honored;
+    *  - `pinned_intact`: v3, read after the upsert, still serves the
+    *    original vectors for UPD ids (time travel is unaffected);
+    *  - `counts_exact`: the commit's own audit numbers — rows replaced
+    *    and rows inserted — equal the slice cardinalities exactly.
+    *
+    * The COST contract (only partitions holding a replaced id are
+    * rewritten) is proven in IndexCommitSpec with a single-id upsert —
+    * here the UPD slice is spread across every centroid by construction,
+    * so all-partitions-hot is the correct outcome, not a failure.
+    */
+  private val indexUpsertQ: Q = (s, dir) => {
+    val (path, up, _, _) = stageLifecycle(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val updIds = emb.filter(col("vec_id") % 11 =!= 5 &&
+      col("vec_id") % 7 =!= 3 && col("vec_id") % 11 === 2)
+    val v4 = VectorOps.readIndexVersionMor(s, path, 4, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val expectUpd = updIds.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+    val badUpd = v4.join(broadcast(updIds.select(col("vec_id"))),
+        Seq("vec_id"), "left_semi")
+      .exceptAll(expectUpd)
+      .agg(count(lit(1)).as("n_bad_upd"))
+    val newRows = emb.filter(col("vec_id") % 11 === 5)
+      .select(col("vec_id"), col("embedding"))
+    val badNew = newRows.exceptAll(
+        v4.join(broadcast(newRows.select(col("vec_id"))),
+          Seq("vec_id"), "left_semi"))
+      .agg(count(lit(1)).as("n_bad_new"))
+    val nV4 = v4.agg(count(lit(1)).as("n_v4"),
+      countDistinct(col("vec_id")).as("n_v4_ids"))
+    val nVis = emb.filter(col("vec_id") % 11 === 5 ||
+        col("vec_id") % 7 =!= 3)
+      .agg(count(lit(1)).as("n_visible"))
+    // pinned v3 still serves the ORIGINAL content for upserted ids
+    val badPinned = VectorOps.readIndexVersionMor(s, path, 3, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(updIds.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .exceptAll(updIds.select(col("vec_id"), col("embedding")))
+      .agg(count(lit(1)).as("n_bad_pin"))
+    val nUpd = updIds.agg(count(lit(1)).as("n_upd"))
+    val nNew = newRows.agg(count(lit(1)).as("n_new"))
+    badUpd.crossJoin(badNew).crossJoin(nV4).crossJoin(nVis)
+      .crossJoin(badPinned).crossJoin(nUpd).crossJoin(nNew) // 1-row frames
+      .select(
+        (col("n_bad_upd") === 0L).as("replaced_updated"),
+        (col("n_bad_new") === 0L).as("inserted_new"),
+        (col("n_v4") === col("n_visible") &&
+          col("n_v4_ids") === col("n_visible")).as("union_exact"),
+        (col("n_bad_pin") === 0L).as("pinned_intact"),
+        (lit(up._2) === col("n_upd") &&
+          lit(up._3) === col("n_upd") + col("n_new")).as("counts_exact"),
+        col("n_upd"), col("n_new"), col("n_visible"))
+  }
+  private val indexUpsertSql =
+    """SELECT TRUE AS replaced_updated, TRUE AS inserted_new,
+      |  TRUE AS union_exact, TRUE AS pinned_intact, TRUE AS counts_exact,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 11 <> 5
+      |          AND vec_id % 7 <> 3 AND vec_id % 11 = 2) AS BIGINT) AS n_upd,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 11 = 5) AS BIGINT) AS n_new,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND (vec_id % 11 = 5 OR vec_id % 7 <> 3))
+      |    AS BIGINT) AS n_visible""".stripMargin
+
+  /** The change feed (CDC) over the lifecycle fixture —
+    * [[VectorOps.indexChanges]] classifies every commit v1→v5 into
+    * (version, vid, change_type) rows reading ONLY each commit's changed
+    * files + id-sized tombstone deltas (the Delta Change Data Feed
+    * contract): a downstream consumer — re-embedding queue, cache
+    * invalidator, incremental materialization — pays ∝ what changed,
+    * never ∝ the corpus. The per-(version, change_type) counts cross the
+    * hash gate exactly:
+    *
+    *  - v2 (logical delete): `delete` × |DOOM| — the tombstone delta;
+    *  - v3 (compaction): NO rows — op:compact is dataChange-free;
+    *  - v4 (upsert): `update` × |UPD| + `insert` × |NEW| — the content
+    *    diff separates re-embedded ids from new ids, and the hot
+    *    partitions' rewritten-but-unchanged neighbor rows cancel in the
+    *    exceptAlls (rewrite noise must not leak into the feed);
+    *  - v5 (restore): `update` × |UPD| + `delete` × |NEW| — exactly the
+    *    INVERSE of the upsert, which is what rolling back means to a
+    *    subscriber.
+    */
+  private val indexCdcQ: Q = (s, dir) => {
+    val (path, _, _, _) = stageLifecycle(s, dir)
+    VectorOps.indexChanges(s, path, 1, 5, "vec_id", "embedding")
+      .groupBy(col("version"), col("change_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("version"), col("change_type"))
+  }
+  private val indexCdcSql =
+    """WITH e AS (SELECT vec_id FROM embeddings WHERE vec_id <> 0),
+      |doom AS (SELECT count(*) AS n FROM e
+      |         WHERE vec_id % 11 <> 5 AND vec_id % 7 = 3),
+      |upd AS (SELECT count(*) AS n FROM e
+      |        WHERE vec_id % 11 <> 5 AND vec_id % 7 <> 3 AND vec_id % 11 = 2),
+      |nw AS (SELECT count(*) AS n FROM e WHERE vec_id % 11 = 5)
+      |SELECT * FROM (
+      |  SELECT 2 AS version, 'delete' AS change_type,
+      |         CAST((SELECT n FROM doom) AS BIGINT) AS n
+      |  UNION ALL
+      |  SELECT 4, 'insert', CAST((SELECT n FROM nw) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 4, 'update', CAST((SELECT n FROM upd) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 5, 'delete', CAST((SELECT n FROM nw) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 5, 'update', CAST((SELECT n FROM upd) AS BIGINT)
+      |) ORDER BY version, change_type""".stripMargin
+
+  /** RESTORE — roll the index back by rolling history FORWARD
+    * ([[VectorOps.restoreVersion]], the Delta RESTORE design): v5
+    * re-commits v3's file list and tombstone pointer verbatim. Audited:
+    *
+    *  - `head_reverted`: HEAD (v5) serves content EXACTLY equal to v3's
+    *    MOR read — the bad upsert is gone from serving;
+    *  - `bad_auditable`: v4 is still pinned-readable with its full row
+    *    count — a restore that erased the bad version would destroy the
+    *    post-mortem exactly when it's needed;
+    *  - `metadata_only`: the restore moved ZERO data files (file set
+    *    before == after) — rollback costs one manifest write at any
+    *    corpus size;
+    *  - `history_linear`: versions are {1..5} and HEAD resolves to 5 —
+    *    restore appends to history, never rewrites it.
+    */
+  private val indexRestoreQ: Q = (s, dir) => {
+    val (path, _, _, metadataOnly) = stageLifecycle(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val head = VectorOps.readIndexLatest(s, path, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val v3 = VectorOps.readIndexVersionMor(s, path, 3, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val nDiff = head.exceptAll(v3).unionByName(v3.exceptAll(head))
+      .agg(count(lit(1)).as("n_diff"))
+    val nV4 = VectorOps.readIndexVersionMor(s, path, 4, "vec_id")
+      .agg(count(lit(1)).as("n_v4"))
+    val nVisV4 = emb.filter(col("vec_id") % 11 === 5 ||
+        col("vec_id") % 7 =!= 3)
+      .agg(count(lit(1)).as("n_vis_v4"))
+    val nV3 = v3.agg(count(lit(1)).as("n_v3"))
+    val nBaseLive = emb.filter(col("vec_id") % 11 =!= 5 &&
+        col("vec_id") % 7 =!= 3)
+      .agg(count(lit(1)).as("n_base_live"))
+    val historyLinear =
+      VectorOps.listVersions(s, path) == Seq(1, 2, 3, 4, 5) &&
+        VectorOps.latestVersion(s, path).contains(5) &&
+        VectorOps.readManifestMeta(s, path, 5).get("restore_of")
+          .contains("3")
+    nDiff.crossJoin(nV4).crossJoin(nVisV4).crossJoin(nV3)
+      .crossJoin(nBaseLive) // 1-row frames
+      .select(
+        (col("n_diff") === 0L && col("n_v3") === col("n_base_live"))
+          .as("head_reverted"),
+        (col("n_v4") === col("n_vis_v4")).as("bad_auditable"),
+        lit(metadataOnly).as("metadata_only"),
+        lit(historyLinear).as("history_linear"),
+        col("n_base_live"))
+  }
+  private val indexRestoreSql =
+    """SELECT TRUE AS head_reverted, TRUE AS bad_auditable,
+      |  TRUE AS metadata_only, TRUE AS history_linear,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 11 <> 5 AND vec_id % 7 <> 3)
+      |    AS BIGINT) AS n_base_live""".stripMargin
+
+  // ------------------------------------- file skipping (zone maps)
+  /** Staged range-clustered fixture: the corpus written
+    * repartitionByRange on vec_id BEFORE the centroid partitioning, so
+    * every data file covers a narrow id range; committed as v1 with a
+    * zone map ([[VectorOps.writeColStats]] — per-file min/max harvested
+    * from parquet FOOTERS at commit time, no data pages read).
+    */
+  private[queries] def stageClustered(s: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : (String, Long) =
+    Staging.cached(s"clustered:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("clustered").toString
+      idx.assigned
+        .repartitionByRange(8, col("vec_id"))
+        .write.partitionBy("centroid").mode("overwrite").parquet(path)
+      VectorOps.writeManifest(s, path, 1,
+        VectorOps.listIndexFiles(s, path), Map("op" -> "append"))
+      VectorOps.writeColStats(s, path, 1, "vec_id")
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      (path, maxId)
+    }
+
+  /** File skipping via committed zone maps — the data-skipping design
+    * every lakehouse serves range predicates with (Delta/Snowflake,
+    * public literature): [[VectorOps.writeColStats]] pays ONE footer
+    * pass at commit time; [[VectorOps.readIndexVersionPruned]] then
+    * plans `lo <= vec_id <= hi` against the one small sidecar and never
+    * OPENS a file whose [min,max] misses the range — on this
+    * range-clustered layout that is the fraction of files the range
+    * covers, and at 100 TB it is the difference between scanning
+    * terabytes and scanning the few files that matter. Audited:
+    *
+    *  - `parity`: the pruned read equals the full-scan filter EXACTLY
+    *    (symmetric exceptAll empty) — zone maps prune, they never
+    *    answer;
+    *  - `pruned`: >0 but fewer than all files were opened — the skipping
+    *    actually skipped (a no-op pruner would pass parity trivially);
+    *  - `n_range` / `sum_range`: exact row count and id sum of the
+    *    range, hash-gated against the oracle's arithmetic.
+    */
+  private val fileSkippingQ: Q = (s, dir) => {
+    val (path, maxId) = stageClustered(s, dir)
+    val lo = maxId / 3
+    val hi = maxId / 3 + maxId / 8
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val (pruned, filesRead, filesTotal) =
+      VectorOps.readIndexVersionPruned(s, path, 1, "vec_id", lo, hi)
+    val full = emb.filter(col("vec_id") >= lo && col("vec_id") <= hi)
+      .select(col("vec_id"), col("embedding"))
+    val p = pruned.select(col("vec_id"), col("embedding"))
+    val nDiff = p.exceptAll(full).unionByName(full.exceptAll(p))
+      .agg(count(lit(1)).as("n_diff"))
+    val stats = full.agg(count(lit(1)).as("n_range"),
+      sum(col("vec_id")).as("sum_range"))
+    nDiff.crossJoin(stats) // 1-row frames
+      .select(
+        (col("n_diff") === 0L).as("parity"),
+        lit(filesRead > 0 && filesRead < filesTotal).as("pruned"),
+        col("n_range"), col("sum_range"))
+  }
+  private val fileSkippingSql =
+    """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings WHERE vec_id <> 0)
+      |SELECT TRUE AS parity, TRUE AS pruned,
+      |  CAST(count(*) AS BIGINT) AS n_range,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_range
+      |FROM embeddings, m
+      |WHERE vec_id <> 0 AND vec_id >= mx // 3
+      |  AND vec_id <= mx // 3 + mx // 8""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_index_upsert", indexUpsertQ, Some(indexUpsertSql)),
+    ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
+    ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
+    ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),
     ("q_ivf_append", ivfAppendQ, Some(ivfAppendSql)),
     ("q_ivfpq_append", ivfPqAppendQ, Some(ivfPqAppendSql)),
     ("q_stream_ivf", streamIvfQ, Some(streamIvfSql)),
@@ -1741,6 +2196,8 @@ object Curation {
     ("q_ivfpq_compact", ivfPqCompactQ, Some(ivfPqCompactSql)),
     ("q_ivf_rebalance", ivfRebalanceQ, Some(ivfRebalanceSql)),
     ("q_index_versions", indexVersionsQ, Some(indexVersionsSql)),
+    ("q_index_latest", indexLatestQ, Some(indexLatestSql)),
+    ("q_concurrent_commit", concurrentCommitQ, Some(concurrentCommitSql)),
     ("q_pq_drift", pqDriftQ, Some(pqDriftSql)),
     ("q_index_vacuum", indexVacuumQ, Some(indexVacuumSql)),
     ("q_mor_delete", morDeleteQ, Some(morDeleteSql)),

@@ -130,7 +130,7 @@ object IndexStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (_, skipped) = graft.ops.VectorOps.ivfAppendBatch(
+        val (_, skipped, _) = graft.ops.VectorOps.ivfAppendBatch(
           spark, batch, centroids, indexPath, "vec_id", "embedding", batchId)
         if (skipped) nSkipped.incrementAndGet(): Unit
         else { nCommitted.incrementAndGet(); afterCommit(batchId) }

@@ -85,7 +85,7 @@ class IndexCommitSpec extends SparkSpec {
     val (dir, path, cents) = freshIndex("occ")
     try {
       // two appenders' files staged by the real batch path
-      val (v2, s2) = VectorOps.ivfAppendBatch(spark,
+      val (v2, s2, _) = VectorOps.ivfAppendBatch(spark,
         embs.filter(col("vec_id") % 5 === 2), cents, path,
         "vec_id", "embedding", batchId = 100L)
       assert(v2 == 2 && !s2)
@@ -158,11 +158,11 @@ class IndexCommitSpec extends SparkSpec {
     val (dir, path, cents) = freshIndex("replay")
     try {
       val batch = embs.filter(col("vec_id") % 5 === 2)
-      val (v1st, s1st) = VectorOps.ivfAppendBatch(spark, batch, cents, path,
+      val (v1st, s1st, _) = VectorOps.ivfAppendBatch(spark, batch, cents, path,
         "vec_id", "embedding", batchId = 42L)
       assert(v1st == 2 && !s1st)
       val filesAfter = VectorOps.readManifest(spark, path, 2)
-      val (v2nd, s2nd) = VectorOps.ivfAppendBatch(spark, batch, cents, path,
+      val (v2nd, s2nd, _) = VectorOps.ivfAppendBatch(spark, batch, cents, path,
         "vec_id", "embedding", batchId = 42L)
       assert(s2nd, "a redelivered batchId must be recognized")
       assert(v2nd == 2, "…and commit nothing")
@@ -203,7 +203,7 @@ class IndexCommitSpec extends SparkSpec {
       embs.limit(5).select(col("vec_id").cast("long").as("vid"))
         .coalesce(1).write.parquet(s"$path/_deletes/v2")
       // … then an APPEND commits version 2 (no deletes intended)
-      val (v, _) = VectorOps.ivfAppendBatch(spark,
+      val (v, _, _) = VectorOps.ivfAppendBatch(spark,
         embs.filter(col("vec_id") % 5 === 2), cents, path,
         "vec_id", "embedding", batchId = 9L)
       assert(v == 2)
@@ -269,6 +269,150 @@ class IndexCommitSpec extends SparkSpec {
       assert(VectorOps.listIndexFiles(spark, path).toSet ==
         VectorOps.readManifest(spark, path, 3).toSet)
       assert(kept0 >= VectorOps.readManifest(spark, path, 3).size)
+    } finally rmrf(dir)
+  }
+
+  test("ivfUpsert: targeted rewrite (one hot id, at most its partitions), " +
+      "tombstoned id resurrects with NEW content only, new ids degenerate " +
+      "to a pure append") {
+    val (dir, path, cents) = freshIndex("upsert")
+    try {
+      val base = embs.filter(col("vec_id") % 5 =!= 2)
+      val baseN = base.count()
+      val someId = base.agg(min(col("vec_id"))).head().getLong(0)
+      val doomId = base.agg(max(col("vec_id"))).head().getLong(0)
+      VectorOps.commitDeletes(spark, path, 1, 2,
+        base.filter(col("vec_id") === doomId).select(col("vec_id")))
+      // upsert one existing id + one tombstoned id, both re-embedded
+      val upd = base.filter(col("vec_id").isin(someId, doomId))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0f)).as("embedding"))
+      val (nRw, nRep, nIns) = VectorOps.ivfUpsert(spark, path, 2, 3,
+        upd, cents, "vec_id", "embedding")
+      assert(nIns == 2)
+      assert(nRep == 1, "the tombstoned id is invisible — not a replacement")
+      assert(nRw >= 1 && nRw <= 2,
+        s"only the partitions physically holding the 2 ids rewrite, got $nRw")
+      val v3 = VectorOps.readIndexVersionMor(spark, path, 3, "vec_id")
+      // resurrection by intent: exactly ONE row for the tombstoned id,
+      // carrying the NEW vector (the stale physical row must be purged)
+      val resurrected = v3.filter(col("vec_id") === doomId)
+        .select(col("embedding")).collect()
+      val expected = upd.filter(col("vec_id") === doomId)
+        .select(col("embedding")).head().getSeq[Float](0)
+      assert(resurrected.length == 1)
+      assert(resurrected.head.getSeq[Float](0) == expected)
+      assert(v3.count() == baseN, "replace-in-place + resurrection")
+      // pinned v2 unaffected: doomId still invisible, someId still original
+      val v2 = VectorOps.readIndexVersionMor(spark, path, 2, "vec_id")
+      assert(v2.filter(col("vec_id") === doomId).count() == 0)
+      assert(v2.filter(col("vec_id") === someId)
+        .select(col("embedding")).head().getSeq[Float](0) ==
+        base.filter(col("vec_id") === someId)
+          .select(col("embedding")).head().getSeq[Float](0))
+      // brand-new ids: zero partitions rewrite — a pure append
+      val fresh = embs.filter(col("vec_id") % 5 === 2).limit(3)
+        .select(col("vec_id"), col("embedding"))
+      val (nRw2, nRep2, nIns2) = VectorOps.ivfUpsert(spark, path, 3, 4,
+        fresh, cents, "vec_id", "embedding")
+      assert(nRw2 == 0 && nRep2 == 0 && nIns2 == 3)
+      assert(VectorOps.readIndexVersionMor(spark, path, 4, "vec_id")
+        .count() == baseN + 3)
+    } finally rmrf(dir)
+  }
+
+  test("indexChanges: append→insert, delete→tombstone delta, upsert→" +
+      "update/insert split; compaction and physical apply are " +
+      "dataChange-free") {
+    val (dir, path, cents) = freshIndex("cdc")
+    try {
+      val appended = embs.filter(col("vec_id") % 5 === 2)
+      VectorOps.ivfAppendBatch(spark, appended, cents, path,
+        "vec_id", "embedding", batchId = 1L)                       // v2
+      val doomed = embs.filter(col("vec_id") % 7 === 3 &&
+        col("vec_id") % 5 =!= 2).select(col("vec_id"))
+      VectorOps.commitDeletes(spark, path, 2, 3, doomed)           // v3
+      VectorOps.ivfCompactVersioned(spark, path, 3, 4)             // v4
+      VectorOps.applyDeletes(spark, path, 4, 5, "vec_id")          // v5
+      val upId = embs.filter(col("vec_id") % 7 =!= 3)
+        .agg(min(col("vec_id"))).head().getLong(0)
+      val upd = embs.filter(col("vec_id") === upId)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+      VectorOps.ivfUpsert(spark, path, 5, 6, upd, cents,
+        "vec_id", "embedding")                                     // v6
+      val feed = VectorOps.indexChanges(spark, path, 1, 6,
+        "vec_id", "embedding")
+      val byStep = feed.groupBy(col("version"), col("change_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(byStep == Map(
+        (2, "insert") -> appended.count(),
+        (3, "delete") -> doomed.count(),
+        (6, "update") -> 1L))
+      // and the update row is the upserted id
+      assert(feed.filter(col("version") === 6).select(col("vid"))
+        .head().getLong(0) == upId)
+    } finally rmrf(dir)
+  }
+
+  test("restoreVersion: HEAD reverts exactly, the bad version stays " +
+      "auditable, zero data files move") {
+    val (dir, path, cents) = freshIndex("restore")
+    try {
+      VectorOps.ivfAppendBatch(spark,
+        embs.filter(col("vec_id") % 5 === 2), cents, path,
+        "vec_id", "embedding", batchId = 9L)                       // v2 (bad)
+      val filesBefore = VectorOps.listIndexFiles(spark, path)
+      val newV = VectorOps.restoreVersion(spark, path, 1)          // v3
+      assert(newV == 3)
+      assert(VectorOps.listIndexFiles(spark, path) == filesBefore,
+        "restore is metadata-only")
+      val head = VectorOps.readIndexLatest(spark, path, "vec_id")
+      val v1 = VectorOps.readIndexVersion(spark, path, 1)
+      assert(head.exceptAll(v1).isEmpty && v1.exceptAll(head).isEmpty)
+      assert(VectorOps.readIndexVersion(spark, path, 2).count() ==
+        embs.count(), "the rolled-back version must stay auditable")
+      intercept[IllegalArgumentException] {
+        VectorOps.restoreVersion(spark, path, 99)
+      }
+    } finally rmrf(dir)
+  }
+
+  test("zone maps: pruning keeps boundary rows exactly, opens only " +
+      "intersecting files, and a missing range opens none") {
+    val dir = java.nio.file.Files.createTempDirectory("idx_commit_zones")
+    try {
+      val path = dir.resolve("zones").toString
+      // range-clustered single-partition layout: 4 files, ids 1..200
+      spark.range(1, 201).select(col("id").cast("long").as("vec_id"),
+          array(col("id").cast("float")).as("embedding"),
+          lit(0).as("centroid"))
+        .repartitionByRange(4, col("vec_id"))
+        .write.partitionBy("centroid").parquet(path)
+      VectorOps.writeManifest(spark, path, 1,
+        VectorOps.listIndexFiles(spark, path))
+      VectorOps.writeColStats(spark, path, 1, "vec_id")
+      val zones = VectorOps.readColStats(spark, path, 1)
+      assert(zones.size == 4)
+      // exact-boundary range [min of one file, max of same file]
+      val (f0, (lo0, hi0)) = zones.toSeq.minBy(_._2._1)
+      val (rows, nRead, nTotal) =
+        VectorOps.readIndexVersionPruned(spark, path, 1, "vec_id", lo0, hi0)
+      assert(nTotal == 4 && nRead == 1, s"read $nRead of $nTotal for $f0")
+      assert(rows.count() == hi0 - lo0 + 1)
+      assert(rows.agg(min(col("vec_id")), max(col("vec_id"))).head() ==
+        org.apache.spark.sql.Row(lo0, hi0), "boundary rows must survive")
+      // a range beyond every zone opens nothing and returns nothing
+      val (none, nRead2, _) =
+        VectorOps.readIndexVersionPruned(spark, path, 1, "vec_id", 1000, 2000)
+      assert(nRead2 == 0 && none.count() == 0)
+      // cross-file range: parity with the unpruned filter
+      val (span, nRead3, _) =
+        VectorOps.readIndexVersionPruned(spark, path, 1, "vec_id", hi0, hi0 + 1)
+      assert(nRead3 == 2)
+      assert(span.select(col("vec_id")).orderBy(col("vec_id")).collect()
+        .map(_.getLong(0)).toSeq == Seq(hi0, hi0 + 1))
     } finally rmrf(dir)
   }
 }

@@ -169,6 +169,87 @@ class TextOpsSpec extends SparkSpec {
     // the fixture genuinely exercises chain overlap
     assert(refMerges < rc, "chains must make n_merges < pair_count")
   }
+
+  test("bpeTrain: K rounds compose — each round's log row matches a " +
+      "sequential multi-round greedy reference") {
+    val texts = Seq(
+      "a a a", "a a a a", "a a a a a", "b a a b a a", "x y z", "a",
+      "b a a a b a", "c d c d c d")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+    // sequential reference: per round, global top pair (count desc, pair
+    // asc), literal left-to-right greedy application, then iterate on
+    // the merged corpus — the semantics bpeTrain claims distributively
+    def applyPair(ts: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.toSeq
+    }
+    var corpus = texts.map(_.split("\\s+").toSeq)
+    val ref = (1 to 3).map { r =>
+      val counts = corpus.flatMap(ts => ts.zip(ts.drop(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val ((a, b), pc) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x + " " + y) }.head
+      val before = corpus.map(_.length).sum
+      val next = corpus.map(applyPair(_, a, b))
+      val after = next.map(_.length).sum
+      val merges = before - after
+      corpus = next
+      (r, s"$a $b", pc.toLong, merges.toLong, before.toLong, after.toLong)
+    }
+
+    val got = TextOps.bpeTrain(docs, "doc_id", "toks", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == ref, s"\n got=$got\n ref=$ref")
+    // the loop genuinely progressed: each round strictly shrank the corpus
+    assert(ref.forall { case (_, _, _, m, b, a) => m >= 1 && a == b - m })
+  }
+
+  test("UnicodeNormalize: composition, compatibility folding, " +
+      "idempotence, allocation-free ASCII passthrough semantics") {
+    // \u escapes, never literal glyphs (a transcoder normalizing this
+    // source file would silently gut the test)
+    val rows = Seq(
+      (1L, "e\u0301"),        // combining acute: NFC/NFKC compose to \u00E9
+      (2L, "\uFB01"),         // fi ligature: NFKC folds, NFC must NOT
+      (3L, "\u2460"),         // circled one: NFKC folds to '1'
+      (4L, "\u00A0"),         // NBSP: NFKC folds to plain space
+      (5L, "plain ascii"),    // identity under every form
+      (6L, "\u00E9"))         // precomposed: NFC identity
+    val df = rows.toDF("id", "s")
+    val out = df.select(col("id"),
+        TextOps.normalizeUnicode(col("s"), "NFC").as("nfc"),
+        TextOps.normalizeUnicode(col("s"), "NFKC").as("nfkc"))
+      .orderBy(col("id")).collect()
+    assert(out(0).getString(1) == "\u00E9" && out(0).getString(2) == "\u00E9")
+    assert(out(1).getString(1) == "\uFB01", "NFC must preserve compat chars")
+    assert(out(1).getString(2) == "fi")
+    assert(out(2).getString(2) == "1")
+    assert(out(3).getString(2) == " ")
+    assert(out(4).getString(1) == "plain ascii" &&
+      out(4).getString(2) == "plain ascii")
+    assert(out(5).getString(1) == "\u00E9")
+    // idempotence: a normalized string is a fixed point
+    val twice = df.select(
+      TextOps.normalizeUnicode(
+        TextOps.normalizeUnicode(col("s"), "NFKC"), "NFKC").as("t"),
+      TextOps.normalizeUnicode(col("s"), "NFKC").as("o"))
+    assert(twice.filter(col("t") =!= col("o")).count() == 0)
+    // the full hygiene fold: control stripped, compat folded, casefolded
+    val cleaned = Seq((1L, "AB\u0007 C\uFB01D"))
+      .toDF("id", "s")
+      .select(TextOps.unicodeClean(col("s")).as("c")).head().getString(0)
+    assert(cleaned == "ab cfid", s"got '$cleaned'")
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
