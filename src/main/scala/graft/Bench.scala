@@ -169,8 +169,10 @@ object Bench {
   private def timeCalibration(spark: SparkSession): Double = {
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
+      // bit_xor, not sum: 150M random 64-bit hashes overflow a Long sum
+      // under ANSI; XOR does the same CPU work and cannot overflow
       spark.range(0, 150000000L, 1, 32)
-        .select(sum(xxhash64(col("id")))).collect(): Unit
+        .select(bit_xor(xxhash64(col("id")))).collect(): Unit
       (System.nanoTime() - t0) / 1e9
     }
     math.round(times.min * 1000) / 1000.0

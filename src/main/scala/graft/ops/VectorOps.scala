@@ -674,18 +674,29 @@ object VectorOps {
     val header = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k:$v" }
     val bytes = (header ++ files).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    // Write-temp-then-publish, NOT create-then-write: `fs.create(p, false)`
-    // makes the manifest VISIBLE before its content lands, so a racing
-    // OCC loser's retry can read a torn (empty) HEAD and commit a merge
-    // that silently drops the winner's files. The publish step must be
-    // atomic on BOTH axes — create-if-absent AND full-content visibility:
-    //  - local / NFS: POSIX link(2) (Files.createLink) fails EEXIST
-    //    atomically and links the fully-written temp;
-    //  - HDFS: rename refuses an existing destination atomically;
-    //  - object stores: this is the conditional PUT (if-none-match),
-    //    where the full object appears atomically by construction.
-    val tmp = new HPath(path,
-      s"_manifests/.tmp-v$version-${java.util.UUID.randomUUID()}")
+    atomicCreate(fs, path, p, bytes, s"manifest version $version")
+  }
+
+  /** Publish `bytes` at `p` atomically on BOTH axes — create-if-absent
+    * AND full-content visibility — via write-temp-then-publish. A plain
+    * `fs.create(p, overwrite = false)` makes the file VISIBLE before its
+    * content lands, so a racing OCC loser's retry can read a torn
+    * (empty) HEAD and commit a merge that silently drops the winner's
+    * files. Publish:
+    *  - local / NFS: POSIX link(2) (Files.createLink) fails EEXIST
+    *    atomically and links the fully-written temp;
+    *  - HDFS: rename refuses an existing destination atomically;
+    *  - object stores: this is the conditional PUT (if-none-match),
+    *    where the full object appears atomically by construction.
+    * Throws IOException when `p` already exists (the commit-refusal
+    * every duplicate-version check relies on).
+    */
+  private def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+                           root: String, p: org.apache.hadoop.fs.Path,
+                           bytes: Array[Byte], what: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val tmp = new HPath(root,
+      s"_manifests/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, /* overwrite = */ true)
     try out.write(bytes) finally out.close()
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
@@ -696,14 +707,14 @@ object VectorOps {
       catch { case e: java.nio.file.FileAlreadyExistsException =>
         fs.delete(tmp, false)
         throw new java.io.IOException(
-          s"manifest version $version already committed under $path", e)
+          s"$what already committed under $root", e)
       }
       fs.delete(tmp, false)
     } else {
       if (fs.exists(p) || !fs.rename(tmp, p)) {
         fs.delete(tmp, false)
         throw new java.io.IOException(
-          s"manifest version $version already committed under $path")
+          s"$what already committed under $root")
       }
     }
   }
@@ -795,16 +806,110 @@ object VectorOps {
 
   /** Every streaming batch id ever committed (the `batch` manifest-meta
     * key) — the replay-idempotence check of [[ivfAppendBatch]] /
-    * [[commitDeletesBatch]]: foreachBatch delivery is at-least-once, and
-    * a redelivered batch whose id is already in a committed manifest
-    * must be skipped, not re-appended. Cost: one small read per
-    * committed manifest (metadata-scale; a long-lived production stream
-    * would cache the scan and check only new versions).
+    * [[commitDeletesBatch]] / [[ivfUpsertBatch]]: foreachBatch delivery
+    * is at-least-once, and a redelivered batch whose id is already in a
+    * committed manifest must be skipped, not re-appended.
+    * Checkpoint-aware ([[writeBatchIdCheckpoint]]): resolution reads the
+    * newest batch-id checkpoint plus only the manifests committed AFTER
+    * it. Without checkpoints every micro-batch of a long-lived stream
+    * re-reads the whole commit log — O(V) per batch, O(V²) over the
+    * stream's life; with them the per-batch cost is the TAIL since the
+    * last checkpoint (the Delta checkpoint design, public literature).
     */
   def committedBatchIds(spark: org.apache.spark.sql.SparkSession,
                         path: String): Set[Long] =
-    listVersions(spark, path).flatMap(v =>
-      readManifestMeta(spark, path, v).get("batch").map(_.toLong)).toSet
+    committedBatchIdsAudit(spark, path)._1
+
+  /** [[committedBatchIds]] plus its own cost evidence:
+    * (ids, manifestsRead, checkpointUsed) — q_commit_checkpoint pins
+    * `manifestsRead` to the tail length to prove the checkpoint actually
+    * short-circuits the log replay.
+    */
+  def committedBatchIdsAudit(spark: org.apache.spark.sql.SparkSession,
+                             path: String)
+      : (Set[Long], Int, Option[Int]) = {
+    val versions = listVersions(spark, path)
+    val ckpt = listBatchIdCheckpoints(spark, path)
+      .filter(v => versions.contains(v)).lastOption
+    val baseIds = ckpt.map(readBatchIdCheckpoint(spark, path, _))
+      .getOrElse(Set.empty[Long])
+    val tail = versions.filter(v => ckpt.forall(_ < v))
+    (baseIds ++ tail.flatMap(v =>
+      readManifestMeta(spark, path, v).get("batch").map(_.toLong)),
+      tail.length, ckpt)
+  }
+
+  /** Checkpoint the batch-id set as of `version` into
+    * `_manifests/v{N}.batchids` (one id per line, sorted) with the same
+    * atomic single-file publish as manifests — a torn checkpoint would
+    * MISS ids and let a replay double-commit, which is strictly worse
+    * than no checkpoint. Idempotent: an existing checkpoint for the same
+    * version is left in place (a replayed micro-batch may retry the
+    * write). Streaming sinks call this every `checkpointEvery` commits;
+    * any committed version works because ids are cumulative.
+    */
+  def writeBatchIdCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                             path: String, version: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val ids = listVersions(spark, path).filter(_ <= version)
+      .flatMap(v => readManifestMeta(spark, path, v).get("batch")
+        .map(_.toLong)).sorted
+    val p = new HPath(path, f"_manifests/v$version%05d.batchids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    try atomicCreate(fs, path, p,
+      ids.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s"batch-id checkpoint v$version")
+    catch { case _: java.io.IOException if fs.exists(p) => () }
+  }
+
+  /** Versions that carry a batch-id checkpoint, ascending. */
+  def listBatchIdCheckpoints(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Seq[Int] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = new HPath(path, "_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".batchids") =>
+        n.stripPrefix("v").stripSuffix(".batchids").toInt }
+      .sorted.toIndexedSeq
+  }
+
+  /** The checkpointed batch-id set at `version` — loud on missing. */
+  def readBatchIdCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                            path: String, version: Int): Set[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, f"_manifests/v$version%05d.batchids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(_.toLong).toSet
+    finally in.close()
+  }
+
+  /** The commit log as a DataFrame — DESCRIBE HISTORY for the versioned
+    * index: (version, op, n_files, has_deletes, batch, restore_of), one
+    * row per committed version, read entirely from manifests
+    * (metadata-scale driver work, zero data-file I/O). `op` is empty for
+    * commits that predate operation tagging — the log stays readable
+    * across its own schema evolution.
+    */
+  def describeHistory(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    import spark.implicits._
+    listVersions(spark, path).map { v =>
+      val meta = readManifestMeta(spark, path, v)
+      (v, meta.getOrElse("op", ""),
+        readManifest(spark, path, v).length,
+        meta.contains("deletes"),
+        meta.get("batch").map(_.toLong),
+        meta.get("restore_of").map(_.toInt))
+    }.toDF("version", "op", "n_files", "has_deletes", "batch",
+      "restore_of")
+  }
 
   /** Read an index AS OF a committed version: exactly the manifest's
     * files, with `basePath` so the `centroid=` directory structure still

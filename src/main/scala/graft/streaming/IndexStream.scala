@@ -79,7 +79,8 @@ object IndexStream {
                        indexPath: String,
                        checkpointDir: Option[String] = None,
                        queryName: String = "graft_stream_delete",
-                       afterCommit: Long => Unit = _ => ())
+                       afterCommit: Long => Unit = _ => (),
+                       checkpointEvery: Int = 0)
       : DrainResult = {
     val raw = spark.readStream
       .schema(tombstoneRawSchema)
@@ -92,16 +93,34 @@ object IndexStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (_, skipped) = graft.ops.VectorOps.commitDeletesBatch(
+        val (v, skipped) = graft.ops.VectorOps.commitDeletesBatch(
           spark, indexPath, batchId, batch)
         if (skipped) nSkipped.incrementAndGet(): Unit
-        else { nCommitted.incrementAndGet(); afterCommit(batchId) }
+        else {
+          nCommitted.incrementAndGet()
+          maybeCheckpoint(spark, indexPath, v, checkpointEvery)
+          afterCommit(batchId)
+        }
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     EventStream.awaitDrain(writer.start())
     DrainResult(nCommitted.get, nSkipped.get,
       graft.ops.VectorOps.latestVersion(spark, indexPath).getOrElse(0))
   }
+
+  /** Amortize the replay-idempotence lookup: every `every` versions,
+    * checkpoint the batch-id set ([[graft.ops.VectorOps
+    * .writeBatchIdCheckpoint]]) so [[graft.ops.VectorOps
+    * .committedBatchIds]] reads one checkpoint + the tail instead of
+    * replaying the whole commit log — without this a long-lived stream's
+    * per-batch id check is O(versions), O(V²) across its life. Runs on
+    * the stream thread after the commit it checkpoints; idempotent under
+    * replay (an existing checkpoint is left in place).
+    */
+  private def maybeCheckpoint(spark: SparkSession, indexPath: String,
+                              version: Int, every: Int): Unit =
+    if (every > 0 && version % every == 0)
+      graft.ops.VectorOps.writeBatchIdCheckpoint(spark, indexPath, version)
 
   /** Drain a directory of embedding parquet files as micro-batches
     * (AvailableNow, one file per trigger), committing each batch as a
@@ -118,7 +137,8 @@ object IndexStream {
                          centroids: Array[Array[Double]], indexPath: String,
                          checkpointDir: Option[String] = None,
                          queryName: String = "graft_stream_ivf",
-                         afterCommit: Long => Unit = _ => ())
+                         afterCommit: Long => Unit = _ => (),
+                         checkpointEvery: Int = 0)
       : DrainResult = {
     val raw = spark.readStream
       .schema(embeddingsRawSchema)
@@ -130,10 +150,60 @@ object IndexStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (_, skipped, _) = graft.ops.VectorOps.ivfAppendBatch(
+        val (v, skipped, _) = graft.ops.VectorOps.ivfAppendBatch(
           spark, batch, centroids, indexPath, "vec_id", "embedding", batchId)
         if (skipped) nSkipped.incrementAndGet(): Unit
-        else { nCommitted.incrementAndGet(); afterCommit(batchId) }
+        else {
+          nCommitted.incrementAndGet()
+          maybeCheckpoint(spark, indexPath, v, checkpointEvery)
+          afterCommit(batchId)
+        }
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    EventStream.awaitDrain(writer.start())
+    DrainResult(nCommitted.get, nSkipped.get,
+      graft.ops.VectorOps.latestVersion(spark, indexPath).getOrElse(0))
+  }
+
+  /** Drain a directory of RE-EMBEDDING parquet files (vec_id, embedding)
+    * as micro-batches, committing each as one atomic row-level UPSERT
+    * version ([[graft.ops.VectorOps.ivfUpsertBatch]] →
+    * [[graft.ops.VectorOps.ivfUpsert]]): rows whose id exists are
+    * replaced copy-on-write (only their partitions rewrite), new ids
+    * append — the STREAMING form of the reference's production loop
+    * (`utils/upload_data_to_pinecone.py:60-83` streams re-embedded rows
+    * as retried upserts into its index). Upserts rewrite files, so the
+    * sink is single-writer — which foreachBatch guarantees structurally
+    * (bodies run sequentially on the stream thread). Same replay
+    * contract as the other two sinks: batchId-keyed commits, redelivered
+    * ids skipped, durable `checkpointDir` makes the drain restartable,
+    * `checkpointEvery` amortizes the id lookup.
+    */
+  def runStreamUpserts(spark: SparkSession, inputDir: String,
+                       centroids: Array[Array[Double]], indexPath: String,
+                       checkpointDir: Option[String] = None,
+                       queryName: String = "graft_stream_upsert",
+                       afterCommit: Long => Unit = _ => (),
+                       checkpointEvery: Int = 0)
+      : DrainResult = {
+    val raw = spark.readStream
+      .schema(embeddingsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+    val nCommitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = raw.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (v, skipped, _) = graft.ops.VectorOps.ivfUpsertBatch(
+          spark, batch, centroids, indexPath, "vec_id", "embedding", batchId)
+        if (skipped) nSkipped.incrementAndGet(): Unit
+        else {
+          nCommitted.incrementAndGet()
+          maybeCheckpoint(spark, indexPath, v, checkpointEvery)
+          afterCommit(batchId)
+        }
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     EventStream.awaitDrain(writer.start())

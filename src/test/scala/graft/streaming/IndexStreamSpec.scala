@@ -107,6 +107,50 @@ class IndexStreamSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("upsert stream killed after a commit replays idempotently: " +
+      "replaced rows land once, partitions are not re-rewritten") {
+    val (dir, path, cents, _, ckpt) = fixture("upsert")
+    try {
+      // queue: re-embed some existing base ids + insert the held-out slice
+      val inDir = dir.resolve("reembeds").toString
+      val isUpd = col("vec_id") % 5 =!= 2 && col("vec_id") % 11 === 2
+      embs.filter(isUpd)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+        .unionByName(embs.filter(col("vec_id") % 5 === 2)
+          .select(col("vec_id"), col("embedding")))
+        .repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      intercept[Exception] {
+        IndexStream.runStreamUpserts(spark, inDir, cents, path,
+          checkpointDir = Some(ckpt), queryName = "spec_ups_kill",
+          checkpointEvery = 2,
+          afterCommit = _ =>
+            if (fired.compareAndSet(false, true))
+              throw new RuntimeException("injected crash after commit"))
+      }
+      val drain = IndexStream.runStreamUpserts(spark, inDir, cents, path,
+        checkpointDir = Some(ckpt), queryName = "spec_ups_recover",
+        checkpointEvery = 2)
+      assert(drain.nSkipped == 1 && drain.nCommitted == 2)
+      assert(drain.finalVersion == 4)
+      // the drain's amortization artifact exists and short-circuits reads
+      assert(VectorOps.listBatchIdCheckpoints(spark, path).nonEmpty)
+      val (ids, tailReads, _) = VectorOps.committedBatchIdsAudit(spark, path)
+      assert(ids == Set(0L, 1L, 2L) && tailReads < 4)
+      // content parity with a clean one-shot batch upsert of the queue
+      val expected = embs.select(col("vec_id"),
+        when(isUpd, transform(col("embedding"), x => x + lit(1.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+      val head = VectorOps.readIndexLatest(spark, path, "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      assert(head.exceptAll(expected)
+        .union(expected.exceptAll(head)).count() == 0,
+        "replay must not double-land or stale-serve any upserted row")
+    } finally rmrf(dir)
+  }
+
   test("a checkpoint-free drain still commits every batch exactly once " +
       "(no-crash path keeps working without durable state)") {
     val (dir, path, cents, inDir, _) = fixture("nockpt")
