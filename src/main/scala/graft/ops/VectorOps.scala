@@ -1600,19 +1600,44 @@ object VectorOps {
     */
   def indexChanges(spark: org.apache.spark.sql.SparkSession, path: String,
                    fromVersion: Int, toVersion: Int, idCol: String,
-                   vecCol: String): DataFrame = {
+                   vecCol: String): DataFrame =
+    indexChangeRows(spark, path, fromVersion, toVersion, idCol, vecCol)
+      .filter(col("change_type") =!= "update_preimage")
+      .select(col("version"), col("vid"),
+        when(col("change_type") === "update_postimage", lit("update"))
+          .otherwise(col("change_type")).as("change_type"))
+
+  /** [[indexChanges]] with ROW IMAGES — the full Delta-CDF row contract:
+    * `(version, vid, change_type, vec)` where change_type ∈ insert |
+    * delete | update_preimage | update_postimage and `vec` carries the
+    * row's vector (the OLD vector on update_preimage, the NEW one on
+    * update_postimage). Pre/post images are what make a change feed
+    * actually consumable: an incremental materialization subtracts the
+    * preimage's contribution and adds the postimage's without touching
+    * the base corpus (q_cdc_materialize). Same cost model — only each
+    * commit's changed files are read.
+    *
+    * One documented gap, shared with every file-diff CDC: a LOGICAL
+    * tombstone delete's preimage lives in UNCHANGED files, so its row
+    * arrives with a NULL vec (materializing it would scan the corpus;
+    * commit-time change files are the design that removes the gap, at
+    * the price of writing the feed eagerly on every commit).
+    */
+  def indexChangeRows(spark: org.apache.spark.sql.SparkSession, path: String,
+                      fromVersion: Int, toVersion: Int, idCol: String,
+                      vecCol: String): DataFrame = {
     require(fromVersion >= 1 && toVersion > fromVersion,
-      s"indexChanges: need 1 <= from < to, got $fromVersion..$toVersion")
+      s"indexChangeRows: need 1 <= from < to, got $fromVersion..$toVersion")
     def emptyIds = spark.range(0).select(col("id").cast("long").as("vid"))
     def rowsOf(files: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.range(0).select(col("id").cast("long").as("vid"),
-          array().cast("array<double>").as("v"))
+          array().cast("array<double>").as("vec"))
       else
         spark.read.option("basePath", path)
           .parquet(files.map(f => s"$path/$f"): _*)
           .select(col(idCol).cast("long").as("vid"),
-            col(vecCol).cast("array<double>").as("v"))
+            col(vecCol).cast("array<double>").as("vec"))
     def delsOf(v: Int): DataFrame =
       readDeletes(spark, path, v)
         .map(_.select(col("vid").cast("long").as("vid")))
@@ -1629,28 +1654,40 @@ object VectorOps {
         val delsB = delsOf(v)
         // content diff; visibility-masked (a row tombstoned at B was
         // never visible as an add; a row already dead at A is no delete)
-        val insVis = addRows.exceptAll(remRows)
+        val insRows = addRows.exceptAll(remRows)
           .join(broadcast(delsB), Seq("vid"), "left_anti")
-          .select(col("vid")).distinct()
-        val delVis = remRows.exceptAll(addRows)
+        val delRows = remRows.exceptAll(addRows)
           .join(broadcast(delsA), Seq("vid"), "left_anti")
-          .select(col("vid")).distinct()
-        val upd = insVis.intersect(delVis)
-        val ins = insVis.except(delVis)
-        val delP = delVis.except(insVis)
+        // an id with changed content on BOTH sides is an update
+        val updIds = insRows.select(col("vid")).distinct()
+          .intersect(delRows.select(col("vid")).distinct())
+        val post = insRows.join(updIds, Seq("vid"), "left_semi")
+          .select(col("vid"), lit("update_postimage").as("change_type"),
+            col("vec"))
+        val pre = delRows.join(updIds, Seq("vid"), "left_semi")
+          .select(col("vid"), lit("update_preimage").as("change_type"),
+            col("vec"))
+        val ins = insRows.join(updIds, Seq("vid"), "left_anti")
+          .select(col("vid"), lit("insert").as("change_type"), col("vec"))
+        val delP = delRows.join(updIds, Seq("vid"), "left_anti")
+          .select(col("vid"), lit("delete").as("change_type"), col("vec"))
         // logical deletes: the tombstone delta, minus ids the file diff
-        // already accounted for
-        val tombL = delsB.except(delsA).except(insVis).except(delVis)
-        Some(upd.select(col("vid"), lit("update").as("change_type"))
-          .unionByName(ins.select(col("vid"), lit("insert").as("change_type")))
-          .unionByName(delP.select(col("vid"), lit("delete").as("change_type")))
-          .unionByName(tombL.select(col("vid"), lit("delete").as("change_type")))
-          .select(lit(v).as("version"), col("vid"), col("change_type")))
+        // already accounted for; preimage not materialized (see Scaladoc)
+        val tombL = delsB.except(delsA)
+          .except(insRows.select(col("vid")))
+          .except(delRows.select(col("vid")))
+          .select(col("vid"), lit("delete").as("change_type"),
+            lit(null).cast("array<double>").as("vec"))
+        Some(post.unionByName(pre).unionByName(ins).unionByName(delP)
+          .unionByName(tombL)
+          .select(lit(v).as("version"), col("vid"), col("change_type"),
+            col("vec")))
       }
     }
     if (steps.isEmpty)
       spark.range(0).select(lit(0).as("version"),
-        col("id").cast("long").as("vid"), lit("").as("change_type"))
+        col("id").cast("long").as("vid"), lit("").as("change_type"),
+        array().cast("array<double>").as("vec"))
     else steps.reduce(_ unionByName _)
   }
 

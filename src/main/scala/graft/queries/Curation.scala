@@ -2307,6 +2307,66 @@ object Curation {
       |  AS t(version, op, has_deletes, restore_of)
       |ORDER BY version""".stripMargin
 
+  // --------------------------------- incremental view maintenance (IVM)
+  /** Incremental materialization driven by the change feed — the
+    * pattern CDC exists FOR: a downstream aggregate (here: serving-set
+    * row count + exact micro-integer sum of the vectors' first
+    * component) is maintained by applying [[VectorOps.indexChangeRows]]
+    * deltas instead of recomputing over the corpus. Pre/post row images
+    * make this a pure algebra: insert adds its vector's contribution,
+    * delete subtracts, an update subtracts the PREIMAGE and adds the
+    * POSTIMAGE — the consumer never touches the base table, so
+    * maintaining the view costs ∝ the commit's changed bytes while the
+    * recompute costs ∝ the corpus; at 100 TB with small daily commits
+    * that ratio IS the materialized view's reason to exist. Audited on
+    * the lifecycle fixture's v3→v4 upsert step:
+    *
+    *  - `ivm_count_exact` / `ivm_sum_exact`: stats(v3) + feed deltas ==
+    *    stats(v4) recomputed directly — bit-exact, because the feed's
+    *    images are the committed file bytes themselves;
+    *  - `n_ins` / `n_upd_pairs`: the feed's insert count and
+    *    update-pair count, hash-gated against the slice arithmetic.
+    */
+  private val cdcMaterializeQ: Q = (s, dir) => {
+    val (path, _, _, _) = stageLifecycle(s, dir)
+    def micro(c: Column): Column =
+      round(element_at(c, 1).cast("double") * 1e6).cast("long")
+    def stats(v: Int): DataFrame =
+      VectorOps.readIndexVersionMor(s, path, v, "vec_id")
+        .agg(count(lit(1)).as("n"),
+          sum(micro(col("embedding"))).as("s"))
+    val feed = VectorOps.indexChangeRows(s, path, 3, 4,
+      "vec_id", "embedding")
+    val deltas = feed.agg(
+      sum(when(col("change_type").isin("insert", "update_postimage"), 1L)
+        .when(col("change_type").isin("delete", "update_preimage"), -1L)
+        .otherwise(0L)).as("dn"),
+      sum(when(col("change_type").isin("insert", "update_postimage"),
+          micro(col("vec")))
+        .when(col("change_type").isin("delete", "update_preimage"),
+          -micro(col("vec")))
+        .otherwise(0L)).as("ds"),
+      sum(when(col("change_type") === "insert", 1L).otherwise(0L))
+        .as("n_ins"),
+      sum(when(col("change_type") === "update_postimage", 1L).otherwise(0L))
+        .as("n_upd_pairs"))
+    val s3 = stats(3).select(col("n").as("n3"), col("s").as("s3"))
+    val s4 = stats(4).select(col("n").as("n4"), col("s").as("s4"))
+    s3.crossJoin(deltas).crossJoin(s4) // 1-row frames
+      .select(
+        (col("n3") + col("dn") === col("n4")).as("ivm_count_exact"),
+        (col("s3") + col("ds") === col("s4")).as("ivm_sum_exact"),
+        col("n_ins"), col("n_upd_pairs"))
+  }
+  private val cdcMaterializeSql =
+    """SELECT TRUE AS ivm_count_exact, TRUE AS ivm_sum_exact,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 11 = 5) AS BIGINT) AS n_ins,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 11 <> 5
+      |          AND vec_id % 7 <> 3 AND vec_id % 11 = 2) AS BIGINT)
+      |    AS n_upd_pairs""".stripMargin
+
   // ------------------------------------- file skipping (zone maps)
   /** Staged range-clustered fixture: the corpus written
     * repartitionByRange on vec_id BEFORE the centroid partitioning, so
@@ -2389,6 +2449,7 @@ object Curation {
     ("q_stream_index_upsert", streamUpsertQ, Some(streamUpsertSql)),
     ("q_commit_checkpoint", commitCheckpointQ, Some(commitCheckpointSql)),
     ("q_index_lineage", indexLineageQ, Some(indexLineageSql)),
+    ("q_cdc_materialize", cdcMaterializeQ, Some(cdcMaterializeSql)),
     ("q_ivf_append", ivfAppendQ, Some(ivfAppendSql)),
     ("q_ivfpq_append", ivfPqAppendQ, Some(ivfPqAppendSql)),
     ("q_stream_ivf", streamIvfQ, Some(streamIvfSql)),

@@ -353,6 +353,27 @@ class IndexCommitSpec extends SparkSpec {
       // and the update row is the upserted id
       assert(feed.filter(col("version") === 6).select(col("vid"))
         .head().getLong(0) == upId)
+      // row images: the update carries the OLD vector as preimage and
+      // the NEW (+3.0f) vector as postimage — the algebra an incremental
+      // materialization needs
+      val images = VectorOps.indexChangeRows(spark, path, 5, 6,
+          "vec_id", "embedding")
+        .filter(col("vid") === upId)
+        .collect().map(r => r.getString(2) -> r.getSeq[Double](3)).toMap
+      val oldVec = embs.filter(col("vec_id") === upId)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val newVec = upd.select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      assert(images.keySet == Set("update_preimage", "update_postimage"))
+      assert(images("update_preimage") == oldVec)
+      assert(images("update_postimage") == newVec)
+      // a logical tombstone delete arrives id-only (NULL image, by
+      // documented design) — from the v2→v3 delete step
+      val tomb = VectorOps.indexChangeRows(spark, path, 2, 3,
+        "vec_id", "embedding")
+      assert(tomb.filter(col("change_type") === "delete")
+        .filter(col("vec").isNotNull).count() == 0)
+      assert(tomb.count() == doomed.count())
     } finally rmrf(dir)
   }
 
@@ -413,6 +434,9 @@ class IndexCommitSpec extends SparkSpec {
       assert(nRead3 == 2)
       assert(span.select(col("vec_id")).orderBy(col("vec_id")).collect()
         .map(_.getLong(0)).toSeq == Seq(hi0, hi0 + 1))
+      // scan-level proof: the plan's input is exactly the 2 kept files —
+      // the pruning is real skipping, not a post-scan filter
+      assert(span.inputFiles.length == 2)
     } finally rmrf(dir)
   }
 }
