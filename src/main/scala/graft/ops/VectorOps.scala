@@ -1755,34 +1755,40 @@ object VectorOps {
     * Delta/Snowflake data-skipping design, public literature).
     */
   def writeColStats(spark: org.apache.spark.sql.SparkSession, path: String,
-                    version: Int, colName: String): Unit = {
+                    version: Int, cols: String*): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
+    require(cols.nonEmpty, "writeColStats: at least one column")
     val files = readManifest(spark, path, version)
-    val ranges = footerMinMax(spark, path, files, colName)
+    val ranges = cols.map(c => c -> footerMinMax(spark, path, files, c))
     val p = new HPath(path, f"_manifests/v$version%05d.colstats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, /* overwrite = */ false)
-    try out.write(files.map { f =>
-        val (mn, mx) = ranges(f); s"$f\t$colName\t$mn\t$mx" }
-      .mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val lines = for { (c, byFile) <- ranges; f <- files }
+      yield { val (mn, mx) = byFile(f); s"$f\t$c\t$mn\t$mx" }
+    atomicCreate(fs, path, p,
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s"colstats v$version")
   }
 
-  /** The committed zone map of `version` — file → (min, max) for the
-    * column it was built on. Loud on a missing sidecar. */
+  /** The committed zone map of `version` for `colName` — file →
+    * (min, max). Loud on a missing sidecar; a file with no line for
+    * this column maps to nothing (callers treat absent as unprunable).
+    */
   def readColStats(spark: org.apache.spark.sql.SparkSession, path: String,
-                   version: Int): Map[String, (Long, Long)] = {
+                   version: Int, colName: String)
+      : Map[String, (Long, Long)] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path, f"_manifests/v$version%05d.colstats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty)
-      .map { l =>
+      .flatMap { l =>
         val parts = l.split('\t')
         require(parts.length == 4, s"malformed colstats line: $l")
-        parts(0) -> (parts(2).toLong, parts(3).toLong)
+        if (parts(1) == colName)
+          Some(parts(0) -> (parts(2).toLong, parts(3).toLong))
+        else None
       }.toMap
     finally in.close()
   }
@@ -1801,21 +1807,43 @@ object VectorOps {
     */
   def readIndexVersionPruned(spark: org.apache.spark.sql.SparkSession,
                              path: String, version: Int, colName: String,
-                             lo: Long, hi: Long): (DataFrame, Int, Int) = {
-    require(lo <= hi, s"readIndexVersionPruned: lo $lo > hi $hi")
+                             lo: Long, hi: Long): (DataFrame, Int, Int) =
+    readIndexVersionPrunedRect(spark, path, version, Seq((colName, lo, hi)))
+
+  /** [[readIndexVersionPruned]] over a CONJUNCTION of range predicates —
+    * the rectangle read multi-dimensional clustering exists for: on a
+    * z-ordered layout every predicate column has tight per-file zones,
+    * so the kept set is the files whose zones intersect EVERY range
+    * (a file is skipped the moment ONE dimension rules it out), while a
+    * 1-D-clustered layout can only ever skip on its sort column —
+    * q_zonemap_rect gates that contrast. The precise conjunctive filter
+    * still applies on top. Returns (rows, filesRead, filesTotal).
+    */
+  def readIndexVersionPrunedRect(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, version: Int,
+                                 preds: Seq[(String, Long, Long)])
+      : (DataFrame, Int, Int) = {
+    require(preds.nonEmpty, "readIndexVersionPrunedRect: need a predicate")
+    preds.foreach { case (c, lo, hi) =>
+      require(lo <= hi, s"readIndexVersionPrunedRect: $c lo $lo > hi $hi") }
     val files = readManifest(spark, path, version)
-    val zones = readColStats(spark, path, version)
+    val zonesByCol = preds.map { case (c, _, _) =>
+      c -> readColStats(spark, path, version, c) }.toMap
     val keep = files.filter { f =>
-      val (mn, mx) = zones.getOrElse(f, (Long.MinValue, Long.MaxValue))
-      mx >= lo && mn <= hi
+      preds.forall { case (c, lo, hi) =>
+        val (mn, mx) = zonesByCol(c)
+          .getOrElse(f, (Long.MinValue, Long.MaxValue))
+        mx >= lo && mn <= hi
+      }
     }
     val rows =
       if (keep.isEmpty)
         readIndexVersion(spark, path, version).limit(0)
       else spark.read.option("basePath", path)
         .parquet(keep.map(f => s"$path/$f"): _*)
-    (rows.filter(col(colName) >= lo && col(colName) <= hi),
-      keep.length, files.length)
+    val filtered = preds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _)
+    (rows.filter(filtered), keep.length, files.length)
   }
 
   // ------------------------------------------------------------ restore

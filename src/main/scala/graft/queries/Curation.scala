@@ -2307,6 +2307,54 @@ object Curation {
       |  AS t(version, op, has_deletes, restore_of)
       |ORDER BY version""".stripMargin
 
+  // ------------------------------------------ chunked CDC consumption
+  /** The polling consumer's contract — on an object store a change-feed
+    * subscriber IS a poller: it wakes, reads HEAD, consumes
+    * `indexChanges(lastSeen, head)`, durably records `head`, sleeps.
+    * Correctness of that loop rests on one algebraic property: the feed
+    * COMPOSES — consuming v1→v3 then v3→v5 yields exactly the rows of
+    * consuming v1→v5 in one pass, no seam artifacts at the cut (each
+    * commit's changes are attributed to its version, never smeared
+    * across a chunk boundary), so any polling cadence sees the same
+    * history. Gated by hashing BOTH the chunked union and its exceptAll
+    * symmetric difference against the one-pass feed (n_seam = 0), plus
+    * the per-version row counts.
+    */
+  private val cdcFollowQ: Q = (s, dir) => {
+    val (path, _, _, _) = stageLifecycle(s, dir)
+    def feed(a: Int, b: Int) =
+      VectorOps.indexChanges(s, path, a, b, "vec_id", "embedding")
+    val chunked = feed(1, 3).unionByName(feed(3, 5))
+    val whole = feed(1, 5)
+    val seam = chunked.exceptAll(whole).unionByName(whole.exceptAll(chunked))
+      .agg(count(lit(1)).as("n_seam"))
+    val counts = whole.groupBy(col("version"))
+      .agg(count(lit(1)).as("n")).orderBy(col("version"))
+    val nChunk = chunked.agg(count(lit(1)).as("n_chunked"))
+    val nWhole = whole.agg(count(lit(1)).as("n_whole"))
+    seam.crossJoin(nChunk).crossJoin(nWhole) // 1-row frames
+      .select((col("n_seam") === 0L &&
+          col("n_chunked") === col("n_whole")).as("composes"),
+        col("n_whole"))
+      .crossJoin(counts.agg(
+        max(when(col("version") === 2, col("n"))).as("n_v2"),
+        max(when(col("version") === 4, col("n"))).as("n_v4"),
+        max(when(col("version") === 5, col("n"))).as("n_v5")))
+  }
+  private val cdcFollowSql =
+    """WITH e AS (SELECT vec_id FROM embeddings WHERE vec_id <> 0),
+      |doom AS (SELECT count(*) AS n FROM e
+      |         WHERE vec_id % 11 <> 5 AND vec_id % 7 = 3),
+      |upd AS (SELECT count(*) AS n FROM e
+      |        WHERE vec_id % 11 <> 5 AND vec_id % 7 <> 3 AND vec_id % 11 = 2),
+      |nw AS (SELECT count(*) AS n FROM e WHERE vec_id % 11 = 5)
+      |SELECT TRUE AS composes,
+      |  CAST((SELECT n FROM doom) + 2 * ((SELECT n FROM upd)
+      |    + (SELECT n FROM nw)) AS BIGINT) AS n_whole,
+      |  CAST((SELECT n FROM doom) AS BIGINT) AS n_v2,
+      |  CAST((SELECT n FROM upd) + (SELECT n FROM nw) AS BIGINT) AS n_v4,
+      |  CAST((SELECT n FROM upd) + (SELECT n FROM nw) AS BIGINT) AS n_v5""".stripMargin
+
   // --------------------------------- incremental view maintenance (IVM)
   /** Incremental materialization driven by the change feed — the
     * pattern CDC exists FOR: a downstream aggregate (here: serving-set
@@ -2439,6 +2487,94 @@ object Curation {
       |WHERE vec_id <> 0 AND vec_id >= mx // 3
       |  AND vec_id <= mx // 3 + mx // 8""".stripMargin
 
+  // --------------------------- multi-dim zone maps on a z-ordered layout
+  /** Staged two-layout fixture: the SAME (vec_id, label) rows written
+    * (a) z-order-clustered on both columns ([[Layout.zorderWrite]] —
+    * Morton interleave, range-partitioned and sorted by z) and (b)
+    * linearly clustered on vec_id alone; both committed with two-column
+    * zone maps. Returns (zPath, linPath, maxId).
+    */
+  private[queries] def stageZoneRect(s: org.apache.spark.sql.SparkSession,
+                                     dir: String)
+      : (String, String, Long) =
+    Staging.cached(s"zonerect:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"))
+      val zPath = tmp.resolve("zorder").toString
+      Layout.zorderWrite(emb, "vec_id", "label",
+        s"$zPath/centroid=0", bits = 16, numFiles = 8)
+      VectorOps.writeManifest(s, zPath, 1,
+        VectorOps.listIndexFiles(s, zPath), Map("op" -> "append"))
+      VectorOps.writeColStats(s, zPath, 1, "vec_id", "label")
+      val linPath = tmp.resolve("linear").toString
+      emb.repartitionByRange(8, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$linPath/centroid=0")
+      VectorOps.writeManifest(s, linPath, 1,
+        VectorOps.listIndexFiles(s, linPath), Map("op" -> "append"))
+      VectorOps.writeColStats(s, linPath, 1, "vec_id", "label")
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      (zPath, linPath, maxId)
+    }
+
+  /** Multi-dimensional data skipping — the zone-map × z-order synergy
+    * (the standard lakehouse answer to "my table has TWO hot filter
+    * columns and one sort order"): Morton clustering keeps rows close in
+    * BOTH dimensions, so per-file footer zones are tight on both and a
+    * rectangle predicate skips files the moment EITHER dimension rules
+    * them out ([[VectorOps.readIndexVersionPrunedRect]]). The control is
+    * the SAME rows clustered linearly on vec_id: perfect skipping on
+    * vec_id, STONE BLIND on label (every file spans all labels) — at
+    * 100 TB that blindness is a full corpus scan for every query on the
+    * second column. Audited:
+    *
+    *  - `rect_parity`: the rectangle read on the z-layout equals the
+    *    full-scan filter exactly (symmetric exceptAll);
+    *  - `rect_pruned`: it opened >0 but fewer than all files;
+    *  - `z_prunes_label`: a label-ONLY range on the z-layout still
+    *    skips files (the second dimension is independently skippable);
+    *  - `linear_blind_label`: the same label range on the linear layout
+    *    opens EVERY file — clustering is why the zones bite;
+    *  - `n_rect` / `sum_rect`: exact row count and id-sum of the
+    *    rectangle, hash-gated.
+    */
+  private val zonemapRectQ: Q = (s, dir) => {
+    val (zPath, linPath, maxId) = stageZoneRect(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"))
+    val (xLo, xHi) = (maxId / 4, maxId / 2)
+    val rect = Seq(("vec_id", xLo, xHi), ("label", 0L, 1L))
+    val (zRect, zRectRead, zTotal) =
+      VectorOps.readIndexVersionPrunedRect(s, zPath, 1, rect)
+    val full = emb.filter(col("vec_id") >= xLo && col("vec_id") <= xHi &&
+      col("label") >= 0 && col("label") <= 1)
+    val p = zRect.select(col("vec_id"), col("label"))
+    val nDiff = p.exceptAll(full).unionByName(full.exceptAll(p))
+      .agg(count(lit(1)).as("n_diff"))
+    val (_, zYRead, _) = VectorOps.readIndexVersionPrunedRect(
+      s, zPath, 1, Seq(("label", 0L, 1L)))
+    val (_, linYRead, linTotal) = VectorOps.readIndexVersionPrunedRect(
+      s, linPath, 1, Seq(("label", 0L, 1L)))
+    val stats = full.agg(count(lit(1)).as("n_rect"),
+      sum(col("vec_id")).as("sum_rect"))
+    nDiff.crossJoin(stats) // 1-row frames
+      .select(
+        (col("n_diff") === 0L).as("rect_parity"),
+        lit(zRectRead > 0 && zRectRead < zTotal).as("rect_pruned"),
+        lit(zYRead < zTotal).as("z_prunes_label"),
+        lit(linYRead == linTotal).as("linear_blind_label"),
+        col("n_rect"), col("sum_rect"))
+  }
+  private val zonemapRectSql =
+    """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings WHERE vec_id <> 0)
+      |SELECT TRUE AS rect_parity, TRUE AS rect_pruned,
+      |  TRUE AS z_prunes_label, TRUE AS linear_blind_label,
+      |  CAST(count(*) AS BIGINT) AS n_rect,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_rect
+      |FROM embeddings, m
+      |WHERE vec_id <> 0 AND vec_id >= mx // 4 AND vec_id <= mx // 2
+      |  AND label >= 0 AND label <= 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -2450,6 +2586,8 @@ object Curation {
     ("q_commit_checkpoint", commitCheckpointQ, Some(commitCheckpointSql)),
     ("q_index_lineage", indexLineageQ, Some(indexLineageSql)),
     ("q_cdc_materialize", cdcMaterializeQ, Some(cdcMaterializeSql)),
+    ("q_cdc_follow", cdcFollowQ, Some(cdcFollowSql)),
+    ("q_zonemap_rect", zonemapRectQ, Some(zonemapRectSql)),
     ("q_ivf_append", ivfAppendQ, Some(ivfAppendSql)),
     ("q_ivfpq_append", ivfPqAppendQ, Some(ivfPqAppendSql)),
     ("q_stream_ivf", streamIvfQ, Some(streamIvfSql)),

@@ -414,7 +414,7 @@ class IndexCommitSpec extends SparkSpec {
       VectorOps.writeManifest(spark, path, 1,
         VectorOps.listIndexFiles(spark, path))
       VectorOps.writeColStats(spark, path, 1, "vec_id")
-      val zones = VectorOps.readColStats(spark, path, 1)
+      val zones = VectorOps.readColStats(spark, path, 1, "vec_id")
       assert(zones.size == 4)
       // exact-boundary range [min of one file, max of same file]
       val (f0, (lo0, hi0)) = zones.toSeq.minBy(_._2._1)
