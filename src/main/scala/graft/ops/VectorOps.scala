@@ -1331,11 +1331,13 @@ object VectorOps {
       s"unreadable footer at commit time: $f"))
     val p = new HPath(path, f"_manifests/v$version%05d.stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, /* overwrite = */ false)
-    try out.write(files.map(f => s"$f\t${counts(f)}")
-      .mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // same atomic publish as manifests: a reader must never see a
+    // half-written stats sidecar (fsck would report phantom corruption)
+    atomicCreate(fs, path, p,
+      files.map(f => s"$f\t${counts(f)}")
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s"stats v$version")
   }
 
   /** The commit-time stats of `version` — loud on a missing sidecar,
@@ -1509,9 +1511,20 @@ object VectorOps {
         }
       }
     fs.delete(new HPath(path, stageRel), true)
+    // everything downstream reads the STAGED bytes, not the caller's
+    // plan: `updates` may be an arbitrarily expensive computation (a
+    // re-embedding join, a streaming micro-batch) and is consumed exactly
+    // once — by the staging write above. The row count comes from the
+    // staged files' footers (metadata-priced).
     val upIds = broadcast(
-      updates.select(col(idCol).cast("long").as(idCol)).distinct())
-    val nInserted = updates.count()
+      if (newFiles.isEmpty) // empty batch: a no-change commit, not a crash
+        spark.range(0).select(col("id").cast("long").as(idCol))
+      else spark.read.option("basePath", path)
+        .parquet(newFiles.toSeq.map(f => s"$path/$f"): _*)
+        .select(col(idCol).cast("long").as(idCol)).distinct())
+    val nInserted =
+      if (newFiles.isEmpty) 0L
+      else footerCounts(spark, path, newFiles.toSeq).values.sum
     // which partitions hold rows being replaced — one batch-sized
     // semi-join aggregate. Over the PHYSICAL read, not the MOR read: a
     // TOMBSTONED row whose id is being upserted is invisible but still on
