@@ -1064,4 +1064,53 @@ class PlanSpec extends SparkSpec {
     assert(wins.nonEmpty && wins.forall(_.contains("user_id")),
       s"windows $wins: " + p.take(2000))
   }
+
+  test("round-10 lifecycle: upsert CoW, restore, lineage, IVM and feed " +
+      "composition audits all hold at sf0.001") {
+    val up = Curation.queries("q_index_upsert")(spark, sf).head()
+    for (i <- 0 to 4) assert(up.getBoolean(i), s"q_index_upsert[$i]: $up")
+    val rs = Curation.queries("q_index_restore")(spark, sf).head()
+    for (i <- 0 to 3) assert(rs.getBoolean(i), s"q_index_restore[$i]: $rs")
+    val ivm = Curation.queries("q_cdc_materialize")(spark, sf).head()
+    assert(ivm.getBoolean(0) && ivm.getBoolean(1), s"q_cdc_materialize: $ivm")
+    val fl = Curation.queries("q_cdc_follow")(spark, sf).head()
+    assert(fl.getBoolean(0), s"q_cdc_follow: $fl")
+    val lin = Curation.queries("q_index_lineage")(spark, sf).collect()
+    assert(lin.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "append"), (2, "delete"), (3, "compact"), (4, "upsert"),
+        (5, "restore")))
+  }
+
+  test("change feed: tombstone masks broadcast as anti-joins, the step " +
+      "diff never plans a cartesian") {
+    val (path, _, _, _) = Curation.stageLifecycle(spark, sf)
+    val p = graft.ops.VectorOps
+      .indexChangeRows(spark, path, 1, 5, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("zone maps: the pruned scan's input is exactly the kept files, " +
+      "rectangle and 1-D skipping booleans hold") {
+    val sk = Curation.queries("q_file_skipping")(spark, sf).head()
+    assert(sk.getBoolean(0) && sk.getBoolean(1), s"q_file_skipping: $sk")
+    val zr = Curation.queries("q_zonemap_rect")(spark, sf).head()
+    for (i <- 0 to 3) assert(zr.getBoolean(i), s"q_zonemap_rect[$i]: $zr")
+    // scan-level: the rectangle read plans over ONLY the kept files
+    val (zPath, _, _) = Curation.stageZoneRect(spark, sf)
+    val (rows, kept, total) = graft.ops.VectorOps
+      .readIndexVersionPrunedRect(spark, zPath, 1,
+        Seq(("label", 0L, 1L)))
+    assert(rows.inputFiles.length == kept && kept < total,
+      s"inputFiles=${rows.inputFiles.length} kept=$kept total=$total")
+  }
+
+  test("streaming upsert + checkpoint audits hold at sf0.001") {
+    val su = Curation.queries("q_stream_index_upsert")(spark, sf).head()
+    for (i <- 0 to 2) assert(su.getBoolean(i), s"q_stream_index_upsert[$i]: $su")
+    val ck = Curation.queries("q_commit_checkpoint")(spark, sf).head()
+    for (i <- 0 to 3) assert(ck.getBoolean(i), s"q_commit_checkpoint[$i]: $ck")
+  }
 }
