@@ -313,7 +313,6 @@ object TextOps {
     */
   private def bpeMarked(docs: DataFrame, idCol: String, toksCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bigrams = when(size(col(toksCol)) >= 2,
       zip_with(slice(col(toksCol), lit(1), size(col(toksCol)) - 1),
         slice(col(toksCol), lit(2), size(col(toksCol)) - 1),
@@ -323,6 +322,17 @@ object TextOps {
       .orderBy(col("pc").desc, col("bg")).limit(1)
       .select(substring_index(col("bg"), " ", 1).as("a"),
         substring_index(col("bg"), " ", -1).as("b"), col("pc"))
+    bpeMarkedWith(docs, idCol, toksCol, top1)
+  }
+
+  /** [[bpeMarked]] against a CALLER-SUPPLIED pair frame (1 row: a, b,
+    * pc) instead of the corpus's own elected winner — the encode path:
+    * at inference the vocabulary is FIXED, the merge to apply each round
+    * comes from training, and only the greedy application runs.
+    */
+  private def bpeMarkedWith(docs: DataFrame, idCol: String, toksCol: String,
+                            top1: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val cand = docs
       .select(col(idCol), posexplode(col(toksCol)).as(Seq("pos", "tok")))
@@ -406,6 +416,39 @@ object TextOps {
     stats.reduce(_ unionByName _)
       .select(col("round"), col("pair"), col("pair_count"),
         col("n_merges"), col("tokens_before"), col("tokens_after"))
+      .orderBy(col("round"))
+  }
+
+  /** ENCODE with a trained vocabulary — the inference half of the
+    * tokenizer split ([[bpeTrain]] is the training half): the merge list
+    * is FIXED (learned elsewhere, on other data), and each round applies
+    * one merge greedily to every document under exactly the training
+    * pass's run-parity rule — BPE's defining property is that encoding
+    * replays the merges in learned order, so train-then-encode on the
+    * training corpus itself reproduces the training merge counts
+    * verbatim (TextOpsSpec pins that identity). Returns the encode log,
+    * one row per round: (round, pair, n_merges, tokens_before,
+    * tokens_after) — all exact integers; a round whose pair never occurs
+    * in the corpus logs zero merges and passes tokens through. Per round
+    * the corpus crosses the wire once (the windowed mark + doc-key
+    * rebuild); there is no pair-count aggregate at all — encoding is
+    * strictly cheaper than training, as it should be.
+    */
+  def bpeEncodeLog(docs: DataFrame, idCol: String, toksCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeLog: merges must be non-empty")
+    var cur = docs
+    val stats = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (((a, b), i) <- merges.zipWithIndex) {
+      val pair = docs.sparkSession.range(1)
+        .select(lit(a).as("a"), lit(b).as("b"), lit(0L).as("pc"))
+      val marked = bpeMarkedWith(cur, idCol, toksCol, pair).localCheckpoint()
+      stats += bpeStatsOf(marked).withColumn("round", lit(i + 1))
+      if (i < merges.length - 1) cur = bpeApplied(marked, idCol, toksCol)
+    }
+    stats.reduce(_ unionByName _)
+      .select(col("round"), col("pair"), col("n_merges"),
+        col("tokens_before"), col("tokens_after"))
       .orderBy(col("round"))
   }
 

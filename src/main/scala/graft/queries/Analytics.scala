@@ -970,6 +970,104 @@ object Analytics {
        |ORDER BY round""".stripMargin
   }
 
+  // ----------------------------------------------- BPE encode (inference)
+
+  /** Tokenizer INFERENCE — the other half of the train/apply split every
+    * production tokenizer lives by: [[TextOps.bpeTrain]] learns 4 merges
+    * on the TRAINING split (doc_id % 3 ≠ 0), then
+    * [[TextOps.bpeEncodeLog]] applies that frozen vocabulary, in learned
+    * order, to the HELD-OUT split (doc_id % 3 = 0) it has never seen.
+    * The collected merge list is 4 driver-side rows (vocabulary is
+    * metadata, like centroids); encoding itself is per-round one
+    * windowed pass + doc-key rebuild over the eval corpus — no
+    * pair-count aggregate at all, which is exactly why serving-time
+    * tokenization is cheaper than training. The gate hashes the encode
+    * log: the learned pair itself (wrong training → wrong vocabulary →
+    * wrong bytes) plus exact merge/token counts per round on data the
+    * training never saw (wrong application order or a non-greedy apply
+    * cascades into every later row).
+    */
+  private val bpeEncodeQ: Q = (s, dir) => {
+    val docs = Registry.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val merges = TextOps.bpeTrain(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "toks", rounds = 4)
+      .select(col("round"), col("pair")).collect()
+      .sortBy(_.getInt(0))
+      .map { r => val p = r.getString(1).split(" "); (p(0), p(1)) }.toSeq
+    TextOps.bpeEncodeLog(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "toks", merges)
+  }
+  /** One encode round as DuckDB CTEs: reads `e${k-1}` (held-out corpus)
+    * and the TRAINING chain's `top$k` (the learned pair — training CTEs
+    * run on the train split in the same statement), marks candidates
+    * under the same run-parity rule, and defines `estat$k` + `e$k`.
+    */
+  private def bpeEncRoundSql(k: Int): String = {
+    val in = s"e${k - 1}"
+    s"""etok$k AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t
+       |  FROM $in),
+       |ec${k}a AS (
+       |  SELECT doc_id, pos, t, a, b,
+       |    lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+       |    coalesce(t = a AND
+       |      lead(t) OVER (PARTITION BY doc_id ORDER BY pos) = b, FALSE)
+       |      AS c
+       |  FROM etok$k, top$k),
+       |ec${k}b AS (
+       |  SELECT *, (c AND NOT coalesce(
+       |      lag(c) OVER (PARTITION BY doc_id ORDER BY pos), FALSE))
+       |    AS run_start
+       |  FROM ec${k}a),
+       |ec${k}c AS (
+       |  SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+       |  FROM ec${k}b),
+       |ec${k}d AS (
+       |  SELECT *, (c AND sum(CASE WHEN c THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id, run_id ORDER BY pos) % 2 = 1)
+       |    AS active
+       |  FROM ec${k}c),
+       |ec${k}e AS (
+       |  SELECT *, coalesce(
+       |      lag(active) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+       |    AS prev_active
+       |  FROM ec${k}d),
+       |estat$k AS (
+       |  SELECT $k AS round, max(a || ' ' || b) AS pair,
+       |         CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_merges,
+       |         CAST(count(*) AS BIGINT) AS tokens_before,
+       |         CAST(sum(CASE WHEN active THEN 1
+       |                       WHEN NOT prev_active THEN 1
+       |                       ELSE 0 END) AS BIGINT) AS tokens_after
+       |  FROM ec${k}e),
+       |e$k AS (
+       |  SELECT doc_id,
+       |         list(CASE WHEN active THEN t || nxt ELSE t END ORDER BY pos)
+       |           AS toks
+       |  FROM ec${k}e
+       |  WHERE active OR NOT prev_active
+       |  GROUP BY doc_id)""".stripMargin
+  }
+  private val bpeEncodeSql = {
+    val trainRounds = (1 to 4).map(bpeRoundSql).mkString(",\n")
+    val encRounds = (1 to 4).map(bpeEncRoundSql).mkString(",\n")
+    val union = (1 to 4).map(k => s"SELECT * FROM estat$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE doc_id % 3 <> 0),
+       |e0 AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |$trainRounds,
+       |$encRounds
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   // --------------------------------------------- compaction planner
 
   /** Small-file compaction planner — the layout pass a 100 TB table
@@ -1115,6 +1213,7 @@ object Analytics {
     ("q_negative_pairs", negativePairsQ, Some(negativePairsSql)),
     ("q_bpe_merge", bpeMergeQ, Some(bpeMergeSql)),
     ("q_bpe_train", bpeTrainQ, Some(bpeTrainSql)),
+    ("q_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
     ("q_compaction_plan", compactionPlanQ, Some(compactionPlanSql)),
     ("q_interpolate", interpolateQ, Some(interpolateSql)))
 

@@ -214,6 +214,40 @@ class TextOpsSpec extends SparkSpec {
     assert(ref.forall { case (_, _, _, m, b, a) => m >= 1 && a == b - m })
   }
 
+  test("bpeEncodeLog: encoding the training corpus with its own learned " +
+      "merges reproduces the training log; fixed merges apply greedily " +
+      "on held-out chains") {
+    val texts = Seq(
+      "a a a", "a a a a", "b a a b a a", "x y z", "a", "c d c d c d")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val trainLog = TextOps.bpeTrain(docs, "doc_id", "toks", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val merges = trainLog.map { case (_, p, _, _, _) =>
+      val s = p.split(" "); (s(0), s(1)) }
+    // BPE's defining identity: encode(train corpus, learned merges)
+    // replays training's merge counts exactly, round by round
+    val encLog = TextOps.bpeEncodeLog(docs, "doc_id", "toks", merges)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(encLog == trainLog, s"\n enc=$encLog\n train=$trainLog")
+    // held-out greedy chain: "a a a a a" under merges [(a,a),(aa,aa)]
+    // → rounds: 2 merges (greedy non-overlap) then 1 merge → [aaaa, a]
+    val held = Seq((0L, "a a a a a")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val chain = TextOps.bpeEncodeLog(held, "doc_id", "toks",
+        Seq(("a", "a"), ("aa", "aa")))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(chain == Seq((1, 2L, 3L), (2, 1L, 2L)), chain.toString)
+    // a merge whose pair never occurs logs zero and passes through
+    val miss = TextOps.bpeEncodeLog(held, "doc_id", "toks",
+        Seq(("q", "q")))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(miss == Seq((0L, 5L, 5L)), miss.toString)
+  }
+
   test("UnicodeNormalize: composition, compatibility folding, " +
       "idempotence, allocation-free ASCII passthrough semantics") {
     // \u escapes, never literal glyphs (a transcoder normalizing this
