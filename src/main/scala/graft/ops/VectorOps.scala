@@ -1418,6 +1418,76 @@ object VectorOps {
     (orphans.length, all.length - orphans.length)
   }
 
+  /** Commit-LOG retention — the metadata sibling of [[ivfVacuum]]:
+    * without it every manifest, stats/colstats sidecar, tombstone
+    * sidecar and staging leftover lives forever, and a
+    * commit-per-minute stream grows the log without bound. Deletes the
+    * manifests and sidecars of versions NOT in `keepVersions`, tombstone
+    * sidecars no kept manifest's `deletes` pointer references, and
+    * `_staging/` leftovers older than `minAgeMs` (a crashed append's
+    * stage dir that its batch never reclaimed).
+    *
+    * THE REPLAY-SAFETY SUBTLETY this function exists to get right:
+    * batch ids live in manifest headers, so dropping old manifests
+    * would FORGET them — a very late redelivery of an ancient batch id
+    * (a stream recovered from a weeks-old checkpoint) would then
+    * double-append. Before deleting anything, the accumulated batch-id
+    * set is checkpointed at the newest kept version
+    * ([[writeBatchIdCheckpoint]] — idempotent if already present), so
+    * [[committedBatchIds]] keeps answering for the dropped history
+    * forever (the Delta log-retention + checkpoint design). Dropped
+    * versions stop being time-travelable by design; reads of them fail
+    * loudly at manifest resolution. Returns (filesDeleted, filesKept)
+    * over the `_manifests`/`_deletes`/`_staging` trees.
+    */
+  def vacuumLog(spark: org.apache.spark.sql.SparkSession, path: String,
+                keepVersions: Seq[Int], minAgeMs: Long = 0L): (Int, Int) = {
+    require(keepVersions.nonEmpty, "vacuumLog: keepVersions must be non-empty")
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val all = listVersions(spark, path)
+    keepVersions.foreach(v => require(all.contains(v),
+      s"vacuumLog: version $v is not committed under $path"))
+    // replay-safety first: persist the full batch-id history at the
+    // newest kept version BEFORE any manifest is dropped
+    writeBatchIdCheckpoint(spark, path, keepVersions.max)
+    val keep = keepVersions.toSet
+    val keptDeleteRels = keepVersions.flatMap(v =>
+      readManifestMeta(spark, path, v).get("deletes")).toSet
+    var deleted = 0; var kept = 0
+    // manifests + per-version sidecars
+    val mdir = new HPath(path, "_manifests")
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      val n = st.getPath.getName
+      val vOpt = "^v(\\d+)\\.(manifest|stats|colstats|batchids)$".r
+        .findFirstMatchIn(n).map(_.group(1).toInt)
+      vOpt match {
+        case Some(v) if !keep.contains(v) &&
+            !(n.endsWith(".batchids") && v == keepVersions.max) =>
+          fs.delete(st.getPath, false); deleted += 1
+        case Some(_) => kept += 1
+        case None => kept += 1 // temp files etc. — not this tool's business
+      }
+    }
+    // tombstone sidecars: only those a kept manifest still points at stay
+    val ddir = new HPath(path, "_deletes")
+    if (fs.exists(ddir)) fs.listStatus(ddir).foreach { st =>
+      val rel = s"_deletes/${st.getPath.getName}"
+      if (keptDeleteRels.contains(rel)) kept += 1
+      else { fs.delete(st.getPath, true); deleted += 1 }
+    }
+    // staging leftovers from crashed, never-recovered appends
+    val sdir = new HPath(path, "_staging")
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    if (fs.exists(sdir)) fs.listStatus(sdir).foreach { st =>
+      if (minAgeMs <= 0L || st.getModificationTime <= cutoff) {
+        fs.delete(st.getPath, true); deleted += 1
+      } else kept += 1
+    }
+    (deleted, kept)
+  }
+
   /** ADC (asymmetric distance computation) top-k over an encoded corpus:
     * the query is NOT quantized — its per-subspace distances to every
     * centroid form an M×K lookup table (driver-computed, broadcast as a

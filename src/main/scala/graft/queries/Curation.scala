@@ -2279,6 +2279,82 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS n_all""".stripMargin
 
+  // ------------------------------------------------- log retention
+  /** Staged log-retention fixture: six batch-append commits (v1..v6,
+    * batch ids 30..35), a logical delete (v7), then
+    * [[VectorOps.vacuumLog]] keeping only {v6, v7} — and an ancient
+    * batch-id redelivery probe AFTER the sweep. Returns
+    * (path, idsAfter, ancientSkipped, nMetaDeleted).
+    */
+  private[queries] def stageLogRetention(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : (String, Set[Long], Boolean, Int) =
+    Staging.cached(s"logretention:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("logret").toString
+      (0 until 6).foreach { i =>
+        VectorOps.ivfAppendBatch(s, emb.filter(col("vec_id") % 6 === i),
+          idx.centroids, path, "vec_id", "embedding", batchId = 30L + i)
+      }
+      VectorOps.commitDeletes(s, path, 6, 7,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      val (nDel, _) = VectorOps.vacuumLog(s, path, Seq(6, 7))
+      val (_, skipped, _) = VectorOps.ivfAppendBatch(s,
+        emb.filter(col("vec_id") % 6 === 0), idx.centroids, path,
+        "vec_id", "embedding", batchId = 30L)
+      (path, VectorOps.committedBatchIds(s, path), skipped, nDel)
+    }
+
+  /** Commit-LOG retention — [[VectorOps.ivfVacuum]]'s metadata sibling
+    * ([[VectorOps.vacuumLog]]): a commit-per-minute stream grows the
+    * manifest log without bound, so old manifests and sidecars must be
+    * reclaimable. The subtlety the gate pins is REPLAY SAFETY across the
+    * sweep: batch ids live in manifest headers, and dropping manifests
+    * would forget them — so vacuumLog checkpoints the accumulated id set
+    * at the newest kept version BEFORE deleting (the Delta log-retention
+    * + checkpoint design), and a redelivery of a batch id whose manifest
+    * is LONG GONE is still recognized and skipped. Audited:
+    *
+    *  - `history_pruned`: only the kept versions still resolve, and the
+    *    sweep actually deleted metadata;
+    *  - `ids_survive_sweep`: the full batch-id history reads back after
+    *    the drop (through the pre-sweep checkpoint);
+    *  - `ancient_replay_safe`: the post-sweep redelivery of the very
+    *    first batch id was skipped, not double-appended;
+    *  - `kept_serves`: HEAD (with its kept tombstone sidecar) still
+    *    serves exactly the survivor set.
+    */
+  private val logRetentionQ: Q = (s, dir) => {
+    val (path, ids, ancientSkipped, nDel) = stageLogRetention(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val doomed = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val historyPruned =
+      VectorOps.listVersions(s, path) == Seq(6, 7) && nDel > 0
+    val idsSurvive = ids == (30L to 35L).toSet
+    val mor = VectorOps.readIndexLatest(s, path, "vec_id")
+    val nLeak = mor.join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_leak"))
+    val nMor = mor.agg(count(lit(1)).as("n_mor"))
+    val nSurv = emb.filter(col("vec_id") % 7 =!= 3)
+      .agg(count(lit(1)).as("n_survivors"))
+    nLeak.crossJoin(nMor).crossJoin(nSurv) // 1-row frames
+      .select(
+        lit(historyPruned).as("history_pruned"),
+        lit(idsSurvive).as("ids_survive_sweep"),
+        lit(ancientSkipped).as("ancient_replay_safe"),
+        (col("n_leak") === 0L && col("n_mor") === col("n_survivors"))
+          .as("kept_serves"),
+        col("n_survivors"))
+  }
+  private val logRetentionSql =
+    """SELECT TRUE AS history_pruned, TRUE AS ids_survive_sweep,
+      |  TRUE AS ancient_replay_safe, TRUE AS kept_serves,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 7 <> 3) AS BIGINT)
+      |    AS n_survivors""".stripMargin
+
   // ----------------------------------------------- commit-log lineage
   /** DESCRIBE HISTORY for the versioned index — [[VectorOps
     * .describeHistory]] renders the commit log (one row per version: the
@@ -2585,6 +2661,7 @@ object Curation {
     ("q_stream_index_upsert", streamUpsertQ, Some(streamUpsertSql)),
     ("q_commit_checkpoint", commitCheckpointQ, Some(commitCheckpointSql)),
     ("q_index_lineage", indexLineageQ, Some(indexLineageSql)),
+    ("q_log_retention", logRetentionQ, Some(logRetentionSql)),
     ("q_cdc_materialize", cdcMaterializeQ, Some(cdcMaterializeSql)),
     ("q_cdc_follow", cdcFollowQ, Some(cdcFollowSql)),
     ("q_zonemap_rect", zonemapRectQ, Some(zonemapRectSql)),

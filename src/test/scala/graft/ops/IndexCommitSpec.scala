@@ -400,6 +400,42 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("vacuumLog: dropped manifests stay replay-safe through the " +
+      "pre-sweep checkpoint; kept tombstones and versions survive") {
+    val (dir, path, cents) = freshIndex("logvac")
+    try {
+      // v2..v4: three batch appends; v5: a logical delete
+      (0 until 3).foreach { i =>
+        VectorOps.ivfAppendBatch(spark, embs.filter(col("vec_id") % 5 === 2
+            && col("vec_id") % 3 === i), cents, path,
+          "vec_id", "embedding", batchId = 20L + i)
+      }
+      VectorOps.commitDeletes(spark, path, 4, 5,
+        embs.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      val allIds = VectorOps.committedBatchIds(spark, path)
+      assert(allIds == Set(20L, 21L, 22L))
+      val (del, _) = VectorOps.vacuumLog(spark, path, Seq(4, 5))
+      assert(del > 0)
+      assert(VectorOps.listVersions(spark, path) == Seq(4, 5),
+        "dropped versions must stop resolving")
+      // THE replay-safety property: every historical batch id is still
+      // known (via the pre-sweep checkpoint), so an ancient redelivery
+      // is still recognized and skipped
+      assert(VectorOps.committedBatchIds(spark, path) == allIds)
+      val (_, skippedAncient, _) = VectorOps.ivfAppendBatch(spark,
+        embs.filter(col("vec_id") % 5 === 2 && col("vec_id") % 3 === 0),
+        cents, path, "vec_id", "embedding", batchId = 20L)
+      assert(skippedAncient,
+        "an ancient batch id must stay skippable after log vacuum")
+      // kept versions still serve; the kept delete sidecar still applies
+      val doomed = embs.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      val mor = VectorOps.readIndexVersionMor(spark, path, 5, "vec_id")
+      assert(mor.join(doomed, Seq("vec_id"), "left_semi").count() == 0)
+      // dropped versions fail loudly, not silently
+      intercept[Exception] { VectorOps.readManifest(spark, path, 2) }
+    } finally rmrf(dir)
+  }
+
   test("zone maps: pruning keeps boundary rows exactly, opens only " +
       "intersecting files, and a missing range opens none") {
     val dir = java.nio.file.Files.createTempDirectory("idx_commit_zones")
