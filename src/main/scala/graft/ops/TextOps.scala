@@ -355,6 +355,11 @@ object TextOps {
       .withColumn("active", col("c") && offset % 2 === 1)
       .withColumn("prevActive",
         coalesce(lag(col("active"), 1).over(wOrd), lit(false)))
+      // only what bpeStatsOf and bpeApplied actually read: the c/run
+      // scaffolding would otherwise be MATERIALIZED by the per-round
+      // localCheckpoint — at corpus scale that is real bytes per token
+      .select(col(idCol), col("pos"), col("tok"), col("nxt"),
+        col("a"), col("b"), col("pc"), col("active"), col("prevActive"))
   }
 
   private def bpeStatsOf(marked: DataFrame): DataFrame =
