@@ -2400,8 +2400,11 @@ object Curation {
     val (path, _, _, _) = stageLifecycle(s, dir)
     def feed(a: Int, b: Int) =
       VectorOps.indexChanges(s, path, a, b, "vec_id", "embedding")
-    val chunked = feed(1, 3).unionByName(feed(3, 5))
-    val whole = feed(1, 5)
+    // each feed is consumed by several audits below (seam diff, totals,
+    // per-version counts) — checkpoint once so the 4-step diff DAG isn't
+    // recomputed per consumer (feeds are changed-bytes-sized by design)
+    val chunked = feed(1, 3).unionByName(feed(3, 5)).localCheckpoint()
+    val whole = feed(1, 5).localCheckpoint()
     val seam = chunked.exceptAll(whole).unionByName(whole.exceptAll(chunked))
       .agg(count(lit(1)).as("n_seam"))
     val counts = whole.groupBy(col("version"))
