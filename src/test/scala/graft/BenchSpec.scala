@@ -175,13 +175,51 @@ class BenchSpec extends SparkSpec {
     assert(!plain.contains("recovered_error"), plain)
   }
 
-  test("every heavy index stager is primed by Fixtures (warmup staging " +
-      "guard: an unprimed index fixture pays its build under the watchdog)") {
-    val names = graft.queries.Fixtures.primedFixtureNames
-    for (f <- Seq("ivf", "ivfpq", "ivfappend", "ivfpqappend", "streamivf",
-        "ivfpqcompact", "ivfrebalance", "ivfversioned", "ivfvacuumed",
-        "ivfmordelete", "ivfevolved", "streamdelete"))
-      assert(names.contains(f), s"fixture '$f' missing from warmup priming")
+  test("every Staging.cached label in the source tree is classified " +
+      "heavy-or-cheap (r10 postmortem: the hardcoded-list guard missed " +
+      "stageClustered/stageZoneRect/stageLifecycle and q_file_skipping " +
+      "benched at 47.3s against a 0.34s steady state)") {
+    import scala.jdk.CollectionConverters._
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    val files = java.nio.file.Files.walk(srcRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    val callRe = java.util.regex.Pattern.compile("""Staging\.cached\(""")
+    val labelRe = java.util.regex.Pattern
+      .compile("""Staging\.cached\(s"([a-z0-9]+):\$""")
+    var nCalls = 0
+    val labels = scala.collection.mutable.Set[String]()
+    for (f <- files) {
+      val text = java.nio.file.Files.readString(f)
+      val cm = callRe.matcher(text)
+      while (cm.find()) nCalls += 1
+      val lm = labelRe.matcher(text)
+      while (lm.find()) labels += lm.group(1)
+    }
+    // the definition site itself contains no call; every USE must follow
+    // the s"label:$dir" convention or the label can't be enumerated here
+    val nLabeled = {
+      var n = 0
+      for (f <- files) {
+        val lm = labelRe.matcher(java.nio.file.Files.readString(f))
+        while (lm.find()) n += 1
+      }
+      n
+    }
+    assert(nCalls == nLabeled, s"$nCalls Staging.cached call sites but only " +
+      s"$nLabeled match the s\"label:$$dir\" key convention — a " +
+      "nonconforming key cannot be classified by this guard")
+    val heavy = graft.queries.Fixtures.primedFixtureNames.toSet
+    val cheap = graft.queries.Fixtures.cheapFixtureNames
+    assert((heavy & cheap).isEmpty, s"labels both heavy and cheap: ${heavy & cheap}")
+    val unclassified = labels.toSet -- heavy -- cheap
+    assert(unclassified.isEmpty, s"staging labels neither primed (heavy) nor " +
+      s"allowlisted cheap: $unclassified — classify them in Fixtures or the " +
+      "first timed rep pays the build under the watchdog")
+    val stale = (heavy ++ cheap) -- labels
+    assert(stale.isEmpty, s"classified labels with no call site: $stale")
+    // the r10 trio specifically must stay primed
+    for (f <- Seq("lifecycle", "clustered", "zonerect"))
+      assert(heavy.contains(f), s"fixture '$f' missing from warmup priming")
   }
 
   test("a post-success throw is absorbed with a marker — never timing AND error") {
