@@ -804,11 +804,31 @@ object VectorOps {
     readIndexVersionMor(spark, path, v, idCol)
   }
 
-  /** Every streaming batch id ever committed (the `batch` manifest-meta
-    * key) — the replay-idempotence check of [[ivfAppendBatch]] /
-    * [[commitDeletesBatch]] / [[ivfUpsertBatch]]: foreachBatch delivery
-    * is at-least-once, and a redelivered batch whose id is already in a
-    * committed manifest must be skipped, not re-appended.
+  /** The idempotence key of a streaming commit: `{sink}:{batchId}`.
+    * Every Spark streaming query's batchIds start at 0, so a bare
+    * batchId namespace is a COLLISION between sibling sinks on one index
+    * (an append stream plus a right-to-be-forgotten delete queue, each
+    * with its own checkpoint): the second stream's batch 0,1,2… would
+    * falsely match the first's committed ids and be silently dropped as
+    * replays. The sink name — per-stream, stable across restarts (the
+    * streaming queryName is the natural choice) — namespaces the key so
+    * distinct streams can never collide; "" is the sink of ad-hoc /
+    * pre-namespace commits, whose keys read `:{id}`.
+    */
+  def batchKey(sink: String, batchId: Long): String = {
+    require(!sink.contains(':') && !sink.contains('\n'),
+      s"sink name must not contain ':' or newlines: $sink")
+    s"$sink:$batchId"
+  }
+
+  private def metaBatchKey(meta: Map[String, String]): Option[String] =
+    meta.get("batch").map(id => s"${meta.getOrElse("sink", "")}:$id")
+
+  /** Every streaming batch id ever committed, as namespaced
+    * [[batchKey]]s — the replay-idempotence check of [[ivfAppendBatch]]
+    * / [[commitDeletesBatch]] / [[ivfUpsertBatch]]: foreachBatch
+    * delivery is at-least-once, and a redelivered batch whose key is
+    * already in a committed manifest must be skipped, not re-appended.
     * Checkpoint-aware ([[writeBatchIdCheckpoint]]): resolution reads the
     * newest batch-id checkpoint plus only the manifests committed AFTER
     * it. Without checkpoints every micro-batch of a long-lived stream
@@ -816,49 +836,68 @@ object VectorOps {
     * stream's life; with them the per-batch cost is the TAIL since the
     * last checkpoint (the Delta checkpoint design, public literature).
     */
+  def committedBatchKeys(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Set[String] =
+    committedBatchKeysAudit(spark, path)._1
+
+  /** [[committedBatchKeys]] plus its own cost evidence:
+    * (keys, manifestsRead, checkpointUsed) — q_commit_checkpoint pins
+    * `manifestsRead` to the tail length to prove the checkpoint actually
+    * short-circuits the log replay.
+    */
+  def committedBatchKeysAudit(spark: org.apache.spark.sql.SparkSession,
+                              path: String)
+      : (Set[String], Int, Option[Int]) = {
+    val versions = listVersions(spark, path)
+    val ckpt = listBatchIdCheckpoints(spark, path)
+      .filter(v => versions.contains(v)).lastOption
+    val baseKeys = ckpt.map(readBatchIdCheckpoint(spark, path, _))
+      .getOrElse(Set.empty[String])
+    val tail = versions.filter(v => ckpt.forall(_ < v))
+    (baseKeys ++ tail.flatMap(v =>
+      metaBatchKey(readManifestMeta(spark, path, v))),
+      tail.length, ckpt)
+  }
+
+  /** The committed batch ids with their sink namespace STRIPPED — the
+    * audit view ("which delivery ids ever landed, from any stream").
+    * NOT an idempotence check: two sinks legitimately share ids here;
+    * replay skipping must go through [[committedBatchKeys]].
+    */
   def committedBatchIds(spark: org.apache.spark.sql.SparkSession,
                         path: String): Set[Long] =
     committedBatchIdsAudit(spark, path)._1
 
-  /** [[committedBatchIds]] plus its own cost evidence:
-    * (ids, manifestsRead, checkpointUsed) — q_commit_checkpoint pins
-    * `manifestsRead` to the tail length to prove the checkpoint actually
-    * short-circuits the log replay.
-    */
+  /** [[committedBatchIds]] with the cost evidence of
+    * [[committedBatchKeysAudit]]. */
   def committedBatchIdsAudit(spark: org.apache.spark.sql.SparkSession,
                              path: String)
       : (Set[Long], Int, Option[Int]) = {
-    val versions = listVersions(spark, path)
-    val ckpt = listBatchIdCheckpoints(spark, path)
-      .filter(v => versions.contains(v)).lastOption
-    val baseIds = ckpt.map(readBatchIdCheckpoint(spark, path, _))
-      .getOrElse(Set.empty[Long])
-    val tail = versions.filter(v => ckpt.forall(_ < v))
-    (baseIds ++ tail.flatMap(v =>
-      readManifestMeta(spark, path, v).get("batch").map(_.toLong)),
-      tail.length, ckpt)
+    val (keys, tailLen, ckpt) = committedBatchKeysAudit(spark, path)
+    (keys.map(k => k.substring(k.lastIndexOf(':') + 1).toLong),
+      tailLen, ckpt)
   }
 
-  /** Checkpoint the batch-id set as of `version` into
-    * `_manifests/v{N}.batchids` (one id per line, sorted) with the same
-    * atomic single-file publish as manifests — a torn checkpoint would
-    * MISS ids and let a replay double-commit, which is strictly worse
-    * than no checkpoint. Idempotent: an existing checkpoint for the same
-    * version is left in place (a replayed micro-batch may retry the
-    * write). Streaming sinks call this every `checkpointEvery` commits;
-    * any committed version works because ids are cumulative.
+  /** Checkpoint the batch-key set as of `version` into
+    * `_manifests/v{N}.batchids` (one `{sink}:{id}` key per line, sorted)
+    * with the same atomic single-file publish as manifests — a torn
+    * checkpoint would MISS keys and let a replay double-commit, which is
+    * strictly worse than no checkpoint. Idempotent: an existing
+    * checkpoint for the same version is left in place (a replayed
+    * micro-batch may retry the write). Streaming sinks call this every
+    * `checkpointEvery` commits; any committed version works because keys
+    * are cumulative.
     */
   def writeBatchIdCheckpoint(spark: org.apache.spark.sql.SparkSession,
                              path: String, version: Int): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val ids = listVersions(spark, path).filter(_ <= version)
-      .flatMap(v => readManifestMeta(spark, path, v).get("batch")
-        .map(_.toLong)).sorted
+    val keys = listVersions(spark, path).filter(_ <= version)
+      .flatMap(v => metaBatchKey(readManifestMeta(spark, path, v))).sorted
     val p = new HPath(path, f"_manifests/v$version%05d.batchids")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) return
     try atomicCreate(fs, path, p,
-      ids.mkString("", "\n", "\n")
+      keys.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8),
       s"batch-id checkpoint v$version")
     catch { case _: java.io.IOException if fs.exists(p) => () }
@@ -878,15 +917,20 @@ object VectorOps {
       .sorted.toIndexedSeq
   }
 
-  /** The checkpointed batch-id set at `version` — loud on missing. */
+  /** The checkpointed batch-key set at `version` — loud on missing.
+    * Lines written before sink namespacing are bare batchIds; they
+    * normalize to the empty-sink key `:{id}`, so old checkpoints keep
+    * protecting the commits they recorded.
+    */
   def readBatchIdCheckpoint(spark: org.apache.spark.sql.SparkSession,
-                            path: String, version: Int): Set[Long] = {
+                            path: String, version: Int): Set[String] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val p = new HPath(path, f"_manifests/v$version%05d.batchids")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(_.toLong).toSet
+      .filter(_.nonEmpty)
+      .map(l => if (l.contains(':')) l else s":$l").toSet
     finally in.close()
   }
 
@@ -1070,13 +1114,22 @@ object VectorOps {
                      batch: DataFrame, centroids: Array[Array[Double]],
                      path: String, idCol: String, vecCol: String,
                      batchId: Long,
-                     assumeHead: Option[Int] = None): (Int, Boolean, Int) = {
+                     assumeHead: Option[Int] = None,
+                     sink: String = ""): (Int, Boolean, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
-    if (committedBatchIds(spark, path).contains(batchId))
+    require(sink.isEmpty || sink.matches("[A-Za-z0-9_-]+"),
+      s"sink name must be filesystem-safe ([A-Za-z0-9_-]+): $sink")
+    if (committedBatchKeys(spark, path).contains(batchKey(sink, batchId)))
       return (latestVersion(spark, path).get, true, 0)
     val fs = new HPath(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val stageRel = s"_staging/batch_$batchId"
+    // staging dirs and data-file names are sink-qualified: two append
+    // streams on one index share batchIds by construction, and the
+    // deterministic names exist to make a REPLAY of the same
+    // (sink, batchId) overwrite its own crash leftovers — never a
+    // sibling stream's committed files
+    val tag = if (sink.isEmpty) s"$batchId" else s"$sink-$batchId"
+    val stageRel = s"_staging/batch_$tag"
     batch.select(col(idCol), col(vecCol),
         ivfAssign(col(vecCol), centroids).as("centroid"))
       .write.partitionBy("centroid").mode("overwrite")
@@ -1091,7 +1144,7 @@ object VectorOps {
           .sortBy(_.getPath.getName)
         fs.mkdirs(new HPath(path, part.getPath.getName))
         files.zipWithIndex.foreach { case (f, i) =>
-          val rel = s"${part.getPath.getName}/batch$batchId-$i.parquet"
+          val rel = s"${part.getPath.getName}/batch$tag-$i.parquet"
           val dst = new HPath(path, rel)
           fs.delete(dst, false) // crash leftover: un-committed by step 1
           require(fs.rename(f.getPath, dst), s"rename to $dst failed")
@@ -1099,8 +1152,9 @@ object VectorOps {
         }
       }
     fs.delete(new HPath(path, stageRel), true)
-    val c = commitFilesOcc(spark, path, newFiles.toSeq,
-      Map("batch" -> batchId.toString, "op" -> "append"), assumeHead)
+    val meta = Map("batch" -> batchId.toString, "op" -> "append") ++
+      (if (sink.isEmpty) Map.empty else Map("sink" -> sink))
+    val c = commitFilesOcc(spark, path, newFiles.toSeq, meta, assumeHead)
     (c.version, false, c.attempts)
   }
 
@@ -1115,14 +1169,15 @@ object VectorOps {
     */
   def commitDeletesBatch(spark: org.apache.spark.sql.SparkSession,
                          path: String, batchId: Long,
-                         ids: DataFrame): (Int, Boolean) = {
-    if (committedBatchIds(spark, path).contains(batchId))
+                         ids: DataFrame, sink: String = ""): (Int, Boolean) = {
+    if (committedBatchKeys(spark, path).contains(batchKey(sink, batchId)))
       return (latestVersion(spark, path).get, true)
     val head = latestVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"streaming deletes need an initial committed version under $path"))
     commitDeletes(spark, path, head, head + 1, ids,
-      Map("batch" -> batchId.toString))
+      Map("batch" -> batchId.toString) ++
+        (if (sink.isEmpty) Map.empty else Map("sink" -> sink)))
     (head + 1, false)
   }
 
@@ -1647,14 +1702,16 @@ object VectorOps {
   def ivfUpsertBatch(spark: org.apache.spark.sql.SparkSession,
                      batch: DataFrame, centroids: Array[Array[Double]],
                      path: String, idCol: String, vecCol: String,
-                     batchId: Long): (Int, Boolean, Long) = {
-    if (committedBatchIds(spark, path).contains(batchId))
+                     batchId: Long, sink: String = ""): (Int, Boolean, Long) = {
+    if (committedBatchKeys(spark, path).contains(batchKey(sink, batchId)))
       return (latestVersion(spark, path).get, true, 0L)
     val head = latestVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"streaming upserts need an initial committed version under $path"))
     val (_, nReplaced, _) = ivfUpsert(spark, path, head, head + 1, batch,
-      centroids, idCol, vecCol, extraMeta = Map("batch" -> batchId.toString))
+      centroids, idCol, vecCol,
+      extraMeta = Map("batch" -> batchId.toString) ++
+        (if (sink.isEmpty) Map.empty else Map("sink" -> sink)))
     (head + 1, false, nReplaced)
   }
 

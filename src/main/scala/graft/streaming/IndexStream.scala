@@ -18,13 +18,21 @@ import org.apache.spark.sql.types._
   * its delivery contract is at-least-once (the reference's own upsert
   * loop retries 15×, `utils/upload_data_to_pinecone.py:73-83` — same
   * contract), so after a mid-drain crash the recovered query REDELIVERS
-  * the in-flight batch under the SAME batchId. Both sinks here are
-  * therefore keyed by that id: every commit tags its manifest with
-  * `batch:{id}` ([[graft.ops.VectorOps.ivfAppendBatch]] /
-  * [[graft.ops.VectorOps.commitDeletesBatch]]), a redelivered id is
-  * skipped, and with a durable `checkpointLocation` the post-recovery
-  * index is bit-identical to a clean run (IndexStreamSpec proves the
-  * kill-and-restart replay). At-least-once delivery + idempotent commit
+  * the in-flight batch under the SAME batchId. Every sink here is
+  * therefore keyed by `{sink}:{batchId}` where `sink` identifies the
+  * logical stream ([[sinkId]] — the checkpoint identity, stable across
+  * kill-and-restart): the manifest carries `batch:{id}` plus
+  * `sink:{name}` ([[graft.ops.VectorOps.ivfAppendBatch]] /
+  * [[graft.ops.VectorOps.commitDeletesBatch]]). A redelivered
+  * (sink, id) is skipped,
+  * and with a durable `checkpointLocation` the post-recovery index is
+  * bit-identical to a clean run (IndexStreamSpec proves the
+  * kill-and-restart replay). The namespace matters the moment TWO
+  * streams feed one index (ingest appends beside a
+  * right-to-be-forgotten delete queue, separate checkpoints): every
+  * streaming query's batchIds start at 0, so bare ids would make the
+  * second stream's first batches falsely read as replays of the first's
+  * and be silently dropped. At-least-once delivery + idempotent commit
   * = exactly-once EFFECT — the only exactly-once there is over an
   * object store.
   *
@@ -55,6 +63,27 @@ object IndexStream {
     */
   final case class DrainResult(nCommitted: Int, nSkipped: Int,
                                finalVersion: Int)
+
+  /** The idempotence namespace of one logical stream
+    * ([[graft.ops.VectorOps.batchKey]]). batchIds are scoped to a
+    * streaming CHECKPOINT — the recovered query re-reads its offsets
+    * from the same checkpointLocation and redelivers under the same ids,
+    * while a DIFFERENT stream (own checkpoint) restarts at 0 — so the
+    * checkpoint identity, not the caller's per-run queryName, is the
+    * stable key: a digest of the canonical checkpoint path (short,
+    * filesystem-safe, and identical across kill-and-restart even when
+    * the operator renames the recovery run). Checkpoint-free drains fall
+    * back to the queryName: with no durable offsets there is no replay
+    * to absorb, and the name keeps ad-hoc drains on one index apart.
+    */
+  private[streaming] def sinkId(checkpointDir: Option[String],
+                                queryName: String): String =
+    checkpointDir.map { d =>
+      val canon = new java.io.File(d).getCanonicalPath
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      "ck" + h.take(8).map("%02x".format(_)).mkString
+    }.getOrElse(queryName)
 
   /** Drain a directory of tombstone-id parquet files as micro-batches
     * (AvailableNow, one file per trigger), committing each as a LOGICAL
@@ -94,7 +123,7 @@ object IndexStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (v, skipped) = graft.ops.VectorOps.commitDeletesBatch(
-          spark, indexPath, batchId, batch)
+          spark, indexPath, batchId, batch, sink = sinkId(checkpointDir, queryName))
         if (skipped) nSkipped.incrementAndGet(): Unit
         else {
           nCommitted.incrementAndGet()
@@ -151,7 +180,8 @@ object IndexStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (v, skipped, _) = graft.ops.VectorOps.ivfAppendBatch(
-          spark, batch, centroids, indexPath, "vec_id", "embedding", batchId)
+          spark, batch, centroids, indexPath, "vec_id", "embedding", batchId,
+          sink = sinkId(checkpointDir, queryName))
         if (skipped) nSkipped.incrementAndGet(): Unit
         else {
           nCommitted.incrementAndGet()
@@ -197,7 +227,8 @@ object IndexStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (v, skipped, _) = graft.ops.VectorOps.ivfUpsertBatch(
-          spark, batch, centroids, indexPath, "vec_id", "embedding", batchId)
+          spark, batch, centroids, indexPath, "vec_id", "embedding", batchId,
+          sink = sinkId(checkpointDir, queryName))
         if (skipped) nSkipped.incrementAndGet(): Unit
         else {
           nCommitted.incrementAndGet()

@@ -151,6 +151,44 @@ class IndexStreamSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("two sibling streams on ONE index (append feed + delete queue, " +
+      "separate checkpoints) never collide on batch ids: the second " +
+      "stream's batch 0,1,2 are commits, not false replays") {
+    // the r10 ADVICE-high failure mode: every streaming query's batchIds
+    // start at 0, so a bare-batchId idempotence key silently DROPS the
+    // second stream's batches as replays of the first's — dropped
+    // tombstones on a right-to-be-forgotten queue, with no error
+    val (dir, path, cents, inDir, ckpt) = fixture("twosinks")
+    try {
+      val append = IndexStream.runStreamIvfAppend(spark, inDir, cents, path,
+        checkpointDir = Some(ckpt), queryName = "spec_two_append")
+      assert(append.nCommitted == 3 && append.nSkipped == 0)
+      val delDir = dir.resolve("tombstones").toString
+      val doomed = embs.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      doomed.repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(delDir)
+      val delCkpt = dir.resolve("ckpt_del").toString
+      val del = IndexStream.runStreamDeletes(spark, delDir, path,
+        checkpointDir = Some(delCkpt), queryName = "spec_two_delete")
+      assert(del.nSkipped == 0,
+        s"the delete stream's batches were dropped as false replays: $del")
+      assert(del.nCommitted == 3)
+      // every tombstone actually applied — the collision's symptom is
+      // silently-surviving doomed rows
+      val mor = VectorOps.readIndexVersionMor(spark, path,
+        del.finalVersion, "vec_id")
+      assert(mor.join(doomed, Seq("vec_id"), "left_semi").count() == 0,
+        "a dropped tombstone batch left right-to-be-forgotten rows serving")
+      assert(mor.count() == embs.count() - doomed.count())
+      // and a REPLAY within each stream still short-circuits: re-draining
+      // the delete queue from its own checkpoint commits nothing new
+      val re = IndexStream.runStreamDeletes(spark, delDir, path,
+        checkpointDir = Some(delCkpt), queryName = "spec_two_delete_again")
+      assert(re.nCommitted == 0,
+        s"a same-checkpoint re-drain must be all replays: $re")
+    } finally rmrf(dir)
+  }
+
   test("a checkpoint-free drain still commits every batch exactly once " +
       "(no-crash path keeps working without durable state)") {
     val (dir, path, cents, inDir, _) = fixture("nockpt")
