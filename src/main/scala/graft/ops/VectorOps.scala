@@ -685,11 +685,24 @@ object VectorOps {
     * files. Publish:
     *  - local / NFS: POSIX link(2) (Files.createLink) fails EEXIST
     *    atomically and links the fully-written temp;
-    *  - HDFS: rename refuses an existing destination atomically;
-    *  - object stores: this is the conditional PUT (if-none-match),
-    *    where the full object appears atomically by construction.
+    *  - HDFS: rename refuses an existing destination atomically.
+    *
+    * SCOPE OF THE GUARANTEE: local and HDFS only. The non-local branch
+    * is exists-then-rename — a TOCTOU on stores whose rename is
+    * copy+delete (S3A): two racers can pass the exists check together
+    * and the second rename silently overwrites the first manifest — the
+    * exact lost update [[commitFilesOcc]]'s safety argument rules out.
+    * Running the OCC path against an object store needs a
+    * conditional-PUT (if-none-match) or coordination-service
+    * implementation behind this call — the Delta LogStore design; the
+    * HDFS-compatible semantics here are what LogStore's HDFS
+    * implementation provides, and this method is the single seam to
+    * swap.
+    *
     * Throws IOException when `p` already exists (the commit-refusal
-    * every duplicate-version check relies on).
+    * every duplicate-version check relies on). A crash between the temp
+    * write and the publish leaves `_manifests/.tmp-<uuid>` behind;
+    * [[vacuumLog]] reclaims aged ones.
     */
   private def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
                            root: String, p: org.apache.hadoop.fs.Path,
@@ -1513,16 +1526,26 @@ object VectorOps {
     var deleted = 0; var kept = 0
     // manifests + per-version sidecars
     val mdir = new HPath(path, "_manifests")
+    val tmpCutoff = System.currentTimeMillis() - minAgeMs
     if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
       val n = st.getPath.getName
-      val vOpt = "^v(\\d+)\\.(manifest|stats|colstats|batchids)$".r
+      val vOpt = "^v(\\d+)\\.(manifest|stats|colstats|batchids|bloom\\.[a-zA-Z0-9_]+)$".r
         .findFirstMatchIn(n).map(_.group(1).toInt)
       vOpt match {
         case Some(v) if !keep.contains(v) &&
             !(n.endsWith(".batchids") && v == keepVersions.max) =>
           fs.delete(st.getPath, false); deleted += 1
         case Some(_) => kept += 1
-        case None => kept += 1 // temp files etc. — not this tool's business
+        case None if n.startsWith(".tmp-") =>
+          // an atomicCreate crashed between its temp write and publish:
+          // nothing references the temp and no reader can observe it, so
+          // without this sweep it lives forever on a long-lived index.
+          // Age-gated like _staging: a temp YOUNGER than minAgeMs may be
+          // a concurrent committer mid-publish
+          if (minAgeMs <= 0L || st.getModificationTime <= tmpCutoff) {
+            fs.delete(st.getPath, false); deleted += 1
+          } else kept += 1
+        case None => kept += 1 // unrecognized files — not this tool's business
       }
     }
     // tombstone sidecars: only those a kept manifest still points at stay
@@ -1599,7 +1622,11 @@ object VectorOps {
     * bytes + the hot partitions' bytes; a batch of brand-new ids
     * rewrites nothing and degenerates to a pure append.
     *
-    * Returns (partitionsRewritten, nReplaced, nInserted).
+    * Returns (partitionsRewritten, nReplaced, nStaged): `nReplaced` is
+    * the count of VISIBLE rows superseded; `nStaged` is the TOTAL staged
+    * batch row count (replaced + inserted, from the staged files'
+    * footers) — true inserts are `nStaged - nReplaced`. q_index_upsert
+    * gates nStaged against n_upd + n_new.
     */
   def ivfUpsert(spark: org.apache.spark.sql.SparkSession, path: String,
                 fromVersion: Int, toVersion: Int, updates: DataFrame,
@@ -1647,7 +1674,9 @@ object VectorOps {
       else spark.read.option("basePath", path)
         .parquet(newFiles.toSeq.map(f => s"$path/$f"): _*)
         .select(col(idCol).cast("long").as(idCol)).distinct())
-    val nInserted =
+    // TOTAL staged rows (replaced + inserted) — not just true inserts;
+    // see the Scaladoc's return contract
+    val nStaged =
       if (newFiles.isEmpty) 0L
       else footerCounts(spark, path, newFiles.toSeq).values.sum
     // which partitions hold rows being replaced — one batch-sized
@@ -1683,7 +1712,7 @@ object VectorOps {
         carryMeta = meta ++ extraMeta, extraFiles = newFiles.toSeq) {
         (part, _) => hot.contains(part)
       } { df => df.join(upIds, Seq(idCol), "left_anti") }
-    (rewritten, nReplaced, nInserted)
+    (rewritten, nReplaced, nStaged)
   }
 
   /** Idempotent, versioned streaming UPSERT — [[ivfUpsert]] keyed by

@@ -1891,8 +1891,8 @@ object Curation {
     *  v5  restore(v3)    — the upsert rolled back metadata-only
     *
     * Returns (path, upsert audit (partitionsRewritten, nReplaced,
-    * nInserted), total partition count, filesBefore == filesAfter for
-    * the restore).
+    * nStaged — TOTAL staged rows, replaced + inserted), total partition
+    * count, filesBefore == filesAfter for the restore).
     */
   private[queries] def stageLifecycle(s: org.apache.spark.sql.SparkSession,
                                       dir: String)

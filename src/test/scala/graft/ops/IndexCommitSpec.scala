@@ -272,6 +272,73 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("vacuum-vs-OCC race: a freshly landed, NOT-yet-committed appender " +
+      "file survives a retention-window vacuum and is reclaimed after it") {
+    // the concurrent-appender window ivfVacuum's retention contract
+    // exists for: an OCC appender lands its files FIRST and commits the
+    // manifest AFTER ([[VectorOps.ivfAppendBatch]] steps 2-4), so in the
+    // land-to-commit gap those files are unreferenced by every manifest
+    // — a vacuum running without a retention window would delete them
+    // out from under the commit
+    val (dir, path, _) = freshIndex("occrace")
+    try {
+      // stage the racer's file exactly where an appender lands it: a new
+      // deterministic name in a centroid dir, referenced by NO manifest
+      val existing = VectorOps.readManifest(spark, path, 1).head
+      val part = existing.takeWhile(_ != '/')
+      val racer = s"$part/batch-racer-0-0.parquet"
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(path, existing),
+        java.nio.file.Paths.get(path, racer))
+      // inside the retention window: the in-flight file must survive
+      val (del0, _) = VectorOps.ivfVacuum(spark, path, Seq(1),
+        minAgeMs = 3600L * 1000L)
+      assert(del0 == 0, "a mid-append racer's file was vacuumed before " +
+        "its commit — the lost-update ivfVacuum's contract rules out")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, racer)))
+      // the racer never commits (crashed); once the file ages past the
+      // window the same vacuum reclaims it
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(path, racer),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200L * 1000L))
+      val (del1, _) = VectorOps.ivfVacuum(spark, path, Seq(1),
+        minAgeMs = 3600L * 1000L)
+      assert(del1 == 1)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, racer)))
+      // the committed version is untouched throughout
+      assert(VectorOps.listIndexFiles(spark, path).toSet ==
+        VectorOps.readManifest(spark, path, 1).toSet)
+    } finally rmrf(dir)
+  }
+
+  test("vacuumLog reclaims aged orphaned manifest temp files " +
+      "(.tmp-* from an atomicCreate crash) and spares young ones") {
+    val (dir, path, _) = freshIndex("tmporphan")
+    try {
+      val tmpA = java.nio.file.Paths.get(path, "_manifests/.tmp-crashed-a")
+      val tmpB = java.nio.file.Paths.get(path, "_manifests/.tmp-crashed-b")
+      java.nio.file.Files.writeString(tmpA, "torn")
+      java.nio.file.Files.writeString(tmpB, "torn")
+      // age one past the window; the other is a committer mid-publish
+      java.nio.file.Files.setLastModifiedTime(tmpA,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200L * 1000L))
+      VectorOps.vacuumLog(spark, path, Seq(1), minAgeMs = 3600L * 1000L)
+      assert(!java.nio.file.Files.exists(tmpA),
+        "an aged orphaned temp must be reclaimed — nothing references it")
+      assert(java.nio.file.Files.exists(tmpB),
+        "a young temp may be a concurrent commit mid-publish")
+      // minAgeMs = 0 asserts no writer is mid-commit: everything goes
+      VectorOps.vacuumLog(spark, path, Seq(1))
+      assert(!java.nio.file.Files.exists(tmpB))
+      // the kept version's manifest is untouched
+      assert(VectorOps.manifestExists(spark, path, 1))
+    } finally rmrf(dir)
+  }
+
   test("ivfUpsert: targeted rewrite (one hot id, at most its partitions), " +
       "tombstoned id resurrects with NEW content only, new ids degenerate " +
       "to a pure append") {
