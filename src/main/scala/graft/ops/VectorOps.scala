@@ -837,6 +837,42 @@ object VectorOps {
   private def metaBatchKey(meta: Map[String, String]): Option[String] =
     meta.get("batch").map(id => s"${meta.getOrElse("sink", "")}:$id")
 
+  /** Resolve a TIMESTAMP to a committed version: the newest version
+    * whose commit timestamp (the `ts` manifest-meta key, epoch millis)
+    * is ≤ `ts` — `timestampAsOf`, the second call every
+    * Delta/Iceberg-style table's users make after `latest`. The
+    * timestamp is CALLER-SUPPLIED at commit time and carried in the
+    * manifest header (deterministic and replayable — wall-clock stamped
+    * inside the engine would make reruns resolve differently); callers
+    * are expected to pass non-decreasing values, and ties resolve to the
+    * highest version. Loud when `ts` predates the first timestamped
+    * commit — "the table at a time before it existed" must be an error,
+    * not an empty read. Versions committed WITHOUT a `ts` header predate
+    * timestamping and are not timestamp-resolvable (integer-pinned reads
+    * still serve them). Cost: one `_manifests/` listing + header reads —
+    * metadata-scale.
+    */
+  def versionAsOf(spark: org.apache.spark.sql.SparkSession,
+                  path: String, ts: Long): Int = {
+    val stamped = listVersions(spark, path).flatMap { v =>
+      readManifestMeta(spark, path, v).get("ts").map(t => (v, t.toLong)) }
+    if (stamped.isEmpty) throw new IllegalStateException(
+      s"no timestamped version under $path")
+    val eligible = stamped.filter(_._2 <= ts)
+    if (eligible.isEmpty) throw new IllegalStateException(
+      s"ts=$ts predates the first commit (ts=${stamped.map(_._2).min}) " +
+        s"under $path")
+    eligible.maxBy { case (v, t) => (t, v) }._1
+  }
+
+  /** Read the index AS OF a timestamp, tombstones applied — the
+    * timestamp sibling of [[readIndexLatest]]:
+    * [[versionAsOf]] → [[readIndexVersionMor]].
+    */
+  def readIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+                    path: String, ts: Long, idCol: String): DataFrame =
+    readIndexVersionMor(spark, path, versionAsOf(spark, path, ts), idCol)
+
   /** Every streaming batch id ever committed, as namespaced
     * [[batchKey]]s — the replay-idempotence check of [[ivfAppendBatch]]
     * / [[commitDeletesBatch]] / [[ivfUpsertBatch]]: foreachBatch

@@ -2494,6 +2494,100 @@ object Curation {
       |          AND vec_id % 7 <> 3 AND vec_id % 11 = 2) AS BIGINT)
       |    AS n_upd_pairs""".stripMargin
 
+  // --------------------------------------- time travel by timestamp
+  /** Staged timestamped commit history — three versions whose manifests
+    * carry caller-supplied commit timestamps (`ts` header, epoch
+    * millis; DETERMINISTIC — passed in, never wall clock, so reruns
+    * resolve identically):
+    *
+    *  v1  ts=1000  base append   (vec_id % 3 ≠ 0)
+    *  v2  ts=2000  append        (vec_id % 3 = 0 — the rest)
+    *  v3  ts=3000  logical delete (vec_id % 5 = 1)
+    */
+  private[queries] def stageTimeline(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): String =
+    Staging.cached(s"timetravel:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("timeline").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append", "ts" -> "1000"))
+      VectorOps.ivfAppend(emb.filter(col("vec_id") % 3 === 0),
+        idx.centroids, path, "vec_id", "embedding")
+      VectorOps.writeManifest(s, path, 2, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append", "ts" -> "2000"))
+      VectorOps.commitDeletes(s, path, 2, 3,
+        emb.filter(col("vec_id") % 5 === 1).select(col("vec_id")),
+        Map("ts" -> "3000"))
+      path
+    }
+
+  /** Time travel by TIMESTAMP — [[VectorOps.versionAsOf]] resolves a
+    * wall-clock-shaped probe to the newest version committed at or
+    * before it (the Delta/Iceberg `timestampAsOf` contract; every
+    * user's second call after `latest`), and [[VectorOps.readIndexAsOf]]
+    * serves that version tombstones-applied. Probed at the three times
+    * that partition the contract:
+    *
+    *  - `before_first_errors`: ts=500 predates v1 — "the table before it
+    *    existed" fails loudly, never an empty read;
+    *  - ts=2500 (BETWEEN commits) resolves v2, and the resolved read is
+    *    row-identical to the integer-pinned v2 read (`parity_mid`);
+    *  - ts beyond HEAD resolves v3 with the tombstones applied
+    *    (`parity_head`);
+    *  - `n_start`/`n_mid`/`n_head`: exact row counts at each probe,
+    *    hash-gated against the oracle's slice arithmetic.
+    *
+    * Resolution is metadata-scale (one `_manifests/` listing + header
+    * reads) at any corpus size.
+    */
+  private val timeTravelQ: Q = (s, dir) => {
+    val path = stageTimeline(s, dir)
+    val beforeErrors =
+      try { VectorOps.versionAsOf(s, path, 500L); false }
+      catch { case _: IllegalStateException => true }
+    val vStart = VectorOps.versionAsOf(s, path, 1000L)
+    val vMid = VectorOps.versionAsOf(s, path, 2500L)
+    val vHead = VectorOps.versionAsOf(s, path, 999999L)
+    def rows(df: DataFrame) = df.select(col("vec_id"), col("embedding"))
+    def nDiff(a: DataFrame, b: DataFrame, as: String) =
+      rows(a).exceptAll(rows(b)).unionByName(rows(b).exceptAll(rows(a)))
+        .agg(count(lit(1)).as(as))
+    val parityMid = nDiff(VectorOps.readIndexAsOf(s, path, 2500L, "vec_id"),
+      VectorOps.readIndexVersionMor(s, path, 2, "vec_id"), "n_diff_mid")
+    val parityHead = nDiff(VectorOps.readIndexAsOf(s, path, 999999L, "vec_id"),
+      VectorOps.readIndexVersionMor(s, path, 3, "vec_id"), "n_diff_head")
+    val nStart = VectorOps.readIndexAsOf(s, path, 1000L, "vec_id")
+      .agg(count(lit(1)).as("n_start"))
+    val nMid = VectorOps.readIndexAsOf(s, path, 2500L, "vec_id")
+      .agg(count(lit(1)).as("n_mid"))
+    val nHead = VectorOps.readIndexAsOf(s, path, 999999L, "vec_id")
+      .agg(count(lit(1)).as("n_head"))
+    parityMid.crossJoin(parityHead).crossJoin(nStart) // 1-row frames
+      .crossJoin(nMid).crossJoin(nHead)
+      .select(
+        lit(beforeErrors).as("before_first_errors"),
+        lit(vStart).as("v_start"), lit(vMid).as("v_mid"),
+        lit(vHead).as("v_head"),
+        (col("n_diff_mid") === 0L).as("parity_mid"),
+        (col("n_diff_head") === 0L).as("parity_head"),
+        col("n_start"), col("n_mid"), col("n_head"))
+  }
+  private val timeTravelSql =
+    """SELECT TRUE AS before_first_errors,
+      |  CAST(1 AS INT) AS v_start, CAST(2 AS INT) AS v_mid,
+      |  CAST(3 AS INT) AS v_head,
+      |  TRUE AS parity_mid, TRUE AS parity_head,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 3 <> 0) AS BIGINT) AS n_start,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0) AS BIGINT) AS n_mid,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT) AS n_head""".stripMargin
+
   // ------------------------------------- file skipping (zone maps)
   /** Staged range-clustered fixture: the corpus written
     * repartitionByRange on vec_id BEFORE the centroid partitioning, so
@@ -2661,6 +2755,7 @@ object Curation {
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),
+    ("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     ("q_stream_index_upsert", streamUpsertQ, Some(streamUpsertSql)),
     ("q_commit_checkpoint", commitCheckpointQ, Some(commitCheckpointSql)),
     ("q_index_lineage", indexLineageQ, Some(indexLineageSql)),

@@ -49,7 +49,8 @@ object Fixtures {
     // r10 bench recorded q_file_skipping at 47.3 s (steady-state 0.34 s)
     "lifecycle" -> ((s, d) => { Curation.stageLifecycle(s, d); () }),
     "clustered" -> ((s, d) => { Curation.stageClustered(s, d); () }),
-    "zonerect" -> ((s, d) => { Curation.stageZoneRect(s, d); () })
+    "zonerect" -> ((s, d) => { Curation.stageZoneRect(s, d); () }),
+    "timetravel" -> ((s, d) => { Curation.stageTimeline(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

@@ -272,6 +272,36 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("versionAsOf: ties resolve to the highest version, untimestamped " +
+      "commits are not timestamp-resolvable, pre-history probes error") {
+    val (dir, path, _) = freshIndex("asof") // v1 carries NO ts header
+    try {
+      val files = VectorOps.readManifest(spark, path, 1)
+      VectorOps.writeManifest(spark, path, 2, files, Map("ts" -> "100"))
+      VectorOps.writeManifest(spark, path, 3, files, Map("ts" -> "100"))
+      VectorOps.writeManifest(spark, path, 4, files, Map("ts" -> "200"))
+      // a probe before the first TIMESTAMPED commit errors — v1 exists
+      // but predates timestamping and must not be silently served
+      intercept[IllegalStateException] {
+        VectorOps.versionAsOf(spark, path, 50L)
+      }
+      // equal timestamps: the later commit wins (same-instant commits
+      // are ordered by version, the only order the log defines)
+      assert(VectorOps.versionAsOf(spark, path, 100L) == 3)
+      assert(VectorOps.versionAsOf(spark, path, 150L) == 3)
+      assert(VectorOps.versionAsOf(spark, path, 200L) == 4)
+      assert(VectorOps.versionAsOf(spark, path, Long.MaxValue) == 4)
+      // integer-pinned reads still serve the untimestamped version
+      assert(VectorOps.readIndexVersion(spark, path, 1).count() ==
+        embs.filter(col("vec_id") % 5 =!= 2).count())
+      // a never-timestamped index refuses timestamp resolution loudly
+      val (dir2, path2, _) = freshIndex("asofnone")
+      try intercept[IllegalStateException] {
+        VectorOps.versionAsOf(spark, path2, 100L)
+      } finally rmrf(dir2)
+    } finally rmrf(dir)
+  }
+
   test("vacuum-vs-OCC race: a freshly landed, NOT-yet-committed appender " +
       "file survives a retention-window vacuum and is reclaimed after it") {
     // the concurrent-appender window ivfVacuum's retention contract
