@@ -2051,6 +2051,123 @@ object VectorOps {
     (rows.filter(filtered), keep.length, files.length)
   }
 
+  // ------------------------ point-lookup skipping (bloom sidecars)
+
+  /** The manifest-relative name of a data file from its scan URI
+    * (`input_file_name` yields `file:///…/centroid=K/part-….parquet`;
+    * manifests store `centroid=K/part-….parquet`).
+    */
+  private def relTwo(uri: String): String =
+    uri.split('/').takeRight(2).mkString("/")
+
+  /** Commit-time per-file BLOOM sidecar:
+    * `_manifests/v{N}.bloom.{col}`, one `relpath<TAB>base64(filter)`
+    * line per manifest file, built in ONE column-projected pass over the
+    * version's data (per-partition partial filters merged by key — the
+    * raw values never shuffle, only filter bitmaps do). Zone maps
+    * ([[writeColStats]]) serve RANGES; a point lookup on a
+    * high-cardinality column that the layout is NOT clustered on has
+    * min/max ranges that cover everything and degrades to a full scan —
+    * per-file blooms are the standard answer (the Parquet bloom-filter /
+    * lakehouse bloom-index design, public literature): no false
+    * negatives ever, false positives at `fpp`. Filter sizing is per-file
+    * from the committed footer row counts; Spark's own
+    * `util.sketch.BloomFilter` (fixed-seed hashing) keeps the sidecar
+    * deterministic for a given file set. Cost model: the build pays one
+    * column scan at commit time; every later point read plans against
+    * one sidecar. At very large file counts the single sidecar file
+    * should shard (same evolution manifests themselves take — a
+    * documented scale path, not a semantic change).
+    */
+  def writeBloomFilter(spark: org.apache.spark.sql.SparkSession,
+                       path: String, version: Int, colName: String,
+                       fpp: Double = 0.001): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val files = readManifest(spark, path, version)
+    val nByFile = footerCounts(spark, path, files)
+      .map { case (f, n) => f -> math.max(1L, n) }
+    val bcN = spark.sparkContext.broadcast(nByFile)
+    val partials = spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+      .select(input_file_name().as("_file"),
+        col(colName).cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+      .rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap[String,
+          org.apache.spark.util.sketch.BloomFilter]()
+        it.foreach { r =>
+          val rel = relTwo(r.getString(0))
+          val bf = acc.getOrElseUpdate(rel,
+            org.apache.spark.util.sketch.BloomFilter.create(
+              bcN.value.getOrElse(rel, 1L), fpp))
+          bf.putLong(r.getLong(1))
+        }
+        acc.iterator
+      }
+    val merged = partials
+      .reduceByKey { (a, b) => a.mergeInPlace(b); a }
+      .collect().toMap // one bitmap per file — ~2 bytes/row at fpp 1e-3
+    val lines = files.map { f =>
+      val bf = merged.getOrElse(f, // a file with zero non-null values
+        org.apache.spark.util.sketch.BloomFilter.create(1L, fpp))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      s"$f\t${java.util.Base64.getEncoder.encodeToString(bos.toByteArray)}"
+    }
+    val p = new HPath(path, f"_manifests/v$version%05d.bloom.$colName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    atomicCreate(fs, path, p,
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s"bloom sidecar v$version.$colName")
+  }
+
+  /** The committed bloom sidecar of `version` for `colName` — file →
+    * filter. Loud on a missing sidecar, like [[readColStats]].
+    */
+  def readBloomFilter(spark: org.apache.spark.sql.SparkSession,
+                      path: String, version: Int, colName: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, f"_manifests/v$version%05d.bloom.$colName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        require(i > 0, s"malformed bloom line: ${l.take(80)}")
+        l.take(i) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(l.drop(i + 1))))
+      }.toMap
+    finally in.close()
+  }
+
+  /** Read a pinned version with POINT-LOOKUP file skipping: only files
+    * whose committed bloom filter might contain `value` are opened (a
+    * file with no filter line is unprunable, never wrong), and the exact
+    * `col = value` filter still applies on top — blooms prune, they do
+    * not answer. No false negatives by construction; a false-positive
+    * file costs one wasted open at rate `fpp`. Returns
+    * (rows, filesKept, filesTotal) — the kept LIST, not just its count,
+    * so audits can do exact false-positive accounting (kept minus
+    * actually-containing).
+    */
+  def readIndexVersionPoint(spark: org.apache.spark.sql.SparkSession,
+                            path: String, version: Int, colName: String,
+                            value: Long): (DataFrame, Seq[String], Int) = {
+    val files = readManifest(spark, path, version)
+    val blooms = readBloomFilter(spark, path, version, colName)
+    val keep = files.filter(f =>
+      blooms.get(f).forall(_.mightContainLong(value)))
+    val rows =
+      if (keep.isEmpty) readIndexVersion(spark, path, version).limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(keep.map(f => s"$path/$f"): _*)
+    (rows.filter(col(colName) === value), keep, files.length)
+  }
+
   // ------------------------------------------------------------ restore
 
   /** Roll the index BACK by rolling the history FORWARD: commit a new

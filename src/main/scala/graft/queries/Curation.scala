@@ -2609,6 +2609,10 @@ object Curation {
       VectorOps.writeManifest(s, path, 1,
         VectorOps.listIndexFiles(s, path), Map("op" -> "append"))
       VectorOps.writeColStats(s, path, 1, "vec_id")
+      // fpp 1e-6 (~29 bits/row): across the ~64 files here the absent
+      // probe's P(any false positive) stays ~1e-4, so absent_all_pruned
+      // is a stable gate; at 1e-3 a deterministic FP actually surfaced
+      VectorOps.writeBloomFilter(s, path, 1, "vec_id", fpp = 1e-6)
       val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
       (path, maxId)
     }
@@ -2659,6 +2663,69 @@ object Curation {
       |FROM embeddings, m
       |WHERE vec_id <> 0 AND vec_id >= mx // 3
       |  AND vec_id <= mx // 3 + mx // 8""".stripMargin
+
+  /** Point-lookup file skipping via committed per-file BLOOM sidecars —
+    * the gap zone maps leave open: min/max ranges answer RANGE
+    * predicates, but a point probe on a high-cardinality id over an
+    * unclustered-on-that-column layout has every file's range covering
+    * the value and degrades to a full scan; per-file blooms
+    * ([[VectorOps.writeBloomFilter]], one column pass at commit) prune
+    * to the files that might contain it, with NO false negatives ever
+    * (the Parquet/lakehouse bloom-index design). Audited on the
+    * range-clustered fixture with a present and an absent probe:
+    *
+    *  - `parity`: the point read equals the full-scan `=` filter exactly
+    *    (blooms prune, they never answer);
+    *  - `pruned`: the present probe opened >0 but fewer than all files;
+    *  - `no_false_negative`: every file TRULY containing the probe (per
+    *    an input_file_name audit of the full scan) was bloom-kept — the
+    *    theorem the structure guarantees;
+    *  - `fp_bounded`: exact false-positive accounting — kept files NOT
+    *    truly containing the probe, ≤1 at fpp 1e-3 over this file count
+    *    (the count is exact because the kept LIST is returned, not just
+    *    its size);
+    *  - `absent_zero` / `absent_all_pruned`: a value beyond the id
+    *    domain reads zero rows AND opens zero files — the blooms rule it
+    *    out everywhere, which is the entire serving win: a miss costs
+    *    one sidecar read, not a corpus scan;
+    *  - `n_point`: the probe's exact row count, hash-gated.
+    */
+  private val bloomSkippingQ: Q = (s, dir) => {
+    val (path, maxId) = stageClustered(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val absent = maxId + 987654321L
+    val (rowsP, keptP, total) =
+      VectorOps.readIndexVersionPoint(s, path, 1, "vec_id", maxId)
+    val (rowsA, keptA, _) =
+      VectorOps.readIndexVersionPoint(s, path, 1, "vec_id", absent)
+    val full = emb.filter(col("vec_id") === maxId)
+      .select(col("vec_id"), col("embedding"))
+    val p = rowsP.select(col("vec_id"), col("embedding"))
+    val nDiff = p.exceptAll(full).unionByName(full.exceptAll(p))
+      .agg(count(lit(1)).as("n_diff"))
+    val trueFiles = VectorOps.readIndexVersion(s, path, 1)
+      .filter(col("vec_id") === maxId)
+      .select(substring_index(input_file_name(), "/", -2).as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val nFp = keptP.toSet.diff(trueFiles).size
+    val nAbsent = rowsA.count()
+    val nPoint = full.agg(count(lit(1)).as("n_point"))
+    nDiff.crossJoin(nPoint) // 1-row frames
+      .select(
+        (col("n_diff") === 0L).as("parity"),
+        lit(keptP.nonEmpty && keptP.length < total).as("pruned"),
+        lit(trueFiles.subsetOf(keptP.toSet)).as("no_false_negative"),
+        lit(nFp <= 1).as("fp_bounded"),
+        lit(nAbsent == 0L).as("absent_zero"),
+        lit(keptA.isEmpty).as("absent_all_pruned"),
+        col("n_point"))
+  }
+  private val bloomSkippingSql =
+    """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings WHERE vec_id <> 0)
+      |SELECT TRUE AS parity, TRUE AS pruned, TRUE AS no_false_negative,
+      |  TRUE AS fp_bounded, TRUE AS absent_zero, TRUE AS absent_all_pruned,
+      |  CAST((SELECT count(*) FROM embeddings, m WHERE vec_id = mx)
+      |    AS BIGINT) AS n_point""".stripMargin
 
   // --------------------------- multi-dim zone maps on a z-ordered layout
   /** Staged two-layout fixture: the SAME (vec_id, label) rows written
@@ -2756,6 +2823,7 @@ object Curation {
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),
     ("q_time_travel", timeTravelQ, Some(timeTravelSql)),
+    ("q_bloom_skipping", bloomSkippingQ, Some(bloomSkippingSql)),
     ("q_stream_index_upsert", streamUpsertQ, Some(streamUpsertSql)),
     ("q_commit_checkpoint", commitCheckpointQ, Some(commitCheckpointSql)),
     ("q_index_lineage", indexLineageQ, Some(indexLineageSql)),

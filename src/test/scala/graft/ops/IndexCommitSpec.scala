@@ -302,6 +302,43 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("bloom sidecar: no false negatives for any present id, the point " +
+      "read matches the full filter, and vacuumLog retains it with its " +
+      "version") {
+    val (dir, path, _) = freshIndex("bloom")
+    try {
+      VectorOps.writeBloomFilter(spark, path, 1, "vec_id", fpp = 1e-6)
+      val base = embs.filter(col("vec_id") % 5 =!= 2)
+      // EVERY present id must be found — false negatives are forbidden by
+      // construction, so this is a theorem check, not a sample
+      val ids = base.select(col("vec_id")).collect().map(_.getLong(0))
+      val total = VectorOps.readManifest(spark, path, 1).length
+      var prunedAtLeastOnce = false
+      ids.take(50).foreach { id =>
+        val (rows, kept, _) =
+          VectorOps.readIndexVersionPoint(spark, path, 1, "vec_id", id)
+        assert(rows.count() == 1, s"present id $id lost by the bloom prune")
+        if (kept.length < total) prunedAtLeastOnce = true
+      }
+      assert(prunedAtLeastOnce, "the prune never pruned — vacuous blooms")
+      // an out-of-domain probe opens nothing
+      val absent = ids.max + 999983L
+      val (rowsA, keptA, _) =
+        VectorOps.readIndexVersionPoint(spark, path, 1, "vec_id", absent)
+      assert(rowsA.count() == 0 && keptA.isEmpty)
+      // the sidecar follows its version through log retention
+      val files = VectorOps.readManifest(spark, path, 1)
+      VectorOps.writeManifest(spark, path, 2, files)
+      VectorOps.writeBloomFilter(spark, path, 2, "vec_id", fpp = 1e-6)
+      VectorOps.vacuumLog(spark, path, Seq(2))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        path, "_manifests/v00002.bloom.vec_id")))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        path, "_manifests/v00001.bloom.vec_id")),
+        "a dropped version's bloom sidecar must be reclaimed with it")
+    } finally rmrf(dir)
+  }
+
   test("vacuum-vs-OCC race: a freshly landed, NOT-yet-committed appender " +
       "file survives a retention-window vacuum and is reclaimed after it") {
     // the concurrent-appender window ivfVacuum's retention contract
