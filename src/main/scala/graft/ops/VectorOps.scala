@@ -908,6 +908,57 @@ object VectorOps {
       tail.length, ckpt)
   }
 
+  /** The version a streaming batch committed as, by its idempotence key
+    * — the replay-recovery lookup of a DOWNSTREAM consumer: when the
+    * index commit of (sink, batchId) was skipped as a replay but the
+    * consumer's own commit (a maintained view) is missing — a crash in
+    * the window between the two — the consumer needs THAT batch's
+    * version to read its change set. Newest-first scan of the manifest
+    * headers (metadata-scale; a long log resolves via the same
+    * checkpoint-tail discipline as [[committedBatchKeys]] in a
+    * production deployment).
+    */
+  def versionOfBatchKey(spark: org.apache.spark.sql.SparkSession,
+                        path: String, sink: String,
+                        batchId: Long): Option[Int] = {
+    val key = batchKey(sink, batchId)
+    listVersions(spark, path).reverse.find(v =>
+      metaBatchKey(readManifestMeta(spark, path, v)).contains(key))
+  }
+
+  /** Commit a SMALL dataframe as a whole-snapshot version: the rows land
+    * as one deterministically-named file (`centroid=0/snap-{tag}
+    * .parquet`, stage-then-rename — a crashed attempt's leftover is
+    * overwritten by the retry, never duplicated) and the manifest lists
+    * ONLY that file, so each version is a self-contained snapshot read.
+    * The commit shape of a maintained VIEW beside a big index: the view
+    * is aggregate-sized, its history wants the same manifest protocol
+    * (versioned, replay-idempotent via `meta` batch keys, vacuumable),
+    * and one file per version is the right physical layout for it.
+    */
+  def commitSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
+                            path: String, version: Int, tag: String,
+                            df: DataFrame,
+                            meta: Map[String, String] = Map.empty): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(tag.matches("[A-Za-z0-9_-]+"),
+      s"snapshot tag must be filesystem-safe: $tag")
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stageRel = s"_staging/snap_$tag"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$path/$stageRel")
+    val part = fs.listStatus(new HPath(path, stageRel))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(part.length == 1, s"coalesce(1) wrote ${part.length} files")
+    val rel = s"centroid=0/snap-$tag.parquet"
+    fs.mkdirs(new HPath(path, "centroid=0"))
+    val dst = new HPath(path, rel)
+    fs.delete(dst, false) // crash leftover: referenced by no manifest
+    require(fs.rename(part.head.getPath, dst), s"rename to $dst failed")
+    fs.delete(new HPath(path, stageRel), true)
+    writeManifest(spark, path, version, Seq(rel), meta)
+  }
+
   /** The committed batch ids with their sink namespace STRIPPED — the
     * audit view ("which delivery ids ever landed, from any stream").
     * NOT an idempotence check: two sinks legitimately share ids here;

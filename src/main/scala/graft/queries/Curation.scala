@@ -2206,6 +2206,104 @@ object Curation {
       |        WHERE vec_id <> 0 AND vec_id % 11 <> 5
       |          AND vec_id % 7 <> 3 AND vec_id % 11 = 2) AS BIGINT) AS n_upd""".stripMargin
 
+  /** Staged streaming-CDC-consumer fixture: committed-v1 base index plus
+    * its bucket view initialized from v1, then the SAME upsert queue as
+    * [[stageStreamUpsert]] drained through
+    * [[graft.streaming.IndexStream.runStreamUpsertsWithView]] — each
+    * micro-batch commits an index version AND incrementally maintains
+    * the view from that commit's change rows. Returns
+    * (indexPath, viewPath, result, nQueueFiles).
+    */
+  private[queries] def stageStreamCdc(s: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : (String, String, graft.streaming.IndexStream.ViewDrainResult, Int) =
+    Staging.cached(s"streamcdc:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 11 =!= 5)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("index").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append"))
+      val viewPath = tmp.resolve("view").toString
+      VectorOps.commitSnapshotVersion(s, viewPath, 1, "init",
+        graft.streaming.IndexStream.bucketStats(
+          VectorOps.readIndexVersion(s, path, 1), "vec_id", "embedding"),
+        Map("op" -> "viewinit"))
+      val queue = emb.filter(col("vec_id") % 11 =!= 5 &&
+          col("vec_id") % 7 =!= 3 && col("vec_id") % 11 === 2)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 11 === 5)
+          .select(col("vec_id"), col("embedding")))
+      val inDir = tmp.resolve("queue").toString
+      queue.repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(inDir)
+      val nFiles = new java.io.File(inDir).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val res = graft.streaming.IndexStream.runStreamUpsertsWithView(
+        s, inDir, idx.centroids, path, viewPath,
+        checkpointDir = Some(tmp.resolve("ckpt").toString),
+        checkpointEvery = 2)
+      (path, viewPath, res, nFiles)
+    }
+
+  /** Streaming CDC consumer — the loop that CLOSES the change feed: the
+    * upsert stream's every micro-batch commits an index version and an
+    * incremental-view-maintenance step consumes exactly that commit's
+    * change rows ([[VectorOps.indexChangeRows]] — preimage subtracted,
+    * postimage/insert added, integer arithmetic) into a versioned view
+    * table with the SAME namespaced batch-key idempotence as the index
+    * sinks. Cost per batch ∝ changed bytes + the aggregate-sized view —
+    * the only maintenance cost model that works when the base is 100 TB
+    * and a batch touches megabytes. Audited:
+    *
+    *  - `ivm_exact`: the maintained view after the drain equals a full
+    *    recomputation over HEAD BIT-EXACTLY (symmetric exceptAll on
+    *    integer (bucket, n, s) rows) — inserts, re-embedded updates and
+    *    their preimage subtractions all landed;
+    *  - `micro_batched`: every queue file became exactly one index
+    *    version AND one view version, zero replay skips on a clean run;
+    *  - per-bucket `n_rows`: the final corpus histogram the view's `n`
+    *    column must carry, hash-gated against the oracle's arithmetic.
+    *
+    * The kill-and-restart window (index committed, view not) is proven
+    * healed in IndexStreamSpec, not here — a clean drain plus recompute
+    * equality is what a correctness oracle can gate.
+    */
+  private val streamCdcQ: Q = (s, dir) => {
+    val (path, viewPath, res, nFiles) = stageStreamCdc(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val viewHead = VectorOps.latestVersion(s, viewPath).get
+    val maintained = VectorOps.readIndexVersion(s, viewPath, viewHead)
+      .select(col("bucket"), col("n"), col("s"))
+    val recomputed = graft.streaming.IndexStream.bucketStats(
+      VectorOps.readIndexLatest(s, path, "vec_id"), "vec_id", "embedding")
+    val nDiff = maintained.exceptAll(recomputed)
+      .unionByName(recomputed.exceptAll(maintained))
+      .agg(count(lit(1)).as("n_diff"))
+    val microBatched = res.index.nCommitted == nFiles &&
+      res.nViewCommitted == nFiles && nFiles >= 2 &&
+      res.index.nSkipped == 0 && res.nViewSkipped == 0 &&
+      viewHead == 1 + nFiles && res.index.finalVersion == 1 + nFiles
+    val audit = nDiff.select(
+      (col("n_diff") === 0L).as("ivm_exact"),
+      lit(microBatched).as("micro_batched"))
+    emb.select(pmod(col("vec_id"), lit(10L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+      .crossJoin(audit) // 1-row audit frame
+      .select(col("bucket"), col("n_rows"), col("ivm_exact"),
+        col("micro_batched"))
+      .orderBy(col("bucket"))
+  }
+  private val streamCdcSql =
+    """SELECT CAST(vec_id % 10 AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  TRUE AS ivm_exact, TRUE AS micro_batched
+      |FROM embeddings WHERE vec_id <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------- commit-log checkpointing
   /** Staged checkpoint fixture: six batch-append commits (v1..v6, batch
     * ids 10..15) with a batch-id checkpoint written at v4 — two
@@ -2824,6 +2922,7 @@ object Curation {
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),
     ("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     ("q_bloom_skipping", bloomSkippingQ, Some(bloomSkippingSql)),
+    ("q_stream_cdc", streamCdcQ, Some(streamCdcSql)),
     ("q_stream_index_upsert", streamUpsertQ, Some(streamUpsertSql)),
     ("q_commit_checkpoint", commitCheckpointQ, Some(commitCheckpointSql)),
     ("q_index_lineage", indexLineageQ, Some(indexLineageSql)),

@@ -50,7 +50,8 @@ object Fixtures {
     "lifecycle" -> ((s, d) => { Curation.stageLifecycle(s, d); () }),
     "clustered" -> ((s, d) => { Curation.stageClustered(s, d); () }),
     "zonerect" -> ((s, d) => { Curation.stageZoneRect(s, d); () }),
-    "timetravel" -> ((s, d) => { Curation.stageTimeline(s, d); () })
+    "timetravel" -> ((s, d) => { Curation.stageTimeline(s, d); () }),
+    "streamcdc" -> ((s, d) => { Curation.stageStreamCdc(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

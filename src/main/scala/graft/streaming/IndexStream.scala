@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -193,6 +194,142 @@ object IndexStream {
     EventStream.awaitDrain(writer.start())
     DrainResult(nCommitted.get, nSkipped.get,
       graft.ops.VectorOps.latestVersion(spark, indexPath).getOrElse(0))
+  }
+
+  /** Per-bucket view over index content: `(bucket, n, s)` where bucket
+    * = vid mod 10, `n` counts rows and `s` sums the micro-quantized
+    * first vector component (`round(vec[0]·1000)` as LONG — integer
+    * arithmetic, so incremental maintenance and recomputation agree
+    * BIT-EXACTLY; a float sum would drift by association order). The
+    * demonstration view of the streaming CDC consumer; any
+    * sum/count-shaped aggregate maintains the same way.
+    */
+  def bucketStats(rows: DataFrame, idCol: String, vecCol: String): DataFrame =
+    rows.select(pmod(col(idCol).cast("long"), lit(10L)).as("bucket"),
+        round(element_at(col(vecCol).cast("array<double>"), 1) * 1000)
+          .cast("long").as("q"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+
+  /** Maintain the bucket view at `viewPath` for ONE committed index
+    * batch — the incremental-view-maintenance consumer of the change
+    * feed ([[graft.ops.VectorOps.indexChangeRows]]): subtract each
+    * update's preimage contribution, add its postimage, add inserts,
+    * subtract image-carrying deletes — cost ∝ the commit's CHANGED
+    * bytes plus the (aggregate-sized) view, never the corpus. The view
+    * is its own little versioned table with the SAME batch-key
+    * idempotence as the index sinks: a replayed (sink, batchId) whose
+    * view version already committed is skipped, so the crash window
+    * between index commit and view commit heals on redelivery.
+    * Tombstone-only deletes (null preimage — the documented
+    * [[graft.ops.VectorOps.indexChangeRows]] gap) are not consumable by
+    * a value-summing view; the upsert feed this consumer serves never
+    * produces them. Returns true when skipped as a replay.
+    */
+  def maintainBucketView(spark: SparkSession, indexPath: String,
+                         viewPath: String, sink: String, batchId: Long,
+                         indexVersion: Int): Boolean = {
+    import graft.ops.VectorOps
+    val key = VectorOps.batchKey(sink, batchId)
+    if (VectorOps.committedBatchKeys(spark, viewPath).contains(key))
+      return true
+    val head = VectorOps.latestVersion(spark, viewPath).getOrElse(
+      throw new IllegalStateException(
+        s"the view at $viewPath needs its base snapshot committed " +
+          "(initialize from the index version the stream starts at)"))
+    val prior = VectorOps.readIndexVersion(spark, viewPath, head)
+      .select(col("bucket"), col("n"), col("s"))
+    val ch = VectorOps.indexChangeRows(spark, indexPath,
+      indexVersion - 1, indexVersion, "vec_id", "embedding")
+    val sgn = when(col("change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val delta = ch.select(pmod(col("vid"), lit(10L)).as("bucket"),
+        sgn.as("sgn"),
+        round(element_at(col("vec"), 1) * 1000).cast("long").as("q"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("sgn")).as("n"), sum(col("sgn") * col("q")).as("s"))
+    val merged = prior.unionByName(delta)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .filter(col("n") =!= 0L)
+    VectorOps.commitSnapshotVersion(spark, viewPath, head + 1,
+      s"$sink-$batchId", merged,
+      Map("batch" -> batchId.toString, "op" -> "view") ++
+        (if (sink.isEmpty) Map.empty else Map("sink" -> sink)))
+    false
+  }
+
+  /** [[DrainResult]] for the index plus the maintained view's own
+    * commit/skip counters. */
+  final case class ViewDrainResult(index: DrainResult, nViewCommitted: Int,
+                                   nViewSkipped: Int)
+
+  /** [[runStreamUpserts]] with a STREAMING CDC CONSUMER wired in: each
+    * micro-batch (1) commits the upsert as a new index version and
+    * (2) incrementally maintains the bucket view at `viewPath` from
+    * exactly that commit's change rows — the loop that closes the
+    * change feed: commits are produced and consumed inside one
+    * at-least-once pipeline with exactly-once EFFECT on BOTH tables
+    * (index and view each key their commits by the same namespaced
+    * batch id). The two commits are not atomic together — a crash
+    * between them leaves the index committed and the view one batch
+    * behind — but redelivery heals it: the index skip resolves the
+    * batch's committed version ([[graft.ops.VectorOps
+    * .versionOfBatchKey]]) and the view maintainer, finding no view
+    * commit for the key, consumes that version's changes
+    * (IndexStreamSpec kills in precisely this window). `afterIndexCommit`
+    * is the test seam INSIDE the window.
+    */
+  def runStreamUpsertsWithView(spark: SparkSession, inputDir: String,
+                               centroids: Array[Array[Double]],
+                               indexPath: String, viewPath: String,
+                               checkpointDir: Option[String] = None,
+                               queryName: String = "graft_stream_cdc",
+                               afterIndexCommit: Long => Unit = _ => (),
+                               checkpointEvery: Int = 0)
+      : ViewDrainResult = {
+    val raw = spark.readStream
+      .schema(embeddingsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir)
+    val nCommitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nViewCommitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nViewSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sink = sinkId(checkpointDir, queryName)
+    val writer = raw.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (v, skipped, _) = graft.ops.VectorOps.ivfUpsertBatch(
+          spark, batch, centroids, indexPath, "vec_id", "embedding", batchId,
+          sink = sink)
+        if (skipped) nSkipped.incrementAndGet(): Unit
+        else {
+          nCommitted.incrementAndGet()
+          maybeCheckpoint(spark, indexPath, v, checkpointEvery)
+          afterIndexCommit(batchId)
+        }
+        // on an index replay-skip the batch's version resolves from its
+        // key — v is HEAD then, which may be a LATER batch's version
+        val idxV =
+          if (skipped) graft.ops.VectorOps.versionOfBatchKey(
+            spark, indexPath, sink, batchId).getOrElse(
+            throw new IllegalStateException(
+              s"batch $batchId skipped but no committed version carries " +
+                s"its key under $indexPath"))
+          else v
+        if (maintainBucketView(spark, indexPath, viewPath, sink, batchId,
+            idxV))
+          nViewSkipped.incrementAndGet(): Unit
+        else nViewCommitted.incrementAndGet(): Unit
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    EventStream.awaitDrain(writer.start())
+    ViewDrainResult(
+      DrainResult(nCommitted.get, nSkipped.get,
+        graft.ops.VectorOps.latestVersion(spark, indexPath).getOrElse(0)),
+      nViewCommitted.get, nViewSkipped.get)
   }
 
   /** Drain a directory of RE-EMBEDDING parquet files (vec_id, embedding)

@@ -151,6 +151,64 @@ class IndexStreamSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("CDC consumer killed BETWEEN index commit and view commit heals " +
+      "on redelivery: the maintained view equals the recompute bit-exactly") {
+    val (dir, path, cents, _, ckpt) = fixture("cdcview")
+    try {
+      val viewPath = dir.resolve("view").toString
+      VectorOps.commitSnapshotVersion(spark, viewPath, 1, "init",
+        IndexStream.bucketStats(VectorOps.readIndexVersion(spark, path, 1),
+          "vec_id", "embedding"),
+        Map("op" -> "viewinit"))
+      val inDir = dir.resolve("reembeds").toString
+      val isUpd = col("vec_id") % 5 =!= 2 && col("vec_id") % 11 === 2
+      embs.filter(isUpd)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+        .unionByName(embs.filter(col("vec_id") % 5 === 2)
+          .select(col("vec_id"), col("embedding")))
+        .repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(inDir)
+      // crash in THE window this consumer adds: index version committed,
+      // view commit not yet attempted — the two commits are not atomic
+      // together, redelivery is what heals the gap
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      intercept[Exception] {
+        IndexStream.runStreamUpsertsWithView(spark, inDir, cents, path,
+          viewPath, checkpointDir = Some(ckpt),
+          queryName = "spec_cdc_kill",
+          afterIndexCommit = _ =>
+            if (fired.compareAndSet(false, true))
+              throw new RuntimeException("injected crash between commits"))
+      }
+      assert(VectorOps.latestVersion(spark, path).contains(2),
+        "exactly one index batch committed before the crash")
+      assert(VectorOps.latestVersion(spark, viewPath).contains(1),
+        "the view must NOT have consumed the crashed batch yet")
+      val res = IndexStream.runStreamUpsertsWithView(spark, inDir, cents,
+        path, viewPath, checkpointDir = Some(ckpt),
+        queryName = "spec_cdc_recover")
+      // the redelivered batch: index skip, view CATCH-UP commit (its
+      // version resolved from the batch key, not from HEAD)
+      assert(res.index.nSkipped == 1 && res.index.nCommitted == 2, res.toString)
+      assert(res.nViewCommitted == 3 && res.nViewSkipped == 0, res.toString)
+      assert(VectorOps.latestVersion(spark, viewPath).contains(4))
+      val maintained = VectorOps.readIndexVersion(spark, viewPath, 4)
+        .select(col("bucket"), col("n"), col("s"))
+      val recomputed = IndexStream.bucketStats(
+        VectorOps.readIndexLatest(spark, path, "vec_id"),
+        "vec_id", "embedding")
+      assert(maintained.exceptAll(recomputed)
+        .union(recomputed.exceptAll(maintained)).count() == 0,
+        "maintained view must equal the recompute bit-exactly after recovery")
+      // a full same-checkpoint replay of everything is all-skip on both
+      val re = IndexStream.runStreamUpsertsWithView(spark, inDir, cents,
+        path, viewPath, checkpointDir = Some(ckpt),
+        queryName = "spec_cdc_again")
+      assert(re.index.nCommitted == 0 && re.nViewCommitted == 0, re.toString)
+    } finally rmrf(dir)
+  }
+
   test("two sibling streams on ONE index (append feed + delete queue, " +
       "separate checkpoints) never collide on batch ids: the second " +
       "stream's batch 0,1,2 are commits, not false replays") {
