@@ -457,6 +457,119 @@ object TextOps {
       .orderBy(col("round"))
   }
 
+  /** SINGLE-PASS tokenizer inference — the scale-true sibling of
+    * [[bpeEncodeLog]]: the trained merge list is BROADCAST (vocabulary
+    * is metadata, like centroids) and every document is encoded in ONE
+    * executor-local pass, applying the merges in learned rank order
+    * within the document — byte-identical to the round-by-round global
+    * replay because documents are independent and each round's greedy
+    * left-to-right non-overlap rule is a per-document computation
+    * (TextOpsSpec pins the token-for-token equality). The round-based
+    * replay is one corpus pass PER MERGE — fine as an oracle at K = 4,
+    * a scale-killer at a real tokenizer's ~32k merges, where this path
+    * is K-times-nothing: the corpus crosses the wire once, period (the
+    * production shape of serving-time tokenization — the reference
+    * batch-encodes with a frozen vocabulary the same way,
+    * `utils/upload_data_to_pinecone.py:42-46`).
+    *
+    * Returns one row per document: (idCol, toksCol encoded,
+    * `bpe_merges_per_round` LONG×K, `bpe_len_after_round` LONG×(K+1)
+    * with index 0 = the pre-encode length) — the per-round counters
+    * that let [[bpeEncodeLogFast]] reproduce the full encode log from
+    * this one pass.
+    */
+  def bpeEncodeDocs(docs: DataFrame, idCol: String, toksCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeDocs: merges must be non-empty")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      docs.schema(idCol),
+      StructField(toksCol, ArrayType(StringType)),
+      StructField("bpe_merges_per_round", ArrayType(LongType)),
+      StructField("bpe_len_after_round", ArrayType(LongType))))
+    val bc = docs.sparkSession.sparkContext.broadcast(merges.toArray)
+    docs.select(col(idCol), col(toksCol).cast("array<string>"))
+      .mapPartitions { rows =>
+        val ms = bc.value
+        rows.map { r =>
+          var arr: Array[String] = r.getSeq[String](1).toArray
+          val nMerges = new Array[Long](ms.length)
+          val lenAfter = new Array[Long](ms.length + 1)
+          lenAfter(0) = arr.length.toLong
+          var mi = 0
+          while (mi < ms.length) {
+            val (a, b) = ms(mi)
+            // greedy left-to-right: consuming (i, i+1) then advancing by
+            // 2 is exactly the run-parity rule ("a a a" merges 0-1, not
+            // 1-2) the distributed training pass computes with windows
+            val out = new scala.collection.mutable.ArrayBuffer[String](
+              arr.length)
+            var i = 0
+            while (i < arr.length) {
+              if (i + 1 < arr.length && arr(i) == a && arr(i + 1) == b) {
+                out += a + b; i += 2; nMerges(mi) += 1
+              } else { out += arr(i); i += 1 }
+            }
+            arr = out.toArray
+            lenAfter(mi + 1) = arr.length.toLong
+            mi += 1
+          }
+          org.apache.spark.sql.Row(r.get(0), arr.toSeq,
+            nMerges.toSeq, lenAfter.toSeq)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** [[bpeEncodeDocs]] projected to the encoded corpus. */
+  def bpeEncode(docs: DataFrame, idCol: String, toksCol: String,
+                merges: Seq[(String, String)]): DataFrame =
+    bpeEncodeDocs(docs, idCol, toksCol, merges).select(col(idCol), col(toksCol))
+
+  /** The [[bpeEncodeLog]] schema — (round, pair, n_merges,
+    * tokens_before, tokens_after) — produced from ONE corpus pass: the
+    * per-document round counters of [[bpeEncodeDocs]] summed per round.
+    * Value-identical to the K-pass replay log (the replay stays as the
+    * oracle; TextOpsSpec pins the equality), with the plan to prove the
+    * pass count: one scan of the input, one explode, one aggregate.
+    */
+  def bpeEncodeLogFast(docs: DataFrame, idCol: String, toksCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val pairs = typedLit(merges.map { case (a, b) => s"$a $b" })
+    bpeEncodeDocs(docs, idCol, toksCol, merges)
+      .select(col("bpe_len_after_round").as("la"),
+        posexplode(col("bpe_merges_per_round")).as(Seq("r0", "nm")))
+      .groupBy(col("r0"))
+      .agg(sum(col("nm")).as("n_merges"),
+        sum(element_at(col("la"), col("r0").cast("int") + 1))
+          .as("tokens_before"),
+        sum(element_at(col("la"), col("r0").cast("int") + 2))
+          .as("tokens_after"))
+      .select((col("r0") + 1).cast("int").as("round"),
+        element_at(pairs, col("r0").cast("int") + 1).as("pair"),
+        col("n_merges"), col("tokens_before"), col("tokens_after"))
+      .orderBy(col("round"))
+  }
+
+  /** The ROUND-BY-ROUND encode replay's final corpus — the oracle for
+    * [[bpeEncode]]'s single-pass result: K windowed global passes, one
+    * per merge in learned order (the construction whose per-round log
+    * [[bpeEncodeLog]] returns). Kept for the equality pin, not for
+    * production encoding.
+    */
+  def bpeEncodeReplay(docs: DataFrame, idCol: String, toksCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeReplay: merges must be non-empty")
+    var cur = docs
+    for ((a, b) <- merges) {
+      val pair = docs.sparkSession.range(1)
+        .select(lit(a).as("a"), lit(b).as("b"), lit(0L).as("pc"))
+      cur = bpeApplied(
+        bpeMarkedWith(cur, idCol, toksCol, pair).localCheckpoint(),
+        idCol, toksCol)
+    }
+    cur
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

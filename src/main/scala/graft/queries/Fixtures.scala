@@ -51,7 +51,10 @@ object Fixtures {
     "clustered" -> ((s, d) => { Curation.stageClustered(s, d); () }),
     "zonerect" -> ((s, d) => { Curation.stageZoneRect(s, d); () }),
     "timetravel" -> ((s, d) => { Curation.stageTimeline(s, d); () }),
-    "streamcdc" -> ((s, d) => { Curation.stageStreamCdc(s, d); () })
+    "streamcdc" -> ((s, d) => { Curation.stageStreamCdc(s, d); () }),
+    // not an index build, but a 4-round iterated training job (~5 s at
+    // sf0.1) that is fixture prep for q_bpe_encode's timed reps
+    "bpemerges" -> ((s, d) => { Analytics.stageBpeMerges(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

@@ -248,6 +248,51 @@ class TextOpsSpec extends SparkSpec {
     assert(miss == Seq((0L, 5L, 5L)), miss.toString)
   }
 
+  test("single-pass bpeEncode equals the round-by-round replay " +
+      "token-for-token; the fast log equals the replay log; one scan") {
+    // real corpus slice: the fixture docs the registry query encodes
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val merges = TextOps.bpeTrain(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "toks", rounds = 4)
+      .select(col("round"), col("pair")).collect()
+      .sortBy(_.getInt(0))
+      .map { r => val p = r.getString(1).split(" "); (p(0), p(1)) }.toSeq
+    val held = docs.filter(col("doc_id") % 3 === 0)
+    // THE equality that licenses the fast path: one broadcast-rank pass
+    // per document == K global windowed passes, token for token
+    val fast = TextOps.bpeEncode(held, "doc_id", "toks", merges)
+    val replay = TextOps.bpeEncodeReplay(held, "doc_id", "toks", merges)
+    val joined = fast.select(col("doc_id"), col("toks").as("fast"))
+      .join(replay.select(col("doc_id"), col("toks").as("slow")),
+        Seq("doc_id"), "full_outer")
+    assert(joined.filter(col("fast").isNull || col("slow").isNull ||
+      col("fast") =!= col("slow")).count() == 0,
+      "single-pass encode diverged from the round-by-round replay")
+    // and the one-pass log is value-identical to the replay log
+    val fastLog = TextOps.bpeEncodeLogFast(held, "doc_id", "toks", merges)
+      .collect().map(_.toSeq).toSeq
+    val slowLog = TextOps.bpeEncodeLog(held, "doc_id", "toks", merges)
+      .collect().map(_.toSeq).toSeq
+    assert(fastLog == slowLog, s"\n fast=$fastLog\n slow=$slowLog")
+    // the pass count, visible in the plan: the fast log reads its input
+    // relation exactly once (the replay's plan reads it K times over
+    // K localCheckpoints)
+    val leaves = TextOps.bpeEncodeLogFast(held, "doc_id", "toks", merges)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length == 1, s"expected one scan, got: $leaves")
+    // chain semantics survive the local rewrite: "a a a a a" under
+    // [(a,a),(aa,aa)] → [aaaa, a]
+    import spark.implicits._
+    val held1 = Seq((0L, "a a a a a")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val got = TextOps.bpeEncode(held1, "doc_id", "toks",
+        Seq(("a", "a"), ("aa", "aa")))
+      .head().getSeq[String](1)
+    assert(got == Seq("aaaa", "a"), got.toString)
+  }
+
   test("UnicodeNormalize: composition, compatibility folding, " +
       "idempotence, allocation-free ASCII passthrough semantics") {
     // \u escapes, never literal glyphs (a transcoder normalizing this
