@@ -54,7 +54,11 @@ object Fixtures {
     "streamcdc" -> ((s, d) => { Curation.stageStreamCdc(s, d); () }),
     // not an index build, but a 4-round iterated training job (~5 s at
     // sf0.1) that is fixture prep for q_bpe_encode's timed reps
-    "bpemerges" -> ((s, d) => { Analytics.stageBpeMerges(s, d); () })
+    "bpemerges" -> ((s, d) => { Analytics.stageBpeMerges(s, d); () }),
+    // misclassified cheap in the first r11 pass: the 3-batch drain does
+    // a copy-on-write ivfUpsert rewrite PER BATCH (~45-60 s at sf0.1 —
+    // it crossed the rep watchdog the moment the box breathed)
+    "streamupsert" -> ((s, d) => { Curation.stageStreamUpsert(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap
@@ -73,7 +77,6 @@ object Fixtures {
     "stream", "videos", "audios",    // stream input dirs / binary fakes
     "upsert", "ivmagg",              // small SCD/IVM parquet dirs
     "occcommit",                     // two tiny staged OCC appender files
-    "streamupsert",                  // drains a 3-batch stream of 50-row upserts
     "ckptlog", "logretention")       // many tiny metadata-only commits
 
   /** Names of the primed fixtures, in prime order (tested: every heavy
