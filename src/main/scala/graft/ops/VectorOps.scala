@@ -1849,10 +1849,10 @@ object VectorOps {
     * unchanged (the upsert rewriting a hot partition's untouched
     * neighbors) reports nothing for it, while an id present on both
     * sides with a DIFFERENT vector is exactly an `update`. Commits
-    * tagged op:compact / op:apply are dataChange-free by construction —
-    * compaction moves bytes and the physical tombstone purge
-    * materializes deletes the logical commit already reported — and are
-    * skipped without reading anything.
+    * tagged op:compact / op:apply / op:recluster are dataChange-free by
+    * construction — compaction and re-clustering move bytes and the
+    * physical tombstone purge materializes deletes the logical commit
+    * already reported — and are skipped without reading anything.
     */
   def indexChanges(spark: org.apache.spark.sql.SparkSession, path: String,
                    fromVersion: Int, toVersion: Int, idCol: String,
@@ -1900,7 +1900,7 @@ object VectorOps {
         .getOrElse(emptyIds)
     val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
       val op = readManifestMeta(spark, path, v).getOrElse("op", "")
-      if (op == "compact" || op == "apply") None
+      if (op == "compact" || op == "apply" || op == "recluster") None
       else {
         val a = readManifest(spark, path, v - 1).toSet
         val b = readManifest(spark, path, v).toSet
@@ -2100,6 +2100,67 @@ object VectorOps {
     val filtered = preds.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _)
     (rows.filter(filtered), keep.length, files.length)
+  }
+
+  /** RE-CLUSTERING rewrite — the layout-maintenance op every
+    * zone-mapped table eventually needs (the OPTIMIZE / Z-ORDER
+    * maintenance design, public literature): compaction coalesces each
+    * partition's files and thereby DESTROYS any within-partition
+    * clustering — after it, every file's zone spans the full id range
+    * and range reads open everything (correct, blind). This op rewrites
+    * `fromVersion` range-partitioned on `rangeCol` (within the same
+    * `centroid=` layout), lands the new files beside the old via the
+    * stage-then-rename discipline, and commits `toVersion` listing ONLY
+    * them — pinned readers undisturbed, old files reclaimed by vacuum.
+    * Content is byte-identical to the source version, so the commit is
+    * tagged `op:recluster` and the change feed stays silent across it
+    * (like compact/apply); a pending tombstone pointer rides along.
+    * Single-writer like every rewrite ([[commitFilesOcc]] documents the
+    * split). Cost: one full shuffle + write of the version's bytes —
+    * paid when range-read blindness costs more, the standard
+    * clustering-maintenance trade. Fresh zone-map / bloom sidecars for
+    * the new version are the caller's next call ([[writeColStats]] /
+    * [[writeBloomFilter]] work on any committed version).
+    * Returns (filesFrom, filesTo).
+    */
+  def reclusterVersioned(spark: org.apache.spark.sql.SparkSession,
+                         path: String, fromVersion: Int, toVersion: Int,
+                         rangeCol: String, numRanges: Int): (Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(numRanges >= 1, "reclusterVersioned: numRanges must be >= 1")
+    require(!manifestExists(spark, path, toVersion),
+      s"version $toVersion is already committed under $path")
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fromFiles = readManifest(spark, path, fromVersion)
+    val carried = readManifestMeta(spark, path, fromVersion)
+      .view.filterKeys(_ == "deletes").toMap
+    val stageRel = s"_staging/recluster_$toVersion"
+    readIndexVersion(spark, path, fromVersion)
+      .repartitionByRange(numRanges, col(rangeCol))
+      .write.partitionBy("centroid").mode("overwrite")
+      .parquet(s"$path/$stageRel")
+    val newFiles = scala.collection.mutable.ArrayBuffer[String]()
+    fs.listStatus(new HPath(path, stageRel))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
+      .sortBy(_.getPath.getName)
+      .foreach { part =>
+        val files = fs.listStatus(part.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        fs.mkdirs(new HPath(path, part.getPath.getName))
+        files.zipWithIndex.foreach { case (f, i) =>
+          val rel = s"${part.getPath.getName}/recluster$toVersion-$i.parquet"
+          val dst = new HPath(path, rel)
+          fs.delete(dst, false) // crash leftover: referenced by no manifest
+          require(fs.rename(f.getPath, dst), s"rename to $dst failed")
+          newFiles += rel
+        }
+      }
+    fs.delete(new HPath(path, stageRel), true)
+    writeManifest(spark, path, toVersion, newFiles.sorted.toSeq,
+      carried + ("op" -> "recluster"))
+    (fromFiles.length, newFiles.length)
   }
 
   // ------------------------ point-lookup skipping (bloom sidecars)

@@ -2825,6 +2825,100 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings, m WHERE vec_id = mx)
       |    AS BIGINT) AS n_point""".stripMargin
 
+  /** Staged layout-lifecycle fixture — clustering born, destroyed,
+    * restored, with fresh skipping sidecars at every step:
+    *
+    *  v1  range-clustered write (8 id-ranges × centroids) + colstats
+    *  v2  [[VectorOps.ivfCompactVersioned]] — one file per centroid;
+    *      the id clustering is GONE (each file spans all ids) + colstats
+    *  v3  [[VectorOps.reclusterVersioned]] on vec_id — clustering
+    *      restored as a versioned rewrite + colstats
+    */
+  private[queries] def stageRecluster(s: org.apache.spark.sql.SparkSession,
+                                      dir: String)
+      : (String, Long) =
+    Staging.cached(s"recluster:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("recluster").toString
+      idx.assigned
+        .repartitionByRange(8, col("vec_id"))
+        .write.partitionBy("centroid").mode("overwrite").parquet(path)
+      VectorOps.writeManifest(s, path, 1,
+        VectorOps.listIndexFiles(s, path), Map("op" -> "append"))
+      VectorOps.writeColStats(s, path, 1, "vec_id")
+      VectorOps.ivfCompactVersioned(s, path, 1, 2)
+      VectorOps.writeColStats(s, path, 2, "vec_id")
+      VectorOps.reclusterVersioned(s, path, 2, 3, "vec_id", numRanges = 8)
+      VectorOps.writeColStats(s, path, 3, "vec_id")
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      (path, maxId)
+    }
+
+  /** Clustering maintenance as a versioned rewrite — the lifecycle every
+    * zone-mapped table at scale lives through: COMPACTION coalesces each
+    * partition's files and silently destroys within-partition
+    * clustering (zones widen to the full range — reads stay correct but
+    * go BLIND), and [[VectorOps.reclusterVersioned]] — the OPTIMIZE /
+    * Z-ORDER maintenance design — restores it as a snapshot-isolated
+    * rewrite whose fresh zones skip again. Audited across all three
+    * versions with the SAME range predicate and fresh commit-time
+    * sidecars at each step:
+    *
+    *  - `v1_pruned`: the born-clustered layout skips files;
+    *  - `v2_parity` + `v2_blind`: the compacted version serves EXACTLY
+    *    the same rows (correctness is never layout's job) but opens
+    *    EVERY file — the honest cost of compaction on a clustered
+    *    table, and the reason re-clustering exists;
+    *  - `v3_parity` + `v3_pruned`: the re-clustered rewrite is
+    *    content-identical and the same range skips again;
+    *  - `feed_silent`: the change feed reports NOTHING across v1→v3 —
+    *    compaction and re-clustering move bytes, not meaning
+    *    (op-tagged dataChange-free, the Delta CDF contract);
+    *  - `n_range` / `sum_range`: exact range count and id-sum,
+    *    hash-gated.
+    */
+  private val reclusterQ: Q = (s, dir) => {
+    val (path, maxId) = stageRecluster(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val lo = maxId / 5
+    val hi = maxId / 5 + maxId / 9
+    val full = emb.filter(col("vec_id") >= lo && col("vec_id") <= hi)
+      .select(col("vec_id"), col("embedding"))
+    def probe(v: Int) = {
+      val (rows, r, t) =
+        VectorOps.readIndexVersionPruned(s, path, v, "vec_id", lo, hi)
+      val p = rows.select(col("vec_id"), col("embedding"))
+      val nDiff = p.exceptAll(full).unionByName(full.exceptAll(p)).count()
+      (nDiff, r, t)
+    }
+    val (d1, r1, t1) = probe(1)
+    val (d2, r2, t2) = probe(2)
+    val (d3, r3, t3) = probe(3)
+    val nFeed = VectorOps.indexChanges(s, path, 1, 3, "vec_id", "embedding")
+      .count()
+    val stats = full.agg(count(lit(1)).as("n_range"),
+      sum(col("vec_id")).as("sum_range"))
+    stats.select(
+      lit(d1 == 0 && r1 > 0 && r1 < t1).as("v1_pruned"),
+      lit(d2 == 0).as("v2_parity"),
+      lit(r2 == t2).as("v2_blind"),
+      lit(d3 == 0).as("v3_parity"),
+      lit(r3 > 0 && r3 < t3).as("v3_pruned"),
+      lit(nFeed == 0L).as("feed_silent"),
+      col("n_range"), col("sum_range"))
+  }
+  private val reclusterSql =
+    """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings WHERE vec_id <> 0)
+      |SELECT TRUE AS v1_pruned, TRUE AS v2_parity, TRUE AS v2_blind,
+      |  TRUE AS v3_parity, TRUE AS v3_pruned, TRUE AS feed_silent,
+      |  CAST(count(*) AS BIGINT) AS n_range,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_range
+      |FROM embeddings, m
+      |WHERE vec_id <> 0 AND vec_id >= mx // 5
+      |  AND vec_id <= mx // 5 + mx // 9""".stripMargin
+
   // --------------------------- multi-dim zone maps on a z-ordered layout
   /** Staged two-layout fixture: the SAME (vec_id, label) rows written
     * (a) z-order-clustered on both columns ([[Layout.zorderWrite]] —
@@ -2923,6 +3017,7 @@ object Curation {
     ("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     ("q_bloom_skipping", bloomSkippingQ, Some(bloomSkippingSql)),
     ("q_stream_cdc", streamCdcQ, Some(streamCdcSql)),
+    ("q_recluster", reclusterQ, Some(reclusterSql)),
     ("q_stream_index_upsert", streamUpsertQ, Some(streamUpsertSql)),
     ("q_commit_checkpoint", commitCheckpointQ, Some(commitCheckpointSql)),
     ("q_index_lineage", indexLineageQ, Some(indexLineageSql)),

@@ -58,7 +58,8 @@ object Fixtures {
     // misclassified cheap in the first r11 pass: the 3-batch drain does
     // a copy-on-write ivfUpsert rewrite PER BATCH (~45-60 s at sf0.1 —
     // it crossed the rep watchdog the moment the box breathed)
-    "streamupsert" -> ((s, d) => { Curation.stageStreamUpsert(s, d); () })
+    "streamupsert" -> ((s, d) => { Curation.stageStreamUpsert(s, d); () }),
+    "recluster" -> ((s, d) => { Curation.stageRecluster(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

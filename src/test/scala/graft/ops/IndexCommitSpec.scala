@@ -302,6 +302,48 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("reclusterVersioned: content byte-identical, pending tombstones " +
+      "carried, pinned versions untouched, change feed silent") {
+    val (dir, path, _) = freshIndex("recluster")
+    try {
+      // pending logical delete at v2 — the rewrite must carry the pointer
+      val doomed = embs.filter(col("vec_id") % 7 === 3 &&
+        col("vec_id") % 5 =!= 2).select(col("vec_id"))
+      VectorOps.commitDeletes(spark, path, 1, 2, doomed)
+      val filesBefore = VectorOps.readManifest(spark, path, 2)
+      val (nFrom, nTo) = VectorOps.reclusterVersioned(
+        spark, path, 2, 3, "vec_id", numRanges = 4)
+      assert(nFrom == filesBefore.length && nTo > 0)
+      // the new manifest lists ONLY new files; old data files still exist
+      val v3Files = VectorOps.readManifest(spark, path, 3)
+      assert(v3Files.toSet.intersect(filesBefore.toSet).isEmpty,
+        "a recluster commit must reference only its own rewritten files")
+      // MOR content identical (tombstones still subtract)
+      val v2 = VectorOps.readIndexVersionMor(spark, path, 2, "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      val v3 = VectorOps.readIndexVersionMor(spark, path, 3, "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      assert(v3.exceptAll(v2).union(v2.exceptAll(v3)).count() == 0,
+        "recluster moved meaning, not just bytes")
+      assert(VectorOps.readManifestMeta(spark, path, 3).contains("deletes"),
+        "the pending tombstone pointer must ride the recluster commit")
+      // pinned v1 still serves pre-delete content
+      assert(VectorOps.readIndexVersion(spark, path, 1).count() ==
+        embs.filter(col("vec_id") % 5 =!= 2).count())
+      // dataChange-free: the feed reports only the v2 logical delete
+      val feed = VectorOps.indexChanges(spark, path, 1, 3,
+        "vec_id", "embedding")
+      assert(feed.filter(col("version") === 3).count() == 0,
+        "op:recluster must be silent in the change feed")
+      // fresh zones on the re-clustered layout actually skip
+      VectorOps.writeColStats(spark, path, 3, "vec_id")
+      val ids = embs.agg(max(col("vec_id"))).head().getLong(0)
+      val (_, r, t) = VectorOps.readIndexVersionPruned(
+        spark, path, 3, "vec_id", 1L, ids / 8)
+      assert(r < t, s"re-clustered zones must prune ($r of $t opened)")
+    } finally rmrf(dir)
+  }
+
   test("bloom sidecar: no false negatives for any present id, the point " +
       "read matches the full filter, and vacuumLog retains it with its " +
       "version") {
