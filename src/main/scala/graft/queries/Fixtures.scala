@@ -59,7 +59,14 @@ object Fixtures {
     // a copy-on-write ivfUpsert rewrite PER BATCH (~45-60 s at sf0.1 —
     // it crossed the rep watchdog the moment the box breathed)
     "streamupsert" -> ((s, d) => { Curation.stageStreamUpsert(s, d); () }),
-    "recluster" -> ((s, d) => { Curation.stageRecluster(s, d); () })
+    "recluster" -> ((s, d) => { Curation.stageRecluster(s, d); () }),
+    // all three build a full IVF index before their metadata commits
+    // (ckptlog's staging crossed the rep watchdog on a loaded box in the
+    // second r11 full run; q_commit_checkpoint recorded via end-of-run
+    // retry) — "a few commits" was never the expensive part
+    "occcommit" -> ((s, d) => { Curation.stageOccCommit(s, d); () }),
+    "ckptlog" -> ((s, d) => { Curation.stageCkpt(s, d); () }),
+    "logretention" -> ((s, d) => { Curation.stageLogRetention(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap
@@ -76,9 +83,7 @@ object Fixtures {
     "dup", "text", "bin",            // corpus dir re-encodes
     "json", "csv", "orc",            // format source re-encodes
     "stream", "videos", "audios",    // stream input dirs / binary fakes
-    "upsert", "ivmagg",              // small SCD/IVM parquet dirs
-    "occcommit",                     // two tiny staged OCC appender files
-    "ckptlog", "logretention")       // many tiny metadata-only commits
+    "upsert", "ivmagg")              // small SCD/IVM parquet dirs
 
   /** Names of the primed fixtures, in prime order (tested: every heavy
     * index stager must be listed here or its first timed rep pays the
