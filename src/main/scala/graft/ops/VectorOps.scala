@@ -2280,6 +2280,101 @@ object VectorOps {
     (rows.filter(col(colName) === value), keep, files.length)
   }
 
+  // ----------------------------------------------- deletion vectors (DV)
+
+  /** The deletion-vector sidecar of `version`, if its manifest references
+    * one: a tiny parquet of `(file: string, pos: long)` — positions are
+    * parquet row indexes WITHIN the named data file. Resolution is via
+    * the `dv` manifest header, never by probing `_dv/` (same
+    * orphan-invisibility argument as [[readDeletes]]).
+    */
+  def readDeletionVector(spark: org.apache.spark.sql.SparkSession,
+                         path: String, version: Int): Option[DataFrame] =
+    readManifestMeta(spark, path, version).get("dv")
+      .map(rel => spark.read.parquet(s"$path/$rel"))
+
+  /** Commit a POSITION delete (deletion vector): rows of `fromVersion`
+    * matching `doomed` are marked by `(file, row-index)` in a sidecar
+    * (`_dv/v{N}`), and the new version carries `fromVersion`'s file list
+    * UNCHANGED plus the sidecar pointer — the Delta deletion-vector /
+    * Iceberg position-delete design (public literature). This is the
+    * delete the key-tombstone path ([[commitDeletes]]) cannot express:
+    * `doomed` is an ARBITRARY predicate over the rows (no key column
+    * required, duplicates within a key deletable individually), and the
+    * read-side subtraction joins on `(file, pos)` — metadata the scan
+    * produces for free (`_metadata.file_path` / `row_index`) — never on
+    * a data column. Pending positions at `fromVersion` are folded in, so
+    * one sidecar per version describes ALL its deletes (sidecars are
+    * delete-sized; reading one beats chaining N).
+    *
+    * Commit cost at 100 TB: one predicate scan of the version (the
+    * predicate prunes/pushes down like any filter) writing a
+    * positions-sized sidecar — zero data files rewritten. The crash
+    * window (sidecar written, manifest not) leaves an unreferenced
+    * `_dv/` directory no reader can observe; the retry's overwrite
+    * reclaims it (same single-commit-point discipline as
+    * [[commitDeletes]]).
+    *
+    * Returns (nNewPositions, nTotalPositions) — counted from the
+    * written sidecar and the prior pending set (both delete-sized), not
+    * by re-scanning the corpus.
+    */
+  def commitDeletionVector(spark: org.apache.spark.sql.SparkSession,
+                           path: String, fromVersion: Int, toVersion: Int,
+                           doomed: Column,
+                           meta: Map[String, String] = Map.empty)
+      : (Long, Long) = {
+    require(!manifestExists(spark, path, toVersion),
+      s"version $toVersion is already committed under $path")
+    val files = readManifest(spark, path, fromVersion)
+    val scan = spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+    val fresh = scan
+      .where(doomed)
+      .select(
+        substring_index(col("_metadata.file_path"), "/", -2).as("file"),
+        col("_metadata.row_index").cast("long").as("pos"))
+    val pending = readDeletionVector(spark, path, fromVersion)
+    val merged = pending.map(p => fresh.unionByName(
+      p.select(col("file"), col("pos")))).getOrElse(fresh).distinct()
+    val sidecarRel = s"_dv/v$toVersion"
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/$sidecarRel")
+    // count from the COMMITTED sidecar (delete-sized), not the corpus
+    val nTotal = spark.read.parquet(s"$path/$sidecarRel").count()
+    val nPending = pending.map(_.count()).getOrElse(0L)
+    writeManifest(spark, path, toVersion, files,
+      Map("op" -> "dv-delete") ++ meta + ("dv" -> sidecarRel))
+    (nTotal - nPending, nTotal)
+  }
+
+  /** Read a pinned version with its deletion vector applied: the
+    * manifest's files, minus exactly the `(file, pos)` pairs the
+    * version's DV names. The anti-join key is scan metadata — no data
+    * column is consulted, so rows with duplicate or absent keys delete
+    * correctly. The DV side broadcasts (it is delete-sized); at a DV so
+    * large broadcast stops fitting, the same join repartitions by
+    * `file` — a tuning knob, not a semantic change. A version with no
+    * DV reads as a plain pinned read.
+    */
+  def readIndexVersionDv(spark: org.apache.spark.sql.SparkSession,
+                         path: String, version: Int): DataFrame = {
+    val base = readIndexVersion(spark, path, version)
+    readDeletionVector(spark, path, version) match {
+      case None => base
+      case Some(dv) =>
+        base
+          .withColumn("__dv_file",
+            substring_index(col("_metadata.file_path"), "/", -2))
+          .withColumn("__dv_pos", col("_metadata.row_index").cast("long"))
+          .join(
+            broadcast(dv.select(col("file").as("__dv_file"),
+              col("pos").cast("long").as("__dv_pos"))),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+          .drop("__dv_file", "__dv_pos")
+    }
+  }
+
   // ------------------------------------------------------------ restore
 
   /** Roll the index BACK by rolling the history FORWARD: commit a new

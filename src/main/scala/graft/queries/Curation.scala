@@ -3007,9 +3007,114 @@ object Curation {
       |WHERE vec_id <> 0 AND vec_id >= mx // 4 AND vec_id <= mx // 2
       |  AND label >= 0 AND label <= 1""".stripMargin
 
+  // ------------------------------------------------ deletion vectors
+
+  /** Staged DV fixture: v1 full index → v2 POSITION delete by a
+    * NON-KEY predicate (first embedding component negative — the delete
+    * no key-tombstone path can express) → v3 a second wave by id
+    * residue, folded into one cumulative sidecar. Returns the path, the
+    * manifest-equality audit, and both commits' (new, total) position
+    * counts.
+    */
+  private[queries] def stageDvDelete(s: org.apache.spark.sql.SparkSession,
+                                     dir: String)
+      : (String, Boolean, Long, Long, Long, Long) =
+    Staging.cached(s"dvdelete:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("dv").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path))
+      val (n1New, n1Tot) = VectorOps.commitDeletionVector(s, path,
+        fromVersion = 1, toVersion = 2,
+        element_at(col("embedding"), 1) < lit(0f))
+      val (n2New, n2Tot) = VectorOps.commitDeletionVector(s, path,
+        fromVersion = 2, toVersion = 3, col("vec_id") % 13 === 4)
+      // position deletes must move ZERO data files — audit both commits
+      // here, where all three manifests are at hand
+      val logicalCheap =
+        VectorOps.readManifest(s, path, 2) ==
+          VectorOps.readManifest(s, path, 1) &&
+        VectorOps.readManifest(s, path, 3) ==
+          VectorOps.readManifest(s, path, 1)
+      (path, logicalCheap, n1New, n1Tot, n2New, n2Tot)
+    }
+
+  /** Deletion vectors — position deletes by ARBITRARY predicate (the
+    * Delta deletion-vector / Iceberg v2 position-delete design, public
+    * literature). The key-tombstone path (q_mor_delete) needs a key
+    * column and deletes every row carrying a doomed key; a DV marks
+    * `(file, row-index)` pairs, so it deletes "rows WHERE
+    * embedding[0] < 0" — no key consulted — and the read-side
+    * subtraction is an anti-join on scan metadata the reader gets for
+    * free. At 100 TB each delete wave costs one predicate scan plus a
+    * positions-sized sidecar; the corpus is never rewritten. Audited:
+    *
+    *  - `logical_cheap`: v2's and v3's manifests are byte-identical to
+    *    v1's — both delete commits moved zero data files;
+    *  - `parity_v2`: the v2 DV read equals the full scan minus the
+    *    non-key predicate's rows, exactly (symmetric exceptAll empty);
+    *  - `merged_v3`: the v3 read equals the scan minus BOTH waves — one
+    *    cumulative sidecar describes all pending deletes;
+    *  - `pinned_intact`: the pinned v1 read still holds every row —
+    *    deletes are versioned data ("what did the model train on at
+    *    v1" stays answerable until vacuum);
+    *  - `dv_counts`: exact position accounting — wave sizes and their
+    *    overlap reconcile against the predicates' own row counts;
+    *  - `n_live` / `sum_live`: exact surviving count and id sum,
+    *    hash-gated against the oracle's arithmetic.
+    */
+  private val dvDeleteQ: Q = (s, dir) => {
+    val (path, logicalCheap, n1New, n1Tot, n2New, n2Tot) =
+      stageDvDelete(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val d1 = emb.filter(element_at(col("embedding"), 1) < lit(0f))
+      .select(col("vec_id"))
+    val d2 = emb.filter(col("vec_id") % 13 === 4).select(col("vec_id"))
+    val dd = d1.union(d2).distinct()
+    val v1 = VectorOps.readIndexVersion(s, path, 1)
+    val v2 = VectorOps.readIndexVersionDv(s, path, 2).select(col("vec_id"))
+    val v3 = VectorOps.readIndexVersionDv(s, path, 3).select(col("vec_id"))
+    val exp2 = emb.join(d1, Seq("vec_id"), "left_anti").select(col("vec_id"))
+    val exp3 = emb.join(dd, Seq("vec_id"), "left_anti").select(col("vec_id"))
+    val m2 = v2.exceptAll(exp2).unionByName(exp2.exceptAll(v2))
+      .agg(count(lit(1)).as("m2"))
+    val m3 = v3.exceptAll(exp3).unionByName(exp3.exceptAll(v3))
+      .agg(count(lit(1)).as("m3"))
+    val counts = emb.agg(count(lit(1)).as("n_all"))
+      .crossJoin(d1.agg(count(lit(1)).as("n_d1")))
+      .crossJoin(dd.agg(count(lit(1)).as("n_dd")))
+      .crossJoin(v1.agg(count(lit(1)).as("n_v1")))
+      .crossJoin(exp3.agg(count(lit(1)).as("n_live"),
+        sum(col("vec_id")).as("sum_live")))
+    m2.crossJoin(m3).crossJoin(counts) // 1-row frames
+      .select(
+        lit(logicalCheap).as("logical_cheap"),
+        (col("m2") === 0L).as("parity_v2"),
+        (col("m3") === 0L).as("merged_v3"),
+        (col("n_v1") === col("n_all")).as("pinned_intact"),
+        (lit(n1New) === col("n_d1") && lit(n1Tot) === col("n_d1") &&
+          lit(n2Tot) === col("n_dd") &&
+          lit(n2New) === col("n_dd") - col("n_d1")).as("dv_counts"),
+        col("n_live"), col("sum_live"))
+  }
+  private val dvDeleteSql =
+    """WITH e AS (SELECT * FROM embeddings WHERE vec_id <> 0),
+      |dd AS (
+      |  SELECT vec_id FROM e WHERE embedding[1] < 0
+      |  UNION
+      |  SELECT vec_id FROM e WHERE vec_id % 13 = 4)
+      |SELECT TRUE AS logical_cheap, TRUE AS parity_v2, TRUE AS merged_v3,
+      |  TRUE AS pinned_intact, TRUE AS dv_counts,
+      |  CAST(count(*) AS BIGINT) AS n_live,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_live
+      |FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dd)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_deletion_vector", dvDeleteQ, Some(dvDeleteSql)),
     ("q_index_upsert", indexUpsertQ, Some(indexUpsertSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),

@@ -65,6 +65,7 @@ object Fixtures {
     // second r11 full run; q_commit_checkpoint recorded via end-of-run
     // retry) — "a few commits" was never the expensive part
     "occcommit" -> ((s, d) => { Curation.stageOccCommit(s, d); () }),
+    "dvdelete" -> ((s, d) => { Curation.stageDvDelete(s, d); () }),
     "ckptlog" -> ((s, d) => { Curation.stageCkpt(s, d); () }),
     "logretention" -> ((s, d) => { Curation.stageLogRetention(s, d); () })
   )
