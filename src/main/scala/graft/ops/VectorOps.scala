@@ -1064,8 +1064,92 @@ object VectorOps {
     */
   def readIndexVersion(spark: org.apache.spark.sql.SparkSession,
                        path: String, version: Int): DataFrame = {
-    val files = readManifest(spark, path, version).map(f => s"$path/$f")
-    spark.read.option("basePath", path).parquet(files: _*)
+    val files = readManifest(spark, path, version)
+    val (ext, loc) = files.partition(isExternal)
+    val parts =
+      (if (loc.nonEmpty)
+         Seq(spark.read.option("basePath", path)
+           .parquet(loc.map(f => s"$path/$f"): _*))
+       else Nil) ++
+      ext.groupBy(externalRoot).toSeq.sortBy(_._1).map { case (r, fs) =>
+        spark.read.option("basePath", r).parquet(fs: _*) }
+    require(parts.nonEmpty, s"v$version of $path lists no files")
+    // allowMissingColumns: a single-root parquet read pads a column
+    // absent from some files with nulls; a cross-root read must behave
+    // identically or a clone's mixed manifest changes schema semantics
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** True iff a manifest entry escapes its index root: an absolute URI —
+    * the cross-root reference shallow clones ([[cloneIndex]]) and branch
+    * promotes ([[promoteVersion]]) commit. Ordinary commits write
+    * root-relative entries and never hit this.
+    */
+  private def isExternal(entry: String): Boolean =
+    entry.startsWith("/") || entry.contains("://")
+
+  /** The index root an EXTERNAL entry lives under — its URI minus the
+    * `centroid=K/part-…` tail. Grouping external entries by root lets
+    * each group keep its own `basePath`, so the partition column
+    * survives a cross-root read.
+    */
+  private def externalRoot(entry: String): String =
+    entry.split('/').dropRight(2).mkString("/")
+
+  /** Resolve a sidecar pointer (`deletes` / `dv` header value) against
+    * its index root — external pointers (committed by clones/promotes)
+    * resolve as-is. */
+  private def resolveRel(path: String, rel: String): String =
+    if (isExternal(rel)) rel else s"$path/$rel"
+
+  /** Shallow-clone `srcVersion` of `src` as version 1 of `dst`: one
+    * manifest write whose entries reference the SOURCE's data files by
+    * absolute URI — zero data bytes copy (the Delta SHALLOW CLONE /
+    * Iceberg snapshot-ref design, public literature). The clone is a
+    * real index from then on: appends land local files beside the
+    * inherited references, its version log is its own, and source
+    * commits after the clone point are invisible to it by construction.
+    * A pending tombstone/DV pointer at the clone point is carried,
+    * absolutized the same way. CAVEAT (same as the public designs): a
+    * vacuum on the SOURCE does not know about clones — retention policy
+    * on a cloned-from index must keep the versions clones pin.
+    */
+  def cloneIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+                 dst: String, srcVersion: Int): Unit = {
+    val abs = readManifest(spark, src, srcVersion)
+      .map(f => if (isExternal(f)) f else s"$src/$f")
+    val srcMeta = readManifestMeta(spark, src, srcVersion)
+    val carried = Seq("deletes", "dv").flatMap(k =>
+      srcMeta.get(k).map(rel => k -> resolveRel(src, rel))).toMap
+    writeManifest(spark, dst, 1, abs,
+      carried ++ Map("op" -> "clone", "source" -> src,
+        "source_version" -> srcVersion.toString))
+  }
+
+  /** Publish a branch version back to `main` — the metadata-only merge
+    * of the write-audit-publish pattern (Iceberg WAP / Delta shallow
+    * clone promotion, public literature): commit, as main's next
+    * version, the branch version's file list with the branch's local
+    * entries absolutized and any entries already under main's root
+    * relativized home. Zero data files move; main's pinned history is
+    * untouched; sidecar pointers carry absolutized. Returns the new
+    * main HEAD version.
+    */
+  def promoteVersion(spark: org.apache.spark.sql.SparkSession,
+                     branch: String, branchVersion: Int,
+                     main: String): Int = {
+    val entries = readManifest(spark, branch, branchVersion)
+      .map(f => if (isExternal(f)) f else s"$branch/$f")
+      .map(f => if (f.startsWith(main + "/")) f.drop(main.length + 1) else f)
+    val bMeta = readManifestMeta(spark, branch, branchVersion)
+    val carried = Seq("deletes", "dv").flatMap(k =>
+      bMeta.get(k).map(rel => k -> resolveRel(branch, rel))).toMap
+    val head = latestVersion(spark, main).getOrElse(
+      throw new IllegalStateException(s"no committed version under $main"))
+    writeManifest(spark, main, head + 1, entries,
+      carried ++ Map("op" -> "promote", "promote_source" -> branch,
+        "promote_version" -> branchVersion.toString))
+    head + 1
   }
 
   // -------------------------------------- merge-on-read tombstone deletes
@@ -1120,7 +1204,7 @@ object VectorOps {
   def readDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
                   version: Int): Option[DataFrame] =
     readManifestMeta(spark, path, version).get("deletes")
-      .map(rel => spark.read.parquet(s"$path/$rel"))
+      .map(rel => spark.read.parquet(resolveRel(path, rel)))
 
   // ------------------------------------ optimistic-concurrency commits
 
@@ -2291,7 +2375,7 @@ object VectorOps {
   def readDeletionVector(spark: org.apache.spark.sql.SparkSession,
                          path: String, version: Int): Option[DataFrame] =
     readManifestMeta(spark, path, version).get("dv")
-      .map(rel => spark.read.parquet(s"$path/$rel"))
+      .map(rel => spark.read.parquet(resolveRel(path, rel)))
 
   /** Commit a POSITION delete (deletion vector): rows of `fromVersion`
     * matching `doomed` are marked by `(file, row-index)` in a sidecar

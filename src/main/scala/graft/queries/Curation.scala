@@ -3111,10 +3111,160 @@ object Curation {
       |  CAST(sum(vec_id) AS BIGINT) AS sum_live
       |FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dd)""".stripMargin
 
+  // --------------------------------------- shallow clone / WAP promote
+
+  /** Staged clone/WAP fixture: main v1 on the `%4 != 1` slice →
+    * shallow clone (zero bytes copied — audited while the branch dir is
+    * still data-free) → the held-out `%4 == 1` batch appended ON THE
+    * BRANCH under main's frozen quantizer → branch v2 promoted back to
+    * main as v2, metadata-only (audited: main's local data-file set is
+    * unchanged by the promote). The Iceberg write-audit-publish shape.
+    */
+  private[queries] def stageWap(s: org.apache.spark.sql.SparkSession,
+                                dir: String)
+      : (String, String, Boolean, Boolean, Int) =
+    Staging.cached(s"wap:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 4 =!= 1)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val main = tmp.resolve("main").toString
+      VectorOps.ivfWrite(idx, main)
+      VectorOps.writeManifest(s, main, 1,
+        VectorOps.listIndexFiles(s, main))
+      val branch = tmp.resolve("branch").toString
+      VectorOps.cloneIndex(s, main, branch, srcVersion = 1)
+      // zero-copy audit at the clone point: the branch dir holds ONLY
+      // its manifest — no data file was copied
+      val zeroCopy = VectorOps.listIndexFiles(s, branch).isEmpty
+      // write-audit: the batch lands on the branch, invisible to main
+      val batch = emb.filter(col("vec_id") % 4 === 1)
+      VectorOps.ivfAppend(batch, idx.centroids, branch,
+        "vec_id", "embedding")
+      VectorOps.writeManifest(s, branch, 2,
+        VectorOps.readManifest(s, branch, 1) ++
+          VectorOps.listIndexFiles(s, branch), Map("op" -> "append"))
+      // publish: metadata-only promote — main's LOCAL data files must
+      // be exactly what they were before
+      val mainFilesBefore = VectorOps.listIndexFiles(s, main).sorted
+      val promoted = VectorOps.promoteVersion(s, branch, 2, main)
+      val publishMetaOnly =
+        VectorOps.listIndexFiles(s, main).sorted == mainFilesBefore
+      (main, branch, zeroCopy, publishMetaOnly, promoted)
+    }
+
+  /** Shallow clone — an isolated writable branch of a committed version
+    * for zero bytes (the Delta SHALLOW CLONE design, public). The clone
+    * commits ONE manifest whose entries reference the source's data
+    * files by absolute URI; from then on it is a real index — appends
+    * land local files beside the inherited references and its version
+    * log is its own. Audited:
+    *
+    *  - `zero_copy`: at the clone point the branch directory holds no
+    *    data file at all;
+    *  - `clone_parity`: the branch v1 read equals the source v1 read
+    *    exactly (symmetric exceptAll empty);
+    *  - `branch_head`: branch v2 == source slice ∪ appended batch — the
+    *    clone is writable and its read resolves MIXED manifests
+    *    (inherited cross-root entries + its own local files);
+    *  - `main_pinned`: main v1 still reads exactly the base slice —
+    *    nothing the branch did touched the source's history;
+    *  - `n_branch` / `sum_branch`: exact branch-HEAD count and id sum,
+    *    hash-gated.
+    */
+  private val indexCloneQ: Q = (s, dir) => {
+    val (main, branch, zeroCopy, _, _) = stageWap(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val base = emb.filter(col("vec_id") % 4 =!= 1).select(col("vec_id"))
+    val m1 = VectorOps.readIndexVersion(s, main, 1).select(col("vec_id"))
+    val b1 = VectorOps.readIndexVersion(s, branch, 1).select(col("vec_id"))
+    val b2 = VectorOps.readIndexVersion(s, branch, 2).select(col("vec_id"))
+    val all = emb.select(col("vec_id"))
+    val cp = b1.exceptAll(m1).unionByName(m1.exceptAll(b1))
+      .agg(count(lit(1)).as("n_cp"))
+    val bh = b2.exceptAll(all).unionByName(all.exceptAll(b2))
+      .agg(count(lit(1)).as("n_bh"))
+    val mp = m1.exceptAll(base).unionByName(base.exceptAll(m1))
+      .agg(count(lit(1)).as("n_mp"))
+    val stats = b2.agg(count(lit(1)).as("n_branch"),
+      sum(col("vec_id")).as("sum_branch"))
+    cp.crossJoin(bh).crossJoin(mp).crossJoin(stats) // 1-row frames
+      .select(
+        lit(zeroCopy).as("zero_copy"),
+        (col("n_cp") === 0L).as("clone_parity"),
+        (col("n_bh") === 0L).as("branch_head"),
+        (col("n_mp") === 0L).as("main_pinned"),
+        col("n_branch"), col("sum_branch"))
+  }
+  private val indexCloneSql =
+    """SELECT TRUE AS zero_copy, TRUE AS clone_parity,
+      |  TRUE AS branch_head, TRUE AS main_pinned,
+      |  CAST(count(*) AS BIGINT) AS n_branch,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_branch
+      |FROM embeddings WHERE vec_id <> 0""".stripMargin
+
+  /** Write-audit-publish — staging writes on a branch and publishing
+    * them to readers as ONE metadata-only commit (the Iceberg WAP
+    * pattern, public literature). Production shape: a pipeline lands a
+    * risky batch on a cloned branch, audits it there (no main reader
+    * can see it), and promotes the audited version; a failed audit
+    * simply abandons the branch — main never carried the bad rows.
+    * Audited:
+    *
+    *  - `publish_metadata_only`: the promote changed main's LOCAL
+    *    data-file set not at all — publication is one manifest write;
+    *  - `publish_parity`: main's new HEAD reads exactly what the
+    *    audited branch version read;
+    *  - `history_intact`: main v1 still reads the pre-publish slice —
+    *    promotion extends history, never edits it;
+    *  - `staged_invisible`: the appended batch was absent from main v1
+    *    while it was readable on the branch — the audit isolation the
+    *    pattern exists for;
+    *  - `n_head` / `sum_head`: exact post-publish HEAD count and id
+    *    sum, hash-gated.
+    */
+  private val indexWapQ: Q = (s, dir) => {
+    val (main, branch, _, publishMetaOnly, promoted) = stageWap(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val base = emb.filter(col("vec_id") % 4 =!= 1).select(col("vec_id"))
+    val batch = emb.filter(col("vec_id") % 4 === 1).select(col("vec_id"))
+    val m1 = VectorOps.readIndexVersion(s, main, 1).select(col("vec_id"))
+    val mHead = VectorOps.readIndexVersion(s, main, promoted)
+      .select(col("vec_id"))
+    val b2 = VectorOps.readIndexVersion(s, branch, 2).select(col("vec_id"))
+    val pp = mHead.exceptAll(b2).unionByName(b2.exceptAll(mHead))
+      .agg(count(lit(1)).as("n_pp"))
+    val hi = m1.exceptAll(base).unionByName(base.exceptAll(m1))
+      .agg(count(lit(1)).as("n_hi"))
+    val staged = m1.join(batch, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_staged_in_v1"))
+      .crossJoin(b2.join(batch, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_staged_in_b2")))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+    val stats = mHead.agg(count(lit(1)).as("n_head"),
+      sum(col("vec_id")).as("sum_head"))
+    pp.crossJoin(hi).crossJoin(staged).crossJoin(stats) // 1-row frames
+      .select(
+        lit(publishMetaOnly).as("publish_metadata_only"),
+        (col("n_pp") === 0L).as("publish_parity"),
+        (col("n_hi") === 0L).as("history_intact"),
+        (col("n_staged_in_v1") === 0L &&
+          col("n_staged_in_b2") === col("n_batch")).as("staged_invisible"),
+        col("n_head"), col("sum_head"))
+  }
+  private val indexWapSql =
+    """SELECT TRUE AS publish_metadata_only, TRUE AS publish_parity,
+      |  TRUE AS history_intact, TRUE AS staged_invisible,
+      |  CAST(count(*) AS BIGINT) AS n_head,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_head
+      |FROM embeddings WHERE vec_id <> 0""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_deletion_vector", dvDeleteQ, Some(dvDeleteSql)),
+    ("q_index_clone", indexCloneQ, Some(indexCloneSql)),
+    ("q_index_wap", indexWapQ, Some(indexWapSql)),
     ("q_index_upsert", indexUpsertQ, Some(indexUpsertSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),

@@ -66,6 +66,7 @@ object Fixtures {
     // retry) — "a few commits" was never the expensive part
     "occcommit" -> ((s, d) => { Curation.stageOccCommit(s, d); () }),
     "dvdelete" -> ((s, d) => { Curation.stageDvDelete(s, d); () }),
+    "wap" -> ((s, d) => { Curation.stageWap(s, d); () }),
     "ckptlog" -> ((s, d) => { Curation.stageCkpt(s, d); () }),
     "logretention" -> ((s, d) => { Curation.stageLogRetention(s, d); () })
   )
