@@ -2186,6 +2186,183 @@ object VectorOps {
     (rows.filter(filtered), keep.length, files.length)
   }
 
+  // --------------------------------- string zone maps (prefix skipping)
+
+  private def cmpU(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  /** The least byte string strictly greater than EVERY string having
+    * `p` as a prefix: `p` with its last non-0xFF byte incremented and
+    * the tail dropped (the Iceberg truncate-transform upper bound,
+    * public). None when `p` is all 0xFF — no finite bound exists.
+    */
+  private[ops] def prefixUpperBound(p: Array[Byte]): Option[Array[Byte]] = {
+    val i = p.lastIndexWhere(b => (b & 0xff) != 0xff)
+    if (i < 0) None
+    else {
+      val out = p.take(i + 1)
+      out(i) = ((out(i) & 0xff) + 1).toByte
+      Some(out)
+    }
+  }
+
+  /** Per-file (min, max) BYTE statistics of a string column, harvested
+    * from parquet footers like [[footerMinMax]] — parquet orders binary
+    * stats by unsigned lexicographic bytes, so all comparisons here are
+    * [[cmpU]], never String.compareTo (UTF-16 code-unit order diverges
+    * above 0x7F). A file with any stats-less block maps to None —
+    * unprunable, never wrong.
+    */
+  private def footerMinMaxStr(spark: org.apache.spark.sql.SparkSession,
+                              path: String, files: Seq[String],
+                              colName: String)
+      : Map[String, Option[(Array[Byte], Array[Byte])]] = {
+    if (files.isEmpty) return Map.empty
+    val confGet = GraftShim.hadoopConfAccessor(spark.sparkContext)
+    val root = path
+    spark.sparkContext
+      .parallelize(files, math.min(files.length, 32))
+      .map { f =>
+        import org.apache.hadoop.fs.{Path => HPath}
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import scala.jdk.CollectionConverters._
+        val range =
+          try {
+            val r = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new HPath(s"$root/$f"), confGet()))
+            try {
+              val perBlock = r.getFooter.getBlocks.asScala.toSeq.flatMap {
+                blk =>
+                  blk.getColumns.asScala
+                    .find(_.getPath.toDotString == colName)
+                    .flatMap { c =>
+                      val s = c.getStatistics
+                      if (s == null || !s.hasNonNullValue) None
+                      else (s.genericGetMin, s.genericGetMax) match {
+                        case (mn: org.apache.parquet.io.api.Binary,
+                              mx: org.apache.parquet.io.api.Binary) =>
+                          Some((mn.getBytes, mx.getBytes))
+                        case _ => None
+                      }
+                    }
+              }
+              if (perBlock.length == r.getFooter.getBlocks.size)
+                perBlock.reduceOption { (x, y) =>
+                  (if (java.util.Arrays.compareUnsigned(x._1, y._1) <= 0)
+                     x._1 else y._1,
+                   if (java.util.Arrays.compareUnsigned(x._2, y._2) >= 0)
+                     x._2 else y._2)
+                }
+              else None
+            } finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        (f, range)
+      }
+      .collect().toMap
+  }
+
+  /** Commit-time STRING zone map: `_manifests/v{N}.strstats`, one
+    * `relpath<TAB>col<TAB>b64(lower)<TAB>b64(upperExcl)|*` line per
+    * manifest file. Bounds are TRUNCATED to `truncateTo` bytes (the
+    * Iceberg truncate transform, public): the lower bound is the min's
+    * byte prefix (truncation only lowers it), the upper is the max's
+    * truncated prefix incremented — an EXCLUSIVE bound ≥ every value in
+    * the file, `*` when the prefix is all 0xFF (unbounded, unprunable
+    * from above). Truncation is what makes string zone maps affordable:
+    * the sidecar carries 2×16 bytes per file regardless of how long the
+    * strings are. A file with no harvestable stats writes `*<TAB>*` —
+    * unprunable, never wrong. Same footer-pass-at-commit /
+    * one-sidecar-at-plan-time economics as [[writeColStats]].
+    */
+  def writeStringStats(spark: org.apache.spark.sql.SparkSession,
+                       path: String, version: Int, colName: String,
+                       truncateTo: Int = 16): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(truncateTo > 0, "writeStringStats: truncateTo must be positive")
+    val files = readManifest(spark, path, version)
+    val byFile = footerMinMaxStr(spark, path, files, colName)
+    val b64 = java.util.Base64.getEncoder
+    val lines = files.map { f =>
+      byFile(f) match {
+        case Some((mn, mx)) =>
+          val lower = b64.encodeToString(mn.take(truncateTo))
+          val upper = prefixUpperBound(mx.take(truncateTo))
+            .map(b64.encodeToString).getOrElse("*")
+          s"$f\t$colName\t$lower\t$upper"
+        case None => s"$f\t$colName\t*\t*"
+      }
+    }
+    val p = new HPath(path, f"_manifests/v$version%05d.strstats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    atomicCreate(fs, path, p,
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s"strstats v$version")
+  }
+
+  /** The committed string zone map of `version` for `colName`:
+    * file → Some((lowerInclusive, Some(upperExclusive) | None)) — None
+    * for a file with no usable stats (unprunable). Loud on a missing
+    * sidecar.
+    */
+  def readStringStats(spark: org.apache.spark.sql.SparkSession,
+                      path: String, version: Int, colName: String)
+      : Map[String, Option[(Array[Byte], Option[Array[Byte]])]] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, f"_manifests/v$version%05d.strstats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b64 = java.util.Base64.getDecoder
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty)
+      .flatMap { l =>
+        val parts = l.split('\t')
+        require(parts.length == 4, s"malformed strstats line: ${l.take(80)}")
+        if (parts(1) != colName) None
+        else if (parts(2) == "*") Some(parts(0) -> None)
+        else Some(parts(0) -> Some((b64.decode(parts(2)),
+          if (parts(3) == "*") None else Some(b64.decode(parts(3))))))
+      }.toMap
+    finally in.close()
+  }
+
+  /** Read a pinned version with FILE SKIPPING for the predicate
+    * `colName LIKE 'prefix%'`: a file is opened only when its committed
+    * truncated byte range intersects `[prefix, prefixUpperBound)` —
+    * all comparisons unsigned-byte-lexicographic, matching parquet's
+    * binary stats order. The exact startsWith filter still applies on
+    * top (zone maps prune, they never answer); a file with no stats is
+    * kept. On a source-clustered layout the scan touches the files
+    * whose range covers the prefix; on an uncorrelated layout it
+    * degrades to the full scan — correct either way. Returns
+    * (rows, filesRead, filesTotal).
+    */
+  def readIndexVersionPrunedPrefix(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, version: Int,
+                                   colName: String, prefix: String)
+      : (DataFrame, Int, Int) = {
+    require(prefix.nonEmpty, "readIndexVersionPrunedPrefix: empty prefix")
+    val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pEnd = prefixUpperBound(p)
+    val zones = readStringStats(spark, path, version, colName)
+    val files = readManifest(spark, path, version)
+    val keep = files.filter { f =>
+      zones.get(f).flatten match {
+        case None => true // no stats — unprunable, never wrong
+        case Some((lower, upperExcl)) =>
+          // query range [p, pEnd) ∩ file range [lower, upperExcl) ≠ ∅
+          upperExcl.forall(u => cmpU(p, u) < 0) &&
+            pEnd.forall(pe => cmpU(lower, pe) < 0)
+      }
+    }
+    val rows =
+      if (keep.isEmpty) readIndexVersion(spark, path, version).limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(keep.map(f => s"$path/$f"): _*)
+    (rows.filter(col(colName).startsWith(prefix)), keep.length, files.length)
+  }
+
   /** RE-CLUSTERING rewrite — the layout-maintenance op every
     * zone-mapped table eventually needs (the OPTIMIZE / Z-ORDER
     * maintenance design, public literature): compaction coalesces each

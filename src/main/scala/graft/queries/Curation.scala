@@ -3259,10 +3259,84 @@ object Curation {
       |  CAST(sum(vec_id) AS BIGINT) AS sum_head
       |FROM embeddings WHERE vec_id <> 0""".stripMargin
 
+  // ------------------------------------------- string prefix skipping
+
+  /** Staged source-clustered documents layout: range-partitioned on
+    * `(source, doc_id)` so each file covers a narrow contiguous slice
+    * of the source domain, committed with a truncated-bound STRING zone
+    * map. The partition-dir key is the post-shuffle partition id — the
+    * layout bucket, same role the centroid plays in the vector
+    * fixtures.
+    */
+  private[queries] def stageStrCluster(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): String =
+    Staging.cached(s"strcluster:$dir") { tmp =>
+      val docs = Tables.documents(s, dir)
+      val path = tmp.resolve("bysource").toString
+      docs.repartitionByRange(8, col("source"), col("doc_id"))
+        .withColumn("centroid", spark_partition_id())
+        .write.partitionBy("centroid").mode("overwrite").parquet(path)
+      VectorOps.writeManifest(s, path, 1,
+        VectorOps.listIndexFiles(s, path), Map("op" -> "append"))
+      VectorOps.writeStringStats(s, path, 1, "source")
+      path
+    }
+
+  /** String-prefix file skipping via truncated byte bounds — the
+    * Iceberg truncate-transform zone map (public): numeric zone maps
+    * (q_file_skipping) serve numeric ranges, but corpus curation prunes
+    * on STRINGS — source, domain, URL prefix, language tag. The
+    * committed sidecar carries 16-byte truncated bounds per file
+    * (lower = min's byte prefix; upper = max's truncated prefix
+    * incremented, an exclusive bound); a `LIKE 'p%'` read keeps only
+    * files whose bound range intersects `[p, p')` — all comparisons
+    * unsigned-byte order, matching parquet's binary stats. Audited:
+    *
+    *  - `parity`: the pruned read equals the full-scan startsWith
+    *    filter exactly;
+    *  - `pruned`: >0 but fewer than all files opened on the clustered
+    *    layout;
+    *  - `absent_zero` / `absent_all_pruned`: a prefix beyond the
+    *    domain reads zero rows and opens ZERO files — a miss costs one
+    *    sidecar read, not a corpus scan;
+    *  - `n_prefix` / `sum_prefix`: exact count and doc_id sum of the
+    *    prefix slice, hash-gated.
+    */
+  private val prefixSkippingQ: Q = (s, dir) => {
+    val path = stageStrCluster(s, dir)
+    val docs = Tables.documents(s, dir)
+    val (pruned, kept, total) =
+      VectorOps.readIndexVersionPrunedPrefix(s, path, 1, "source", "src1")
+    val (absent, keptA, _) =
+      VectorOps.readIndexVersionPrunedPrefix(s, path, 1, "source", "zzz")
+    val full = docs.filter(col("source").startsWith("src1"))
+      .select(col("doc_id"), col("source"))
+    val p = pruned.select(col("doc_id"), col("source"))
+    val nDiff = p.exceptAll(full).unionByName(full.exceptAll(p))
+      .agg(count(lit(1)).as("n_diff"))
+    val nAbsent = absent.count()
+    val stats = full.agg(count(lit(1)).as("n_prefix"),
+      sum(col("doc_id")).as("sum_prefix"))
+    nDiff.crossJoin(stats) // 1-row frames
+      .select(
+        (col("n_diff") === 0L).as("parity"),
+        lit(kept > 0 && kept < total).as("pruned"),
+        lit(nAbsent == 0L).as("absent_zero"),
+        lit(keptA == 0).as("absent_all_pruned"),
+        col("n_prefix"), col("sum_prefix"))
+  }
+  private val prefixSkippingSql =
+    """SELECT TRUE AS parity, TRUE AS pruned, TRUE AS absent_zero,
+      |  TRUE AS absent_all_pruned,
+      |  CAST(count(*) AS BIGINT) AS n_prefix,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_prefix
+      |FROM documents WHERE source LIKE 'src1%'""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("q_deletion_vector", dvDeleteQ, Some(dvDeleteSql)),
+    ("q_prefix_skipping", prefixSkippingQ, Some(prefixSkippingSql)),
     ("q_index_clone", indexCloneQ, Some(indexCloneSql)),
     ("q_index_wap", indexWapQ, Some(indexWapSql)),
     ("q_index_upsert", indexUpsertQ, Some(indexUpsertSql)),

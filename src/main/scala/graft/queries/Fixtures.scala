@@ -85,7 +85,9 @@ object Fixtures {
     "dup", "text", "bin",            // corpus dir re-encodes
     "json", "csv", "orc",            // format source re-encodes
     "stream", "videos", "audios",    // stream input dirs / binary fakes
-    "upsert", "ivmagg")              // small SCD/IVM parquet dirs
+    "upsert", "ivmagg",              // small SCD/IVM parquet dirs
+    "strcluster")                    // one range-shuffle write of the
+                                     // 5000-row documents table
 
   /** Names of the primed fixtures, in prime order (tested: every heavy
     * index stager must be listed here or its first timed rep pays the
