@@ -555,6 +555,112 @@ object Analytics {
       |FROM tf JOIN df USING (tok), st
       |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
 
+  // -------------------------------------- inverted index + pruned BM25
+
+  /** Staged inverted index over the documents corpus, committed with
+    * the versioned-manifest discipline: posting rows
+    * `(doc_id, dl, tok, tf)` — dl denormalized onto each posting so
+    * query-time scoring never joins back to the corpus — written
+    * partitioned by a 16-way term-hash bucket (the partition key a term
+    * lookup prunes on), with the corpus constants (N, total length) in
+    * the manifest meta. One tokenize + one shuffle on the term at build
+    * time; every later query reads only its terms' buckets.
+    */
+  private[queries] def stageInvIndex(s: SparkSession, dir: String)
+      : (String, Long, Long) =
+    graft.ops.Staging.cached(s"invindex:$dir") { tmp =>
+      val docs = Registry.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val Array(nd, tl) = docs.agg(count(lit(1)), sum(col("dl")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val path = tmp.resolve("inv").toString
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("centroid", pmod(xxhash64(col("tok")), lit(16)))
+        .repartition(col("centroid"))
+        .write.partitionBy("centroid").mode("overwrite").parquet(path)
+      VectorOps.writeManifest(s, path, 1,
+        VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append", "nd" -> nd.toString, "tl" -> tl.toString))
+      (path, nd, tl)
+    }
+
+  /** Conjunctive BM25 retrieval served ENTIRELY from a committed
+    * inverted index — the lexical sibling of the IVF serving path: at
+    * 100 TB you cannot tokenize the corpus per query, so the tokenize +
+    * term shuffle is paid ONCE at build time and a query touches only
+    * its terms' posting buckets (partition-pruned on the term-hash
+    * key; the corpus text is never read). df comes from the fetched
+    * postings themselves (each term's posting list is complete by
+    * construction), N and total-length from the manifest meta, dl rides
+    * the posting rows — so scoring needs nothing beyond the pruned
+    * read. Conjunctive AND semantics: only documents carrying ALL query
+    * terms survive (posting-list intersection via the grouped count).
+    * Same micro-rounded integer BM25 as q_bm25, so the oracle recomputes
+    * the identical result from the raw corpus — proving the index
+    * serves exactly what a corpus scan would. `pruned` gates that the
+    * plan actually read fewer buckets than the index holds.
+    */
+  private val invertedSearchQ: Q = (s, dir) => {
+    val (path, nd, tl) = stageInvIndex(s, dir)
+    val terms = Seq("spark", "merge", "filter")
+    // bucket ids of the query terms — 3-row driver-side arithmetic with
+    // the SAME hash the writer used
+    val buckets = s.createDataFrame(terms.map(Tuple1(_))).toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(16)).as("b"))
+      .collect().map(_.getLong(0).toInt).distinct.toSeq
+    val post = VectorOps.readIndexVersion(s, path, 1)
+      .filter(col("centroid").isin(buckets: _*) &&
+        col("tok").isin(terms: _*))
+    import org.apache.spark.sql.expressions.Window
+    val tf = post
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val idf = log((lit(nd).cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+        lit(nd).cast("double") / lit(tl).cast("double"))
+    tf.select(col("doc_id"),
+        round(lit(1e6) * idf * col("tf").cast("double") * lit(2.2) / denom)
+          .cast("long").as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("bm25_micro"), count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.length) // conjunctive AND
+      .withColumn("pruned", lit(buckets.length < 16))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+  private val invertedSearchSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+      |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+      |  WHERE tok IN ('spark', 'merge', 'filter')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+      |SELECT doc_id,
+      |  CAST(sum(CAST(round(
+      |    CAST(1e6 AS DOUBLE) *
+      |    ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) /
+      |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |       + CAST(1.0 AS DOUBLE)) *
+      |    CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+      |    (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |     (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+      |      CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(tl AS DOUBLE))))
+      |    AS BIGINT)) AS BIGINT) AS bm25_micro,
+      |  CAST(count(*) AS BIGINT) AS n_terms,
+      |  TRUE AS pruned
+      |FROM tf JOIN df USING (tok), st
+      |GROUP BY doc_id HAVING count(*) = 3
+      |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------ bigram LM perplexity
 
   /** Per-document average log-probability under an add-1-smoothed
@@ -1222,6 +1328,7 @@ object Analytics {
     ("q_cohort_retention", cohortRetentionQ, Some(cohortRetentionSql)),
     ("q_time_decay", timeDecayQ, Some(timeDecaySql)),
     ("q_bm25", bm25Q, Some(bm25Sql)),
+    ("q_inverted_search", invertedSearchQ, Some(invertedSearchSql)),
     ("q_bigram_lm", bigramLmQ, Some(bigramLmSql)),
     ("q_bootstrap_ci", bootstrapCiQ, Some(bootstrapCiSql)),
     ("q_stream_static", streamStaticQ, Some(streamStaticSql)),

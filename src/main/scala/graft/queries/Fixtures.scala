@@ -67,6 +67,8 @@ object Fixtures {
     "occcommit" -> ((s, d) => { Curation.stageOccCommit(s, d); () }),
     "dvdelete" -> ((s, d) => { Curation.stageDvDelete(s, d); () }),
     "wap" -> ((s, d) => { Curation.stageWap(s, d); () }),
+    // one corpus tokenize + term shuffle + 16-bucket partitioned write
+    "invindex" -> ((s, d) => { Analytics.stageInvIndex(s, d); () }),
     "ckptlog" -> ((s, d) => { Curation.stageCkpt(s, d); () }),
     "logretention" -> ((s, d) => { Curation.stageLogRetention(s, d); () })
   )

@@ -192,6 +192,21 @@ class PlanSpec extends SparkSpec {
       l.contains("simhash_md5") && l.contains("*(")), sim)
   }
 
+  test("inverted-index search scans only the query terms' posting " +
+      "buckets (PartitionFilters on the term-hash key)") {
+    val df = Analytics.queries("q_inverted_search")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the bucket IN-list must be directory pruning on the posting scan,
+    // not a post-scan data filter — at scale it is the difference
+    // between reading 3 buckets and re-reading the whole posting index
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(pf.exists(_.contains("centroid")), p)
+    // and the corpus text is nowhere in the plan: the scan reads the
+    // posting schema, never the documents table
+    assert(!p.contains("text#"), p)
+    assert(df.count() > 0)
+  }
+
   test("IVF probe is a partition-pruned scan (PartitionFilters on centroid)") {
     val df = Registry.queries("q_ann_ivf")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
