@@ -1769,6 +1769,48 @@ object VectorOps {
 
   // ------------------------------------------------ copy-on-write upsert
 
+  /** Stage `df` assigned under the frozen coarse quantizer and rename
+    * its files into the `centroid=` directories under DETERMINISTIC
+    * `tag-{i}.parquet` names — the shared landing step of every
+    * copy-on-write writer ([[ivfUpsert]], [[ivfMerge]]): nothing staged
+    * here is visible until the caller's manifest create commits, and a
+    * crashed attempt's leftovers are overwritten (never duplicated) by
+    * the retry because the names are deterministic. Returns the landed
+    * relpaths in partition-then-index order.
+    */
+  private def stageAssignedFiles(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, df: DataFrame,
+                                 centroids: Array[Array[Double]],
+                                 idCol: String, vecCol: String,
+                                 tag: String, stageRel: String): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    df.select(col(idCol), col(vecCol),
+        ivfAssign(col(vecCol), centroids).as("centroid"))
+      .write.partitionBy("centroid").mode("overwrite")
+      .parquet(s"$path/$stageRel")
+    val landed = scala.collection.mutable.ArrayBuffer[String]()
+    fs.listStatus(new HPath(path, stageRel))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
+      .sortBy(_.getPath.getName)
+      .foreach { part =>
+        val files = fs.listStatus(part.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        fs.mkdirs(new HPath(path, part.getPath.getName))
+        files.zipWithIndex.foreach { case (f, i) =>
+          val rel = s"${part.getPath.getName}/$tag-$i.parquet"
+          val dst = new HPath(path, rel)
+          fs.delete(dst, false) // crash leftover: never committed
+          require(fs.rename(f.getPath, dst), s"rename to $dst failed")
+          landed += rel
+        }
+      }
+    fs.delete(new HPath(path, stageRel), true)
+    landed.toSeq
+  }
+
   /** Row-level upsert as ONE atomic commit — the reference's own
     * operation (`utils/upload_data_to_pinecone.py:60-83` upserts
     * re-embedded rows by id): rows in `updates` REPLACE existing rows
@@ -1805,35 +1847,12 @@ object VectorOps {
                 vecCol: String,
                 extraMeta: Map[String, String] = Map.empty)
       : (Int, Long, Long) = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val fs = new HPath(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     // land the assigned batch under deterministic upsert-tagged names
     // (same stage-then-rename discipline as ivfAppendBatch: nothing is
     // visible until the manifest below commits)
-    val stageRel = s"_staging/upsert_$toVersion"
-    updates.select(col(idCol), col(vecCol),
-        ivfAssign(col(vecCol), centroids).as("centroid"))
-      .write.partitionBy("centroid").mode("overwrite")
-      .parquet(s"$path/$stageRel")
     val newFiles = scala.collection.mutable.ArrayBuffer[String]()
-    fs.listStatus(new HPath(path, stageRel))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
-      .sortBy(_.getPath.getName)
-      .foreach { part =>
-        val files = fs.listStatus(part.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName)
-        fs.mkdirs(new HPath(path, part.getPath.getName))
-        files.zipWithIndex.foreach { case (f, i) =>
-          val rel = s"${part.getPath.getName}/upsert$toVersion-$i.parquet"
-          val dst = new HPath(path, rel)
-          fs.delete(dst, false) // crash leftover: never committed
-          require(fs.rename(f.getPath, dst), s"rename to $dst failed")
-          newFiles += rel
-        }
-      }
-    fs.delete(new HPath(path, stageRel), true)
+    newFiles ++= stageAssignedFiles(spark, path, updates, centroids,
+      idCol, vecCol, s"upsert$toVersion", s"_staging/upsert_$toVersion")
     // everything downstream reads the STAGED bytes, not the caller's
     // plan: `updates` may be an arbitrarily expensive computation (a
     // re-embedding join, a streaming micro-batch) and is consumed exactly
@@ -2659,5 +2678,172 @@ object VectorOps {
       readManifest(spark, path, restoreTo),
       carried ++ Map("op" -> "restore", "restore_of" -> restoreTo.toString))
     head + 1
+  }
+
+  // ------------------------------------- metadata-only aggregates
+
+  /** Result of a metadata-answerable aggregate probe:
+    * `servedFromMeta` says whether the numbers came from sidecars alone
+    * (zero data files, zero footers opened) or from the fallback scan.
+    */
+  final case class MetaAgg(nRows: Long, min: Long, max: Long,
+                           servedFromMeta: Boolean)
+
+  /** Answer `count(*)` / `min(col)` / `max(col)` for a pinned version
+    * WITHOUT opening a single data file — the lakehouse metadata-only
+    * query (Delta/Iceberg/Snowflake answer `SELECT count(*)` from
+    * snapshot statistics; public design): the row count sums the
+    * commit-time `.stats` sidecar ([[writeStats]]) and min/max fold the
+    * `.colstats` zone map ([[writeColStats]]). Two sidecar reads total —
+    * at 100 TB the difference between a dashboard probe and a corpus
+    * scan.
+    *
+    * HONESTY RULE — a metadata answer is served ONLY when it is provably
+    * exact, and the caller is told which path ran:
+    *  - pending tombstones (a `deletes` manifest pointer) make footer
+    *    counts an overcount and zone bounds possibly stale (the extremal
+    *    row may be the deleted one — tombstone ids are not even
+    *    guaranteed to match rows, so no metadata correction exists);
+    *  - a missing `.stats` / `.colstats` sidecar, a file absent from the
+    *    zone map, or a file whose zones are the unprunable sentinel
+    *    leave metadata unable to answer;
+    *  in every such case the call FALLS BACK to the tombstone-applied
+    *  scan and says so (`servedFromMeta = false`) — a fast wrong answer
+    *  is a bug, and a silent scan behind a "metadata" API misprices the
+    *  caller's query. This mirrors the stats-only restrictions every
+    *  lakehouse documents (deletion vectors disable metadata counts).
+    */
+  def metaAgg(spark: org.apache.spark.sql.SparkSession, path: String,
+              version: Int, colName: String, idCol: String): MetaAgg = {
+    val meta = readManifestMeta(spark, path, version)
+    val files = readManifest(spark, path, version)
+    val fromMeta: Option[(Long, Long, Long)] =
+      if (meta.contains("deletes") || files.isEmpty) None
+      else try {
+        val counts = readStats(spark, path, version)
+        val zones = readColStats(spark, path, version, colName)
+        val answerable = files.forall { f =>
+          counts.contains(f) && zones.get(f).exists(
+            _ != (Long.MinValue, Long.MaxValue))
+        }
+        if (!answerable) None
+        else Some((files.map(counts).sum,
+          files.map(f => zones(f)._1).min,
+          files.map(f => zones(f)._2).max))
+      } catch { case _: java.io.IOException => None } // sidecar missing
+    fromMeta match {
+      case Some((n, mn, mx)) => MetaAgg(n, mn, mx, servedFromMeta = true)
+      case None =>
+        val r = readIndexVersionMor(spark, path, version, idCol)
+          .agg(count(lit(1)), min(col(colName).cast("long")),
+            max(col(colName).cast("long"))).head()
+        MetaAgg(r.getLong(0), r.getLong(1), r.getLong(2),
+          servedFromMeta = false)
+    }
+  }
+
+  // ----------------------------------------------- three-clause MERGE
+
+  /** Full three-clause MERGE as ONE atomic commit — the statement every
+    * lakehouse user writes (`MERGE INTO target USING source ON
+    * target.id = source.id WHEN MATCHED AND <deleteCond> THEN DELETE
+    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`;
+    * Delta/Iceberg MERGE contract, public design). [[ivfUpsert]] covers
+    * the two-clause upsert; the delete clause is what it cannot compose
+    * (a delete commit followed by an upsert commit exposes readers to
+    * the in-between state — MERGE's whole point is that one manifest
+    * create lands all three effects together).
+    *
+    * Source rows are STAGED FIRST in one pass (`source` may be an
+    * arbitrarily expensive plan — a re-embedding join, a micro-batch —
+    * and is consumed exactly once); every later step reads the staged
+    * bytes. Duplicate source ids are refused loudly (the "multiple
+    * source rows matched" error every MERGE implementation raises —
+    * applying two clauses to one target row is undefined). Clause
+    * semantics on the staged rows, with `deleteCond` evaluated
+    * null-as-false:
+    *  - matched ∧ deleteCond   → row removed (copy-on-write purge);
+    *  - matched ∧ ¬deleteCond  → row replaced with the source vector;
+    *  - unmatched ∧ ¬deleteCond → row inserted;
+    *  - unmatched ∧ deleteCond  → no-op (DELETE only fires on a match).
+    *
+    * Copy-on-write like the upsert: hot partitions are those PHYSICALLY
+    * holding a touched id (batch-sized broadcast semi-join); each is
+    * rewritten dropping every touched id; insert/update rows land as
+    * new files; ONE manifest commits removes+replaces+inserts together.
+    * Pending tombstones carry forward minus the upserted ids
+    * (resurrection by intent); matched deletes need no new tombstones —
+    * they are physically gone from the rewritten partitions. Rewrites
+    * remove files, so this path is single-writer like [[ivfUpsert]]
+    * (the duplicate-version refusal keeps a race loud). Cost: the
+    * source's bytes + the hot partitions' bytes; a source of brand-new
+    * ids degenerates to a pure append.
+    *
+    * Returns (partitionsRewritten, nUpdated, nDeleted, nInserted) —
+    * matched-visible updates, matched-visible deletes, and true inserts
+    * (staged upsert rows minus matched), each exact.
+    */
+  def ivfMerge(spark: org.apache.spark.sql.SparkSession, path: String,
+               fromVersion: Int, toVersion: Int, source: DataFrame,
+               deleteCond: Column, centroids: Array[Array[Double]],
+               idCol: String, vecCol: String,
+               extraMeta: Map[String, String] = Map.empty)
+      : (Int, Long, Long, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // ONE pass over the caller's plan: stage (id, vec, delete-flag)
+    val srcRel = s"_staging/merge_src_$toVersion"
+    source.select(col(idCol), col(vecCol),
+        coalesce(deleteCond, lit(false)).as("__del"))
+      .write.mode("overwrite").parquet(s"$path/$srcRel")
+    val staged = spark.read.parquet(s"$path/$srcRel")
+    val (nSrc, nSrcIds) = {
+      val r = staged.agg(count(lit(1)), countDistinct(col(idCol))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nSrc == nSrcIds,
+      s"ivfMerge: duplicate source ids (${nSrc - nSrcIds} extra rows) — " +
+        "applying two MERGE clauses to one target row is undefined")
+    val delIds = broadcast(staged.filter(col("__del"))
+      .select(col(idCol)).distinct())
+    val upsRows = staged.filter(!col("__del")).select(col(idCol), col(vecCol))
+    val upsIds = broadcast(staged.filter(!col("__del"))
+      .select(col(idCol)).distinct())
+    // land the insert/update rows as new files (nothing visible yet)
+    val newFiles = stageAssignedFiles(spark, path, upsRows, centroids,
+      idCol, vecCol, s"merge$toVersion", s"_staging/merge_$toVersion")
+    val visible = readIndexVersionMor(spark, path, fromVersion, idCol)
+    val nUpdated = visible.join(upsIds, Seq(idCol), "left_semi").count()
+    val nDeleted = visible.join(delIds, Seq(idCol), "left_semi").count()
+    val nInserted = upsRows.count() - nUpdated
+    // hot partitions over the PHYSICAL read (a tombstoned row being
+    // re-inserted is invisible but on disk — its stale bytes must go)
+    val touched = broadcast(staged.select(col(idCol)).distinct())
+    val hot = readIndexVersion(spark, path, fromVersion)
+      .join(touched, Seq(idCol), "left_semi")
+      .groupBy(col("centroid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => s"centroid=${r.get(0)}").toSet
+    // pending tombstones carry forward minus the UPSERTED ids (the new
+    // row must not be subtracted); matched deletes are physical
+    val meta = readDeletes(spark, path, fromVersion) match {
+      case None => Map("op" -> "merge")
+      case Some(d) =>
+        val kept = d.select(col("vid"))
+          .join(upsIds.select(col(idCol).as("vid")), Seq("vid"), "left_anti")
+        if (kept.isEmpty) Map("op" -> "merge")
+        else {
+          val rel = s"_deletes/v$toVersion"
+          kept.coalesce(1).write.mode("overwrite").parquet(s"$path/$rel")
+          Map("op" -> "merge", "deletes" -> rel)
+        }
+    }
+    val (rewritten, _, _) =
+      rewriteVersioned(spark, path, fromVersion, toVersion, "merged",
+        carryMeta = meta ++ extraMeta, extraFiles = newFiles) {
+        (part, _) => hot.contains(part)
+      } { df => df.join(touched, Seq(idCol), "left_anti") }
+    fs.delete(new HPath(path, srcRel), true)
+    (rewritten, nUpdated, nDeleted, nInserted)
   }
 }

@@ -2707,6 +2707,7 @@ object Curation {
       VectorOps.writeManifest(s, path, 1,
         VectorOps.listIndexFiles(s, path), Map("op" -> "append"))
       VectorOps.writeColStats(s, path, 1, "vec_id")
+      VectorOps.writeStats(s, path, 1) // row counts: q_meta_agg's count(*)
       // fpp 1e-6 (~29 bits/row): across the ~64 files here the absent
       // probe's P(any false positive) stays ~1e-4, so absent_all_pruned
       // is a stable gate; at 1e-3 a deterministic FP actually surfaced
@@ -3332,6 +3333,192 @@ object Curation {
       |  CAST(sum(doc_id) AS BIGINT) AS sum_prefix
       |FROM documents WHERE source LIKE 'src1%'""".stripMargin
 
+  // -------------------------------------------- metadata-only aggregates
+
+  /** Metadata-only `count(*)` / `min` / `max` — [[VectorOps.metaAgg]]
+    * answers from the commit-time `.stats` + `.colstats` sidecars alone
+    * (the lakehouse metadata-only query: Delta/Iceberg/Snowflake answer
+    * `SELECT count(*)` from snapshot statistics, public design) —
+    * TWO sidecar reads, zero data files, zero footers, at any corpus
+    * size. Probed on both sides of the honesty rule:
+    *
+    *  - the clean clustered v1 (no tombstones, full sidecars) is SERVED
+    *    FROM METADATA (`served_meta`), and `parity_clean` gates the
+    *    metadata numbers against the actual scan — fast AND right;
+    *  - the timeline's v3 carries pending tombstones, which make footer
+    *    counts an overcount and zone bounds possibly stale (tombstone
+    *    ids aren't even guaranteed to match rows — no metadata
+    *    correction exists), so the call FALLS BACK to the
+    *    tombstone-applied scan and says so (`fallback_scan`) — the
+    *    stats-only restriction every lakehouse documents for deletion
+    *    vectors;
+    *  - all six numbers cross the hash gate against the oracle's slice
+    *    arithmetic.
+    */
+  private val metaAggQ: Q = (s, dir) => {
+    val (cpath, _) = stageClustered(s, dir)
+    val tpath = stageTimeline(s, dir)
+    val clean = VectorOps.metaAgg(s, cpath, 1, "vec_id", "vec_id")
+    val tomb = VectorOps.metaAgg(s, tpath, 3, "vec_id", "vec_id")
+    val scanParity = VectorOps.readIndexVersionMor(s, cpath, 1, "vec_id")
+      .agg(count(lit(1)).as("sn"), min(col("vec_id")).as("smn"),
+        max(col("vec_id")).as("smx"))
+      .select((col("sn") === clean.nRows && col("smn") === clean.min &&
+        col("smx") === clean.max).as("parity_clean"))
+    scanParity.select( // 1-row frame
+      lit(clean.servedFromMeta).as("served_meta"),
+      lit(!tomb.servedFromMeta).as("fallback_scan"),
+      col("parity_clean"),
+      lit(clean.nRows).as("n_clean"), lit(clean.min).as("min_clean"),
+      lit(clean.max).as("max_clean"),
+      lit(tomb.nRows).as("n_tomb"), lit(tomb.min).as("min_tomb"),
+      lit(tomb.max).as("max_tomb"))
+  }
+  private val metaAggSql =
+    """SELECT TRUE AS served_meta, TRUE AS fallback_scan,
+      |  TRUE AS parity_clean,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_clean,
+      |  CAST((SELECT min(vec_id) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS min_clean,
+      |  CAST((SELECT max(vec_id) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS max_clean,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT) AS n_tomb,
+      |  CAST((SELECT min(vec_id) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT) AS min_tomb,
+      |  CAST((SELECT max(vec_id) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT)
+      |    AS max_tomb""".stripMargin
+
+  // ----------------------------------------------- three-clause MERGE
+
+  /** Staged MERGE fixture:
+    *
+    *  v1  index over B = (vec_id ≠ 0 ∧ %4 ≠ 0)
+    *  v2  logical delete of T = (B ∧ %9 = 2) — pending tombstones the
+    *      merge must carry/resurrect correctly
+    *  v3  ONE [[VectorOps.ivfMerge]] commit with
+    *      source = (vec_id ≠ 0 ∧ %6 ∈ {1, 3}), %6=1 rows re-embedded
+    *      (+1.0f) with delete-clause false, %6=3 rows flagged delete —
+    *      exercising all four clause outcomes at once: matched update,
+    *      matched delete, unmatched insert, unmatched-delete no-op
+    *      (plus tombstone resurrection: a T id in the %6=1 slice).
+    *
+    * Returns (path, (partsRewritten, nUpdated, nDeleted, nInserted)).
+    */
+  private[queries] def stageMerge(s: org.apache.spark.sql.SparkSession,
+                                  dir: String)
+      : (String, (Int, Long, Long, Long)) =
+    Staging.cached(s"mergeidx:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("mergeidx").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append"))
+      VectorOps.commitDeletes(s, path, 1, 2,
+        base.filter(col("vec_id") % 9 === 2).select(col("vec_id")))
+      val source = emb
+        .filter(col("vec_id") % 6 === 1 || col("vec_id") % 6 === 3)
+        .select(col("vec_id"),
+          when(col("vec_id") % 6 === 1,
+            transform(col("embedding"), x => x + lit(1.0f)))
+            .otherwise(col("embedding")).as("embedding"))
+      val res = VectorOps.ivfMerge(s, path, 2, 3, source,
+        col("vec_id") % 6 === 3, idx.centroids, "vec_id", "embedding")
+      (path, res)
+    }
+
+  /** Full three-clause MERGE as ONE atomic commit —
+    * [[VectorOps.ivfMerge]] is the statement every lakehouse user
+    * writes (`WHEN MATCHED AND cond THEN DELETE / WHEN MATCHED THEN
+    * UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`; Delta/Iceberg
+    * MERGE contract, public design). The upsert (q_index_upsert) covers
+    * two clauses; the delete clause is what it cannot compose — a
+    * delete commit followed by an upsert commit exposes readers to the
+    * in-between state, while MERGE's one manifest create lands removes,
+    * replaces and inserts together. Audited on a fixture exercising all
+    * four clause outcomes against pending tombstones:
+    *
+    *  - `union_exact`: v3 serves EXACTLY ((B ∖ T ∖ S₃ ∖ S₁) ∪ S₁) with
+    *    S₁ re-embedded (+1.0f) and survivors bit-intact — matched
+    *    updates replaced, matched deletes gone, inserts landed,
+    *    unmatched deletes a no-op, tombstoned-then-merged ids
+    *    resurrected with the NEW content, everything in one pass of
+    *    symmetric exceptAll;
+    *  - `pinned_intact`: v2 read after the merge still serves the
+    *    pre-merge state (row count unchanged) — time travel unaffected
+    *    by the copy-on-write;
+    *  - `atomic_commit`: the whole merge landed as exactly one new
+    *    version (the log is v1..v3);
+    *  - `counts_exact`: the commit's own audit numbers (updated,
+    *    deleted, inserted) equal the slice cardinalities;
+    *  - `n_upd` / `n_del` / `n_ins` / `n_v3`: exact, hash-gated against
+    *    the oracle's modular arithmetic.
+    */
+  private val indexMergeQ: Q = (s, dir) => {
+    val (path, res) = stageMerge(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val expectKeep = emb.filter(col("vec_id") % 4 =!= 0 &&
+        col("vec_id") % 9 =!= 2 &&
+        col("vec_id") % 6 =!= 1 && col("vec_id") % 6 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+    val expectUps = emb.filter(col("vec_id") % 6 === 1)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+    val expected = expectKeep.unionByName(expectUps)
+    val v3 = VectorOps.readIndexVersionMor(s, path, 3, "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val nDiff = v3.exceptAll(expected).unionByName(expected.exceptAll(v3))
+      .agg(count(lit(1)).as("n_diff"))
+    val nPinned = VectorOps.readIndexVersionMor(s, path, 2, "vec_id")
+      .agg(count(lit(1)).as("n_pinned"))
+    val nVis2 = emb.filter(col("vec_id") % 4 =!= 0 &&
+        col("vec_id") % 9 =!= 2)
+      .agg(count(lit(1)).as("n_vis2"))
+    val nUpd = emb.filter(col("vec_id") % 4 =!= 0 &&
+        col("vec_id") % 9 =!= 2 && col("vec_id") % 6 === 1)
+      .agg(count(lit(1)).as("n_upd"))
+    val nDel = emb.filter(col("vec_id") % 4 =!= 0 &&
+        col("vec_id") % 9 =!= 2 && col("vec_id") % 6 === 3)
+      .agg(count(lit(1)).as("n_del"))
+    val nS1 = emb.filter(col("vec_id") % 6 === 1)
+      .agg(count(lit(1)).as("n_s1"))
+    val nV3 = expected.agg(count(lit(1)).as("n_v3"))
+    val atomic = VectorOps.listVersions(s, path) == Seq(1, 2, 3)
+    nDiff.crossJoin(nPinned).crossJoin(nVis2).crossJoin(nUpd) // 1-row frames
+      .crossJoin(nDel).crossJoin(nS1).crossJoin(nV3)
+      .select(
+        (col("n_diff") === 0L).as("union_exact"),
+        (col("n_pinned") === col("n_vis2")).as("pinned_intact"),
+        lit(atomic).as("atomic_commit"),
+        (lit(res._2) === col("n_upd") && lit(res._3) === col("n_del") &&
+          lit(res._4) === col("n_s1") - col("n_upd")).as("counts_exact"),
+        col("n_upd"), col("n_del"),
+        (col("n_s1") - col("n_upd")).as("n_ins"), col("n_v3"))
+  }
+  private val indexMergeSql =
+    """SELECT TRUE AS union_exact, TRUE AS pinned_intact,
+      |  TRUE AS atomic_commit, TRUE AS counts_exact,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 4 <> 0 AND vec_id % 9 <> 2
+      |          AND vec_id % 6 = 1) AS BIGINT) AS n_upd,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 4 <> 0 AND vec_id % 9 <> 2
+      |          AND vec_id % 6 = 3) AS BIGINT) AS n_del,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0
+      |          AND vec_id % 6 = 1) AS BIGINT)
+      |    - CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 4 <> 0 AND vec_id % 9 <> 2
+      |          AND vec_id % 6 = 1) AS BIGINT) AS n_ins,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND ((vec_id % 4 <> 0 AND vec_id % 9 <> 2
+      |          AND vec_id % 6 <> 1 AND vec_id % 6 <> 3)
+      |          OR vec_id % 6 = 1)) AS BIGINT) AS n_v3""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -3340,6 +3527,8 @@ object Curation {
     ("q_index_clone", indexCloneQ, Some(indexCloneSql)),
     ("q_index_wap", indexWapQ, Some(indexWapSql)),
     ("q_index_upsert", indexUpsertQ, Some(indexUpsertSql)),
+    ("q_index_merge", indexMergeQ, Some(indexMergeSql)),
+    ("q_meta_agg", metaAggQ, Some(metaAggSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),

@@ -70,7 +70,9 @@ object Fixtures {
     // one corpus tokenize + term shuffle + 16-bucket partitioned write
     "invindex" -> ((s, d) => { Analytics.stageInvIndex(s, d); () }),
     "ckptlog" -> ((s, d) => { Curation.stageCkpt(s, d); () }),
-    "logretention" -> ((s, d) => { Curation.stageLogRetention(s, d); () })
+    "logretention" -> ((s, d) => { Curation.stageLogRetention(s, d); () }),
+    // full IVF build + tombstone commit + three-clause merge rewrite
+    "mergeidx" -> ((s, d) => { Curation.stageMerge(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

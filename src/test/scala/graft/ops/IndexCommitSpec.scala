@@ -651,4 +651,113 @@ class IndexCommitSpec extends SparkSpec {
       assert(span.inputFiles.length == 2)
     } finally rmrf(dir)
   }
+
+  test("metaAgg: sidecar-served on a clean version, scan-fallback on " +
+      "tombstones and on missing sidecars — never fast AND wrong") {
+    val (dir, path, _) = freshIndex("metaagg")
+    try {
+      // no sidecars yet: metadata cannot answer → fallback, still exact
+      val scan = VectorOps.readIndexVersion(spark, path, 1)
+        .agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
+      val noSidecar = VectorOps.metaAgg(spark, path, 1, "vec_id", "vec_id")
+      assert(!noSidecar.servedFromMeta)
+      assert((noSidecar.nRows, noSidecar.min, noSidecar.max) ==
+        (scan.getLong(0), scan.getLong(1), scan.getLong(2)))
+      // sidecars committed: served from metadata, same exact numbers
+      VectorOps.writeStats(spark, path, 1)
+      VectorOps.writeColStats(spark, path, 1, "vec_id")
+      val served = VectorOps.metaAgg(spark, path, 1, "vec_id", "vec_id")
+      assert(served.servedFromMeta)
+      assert((served.nRows, served.min, served.max) ==
+        (noSidecar.nRows, noSidecar.min, noSidecar.max))
+      // tombstones poison footer counts AND zone bounds: delete the
+      // current MAX row, then ask again — metadata would overcount and
+      // report the stale max; the call must fall back and be right
+      VectorOps.commitDeletes(spark, path, 1, 2,
+        embs.filter(col("vec_id") === served.max).select(col("vec_id")))
+      VectorOps.writeStats(spark, path, 2)
+      VectorOps.writeColStats(spark, path, 2, "vec_id")
+      val tomb = VectorOps.metaAgg(spark, path, 2, "vec_id", "vec_id")
+      assert(!tomb.servedFromMeta, "tombstoned versions must not be " +
+        "served from metadata — the counts and bounds are stale")
+      assert(tomb.nRows == served.nRows - 1)
+      assert(tomb.max < served.max, "the deleted extremal row must be " +
+        "gone from the answer")
+    } finally rmrf(dir)
+  }
+
+  test("ivfMerge: all four clause outcomes in ONE commit — matched " +
+      "update, matched delete, unmatched insert, unmatched-delete no-op " +
+      "— with tombstone resurrection and pinned history intact") {
+    val (dir, path, cents) = freshIndex("merge")
+    try {
+      // base = %5 != 2; tombstone the %11 == 4 slice first
+      VectorOps.commitDeletes(spark, path, 1, 2,
+        embs.filter(col("vec_id") % 5 =!= 2 && col("vec_id") % 11 === 4)
+          .select(col("vec_id")))
+      // source: %3==1 rows re-embedded (update/insert/resurrect),
+      // %3==2 rows delete-flagged (matched delete / unmatched no-op)
+      val source = embs
+        .filter(col("vec_id") % 3 === 1 || col("vec_id") % 3 === 2)
+        .select(col("vec_id"),
+          when(col("vec_id") % 3 === 1,
+            transform(col("embedding"), x => x + lit(1.0f)))
+            .otherwise(col("embedding")).as("embedding"))
+      val (parts, nUpd, nDel, nIns) = VectorOps.ivfMerge(spark, path, 2, 3,
+        source, col("vec_id") % 3 === 2, cents, "vec_id", "embedding")
+      val vis2 = embs.filter(col("vec_id") % 5 =!= 2 &&
+        col("vec_id") % 11 =!= 4)
+      assert(nUpd == vis2.filter(col("vec_id") % 3 === 1).count())
+      assert(nDel == vis2.filter(col("vec_id") % 3 === 2).count())
+      assert(nIns == embs.filter(col("vec_id") % 3 === 1).count() - nUpd)
+      assert(parts > 0)
+      // final state: (visible2 minus touched) union (all %3==1, +1.0f)
+      val expected = vis2.filter(col("vec_id") % 3 =!= 1 &&
+          col("vec_id") % 3 =!= 2)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(embs.filter(col("vec_id") % 3 === 1)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x + lit(1.0f)).as("embedding")))
+      val v3 = VectorOps.readIndexVersionMor(spark, path, 3, "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      assert(v3.exceptAll(expected).isEmpty && expected.exceptAll(v3).isEmpty,
+        "the merged HEAD must be exactly keep ∪ re-embedded")
+      // a resurrected id (tombstoned at v2, %3==1) is visible again with
+      // the NEW content
+      val res = embs.filter(col("vec_id") % 5 =!= 2 &&
+          col("vec_id") % 11 === 4 && col("vec_id") % 3 === 1)
+        .select(col("vec_id")).limit(1).collect()
+      if (res.nonEmpty) {
+        val rid = res.head.getLong(0)
+        assert(v3.filter(col("vec_id") === rid).count() == 1,
+          s"tombstoned id $rid merged with the update clause must resurrect")
+      }
+      // pinned v2 still serves the pre-merge state
+      assert(VectorOps.readIndexVersionMor(spark, path, 2, "vec_id").count()
+        == vis2.count())
+      // one new version only — the three clauses never split into commits
+      assert(VectorOps.listVersions(spark, path) == Seq(1, 2, 3))
+    } finally rmrf(dir)
+  }
+
+  test("ivfMerge: duplicate source ids are refused loudly (the " +
+      "multiple-source-rows-matched error), and a brand-new-ids source " +
+      "degenerates to a pure append (zero partitions rewritten)") {
+    val (dir, path, cents) = freshIndex("mergedup")
+    try {
+      val one = embs.filter(col("vec_id") % 5 =!= 2).limit(1)
+      intercept[IllegalArgumentException] {
+        VectorOps.ivfMerge(spark, path, 1, 2, one.unionAll(one),
+          lit(false), cents, "vec_id", "embedding")
+      }
+      // brand-new ids only: nothing matched, nothing rewritten
+      val fresh = embs.filter(col("vec_id") % 5 === 2)
+      val (parts, nUpd, nDel, nIns) = VectorOps.ivfMerge(spark, path, 1, 2,
+        fresh, lit(false), cents, "vec_id", "embedding")
+      assert(parts == 0 && nUpd == 0L && nDel == 0L)
+      assert(nIns == fresh.count())
+      assert(VectorOps.readIndexVersion(spark, path, 2).count() ==
+        embs.count())
+    } finally rmrf(dir)
+  }
 }
