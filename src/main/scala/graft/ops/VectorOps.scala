@@ -2742,6 +2742,59 @@ object VectorOps {
     }
   }
 
+  // ------------------------------------- commit-time CHECK constraints
+
+  /** Violation counts for named CHECK constraints over STAGED files —
+    * one scan of only the staged bytes (never the corpus), all
+    * constraints folded into a single aggregate pass. SQL-standard CHECK
+    * semantics: a row violates a constraint iff the expression evaluates
+    * to FALSE — a NULL result satisfies (NOT NULL is therefore an
+    * explicit constraint, `col.isNotNull`, exactly as every SQL engine
+    * requires it to be).
+    */
+  def checkConstraints(spark: org.apache.spark.sql.SparkSession,
+                       path: String, files: Seq[String],
+                       constraints: Seq[(String, Column)])
+      : Map[String, Long] = {
+    require(constraints.nonEmpty, "checkConstraints: need a constraint")
+    if (files.isEmpty) return constraints.map(_._1 -> 0L).toMap
+    val staged = spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+    val aggs = constraints.map { case (name, cond) =>
+      sum(when(coalesce(cond.cast("boolean"), lit(true)), 0L)
+        .otherwise(1L)).as(name) }
+    val r = staged.agg(aggs.head, aggs.tail: _*).head()
+    constraints.zipWithIndex
+      .map { case ((name, _), i) => name -> r.getLong(i) }.toMap
+  }
+
+  /** [[commitFilesOcc]] gated by CHECK constraints — the write-side
+    * validation every governed table needs (the Delta CHECK-constraint /
+    * NOT-NULL enforcement design, public): the staged files are
+    * validated in ONE scan BEFORE the manifest create, and a violation
+    * REFUSES the commit loudly (IllegalStateException naming each failed
+    * constraint with its exact row count) — the staged files stay
+    * unreferenced and invisible (no manifest lists them; vacuum reclaims
+    * them like any crashed append), so a reader can never observe a row
+    * that failed its table's invariants. Validation cost ∝ the BATCH's
+    * bytes: the corpus is never re-scanned, which is what makes
+    * commit-time enforcement affordable at 100 TB — the alternative
+    * (audit after commit) leaves a window where bad rows serve.
+    */
+  def commitFilesChecked(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newFiles: Seq[String],
+                         constraints: Seq[(String, Column)],
+                         meta: Map[String, String] = Map.empty): OccCommit = {
+    val violations = checkConstraints(spark, path, newFiles, constraints)
+      .filter(_._2 > 0L)
+    if (violations.nonEmpty)
+      throw new IllegalStateException(
+        "commit refused — CHECK constraint violations: " +
+          violations.toSeq.sortBy(_._1)
+            .map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+    commitFilesOcc(spark, path, newFiles, meta)
+  }
+
   // ----------------------------------------------- three-clause MERGE
 
   /** Full three-clause MERGE as ONE atomic commit — the statement every

@@ -3391,6 +3391,114 @@ object Curation {
       |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT)
       |    AS max_tomb""".stripMargin
 
+  // ------------------------------------- commit-time CHECK constraints
+
+  /** Staged constraint-enforcement fixture:
+    *
+    *  v1   index over the odd ids
+    *  (refused) a batch of the even ids with the %13=1 slice NEGATED —
+    *       violating `id_positive` — lands files but
+    *       [[VectorOps.commitFilesChecked]] refuses the commit; the
+    *       files stay orphaned (no manifest references them)
+    *  v2   the corrected batch (even ids unmodified) passes the same
+    *       constraints and commits
+    *
+    * Returns (path, nViolations, refused, headUnchanged, invisible).
+    */
+  private[queries] def stageConstraint(s: org.apache.spark.sql.SparkSession,
+                                       dir: String)
+      : (String, Long, Boolean, Boolean, Boolean) =
+    Staging.cached(s"constraintidx:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 2 === 1)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("constraintidx").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append"))
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val constraints = Seq(
+        "id_not_null" -> col("vec_id").isNotNull,
+        "id_positive" -> (col("vec_id") > 0),
+        "vec_dim" -> (size(col("embedding")) === dim))
+      val before = VectorOps.listIndexFiles(s, path).toSet
+      val bad = emb.filter(col("vec_id") % 2 === 0)
+        .select(when(col("vec_id") % 13 === 1, -col("vec_id"))
+          .otherwise(col("vec_id")).as("vec_id"), col("embedding"))
+      VectorOps.ivfAppend(bad, idx.centroids, path, "vec_id", "embedding")
+      val badFiles = VectorOps.listIndexFiles(s, path)
+        .filterNot(before.contains)
+      val nViol = VectorOps.checkConstraints(s, path, badFiles,
+        constraints)("id_positive")
+      val refused =
+        try {
+          VectorOps.commitFilesChecked(s, path, badFiles, constraints)
+          false
+        } catch { case _: IllegalStateException => true }
+      val headUnchanged = VectorOps.latestVersion(s, path).contains(1)
+      // the refused rows are invisible: the head read is manifest-driven,
+      // so the orphaned bad files are never opened
+      val invisible = VectorOps.readIndexLatest(s, path, "vec_id")
+        .count() == base.count()
+      val before2 = VectorOps.listIndexFiles(s, path).toSet
+      VectorOps.ivfAppend(emb.filter(col("vec_id") % 2 === 0),
+        idx.centroids, path, "vec_id", "embedding")
+      val goodFiles = VectorOps.listIndexFiles(s, path)
+        .filterNot(before2.contains)
+      VectorOps.commitFilesChecked(s, path, goodFiles, constraints,
+        Map("op" -> "append"))
+      (path, nViol, refused, headUnchanged, invisible)
+    }
+
+  /** Commit-time CHECK constraints —
+    * [[VectorOps.commitFilesChecked]] is the write-side validation every
+    * governed table needs (the Delta CHECK-constraint / NOT-NULL
+    * enforcement design, public): staged files are validated in ONE scan
+    * of the BATCH's bytes (the corpus is never re-scanned) before the
+    * manifest create, and a violation refuses the whole commit — the
+    * staged files stay unreferenced and invisible, so a reader can never
+    * observe a row that failed the table's invariants (enforce-at-write
+    * vs audit-after-commit, where bad rows serve in the window). Gates:
+    *
+    *  - `refused`: the poisoned batch (negated ids violating
+    *    `id_positive`) was rejected loudly;
+    *  - `head_unchanged` / `invisible`: after the refusal the log still
+    *    ends at v1 and the head read serves exactly the v1 rows — the
+    *    orphaned files are manifest-invisible;
+    *  - `committed_good`: the corrected batch passed the SAME
+    *    constraints and landed as v2;
+    *  - `n_violations`: the validator's exact violating-row count,
+    *    hash-gated against the oracle's arithmetic;
+    *  - `n_head` / `sum_head`: the final table is exactly
+    *    v1 ∪ corrected batch.
+    */
+  private val constraintCommitQ: Q = (s, dir) => {
+    val (path, nViol, refused, headUnchanged, invisible) =
+      stageConstraint(s, dir)
+    val committedGood = VectorOps.latestVersion(s, path).contains(2)
+    VectorOps.readIndexVersion(s, path, 2)
+      .agg(count(lit(1)).as("n_head"),
+        sum(col("vec_id")).cast("long").as("sum_head"))
+      .select( // 1-row frame
+        lit(refused).as("refused"),
+        lit(headUnchanged).as("head_unchanged"),
+        lit(invisible).as("invisible"),
+        lit(committedGood).as("committed_good"),
+        lit(nViol).as("n_violations"),
+        col("n_head"), col("sum_head"))
+  }
+  private val constraintCommitSql =
+    """SELECT TRUE AS refused, TRUE AS head_unchanged, TRUE AS invisible,
+      |  TRUE AS committed_good,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 2 = 0 AND vec_id % 13 = 1)
+      |    AS BIGINT) AS n_violations,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_head,
+      |  CAST((SELECT sum(vec_id) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS sum_head""".stripMargin
+
   // ----------------------------------------------- three-clause MERGE
 
   /** Staged MERGE fixture:
@@ -3529,6 +3637,7 @@ object Curation {
     ("q_index_upsert", indexUpsertQ, Some(indexUpsertSql)),
     ("q_index_merge", indexMergeQ, Some(indexMergeSql)),
     ("q_meta_agg", metaAggQ, Some(metaAggSql)),
+    ("q_constraint_commit", constraintCommitQ, Some(constraintCommitSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),

@@ -72,7 +72,9 @@ object Fixtures {
     "ckptlog" -> ((s, d) => { Curation.stageCkpt(s, d); () }),
     "logretention" -> ((s, d) => { Curation.stageLogRetention(s, d); () }),
     // full IVF build + tombstone commit + three-clause merge rewrite
-    "mergeidx" -> ((s, d) => { Curation.stageMerge(s, d); () })
+    "mergeidx" -> ((s, d) => { Curation.stageMerge(s, d); () }),
+    // full IVF build + two appended batches + constraint validation scans
+    "constraintidx" -> ((s, d) => { Curation.stageConstraint(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

@@ -740,6 +740,55 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("commitFilesChecked: SQL-standard CHECK semantics (FALSE " +
+      "violates, NULL satisfies), one-scan counts, loud refusal with " +
+      "orphaned-invisible files, clean batch commits") {
+    val dir = java.nio.file.Files.createTempDirectory("idx_check")
+    val path = dir.resolve("index").toString
+    try {
+      import spark.implicits._
+      // v1: a committed base so OCC has a head to stack on
+      Seq((1L, "a"), (2L, "b")).toDF("vec_id", "tag")
+        .coalesce(1).write.parquet(s"$path/centroid=0")
+      VectorOps.writeManifest(spark, path, 1,
+        VectorOps.listIndexFiles(spark, path))
+      // staged batch: one FALSE row (id -5), one NULL-condition row
+      // (null tag makes `tag =!= "x"` NULL — must SATISFY), two clean
+      val before = VectorOps.listIndexFiles(spark, path).toSet
+      Seq((3L, Option("c")), (-5L, Option("d")), (4L, Option.empty[String]))
+        .toDF("vec_id", "tag")
+        .coalesce(1).write.mode("append").parquet(s"$path/centroid=0")
+      val staged = VectorOps.listIndexFiles(spark, path)
+        .filterNot(before.contains)
+      val constraints = Seq(
+        "id_positive" -> (col("vec_id") > 0),
+        "tag_not_x" -> (col("tag") =!= "x"), // NULL on the null-tag row
+        "id_not_null" -> col("vec_id").isNotNull)
+      val counts = VectorOps.checkConstraints(spark, path, staged,
+        constraints)
+      assert(counts == Map("id_positive" -> 1L, "tag_not_x" -> 0L,
+        "id_not_null" -> 0L),
+        s"NULL must satisfy, only the FALSE row violates: $counts")
+      val e = intercept[IllegalStateException] {
+        VectorOps.commitFilesChecked(spark, path, staged, constraints)
+      }
+      assert(e.getMessage.contains("id_positive (1 rows)"), e.getMessage)
+      // refusal left the log at v1 and the head read clean
+      assert(VectorOps.latestVersion(spark, path).contains(1))
+      assert(VectorOps.readIndexVersion(spark, path, 1).count() == 2)
+      // a clean batch under the same constraints commits (OCC path)
+      val before2 = VectorOps.listIndexFiles(spark, path).toSet
+      Seq((7L, Option("e"))).toDF("vec_id", "tag")
+        .coalesce(1).write.mode("append").parquet(s"$path/centroid=0")
+      val clean = VectorOps.listIndexFiles(spark, path)
+        .filterNot(before2.contains)
+      val occ = VectorOps.commitFilesChecked(spark, path, clean, constraints)
+      assert(occ.version == 2)
+      // v2 = v1 + clean batch; the refused file is still not referenced
+      assert(VectorOps.readIndexVersion(spark, path, 2).count() == 3)
+    } finally rmrf(dir)
+  }
+
   test("ivfMerge: duplicate source ids are refused loudly (the " +
       "multiple-source-rows-matched error), and a brand-new-ids source " +
       "degenerates to a pure append (zero partitions rewritten)") {
