@@ -2304,6 +2304,118 @@ object Curation {
       |FROM embeddings WHERE vec_id <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------- the index as a streaming source
+
+  /** Staged commit-log-source fixture:
+    *
+    *  v1  base append (%3 = 1)
+    *  v2  append (%3 = 2)
+    *  v3  compaction — dataChange-FREE, the source must ignore it
+    *  v4  append (%3 = 0), committed OCC-style with only its new files
+    *  v5  logical delete (%7 = 2) — a CHANGE commit
+    *
+    * then one checkpointed [[graft.streaming.IndexStream
+    * .runIndexSourceStream]] drain with `skipChangeCommits = true`, and
+    * one strict drain that must REFUSE at v5. Returns
+    * (downstreamDir, drainResult, strictRefused).
+    */
+  private[queries] def stageStreamSource(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : (String, graft.streaming.IndexStream.SourceDrainResult, Boolean) =
+    Staging.cached(s"streamsource:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(
+        emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("srcidx").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append"))
+      VectorOps.ivfAppend(emb.filter(col("vec_id") % 3 === 2),
+        idx.centroids, path, "vec_id", "embedding")
+      VectorOps.writeManifest(s, path, 2, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append"))
+      VectorOps.ivfCompactVersioned(s, path, 2, 3)
+      // post-compaction the superseded files are still on disk: v4 must
+      // commit ONLY its new files on top of v3's manifest (OCC), never
+      // re-list the directory
+      val before = VectorOps.listIndexFiles(s, path).toSet
+      VectorOps.ivfAppend(emb.filter(col("vec_id") % 3 === 0),
+        idx.centroids, path, "vec_id", "embedding")
+      val newFiles = VectorOps.listIndexFiles(s, path)
+        .filterNot(before.contains)
+      VectorOps.commitFilesOcc(s, path, newFiles, Map("op" -> "append"))
+      VectorOps.commitDeletes(s, path, 4, 5,
+        emb.filter(col("vec_id") % 7 === 2).select(col("vec_id")))
+      val down = tmp.resolve("down").toString
+      val res = graft.streaming.IndexStream.runIndexSourceStream(
+        s, path, down,
+        checkpointDir = Some(tmp.resolve("ck").toString),
+        queryName = "graft_source_skip", skipChangeCommits = true)
+      val strictRefused =
+        try {
+          graft.streaming.IndexStream.runIndexSourceStream(
+            s, path, tmp.resolve("down_strict").toString,
+            queryName = "graft_source_strict")
+          false
+        } catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+            true
+        }
+      (down, res, strictRefused)
+    }
+
+  /** The versioned index as a STREAMING SOURCE —
+    * [[graft.streaming.IndexStream.runIndexSourceStream]] is the reverse
+    * direction of the three index sinks and the contract of Delta's
+    * table-as-stream source (public design): tail the commit log (the
+    * `_manifests/` directory IS an append-only file bus, so the stream
+    * is Spark's built-in FILE SOURCE — discovery, offsets, exactly-once
+    * file delivery all come from the streaming checkpoint), deliver each
+    * append commit's ADDED rows once, ignore dataChange-free maintenance
+    * (the v3 compaction moves bytes, not meaning), and refuse commits
+    * that change existing rows unless the caller opts into
+    * `skipChangeCommits`. Cost per commit ∝ the added files' bytes —
+    * never the corpus, which is what lets a 100 TB table feed a live
+    * consumer. Audited:
+    *
+    *  - `append_parity`: the downstream union equals the three append
+    *    slices exactly (symmetric exceptAll on (vec_id, embedding)) —
+    *    nothing lost, nothing duplicated, the compaction contributed
+    *    NOTHING despite rewriting every partition;
+    *  - `counts_exact`: 3 appends materialized, 1 maintenance commit
+    *    ignored, 1 change commit skipped;
+    *  - `strict_refuses`: without the opt-in, the delete commit fails
+    *    the stream loudly (a silent skip would serve a consumer rows
+    *    its upstream already deleted);
+    *  - `n_rows` / `sum_ids`: exact, hash-gated.
+    */
+  private val streamSourceQ: Q = (s, dir) => {
+    val (down, res, strictRefused) = stageStreamSource(s, dir)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val downstream = s.read.parquet(s"$down/commit_v*")
+      .select(col("vec_id"), col("embedding"))
+    val expected = emb.select(col("vec_id"), col("embedding"))
+    val nDiff = downstream.exceptAll(expected)
+      .unionByName(expected.exceptAll(downstream))
+      .agg(count(lit(1)).as("n_diff"))
+    val stats = expected.agg(count(lit(1)).as("n_rows"),
+      sum(col("vec_id")).cast("long").as("sum_ids"))
+    nDiff.crossJoin(stats) // 1-row frames
+      .select(
+        (col("n_diff") === 0L).as("append_parity"),
+        lit(res == graft.streaming.IndexStream.SourceDrainResult(3, 1, 1))
+          .as("counts_exact"),
+        lit(strictRefused).as("strict_refuses"),
+        col("n_rows"), col("sum_ids"))
+  }
+  private val streamSourceSql =
+    """SELECT TRUE AS append_parity, TRUE AS counts_exact,
+      |  TRUE AS strict_refuses,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+      |FROM embeddings WHERE vec_id <> 0""".stripMargin
+
   // ------------------------------------- commit-log checkpointing
   /** Staged checkpoint fixture: six batch-append commits (v1..v6, batch
     * ids 10..15) with a batch-id checkpoint written at v4 — two
@@ -3644,6 +3756,7 @@ object Curation {
     ("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     ("q_bloom_skipping", bloomSkippingQ, Some(bloomSkippingSql)),
     ("q_stream_cdc", streamCdcQ, Some(streamCdcSql)),
+    ("q_stream_source", streamSourceQ, Some(streamSourceSql)),
     ("q_recluster", reclusterQ, Some(reclusterSql)),
     ("q_stream_index_upsert", streamUpsertQ, Some(streamUpsertSql)),
     ("q_commit_checkpoint", commitCheckpointQ, Some(commitCheckpointSql)),

@@ -74,7 +74,9 @@ object Fixtures {
     // full IVF build + tombstone commit + three-clause merge rewrite
     "mergeidx" -> ((s, d) => { Curation.stageMerge(s, d); () }),
     // full IVF build + two appended batches + constraint validation scans
-    "constraintidx" -> ((s, d) => { Curation.stageConstraint(s, d); () })
+    "constraintidx" -> ((s, d) => { Curation.stageConstraint(s, d); () }),
+    // IVF build + compaction + two streaming drains of the commit log
+    "streamsource" -> ((s, d) => { Curation.stageStreamSource(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

@@ -332,6 +332,102 @@ object IndexStream {
       nViewCommitted.get, nViewSkipped.get)
   }
 
+  /** Outcome of a commit-log source drain: append commits materialized,
+    * change commits skipped (only with `skipChangeCommits`), and
+    * dataChange-free maintenance commits ignored.
+    */
+  final case class SourceDrainResult(nAppends: Int, nSkippedChange: Int,
+                                     nIgnoredMaintenance: Int)
+
+  /** The versioned index as a STREAMING SOURCE — the reverse direction
+    * of every sink above, and the contract Delta's table-as-stream
+    * source defines (public design): tail the commit log, deliver each
+    * APPEND commit's added rows exactly once, ignore dataChange-free
+    * maintenance commits (compaction / re-clustering / physical
+    * tombstone purge move bytes, not meaning), and on a commit that
+    * CHANGES existing rows (delete / upsert / merge / restore / DV)
+    * fail loudly — or skip it when the caller opts in with
+    * `skipChangeCommits` (Delta's own escape hatch).
+    *
+    * Spark-first: the `_manifests/` directory IS an append-only file
+    * bus (every manifest is published atomically), so the stream is the
+    * built-in FILE SOURCE over the `.manifest` glob — discovery,
+    * offsets, and exactly-once file delivery come from Structured
+    * Streaming's checkpoint, not hand-rolled polling; the `.tmp-` and
+    * sidecar files never match the glob. Each micro-batch is a
+    * NOTIFICATION (which versions arrived — metadata-sized); the added
+    * files resolve from the on-disk manifests (`files(v) ∖ files(v−1)`),
+    * so processing is arrival-order-independent, and each commit's rows
+    * land in their own `commit_v{N}` downstream directory (overwrite —
+    * a redelivered notification after a crash rewrites the same bytes,
+    * never duplicates; the union read is the downstream table). Cost
+    * per commit: the ADDED files' bytes, never the corpus — the only
+    * cost model that lets a 100 TB table feed a live consumer.
+    */
+  def runIndexSourceStream(spark: SparkSession, indexPath: String,
+                           downstreamDir: String,
+                           checkpointDir: Option[String] = None,
+                           queryName: String = "graft_index_source",
+                           skipChangeCommits: Boolean = false,
+                           afterCommit: Int => Unit = _ => ())
+      : SourceDrainResult = {
+    import graft.ops.VectorOps
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$indexPath/_manifests/*.manifest")
+    val nAppends = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nIgnored = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writer = raw.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // which versions arrived — one tiny distinct over manifest LINES
+        // (metadata-sized); content resolves from the on-disk manifests
+        val versions = batch.select(input_file_name().as("f")).distinct()
+          .collect().map { r =>
+            val name = r.getString(0).split('/').last
+            name.stripPrefix("v").stripSuffix(".manifest").toInt
+          }.sorted
+        versions.foreach { v =>
+          val meta = VectorOps.readManifestMeta(spark, indexPath, v)
+          val op = meta.getOrElse("op", "")
+          val files = VectorOps.readManifest(spark, indexPath, v)
+          val prev: Seq[String] =
+            if (v == 1) Seq.empty
+            else VectorOps.readManifest(spark, indexPath, v - 1)
+          val prevMeta =
+            if (v == 1) Map.empty[String, String]
+            else VectorOps.readManifestMeta(spark, indexPath, v - 1)
+          val added = files.filterNot(prev.toSet)
+          val removed = prev.filterNot(files.toSet)
+          val sidecarChanged = Seq("deletes", "dv").exists(k =>
+            meta.get(k) != prevMeta.get(k))
+          if (Set("compact", "recluster", "apply").contains(op))
+            nIgnored.incrementAndGet(): Unit // bytes moved, meaning didn't
+          else if (removed.isEmpty && !sidecarChanged) {
+            if (added.nonEmpty) {
+              spark.read.option("basePath", indexPath)
+                .parquet(added.map(f => s"$indexPath/$f"): _*)
+                .write.mode("overwrite")
+                .parquet(s"$downstreamDir/commit_v$v")
+            }
+            nAppends.incrementAndGet()
+            afterCommit(v)
+          } else if (skipChangeCommits) nSkipped.incrementAndGet(): Unit
+          else throw new IllegalStateException(
+            s"version $v (op=${if (op.isEmpty) "?" else op}) changes " +
+              "existing rows — a streaming read of an index taking " +
+              "updates/deletes needs skipChangeCommits (and a CDC " +
+              "consumer for the changes it then misses)")
+        }
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    EventStream.awaitDrain(writer.start())
+    SourceDrainResult(nAppends.get, nSkipped.get, nIgnored.get)
+  }
+
   /** Drain a directory of RE-EMBEDDING parquet files (vec_id, embedding)
     * as micro-batches, committing each as one atomic row-level UPSERT
     * version ([[graft.ops.VectorOps.ivfUpsertBatch]] →

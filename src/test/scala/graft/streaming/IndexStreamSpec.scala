@@ -247,6 +247,42 @@ class IndexStreamSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("commit-log SOURCE killed mid-drain resumes from its checkpoint: " +
+      "downstream is bit-identical to a clean run, nothing duplicated") {
+    val (dir, path, cents, inDir, ckpt) = fixture("source")
+    try {
+      // three more append commits on top of v1 (the sink side provides
+      // them), so the source has a 4-commit log to tail
+      IndexStream.runStreamIvfAppend(spark, inDir, cents, path,
+        queryName = "spec_source_feed")
+      assert(VectorOps.latestVersion(spark, path).contains(4))
+      val down = dir.resolve("down").toString
+      // crash after the FIRST materialized commit
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      intercept[Exception] {
+        IndexStream.runIndexSourceStream(spark, path, down,
+          checkpointDir = Some(ckpt), queryName = "spec_source_kill",
+          afterCommit = _ =>
+            if (fired.compareAndSet(false, true))
+              throw new RuntimeException("injected crash after materialize"))
+      }
+      // recovery from the same checkpoint completes the tail; the
+      // per-version overwrite makes any redelivery rewrite, not duplicate
+      val drain = IndexStream.runIndexSourceStream(spark, path, down,
+        checkpointDir = Some(ckpt), queryName = "spec_source_recover")
+      assert(drain.nSkippedChange == 0 && drain.nIgnoredMaintenance == 0)
+      val got = spark.read.parquet(s"$down/commit_v*")
+        .select(col("vec_id"), col("embedding"))
+      val want = embs.select(col("vec_id"), col("embedding"))
+      assert(got.exceptAll(want).union(want.exceptAll(got)).count() == 0,
+        "downstream after kill-and-restart must equal the full append set")
+      // a same-checkpoint re-drain delivers nothing new
+      val re = IndexStream.runIndexSourceStream(spark, path, down,
+        checkpointDir = Some(ckpt), queryName = "spec_source_again")
+      assert(re.nAppends == 0, s"re-drain must be a no-op: $re")
+    } finally rmrf(dir)
+  }
+
   test("a checkpoint-free drain still commits every batch exactly once " +
       "(no-crash path keeps working without durable state)") {
     val (dir, path, cents, inDir, _) = fixture("nockpt")
