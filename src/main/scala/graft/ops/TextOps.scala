@@ -682,4 +682,37 @@ object TextOps {
         levenshtein(col(s"x.$keyCol"), col(s"y.$keyCol")) <= maxDist)
       .select(col(s"x.$keyCol").as("b1"), col(s"y.$keyCol").as("b2"))
   }
+
+  /** PHRASE search over a positional posting table — the query an
+    * inverted index without positions cannot answer (Lucene's positional
+    * postings design, public literature). `postings` carries
+    * `(doc_id, tok, pos: array<long>)` — one row per (doc, term), the
+    * term's 0-based occurrence positions sorted ascending.
+    *
+    * Algorithm: seed with the first term's position lists, then for each
+    * later term i intersect the carried candidate list with that term's
+    * positions SHIFTED back by i (`array_intersect` on
+    * `transform(pos, p => p - i)`) — a surviving candidate position p
+    * means the document carries term k at p + k for every k, i.e. the
+    * whole phrase starting at p. Each step is one doc_id equi-join
+    * against a term's postings (posting-list-sized, never corpus-sized)
+    * and the candidate set only shrinks; `size(cand) > 0` prunes dead
+    * documents after every step, so rare-term-first ordering of `terms`
+    * is the classic cost lever (semantics are order-independent).
+    * Returns `(doc_id, n_occ)` — matching documents with exact phrase
+    * occurrence counts.
+    */
+  def phraseMatch(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phraseMatch: need at least one term")
+    def term(i: Int) = postings.filter(col("tok") === terms(i))
+    val seed = term(0).select(col("doc_id"), col("pos").as("cand"))
+    terms.indices.drop(1).foldLeft(seed) { (acc, i) =>
+      acc.join(term(i).select(col("doc_id"),
+          transform(col("pos"), p => p - i).as(s"shift$i")),
+        Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(col("cand"), col(s"shift$i")).as("cand"))
+        .filter(size(col("cand")) > 0)
+    }.select(col("doc_id"), size(col("cand")).cast("long").as("n_occ"))
+  }
 }

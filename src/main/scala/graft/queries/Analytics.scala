@@ -661,6 +661,89 @@ object Analytics {
       |GROUP BY doc_id HAVING count(*) = 3
       |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
 
+  // -------------------------------------- positional index + phrase search
+
+  /** Staged POSITIONAL inverted index: posting rows
+    * `(doc_id, tok, pos: array<long>)` — each term's sorted 0-based
+    * occurrence positions, one row per (doc, term) — written partitioned
+    * by the same 16-way term-hash bucket as [[stageInvIndex]] and
+    * committed with the manifest discipline. Positions are what phrase
+    * and proximity queries need and tf-only postings cannot give
+    * (Lucene's positional postings, public design); the storage price is
+    * one long per occurrence.
+    */
+  private[queries] def stagePosIndex(s: SparkSession, dir: String): String =
+    graft.ops.Staging.cached(s"posindex:$dir") { tmp =>
+      val path = tmp.resolve("pos").toString
+      Registry.spread(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tok")))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(sort_array(collect_list(col("p").cast("long"))).as("pos"))
+        .withColumn("centroid", pmod(xxhash64(col("tok")), lit(16)))
+        .repartition(col("centroid"))
+        .write.partitionBy("centroid").mode("overwrite").parquet(path)
+      VectorOps.writeManifest(s, path, 1,
+        VectorOps.listIndexFiles(s, path), Map("op" -> "append"))
+      path
+    }
+
+  /** Phrase search served from the committed positional index —
+    * [[graft.ops.TextOps.phraseMatch]] intersects shifted position
+    * lists (term i's positions minus i), so a surviving position is an
+    * exact phrase start; the corpus text is never read and only the
+    * query terms' hash buckets are opened (the same partition-pruning
+    * contract as q_inverted_search — at 100 TB a phrase query touches
+    * posting lists, not documents). Two probes:
+    *
+    *  - the 2-term phrase "table hash": per-document exact occurrence
+    *    counts, hash-gated row by row against the oracle's positional
+    *    self-join over the raw corpus;
+    *  - the 3-term phrase "stream table hash" exercises the k-term
+    *    chain: its matching-document count rides every row (`n3_docs`),
+    *    proving the shift-and-intersect composes beyond bigrams;
+    *  - `pruned`: the plan opened fewer buckets than the index holds.
+    */
+  private val phraseSearchQ: Q = (s, dir) => {
+    val path = stagePosIndex(s, dir)
+    val terms2 = Seq("table", "hash")
+    val terms3 = Seq("stream", "table", "hash")
+    val allTerms = (terms2 ++ terms3).distinct
+    val buckets = s.createDataFrame(allTerms.map(Tuple1(_))).toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(16)).as("b"))
+      .collect().map(_.getLong(0).toInt).distinct.toSeq
+    val post = VectorOps.readIndexVersion(s, path, 1)
+      .filter(col("centroid").isin(buckets: _*) &&
+        col("tok").isin(allTerms: _*))
+    val m2 = TextOps.phraseMatch(post, terms2)
+    val n3 = TextOps.phraseMatch(post, terms3)
+      .agg(count(lit(1)).as("n3_docs"))
+    m2.crossJoin(n3) // n3 is a 1-row frame
+      .select(col("doc_id"), col("n_occ"),
+        lit(buckets.length < 16).as("pruned"), col("n3_docs"))
+      .orderBy(col("doc_id"))
+  }
+  private val phraseSearchSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+      |               unnest(toks) AS tok FROM d),
+      |m2 AS (
+      |  SELECT p1.doc_id, count(*) AS n_occ
+      |  FROM pos p1 JOIN pos p2
+      |    ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+      |  WHERE p1.tok = 'table' AND p2.tok = 'hash' GROUP BY 1),
+      |m3 AS (
+      |  SELECT count(DISTINCT p1.doc_id) AS n3
+      |  FROM pos p1
+      |  JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+      |  JOIN pos p3 ON p1.doc_id = p3.doc_id AND p3.i = p1.i + 2
+      |  WHERE p1.tok = 'stream' AND p2.tok = 'table' AND p3.tok = 'hash')
+      |SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ, TRUE AS pruned,
+      |  CAST(n3 AS BIGINT) AS n3_docs
+      |FROM m2, m3 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ bigram LM perplexity
 
   /** Per-document average log-probability under an add-1-smoothed
@@ -1329,6 +1412,7 @@ object Analytics {
     ("q_time_decay", timeDecayQ, Some(timeDecaySql)),
     ("q_bm25", bm25Q, Some(bm25Sql)),
     ("q_inverted_search", invertedSearchQ, Some(invertedSearchSql)),
+    ("q_phrase_search", phraseSearchQ, Some(phraseSearchSql)),
     ("q_bigram_lm", bigramLmQ, Some(bigramLmSql)),
     ("q_bootstrap_ci", bootstrapCiQ, Some(bootstrapCiSql)),
     ("q_stream_static", streamStaticQ, Some(streamStaticSql)),

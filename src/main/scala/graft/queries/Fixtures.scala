@@ -69,6 +69,8 @@ object Fixtures {
     "wap" -> ((s, d) => { Curation.stageWap(s, d); () }),
     // one corpus tokenize + term shuffle + 16-bucket partitioned write
     "invindex" -> ((s, d) => { Analytics.stageInvIndex(s, d); () }),
+    // same shape with per-term position lists (phrase search)
+    "posindex" -> ((s, d) => { Analytics.stagePosIndex(s, d); () }),
     "ckptlog" -> ((s, d) => { Curation.stageCkpt(s, d); () }),
     "logretention" -> ((s, d) => { Curation.stageLogRetention(s, d); () }),
     // full IVF build + tombstone commit + three-clause merge rewrite

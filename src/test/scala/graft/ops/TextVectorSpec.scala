@@ -20,6 +20,35 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(j - 0.5) < 1e-9) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("phraseMatch: shift-and-intersect equals a brute-force sliding " +
+      "window — overlaps, repeats, k=1..3, absent phrases") {
+    val corpus = Seq(
+      (1L, "a b a b a b"),     // overlapping "a b a" starts at 0 and 2
+      (2L, "a a a a"),         // "a a" overlaps: starts 0,1,2
+      (3L, "b a b"),
+      (4L, "c"),
+      (5L, "a b c a b c a"))
+    val postings = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(sort_array(collect_list(col("p").cast("long"))).as("pos"))
+    def brute(terms: Seq[String]): Map[Long, Long] =
+      corpus.flatMap { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        val n = toks.sliding(terms.length)
+          .count(w => w.length == terms.length && w == terms)
+        if (n > 0) Some(id -> n.toLong) else None
+      }.toMap
+    for (terms <- Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "a"),
+        Seq("a", "a"), Seq("b", "c"), Seq("a", "b", "c"),
+        Seq("z"), Seq("c", "c"))) {
+      val got = TextOps.phraseMatch(postings, terms)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute(terms), s"phrase $terms: $got vs ${brute(terms)}")
+    }
+  }
+
   test("langId picks the profile with most stopword hits; und when none") {
     val df = Seq(
       "the cat is in the house and it is warm",
