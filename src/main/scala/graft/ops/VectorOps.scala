@@ -2795,6 +2795,75 @@ object VectorOps {
     commitFilesOcc(spark, path, newFiles, meta)
   }
 
+  // --------------------------------- norm-bound-pruned exact MIPS top-k
+
+  /** EXACT maximum-inner-product top-k with norm-bound FILE skipping —
+    * the Cauchy–Schwarz pruning every MIPS system builds on (public
+    * literature: norm-ordered / norm-range partitioned indexes, e.g.
+    * LEMP / FEXIPRO family): `dot(q, x) <= |q|·|x|`, so on a layout
+    * range-clustered by vector norm (with per-file max norms committed
+    * as a `norm_micro` zone map — MIPS pruning IS zone-map skipping on
+    * the norm column) files are scanned in DESCENDING max-norm waves,
+    * a running kth-best score θ is maintained, and scanning stops the
+    * moment the next file's bound `|q|·maxNorm` drops below θ − slack:
+    * no vector in an unopened file can reach the top-k, so the result
+    * is EXACT, not approximate. On a 100 TB corpus whose norms spread
+    * (weighted retrieval, unnormalized embeddings), the scan touches
+    * the few high-norm files instead of everything — and when norms
+    * are flat it degrades to the full scan, correct either way.
+    *
+    * `slack` absorbs two roundings conservatively (scan MORE, never
+    * less): the zone map stores `round(norm·1e6)` and the caller
+    * compares result scores after `round(·, 4)` — both far below the
+    * default 1e-3.
+    *
+    * Driver cost: one sidecar read + one tiny top-k collect per wave
+    * (k doubles each); waves bound the number of Spark jobs. Returns
+    * (topk rows `(idCol, score)`, filesOpened, filesTotal).
+    */
+  def mipsTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+               version: Int, idCol: String, vecCol: String,
+               query: Seq[Double], k: Int, waveSize: Int = 8,
+               slack: Double = 1e-3): (DataFrame, Int, Int) = {
+    require(k >= 1 && waveSize >= 1, "mipsTopK: k and waveSize >= 1")
+    val files = readManifest(spark, path, version)
+    val zones = readColStats(spark, path, version, "norm_micro")
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val qLit = typedLit(query)
+    def scoreOf(df: DataFrame) =
+      df.select(col(idCol), dotHof(col(vecCol), qLit).as("score"))
+    // descending max-norm order; a file with no zone sorts FIRST
+    // (unprunable — it must be scanned before any bound can exclude it)
+    val ordered = files.sortBy(f =>
+      -zones.get(f).map(_._2).getOrElse(Long.MaxValue).toDouble)
+    var remaining = ordered
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var top = Vector.empty[Double] // k best scores seen, driver-side
+    def theta = if (top.length >= k) top.min else Double.NegativeInfinity
+    while (remaining.nonEmpty && {
+        val mx = zones.get(remaining.head).map(_._2)
+          .getOrElse(Long.MaxValue)
+        // top.length < k: fewer than k SCORES seen so far — θ is not yet
+        // a kth-best and nothing may be excluded
+        top.length < k || qNorm * (mx.toDouble / 1e6) >= theta - slack
+      }) {
+      val wave = remaining.take(waveSize)
+      remaining = remaining.drop(waveSize)
+      kept ++= wave
+      val waveTop = scoreOf(spark.read.option("basePath", path)
+          .parquet(wave.map(f => s"$path/$f"): _*))
+        .orderBy(col("score").desc).limit(k)
+        .collect().map(_.getDouble(1))
+      top = (top ++ waveTop).sorted(Ordering[Double].reverse).take(k)
+    }
+    val rows = scoreOf(spark.read.option("basePath", path)
+        .parquet(kept.toSeq.map(f => s"$path/$f"): _*))
+      .select(col(idCol), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    (rows, kept.length, files.length)
+  }
+
   // ----------------------------------------------- three-clause MERGE
 
   /** Full three-clause MERGE as ONE atomic commit — the statement every

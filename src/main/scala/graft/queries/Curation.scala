@@ -3503,6 +3503,78 @@ object Curation {
       |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT)
       |    AS max_tomb""".stripMargin
 
+  // --------------------------------- norm-bound-pruned exact MIPS top-k
+
+  /** Staged MIPS fixture: each vector deterministically weighted by
+    * `2^(vec_id % 8)` (exact integer scale — a recency/quality-weighted
+    * retrieval corpus, and the norm spread norm-bound pruning needs),
+    * stored as double arrays with a `norm_micro` column, range-clustered
+    * on the norm, committed with a `norm_micro` zone map.
+    */
+  private[queries] def stageMips(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String =
+    Staging.cached(s"mipsidx:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val path = tmp.resolve("mips").toString
+      // 2^(id % 8) — exact in double for exponents 0..7, and exact as
+      // DuckDB's (1 << (vec_id % 8)) integer on the oracle side
+      val scale = pow(lit(2.0), pmod(col("vec_id"), lit(8L)).cast("double"))
+      emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * scale).as("sv"),
+          pmod(col("vec_id"), lit(8L)).as("centroid"))
+        .withColumn("norm_micro",
+          round(sqrt(VectorOps.dotHof(col("sv"), col("sv"))) * 1e6)
+            .cast("long"))
+        .repartitionByRange(8, col("norm_micro"))
+        .write.partitionBy("centroid").mode("overwrite").parquet(path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append"))
+      VectorOps.writeColStats(s, path, 1, "norm_micro")
+      path
+    }
+
+  /** Exact MIPS top-k with norm-bound file skipping —
+    * [[VectorOps.mipsTopK]] is the Cauchy–Schwarz pruning every MIPS
+    * system builds on (LEMP/FEXIPRO-family norm-range indexes, public
+    * literature), expressed as ZONE-MAP skipping on a committed
+    * `norm_micro` column: scan files in descending max-norm waves,
+    * maintain the running kth-best score θ, stop when `|q|·maxNorm`
+    * of the next file falls below θ − slack — vectors in unopened
+    * files provably cannot reach the top-k, so the answer is EXACT
+    * while the scan touches only the high-norm tail. On the weighted
+    * fixture (norms spread 2⁰..2⁷) the low-weight files are never
+    * opened; on flat norms the same code degrades to a full scan —
+    * correct either way. Audited:
+    *
+    *  - the top-10 rows (id, score) hash-gate against the oracle's
+    *    full-scan weighted dot products — pruning changed NOTHING in
+    *    the answer;
+    *  - `pruned`: >0 but fewer than all files were opened — the bound
+    *    actually skipped I/O, not just passed parity trivially.
+    */
+  private val mipsPruneQ: Q = (s, dir) => {
+    val path = stageMips(s, dir)
+    val q = Registry.queryVec(s, dir).map(_.toDouble)
+    val (rows, opened, total) =
+      VectorOps.mipsTopK(s, path, 1, "vec_id", "sv", q, k = 10,
+        waveSize = 4)
+    rows.select(col("vec_id"), col("score"),
+      lit(opened > 0 && opened < total).as("pruned"))
+  }
+  private val mipsPruneSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * (1 << (vec_id % 8))) AS sv
+      |  FROM embeddings WHERE vec_id <> 0)
+      |SELECT vec_id,
+      |  round(list_sum(list_transform(list_zip(sv, qe),
+      |    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), 4) AS score,
+      |  TRUE AS pruned
+      |FROM c, q
+      |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
   // ------------------------------------- commit-time CHECK constraints
 
   /** Staged constraint-enforcement fixture:
@@ -3750,6 +3822,7 @@ object Curation {
     ("q_index_merge", indexMergeQ, Some(indexMergeSql)),
     ("q_meta_agg", metaAggQ, Some(metaAggSql)),
     ("q_constraint_commit", constraintCommitQ, Some(constraintCommitSql)),
+    ("q_mips_prune", mipsPruneQ, Some(mipsPruneSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),

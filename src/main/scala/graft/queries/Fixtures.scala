@@ -78,7 +78,9 @@ object Fixtures {
     // full IVF build + two appended batches + constraint validation scans
     "constraintidx" -> ((s, d) => { Curation.stageConstraint(s, d); () }),
     // IVF build + compaction + two streaming drains of the commit log
-    "streamsource" -> ((s, d) => { Curation.stageStreamSource(s, d); () })
+    "streamsource" -> ((s, d) => { Curation.stageStreamSource(s, d); () }),
+    // weighted-vector rewrite + norm-range shuffle + zone-map harvest
+    "mipsidx" -> ((s, d) => { Curation.stageMips(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

@@ -652,6 +652,57 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("mipsTopK: norm-bound pruning skips low-norm files and still " +
+      "returns the exact full-scan top-k; flat norms degrade to a " +
+      "full scan, never a wrong answer") {
+    val dir = java.nio.file.Files.createTempDirectory("idx_mips")
+    try {
+      // weighted corpus: norms spread 2^0..2^7 (embeddings are unit
+      // vectors, so the scaled norm IS the weight)
+      val scale = pow(lit(2.0), pmod(col("vec_id"), lit(8L)).cast("double"))
+      def stage(sub: String, sc: org.apache.spark.sql.Column): String = {
+        val path = dir.resolve(sub).toString
+        embs.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double") * sc).as("sv"),
+            pmod(col("vec_id"), lit(8L)).as("centroid"))
+          .withColumn("norm_micro",
+            round(sqrt(VectorOps.dotHof(col("sv"), col("sv"))) * 1e6)
+              .cast("long"))
+          .repartitionByRange(8, col("norm_micro"))
+          .write.partitionBy("centroid").mode("overwrite").parquet(path)
+        VectorOps.writeManifest(spark, path, 1,
+          VectorOps.listIndexFiles(spark, path))
+        VectorOps.writeColStats(spark, path, 1, "norm_micro")
+        path
+      }
+      val spread = stage("spread", scale)
+      val q = embs.limit(1).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val (rows, opened, total) =
+        VectorOps.mipsTopK(spark, spread, 1, "vec_id", "sv", q, 10,
+          waveSize = 2)
+      assert(opened > 0 && opened < total,
+        s"norm spread 128x must prune: opened $opened of $total")
+      // exactness: equals the brute-force full scan, same rounding/ties
+      val brute = VectorOps.readIndexVersion(spark, spread, 1)
+        .select(col("vec_id"),
+          round(VectorOps.dotHof(col("sv"), typedLit(q)), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      assert(rows.collect().toSeq == brute.collect().toSeq,
+        "pruned top-k must be bit-identical to the full scan")
+      // flat norms: nothing prunable — full scan, still exact
+      val flat = stage("flat", lit(1.0))
+      val (rowsF, openedF, totalF) =
+        VectorOps.mipsTopK(spark, flat, 1, "vec_id", "sv", q, 10)
+      assert(openedF == totalF, "flat norms cannot prune")
+      val bruteF = VectorOps.readIndexVersion(spark, flat, 1)
+        .select(col("vec_id"),
+          round(VectorOps.dotHof(col("sv"), typedLit(q)), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      assert(rowsF.collect().toSeq == bruteF.collect().toSeq)
+    } finally rmrf(dir)
+  }
+
   test("metaAgg: sidecar-served on a clean version, scan-fallback on " +
       "tombstones and on missing sidecars — never fast AND wrong") {
     val (dir, path, _) = freshIndex("metaagg")
