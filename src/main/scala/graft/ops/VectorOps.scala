@@ -2560,6 +2560,42 @@ object VectorOps {
     (rows.filter(col(colName) === value), keep, files.length)
   }
 
+  /** DYNAMIC FILE PRUNING for a join — the Delta DFP design (public):
+    * when a fact table is joined to a small dimension on an indexed key,
+    * the dimension's DISTINCT keys (collected at plan time, exactly the
+    * build side a broadcast join collects anyway) probe each fact file's
+    * committed bloom sidecar, and a file is opened only when SOME key
+    * might be inside — the join's selectivity becomes scan-time file
+    * skipping instead of a post-scan filter. No false negatives ever
+    * (a matching row's file is always kept); a false-positive file costs
+    * one wasted open at rate ≈ |keys|·fpp. `maxKeys` keeps the probe's
+    * O(|keys|·|files|) driver cost explicit — past it, the right tool is
+    * the shuffle join, not DFP (Delta's own fallback). At a million
+    * files the probe itself distributes (broadcast the key set, ship
+    * bloom shards to executors) — a documented scale path, same
+    * semantics. Returns (rows of kept files, keptList, filesTotal);
+    * the caller's join applies the exact predicate on top — blooms
+    * prune, they never answer.
+    */
+  def readIndexVersionSemi(spark: org.apache.spark.sql.SparkSession,
+                           path: String, version: Int, colName: String,
+                           keys: Seq[Long], maxKeys: Int = 100000)
+      : (DataFrame, Seq[String], Int) = {
+    require(keys.nonEmpty, "readIndexVersionSemi: need at least one key")
+    require(keys.length <= maxKeys,
+      s"readIndexVersionSemi: ${keys.length} keys > $maxKeys — a key set " +
+        "this large should shuffle-join, not bloom-probe (the DFP cutoff)")
+    val files = readManifest(spark, path, version)
+    val blooms = readBloomFilter(spark, path, version, colName)
+    val keep = files.filter(f =>
+      blooms.get(f).forall(b => keys.exists(b.mightContainLong)))
+    val rows =
+      if (keep.isEmpty) readIndexVersion(spark, path, version).limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(keep.map(f => s"$path/$f"): _*)
+    (rows, keep, files.length)
+  }
+
   // ----------------------------------------------- deletion vectors (DV)
 
   /** The deletion-vector sidecar of `version`, if its manifest references
@@ -2740,6 +2776,106 @@ object VectorOps {
         MetaAgg(r.getLong(0), r.getLong(1), r.getLong(2),
           servedFromMeta = false)
     }
+  }
+
+  // ------------------------------------ NDV sketch sidecars (ANALYZE)
+
+  /** The KMV hash shared with the oracle: first 8 md5 hex nibbles of
+    * `"n:<value>"` + 1 over 2³² — an exact power-of-two-denominator
+    * double both engines compute bit-identically (the q_kmv_sketch
+    * construction).
+    */
+  def kmvHash(c: Column): Column =
+    (conv(substring(md5(concat_ws(":", lit("n"), c)), 1, 8), 16, 10)
+      .cast("long") + 1L).cast("double") / lit(4294967296.0)
+
+  /** Commit-time per-file NDV (KMV/theta) sketches —
+    * `ANALYZE TABLE ... FOR COLUMNS`, the lakehouse way (Iceberg's
+    * theta-sketch NDV blobs in puffin files, public design): each data
+    * file's k smallest distinct column-hash values land in a
+    * `v{N}.ndv.{col}` sidecar with the manifest commit discipline. KMV
+    * sketches merge EXACTLY (a hash among the global k smallest is
+    * within its own file's k smallest by rank monotonicity — union,
+    * dedup, take k), so per-file sketches roll up to the table estimate
+    * with zero loss vs sketching the whole table, file-incrementally.
+    * Cost: ONE column-projected scan grouped by file (k values per file
+    * cross the wire after the bounded [[graft.expr.TopKByScore]]
+    * combine); the sketch is k doubles per file regardless of file size.
+    * Hashes are stored as their exact 2³²-denominator NUMERATORS — the
+    * serialization round-trips bit-exactly.
+    */
+  def writeNdvSketch(spark: org.apache.spark.sql.SparkSession, path: String,
+                     version: Int, colName: String, k: Int = 64): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val files = readManifest(spark, path, version)
+    val topk = udaf(new graft.expr.TopKByScore(k))
+    val perFile =
+      if (files.isEmpty) Seq.empty[(String, Seq[Double])]
+      else spark.read.option("basePath", path)
+        .parquet(files.map(f => s"$path/$f"): _*)
+        .select(substring_index(input_file_name(), "/", -2).as("f"),
+          kmvHash(col(colName)).as("h"))
+        .distinct() // KMV is over the distinct value set
+        .groupBy(col("f"))
+        .agg(topk(-col("h"), lit(0L), lit(0L), lit(0L), lit(0L), lit(0.0))
+          .as("tk"))
+        .select(col("f"), expr("transform(tk, e -> -e.score)").as("hs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
+        .toSeq.sortBy(_._1)
+    val p = new HPath(path, f"_manifests/v$version%05d.ndv.$colName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = s"#k:$k" +: perFile.map { case (f, hs) =>
+      s"$f\t${hs.map(h => (h * 4294967296.0).toLong).mkString(",")}" }
+    atomicCreate(fs, path, p,
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s"ndv sketch v$version($colName)")
+  }
+
+  /** The committed NDV sketches of `version` for `colName`:
+    * (k, file → ascending exact hash doubles). Loud on a missing
+    * sidecar, like every other sidecar reader.
+    */
+  def readNdvSketch(spark: org.apache.spark.sql.SparkSession, path: String,
+                    version: Int, colName: String)
+      : (Int, Map[String, Seq[Double]]) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, f"_manifests/v$version%05d.ndv.$colName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val all =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toIndexedSeq
+      finally in.close()
+    val k = all.headOption.filter(_.startsWith("#k:"))
+      .map(_.stripPrefix("#k:").toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"ndv sidecar missing its #k header under $path v$version"))
+    val m = all.tail.map { l =>
+      val i = l.indexOf('\t')
+      val nums = l.drop(i + 1)
+      l.take(i) -> (if (nums.isEmpty) Seq.empty[Double]
+                    else nums.split(',').toSeq
+                      .map(_.toLong.toDouble / 4294967296.0))
+    }.toMap
+    (k, m)
+  }
+
+  /** Table-level NDV estimate from the committed per-file sketches —
+    * union, dedup, k smallest, (k−1)/h₍ₖ₎ (Bar-Yossef et al., public
+    * literature); a merged set smaller than k IS the exact distinct
+    * count (every file contributed its whole value set). Metadata-only:
+    * one sidecar read, zero data files. Returns (estimate, mergedVals)
+    * so audits can pin the merge bit-exact against a whole-table sketch.
+    */
+  def ndvEstimate(spark: org.apache.spark.sql.SparkSession, path: String,
+                  version: Int, colName: String): (Double, Seq[Double]) = {
+    val (k, sketches) = readNdvSketch(spark, path, version, colName)
+    val merged = sketches.values.flatten.toSeq.distinct.sorted.take(k)
+    val est =
+      if (merged.length < k) merged.length.toDouble
+      else (k - 1).toDouble / merged(k - 1)
+    (est, merged)
   }
 
   // ------------------------------------- commit-time CHECK constraints

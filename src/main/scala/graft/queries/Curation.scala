@@ -2820,6 +2820,7 @@ object Curation {
         VectorOps.listIndexFiles(s, path), Map("op" -> "append"))
       VectorOps.writeColStats(s, path, 1, "vec_id")
       VectorOps.writeStats(s, path, 1) // row counts: q_meta_agg's count(*)
+      VectorOps.writeNdvSketch(s, path, 1, "vec_id") // q_analyze_ndv
       // fpp 1e-6 (~29 bits/row): across the ~64 files here the absent
       // probe's P(any false positive) stays ~1e-4, so absent_all_pruned
       // is a stable gate; at 1e-3 a deterministic FP actually surfaced
@@ -3503,6 +3504,119 @@ object Curation {
       |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT)
       |    AS max_tomb""".stripMargin
 
+  // ------------------------------------ NDV sketch sidecars (ANALYZE)
+
+  /** ANALYZE-style table NDV from committed per-file sketches —
+    * [[VectorOps.writeNdvSketch]] lands each file's k smallest distinct
+    * KMV hashes at commit (the Iceberg puffin theta-blob design,
+    * public); [[VectorOps.ndvEstimate]] then answers "how many distinct
+    * values" from ONE sidecar read — no data files — because KMV
+    * sketches merge exactly: a hash among the global k smallest is
+    * within its own file's k smallest by rank monotonicity, so
+    * union+dedup+take-k over the per-file lists IS the whole-table
+    * sketch. That is what makes the stat maintainable at 100 TB: a new
+    * commit sketches only ITS files and the table estimate re-merges in
+    * metadata. Audited:
+    *
+    *  - `merged_equals_whole`: the sidecar merge is BIT-IDENTICAL to a
+    *    whole-table sketch computed directly — zero merge loss;
+    *  - `within_bounds`: the estimate lands within the KMV error bound
+    *    envelope (|est − exact| ≤ 35% at k=64, ~3σ);
+    *  - `est_ndv`: the estimate itself, hash-gated to 4 decimals against
+    *    the oracle recomputing the same md5 arithmetic;
+    *  - `n_exact`: the true distinct count.
+    */
+  private val analyzeNdvQ: Q = (s, dir) => {
+    val (path, _) = stageClustered(s, dir)
+    val (est, merged) = VectorOps.ndvEstimate(s, path, 1, "vec_id")
+    val topk = udaf(new graft.expr.TopKByScore(64))
+    val whole = VectorOps.readIndexVersion(s, path, 1)
+      .select(VectorOps.kmvHash(col("vec_id")).as("h")).distinct()
+      .agg(topk(-col("h"), lit(0L), lit(0L), lit(0L), lit(0L), lit(0.0))
+        .as("tk"))
+      .select(expr("transform(tk, e -> -e.score)").as("hs"))
+      .head().getSeq[Double](0).toSeq
+    val nExact = VectorOps.readIndexVersion(s, path, 1)
+      .agg(countDistinct(col("vec_id"))).head().getLong(0)
+    val within = math.abs(est - nExact) / nExact <= 0.35
+    s.range(1).select( // 1-row audit frame
+      lit(merged == whole).as("merged_equals_whole"),
+      lit(within).as("within_bounds"),
+      round(lit(est), 4).as("est_ndv"),
+      lit(nExact).as("n_exact"))
+  }
+  private val analyzeNdvSql =
+    """WITH v AS (SELECT DISTINCT vec_id FROM embeddings
+      |           WHERE vec_id <> 0),
+      |h AS (SELECT (('0x' || substring(md5('n:' || CAST(vec_id AS VARCHAR)),
+      |  1, 8))::BIGINT + 1) / 4294967296.0 AS h FROM v),
+      |s AS (SELECT (list(h ORDER BY h))[1:64] AS f,
+      |             CAST(count(*) AS BIGINT) AS cnt FROM h)
+      |SELECT TRUE AS merged_equals_whole, TRUE AS within_bounds,
+      |  round(CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+      |             ELSE 63.0 / f[64] END, 4) AS est_ndv,
+      |  cnt AS n_exact
+      |FROM s""".stripMargin
+
+  // --------------------------------------- dynamic file pruning (joins)
+
+  /** Dynamic file pruning on a fact-to-dimension join —
+    * [[VectorOps.readIndexVersionSemi]] is the Delta DFP design
+    * (public): the dimension's distinct keys (collected at plan time —
+    * exactly the build side a broadcast join collects anyway) probe the
+    * fact files' committed bloom sidecars, so the JOIN's selectivity
+    * becomes scan-time file skipping: on this range-clustered layout the
+    * 12 scattered dimension keys keep ~12 of ~64 files, and the other
+    * 50+ are never opened — at 100 TB the difference between scanning
+    * the corpus to throw 99.99% away post-join and reading only the
+    * files that can match. Audited:
+    *
+    *  - `parity`: the pruned-scan semi-join equals the full-scan
+    *    semi-join EXACTLY (blooms prune, the join answers);
+    *  - `pruned`: >0 but fewer than all files opened;
+    *  - `no_false_negative`: every file truly holding a dimension key
+    *    was kept — the bloom theorem, join-shaped;
+    *  - `n_match` / `sum_match`: exact join cardinality and key sum,
+    *    hash-gated against the oracle's arithmetic.
+    */
+  private val joinSkippingQ: Q = (s, dir) => {
+    val (path, maxId) = stageClustered(s, dir)
+    val keys = (1 to 12).map(i => (maxId / 13) * i)
+    val (rows, kept, total) =
+      VectorOps.readIndexVersionSemi(s, path, 1, "vec_id", keys)
+    val dim = s.createDataFrame(keys.map(Tuple1(_))).toDF("vec_id")
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val prunedJoin = rows.join(broadcast(dim), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val fullJoin = emb.join(broadcast(dim), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val nDiff = prunedJoin.exceptAll(fullJoin)
+      .unionByName(fullJoin.exceptAll(prunedJoin))
+      .agg(count(lit(1)).as("n_diff"))
+    val trueFiles = VectorOps.readIndexVersion(s, path, 1)
+      .join(broadcast(dim), Seq("vec_id"), "left_semi")
+      .select(substring_index(input_file_name(), "/", -2).as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val stats = fullJoin.agg(count(lit(1)).as("n_match"),
+      sum(col("vec_id")).cast("long").as("sum_match"))
+    nDiff.crossJoin(stats) // 1-row frames
+      .select(
+        (col("n_diff") === 0L).as("parity"),
+        lit(kept.nonEmpty && kept.length < total).as("pruned"),
+        lit(trueFiles.subsetOf(kept.toSet)).as("no_false_negative"),
+        col("n_match"), col("sum_match"))
+  }
+  private val joinSkippingSql =
+    """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings
+      |           WHERE vec_id <> 0),
+      |keys AS (SELECT (mx // 13) * i AS k
+      |         FROM m, generate_series(1, 12) t(i)),
+      |j AS (SELECT vec_id FROM embeddings JOIN keys ON vec_id = k)
+      |SELECT TRUE AS parity, TRUE AS pruned, TRUE AS no_false_negative,
+      |  CAST(count(*) AS BIGINT) AS n_match,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_match
+      |FROM j""".stripMargin
+
   // --------------------------------- norm-bound-pruned exact MIPS top-k
 
   /** Staged MIPS fixture: each vector deterministically weighted by
@@ -3823,6 +3937,8 @@ object Curation {
     ("q_meta_agg", metaAggQ, Some(metaAggSql)),
     ("q_constraint_commit", constraintCommitQ, Some(constraintCommitSql)),
     ("q_mips_prune", mipsPruneQ, Some(mipsPruneSql)),
+    ("q_join_skipping", joinSkippingQ, Some(joinSkippingSql)),
+    ("q_analyze_ndv", analyzeNdvQ, Some(analyzeNdvSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),
