@@ -715,4 +715,27 @@ object TextOps {
         .filter(size(col("cand")) > 0)
     }.select(col("doc_id"), size(col("cand")).cast("long").as("n_occ"))
   }
+
+  /** PROXIMITY search over the same positional postings — "both terms
+    * within w tokens, any order" (Lucene's sloppy/span query family,
+    * public design). One doc_id equi-join of the two terms' postings,
+    * then the minimum pairwise position distance entirely inside
+    * Catalyst higher-order functions (`transform` × `transform` →
+    * `flatten` → `array_min` — no UDF, no explode): per-document cost
+    * is |pos₁|·|pos₂| over document-sized lists, the same arithmetic a
+    * positional engine does per hit. Returns `(doc_id, min_dist)` for
+    * documents where the terms co-occur within `window`.
+    */
+  def proximityMatch(postings: DataFrame, t1: String, t2: String,
+                     window: Long): DataFrame = {
+    val a = postings.filter(col("tok") === t1)
+      .select(col("doc_id"), col("pos").as("p1"))
+    val b = postings.filter(col("tok") === t2)
+      .select(col("doc_id"), col("pos").as("p2"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"),
+        array_min(flatten(transform(col("p1"),
+          x => transform(col("p2"), y => abs(x - y))))).as("min_dist"))
+      .filter(col("min_dist") <= window)
+  }
 }

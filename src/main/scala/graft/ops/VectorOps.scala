@@ -1966,6 +1966,25 @@ object VectorOps {
         when(col("change_type") === "update_postimage", lit("update"))
           .otherwise(col("change_type")).as("change_type"))
 
+  /** The change feed between two TIMESTAMPS — [[versionAsOf]] composed
+    * with [[indexChanges]] (`table_changes(..., timestamp, timestamp)`,
+    * the Delta CDF call every downstream scheduler makes: "what changed
+    * since my last run at time t"). Both probes resolve to committed
+    * versions first (metadata-scale), then the feed reads only the
+    * commits between them — cost ∝ the changed bytes of that window,
+    * never the corpus, at any timestamp span.
+    */
+  def indexChangesAsOf(spark: org.apache.spark.sql.SparkSession,
+                       path: String, tsFrom: Long, tsTo: Long,
+                       idCol: String, vecCol: String): DataFrame = {
+    val vFrom = versionAsOf(spark, path, tsFrom)
+    val vTo = versionAsOf(spark, path, tsTo)
+    require(vTo > vFrom,
+      s"indexChangesAsOf: ts window [$tsFrom, $tsTo] resolves to " +
+        s"versions [$vFrom, $vTo] — nothing committed in between")
+    indexChanges(spark, path, vFrom, vTo, idCol, vecCol)
+  }
+
   /** [[indexChanges]] with ROW IMAGES — the full Delta-CDF row contract:
     * `(version, vid, change_type, vec)` where change_type ∈ insert |
     * delete | update_preimage | update_postimage and `vec` carries the

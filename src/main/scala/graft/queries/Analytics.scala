@@ -744,6 +744,42 @@ object Analytics {
       |  CAST(n3 AS BIGINT) AS n3_docs
       |FROM m2, m3 ORDER BY doc_id""".stripMargin
 
+  /** Proximity search ("within w tokens, any order") from the same
+    * positional index — [[graft.ops.TextOps.proximityMatch]], the
+    * Lucene sloppy-span query family (public design): one posting-sized
+    * doc_id equi-join, minimum pairwise distance computed entirely in
+    * Catalyst higher-order functions, bucket-pruned read like
+    * q_phrase_search. Per-document exact minimum distances hash-gate
+    * against the oracle's positional self-join; `pruned` proves the
+    * bucket skipping.
+    */
+  private val proximitySearchQ: Q = (s, dir) => {
+    val path = stagePosIndex(s, dir)
+    val terms = Seq("spark", "merge")
+    val buckets = s.createDataFrame(terms.map(Tuple1(_))).toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(16)).as("b"))
+      .collect().map(_.getLong(0).toInt).distinct.toSeq
+    val post = VectorOps.readIndexVersion(s, path, 1)
+      .filter(col("centroid").isin(buckets: _*) &&
+        col("tok").isin(terms: _*))
+    TextOps.proximityMatch(post, terms.head, terms(1), window = 5L)
+      .select(col("doc_id"), col("min_dist"),
+        lit(buckets.length < 16).as("pruned"))
+      .orderBy(col("doc_id"))
+  }
+  private val proximitySearchSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i,
+      |               unnest(toks) AS tok FROM d),
+      |p1 AS (SELECT doc_id, i FROM pos WHERE tok = 'spark'),
+      |p2 AS (SELECT doc_id, i FROM pos WHERE tok = 'merge'),
+      |m AS (SELECT p1.doc_id, min(abs(p1.i - p2.i)) AS min_dist
+      |      FROM p1 JOIN p2 USING (doc_id) GROUP BY 1)
+      |SELECT doc_id, CAST(min_dist AS BIGINT) AS min_dist, TRUE AS pruned
+      |FROM m WHERE min_dist <= 5 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ bigram LM perplexity
 
   /** Per-document average log-probability under an add-1-smoothed
@@ -1413,6 +1449,7 @@ object Analytics {
     ("q_bm25", bm25Q, Some(bm25Sql)),
     ("q_inverted_search", invertedSearchQ, Some(invertedSearchSql)),
     ("q_phrase_search", phraseSearchQ, Some(phraseSearchSql)),
+    ("q_proximity_search", proximitySearchQ, Some(proximitySearchSql)),
     ("q_bigram_lm", bigramLmQ, Some(bigramLmSql)),
     ("q_bootstrap_ci", bootstrapCiQ, Some(bootstrapCiSql)),
     ("q_stream_static", streamStaticQ, Some(streamStaticSql)),

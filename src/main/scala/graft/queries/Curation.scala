@@ -2798,6 +2798,46 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings
       |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT) AS n_head""".stripMargin
 
+  /** Change feed between TIMESTAMPS — [[VectorOps.indexChangesAsOf]]
+    * composes `timestampAsOf` resolution with the version change feed
+    * (Delta's `table_changes(tbl, ts, ts)`, the call every downstream
+    * scheduler makes: "what changed since my last run at time t"). Two
+    * probes over the timeline fixture (commits stamped 1000/2000/3000):
+    *
+    *  - `full` (ts 1500 → ∞) resolves v1→v3 and reads the v2 append as
+    *    inserts plus the v3 tombstones as deletes;
+    *  - `tail` (ts 2500 → ∞) resolves v2→v3 — deletes only, the insert
+    *    wave correctly OUTSIDE the window;
+    *
+    * per-(probe, change_type) counts hash-gated against the oracle's
+    * slice arithmetic. Resolution is metadata-scale; the feed reads
+    * only the window's changed files.
+    */
+  private val cdcAsOfQ: Q = (s, dir) => {
+    val path = stageTimeline(s, dir)
+    def probe(name: String, tsFrom: Long) =
+      VectorOps.indexChangesAsOf(s, path, tsFrom, 999999L,
+          "vec_id", "embedding")
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("probe"), col("change_type"), col("n_rows"))
+    probe("full", 1500L).unionByName(probe("tail", 2500L))
+      .orderBy(col("probe"), col("change_type"))
+  }
+  private val cdcAsOfSql =
+    """SELECT probe, change_type, n_rows FROM (VALUES
+      |  ('full', 'insert',
+      |   (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+      |    WHERE vec_id <> 0 AND vec_id % 3 = 0)),
+      |  ('full', 'delete',
+      |   (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+      |    WHERE vec_id <> 0 AND vec_id % 5 = 1)),
+      |  ('tail', 'delete',
+      |   (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+      |    WHERE vec_id <> 0 AND vec_id % 5 = 1))
+      |) t(probe, change_type, n_rows)
+      |ORDER BY probe, change_type""".stripMargin
+
   // ------------------------------------- file skipping (zone maps)
   /** Staged range-clustered fixture: the corpus written
     * repartitionByRange on vec_id BEFORE the centroid partitioning, so
@@ -3939,6 +3979,7 @@ object Curation {
     ("q_mips_prune", mipsPruneQ, Some(mipsPruneSql)),
     ("q_join_skipping", joinSkippingQ, Some(joinSkippingSql)),
     ("q_analyze_ndv", analyzeNdvQ, Some(analyzeNdvSql)),
+    ("q_cdc_asof", cdcAsOfQ, Some(cdcAsOfSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),

@@ -49,6 +49,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("proximityMatch: min pairwise distance equals brute force; " +
+      "window filters; disjoint docs absent") {
+    val corpus = Seq(
+      (1L, "a x x x b"),      // dist 4
+      (2L, "b a"),            // dist 1, order-free
+      (3L, "a x b x x a"),    // min over pairs = 2
+      (4L, "a a a"),          // no b → absent
+      (5L, "b"))
+    val postings = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("p", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(sort_array(collect_list(col("p").cast("long"))).as("pos"))
+    def brute(w: Long): Map[Long, Long] =
+      corpus.flatMap { case (id, t) =>
+        val toks = t.split(" ").zipWithIndex
+        val ds = for {
+          (ta, pa) <- toks if ta == "a"
+          (tb, pb) <- toks if tb == "b"
+        } yield math.abs(pa - pb).toLong
+        ds.minOption.filter(_ <= w).map(id -> _)
+      }.toMap
+    for (w <- Seq(0L, 1L, 2L, 4L, 10L)) {
+      val got = TextOps.proximityMatch(postings, "a", "b", w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute(w), s"window $w: $got vs ${brute(w)}")
+    }
+  }
+
   test("langId picks the profile with most stopword hits; und when none") {
     val df = Seq(
       "the cat is in the house and it is warm",
