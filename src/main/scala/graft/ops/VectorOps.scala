@@ -2797,6 +2797,77 @@ object VectorOps {
     }
   }
 
+  // --------------------------------- column mapping (metadata renames)
+
+  /** RENAME a column without touching a byte of data — the Delta
+    * column-mapping feature (public design: logical names resolve
+    * through a mapping carried in table metadata, so a rename is one
+    * metadata commit instead of a corpus rewrite, which at 100 TB is
+    * the difference between instant and a day of I/O). The mapping
+    * `physical → logical` rides the manifest header (`colmap`, entries
+    * `phys=logical` comma-joined) on a NEW version whose FILE LIST IS
+    * THE OLD ONE: pinned readers of older versions keep the old schema,
+    * the new version serves the logical names, and the sidecar pointers
+    * (tombstones, DVs — keyed by physical columns) carry forward
+    * untouched. Two renames landing on one logical name are refused —
+    * a silent collision would shadow a column; colliding with an
+    * UNMAPPED physical column is the caller's check (the physical
+    * schema lives in the data files, which this metadata-only commit
+    * deliberately never opens).
+    */
+  def renameColumns(spark: org.apache.spark.sql.SparkSession, path: String,
+                    fromVersion: Int, toVersion: Int,
+                    renames: Map[String, String]): Unit = {
+    require(renames.nonEmpty, "renameColumns: need at least one rename")
+    renames.foreach { case (p, l) =>
+      require(!p.contains('=') && !p.contains(',') &&
+        !l.contains('=') && !l.contains(','),
+        s"renameColumns: names must not contain '=' or ',': $p -> $l") }
+    val prior = columnMapping(spark, path, fromVersion)
+    // compose with any existing mapping: rename the LOGICAL name a
+    // reader sees, keyed back to its physical column
+    val physOf = prior.map { case (phys, logical) => logical -> phys }
+    val composed = prior ++ renames.map { case (from, to) =>
+      physOf.getOrElse(from, from) -> to }
+    val logicals = composed.values.toSeq
+    require(logicals.distinct.length == logicals.length,
+      s"renameColumns: logical-name collision in $composed")
+    val carried = readManifestMeta(spark, path, fromVersion)
+      .view.filterKeys(k => k == "deletes" || k == "dv").toMap
+    writeManifest(spark, path, toVersion,
+      readManifest(spark, path, fromVersion),
+      carried ++ Map("op" -> "rename",
+        "colmap" -> composed.toSeq.sorted
+          .map { case (p, l) => s"$p=$l" }.mkString(",")))
+  }
+
+  /** The column mapping of `version` (physical → logical), empty when
+    * the version predates any rename. */
+  def columnMapping(spark: org.apache.spark.sql.SparkSession, path: String,
+                    version: Int): Map[String, String] =
+    readManifestMeta(spark, path, version).get("colmap")
+      .map(_.split(',').toSeq.map { e =>
+        val i = e.indexOf('=')
+        require(i > 0, s"malformed colmap entry: $e")
+        e.take(i) -> e.drop(i + 1)
+      }.toMap)
+      .getOrElse(Map.empty)
+
+  /** [[readIndexVersionMor]] with the version's column mapping applied —
+    * the logical-schema read: physical columns rename to their mapped
+    * logical names at PLAN time (zero data I/O for the mapping itself);
+    * tombstone subtraction happens on the physical id column first,
+    * because sidecars are keyed physically by design.
+    */
+  def readIndexVersionLogical(spark: org.apache.spark.sql.SparkSession,
+                              path: String, version: Int,
+                              physIdCol: String): DataFrame = {
+    val base = readIndexVersionMor(spark, path, version, physIdCol)
+    columnMapping(spark, path, version).foldLeft(base) {
+      case (df, (phys, logical)) => df.withColumnRenamed(phys, logical)
+    }
+  }
+
   // ------------------------------------ NDV sketch sidecars (ANALYZE)
 
   /** The KMV hash shared with the oracle: first 8 md5 hex nibbles of

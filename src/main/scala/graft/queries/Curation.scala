@@ -3544,6 +3544,71 @@ object Curation {
       |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT)
       |    AS max_tomb""".stripMargin
 
+  // --------------------------------- column mapping (metadata renames)
+
+  /** Staged rename fixture: a zero-copy CLONE of the timeline index's
+    * tombstoned HEAD (v3) — clone and rename are BOTH metadata-only, so
+    * the whole fixture moves no data bytes — then one
+    * [[VectorOps.renameColumns]] commit mapping `vec_id → item_id` and
+    * `embedding → vec`. Returns (clonePath, filesMovedByRename).
+    */
+  private[queries] def stageRename(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): (String, Boolean) =
+    Staging.cached(s"renameidx:$dir") { tmp =>
+      val src = stageTimeline(s, dir)
+      val path = tmp.resolve("renamed").toString
+      VectorOps.cloneIndex(s, src, path, 3)
+      val before = VectorOps.readManifest(s, path, 1)
+      VectorOps.renameColumns(s, path, 1, 2,
+        Map("vec_id" -> "item_id", "embedding" -> "vec"))
+      val metadataOnly = VectorOps.readManifest(s, path, 2) == before
+      (path, metadataOnly)
+    }
+
+  /** Column RENAME without rewriting a byte — the Delta column-mapping
+    * feature (public design): [[VectorOps.renameColumns]] commits a
+    * `physical → logical` map in the manifest header on a version whose
+    * file list is unchanged, and [[VectorOps.readIndexVersionLogical]]
+    * applies it at plan time. At 100 TB a rename is one metadata commit
+    * instead of a day of rewrite I/O. Audited on a tombstoned clone
+    * (sidecar pointers are keyed by PHYSICAL columns and must keep
+    * subtracting through the rename):
+    *
+    *  - `metadata_only`: the rename commit's file list is bit-identical
+    *    to the previous version's;
+    *  - `old_pinned`: v1 still serves the OLD schema (`vec_id` present,
+    *    `item_id` absent) — pinned readers never see renames from the
+    *    future;
+    *  - `new_schema`: v2 serves exactly the logical names;
+    *  - `tombstones_survive`: the logical read still subtracts the
+    *    carried tombstones (count equals the MOR count);
+    *  - `n_rows` / `sum_ids`: exact content through the rename,
+    *    hash-gated.
+    */
+  private val columnRenameQ: Q = (s, dir) => {
+    val (path, metadataOnly) = stageRename(s, dir)
+    val v1Cols = VectorOps.readIndexVersionMor(s, path, 1, "vec_id").columns
+    val logical = VectorOps.readIndexVersionLogical(s, path, 2, "vec_id")
+    val newSchema = logical.columns.contains("item_id") &&
+      logical.columns.contains("vec") && !logical.columns.contains("vec_id")
+    val oldPinned = v1Cols.contains("vec_id") && !v1Cols.contains("item_id")
+    val morCount = VectorOps.readIndexVersionMor(s, path, 2, "vec_id").count()
+    logical.agg(count(lit(1)).as("n_rows"),
+        sum(col("item_id")).cast("long").as("sum_ids"))
+      .select( // 1-row frame
+        lit(metadataOnly).as("metadata_only"),
+        lit(oldPinned).as("old_pinned"),
+        lit(newSchema).as("new_schema"),
+        (col("n_rows") === morCount).as("tombstones_survive"),
+        col("n_rows"), col("sum_ids"))
+  }
+  private val columnRenameSql =
+    """SELECT TRUE AS metadata_only, TRUE AS old_pinned,
+      |  TRUE AS new_schema, TRUE AS tombstones_survive,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+      |FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 <> 1""".stripMargin
+
   // ------------------------------------ NDV sketch sidecars (ANALYZE)
 
   /** ANALYZE-style table NDV from committed per-file sketches —
@@ -3980,6 +4045,7 @@ object Curation {
     ("q_join_skipping", joinSkippingQ, Some(joinSkippingSql)),
     ("q_analyze_ndv", analyzeNdvQ, Some(analyzeNdvSql)),
     ("q_cdc_asof", cdcAsOfQ, Some(cdcAsOfSql)),
+    ("q_column_rename", columnRenameQ, Some(columnRenameSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),

@@ -98,8 +98,11 @@ object Fixtures {
     "json", "csv", "orc",            // format source re-encodes
     "stream", "videos", "audios",    // stream input dirs / binary fakes
     "upsert", "ivmagg",              // small SCD/IVM parquet dirs
-    "strcluster")                    // one range-shuffle write of the
+    "strcluster",                    // one range-shuffle write of the
                                      // 5000-row documents table
+    "renameidx")                     // zero-copy clone + metadata rename
+                                     // (its heavy dependency 'timetravel'
+                                     // is primed separately)
 
   /** Names of the primed fixtures, in prime order (tested: every heavy
     * index stager must be listed here or its first timed rep pays the

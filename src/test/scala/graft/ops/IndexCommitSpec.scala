@@ -840,6 +840,40 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("renameColumns: metadata-only, composes across renames, refuses " +
+      "logical collisions; logical reads subtract carried tombstones") {
+    val (dir, path, _) = freshIndex("rename")
+    try {
+      val doomed = embs.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      VectorOps.commitDeletes(spark, path, 1, 2, doomed)
+      VectorOps.renameColumns(spark, path, 2, 3,
+        Map("vec_id" -> "item_id"))
+      assert(VectorOps.readManifest(spark, path, 3) ==
+        VectorOps.readManifest(spark, path, 2), "rename moves no files")
+      // composed second rename: logical item_id -> row_id resolves back
+      // to the PHYSICAL vec_id in the stored map
+      VectorOps.renameColumns(spark, path, 3, 4,
+        Map("item_id" -> "row_id"))
+      assert(VectorOps.columnMapping(spark, path, 4) ==
+        Map("vec_id" -> "row_id"))
+      val logical = VectorOps.readIndexVersionLogical(spark, path, 4, "vec_id")
+      assert(logical.columns.contains("row_id") &&
+        !logical.columns.contains("vec_id"))
+      // tombstones (physical-keyed) still subtract through both renames
+      assert(logical.count() ==
+        embs.filter(col("vec_id") % 5 =!= 2 && col("vec_id") % 7 =!= 3)
+          .count())
+      // pinned pre-rename version still serves the physical schema
+      assert(VectorOps.readIndexVersionLogical(spark, path, 2, "vec_id")
+        .columns.contains("vec_id"))
+      // renaming TWO physicals onto one logical name is refused
+      intercept[IllegalArgumentException] {
+        VectorOps.renameColumns(spark, path, 4, 5,
+          Map("embedding" -> "row_id"))
+      }
+    } finally rmrf(dir)
+  }
+
   test("ivfMerge: duplicate source ids are refused loudly (the " +
       "multiple-source-rows-matched error), and a brand-new-ids source " +
       "degenerates to a pure append (zero partitions rewritten)") {
