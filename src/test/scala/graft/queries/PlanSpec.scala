@@ -1122,6 +1122,37 @@ class PlanSpec extends SparkSpec {
       s"inputFiles=${rows.inputFiles.length} kept=$kept total=$total")
   }
 
+  test("round-11 second-half additions: bucket-pruned postings, DFP " +
+      "kept-file scans, and every new audit boolean hold at sf0.001") {
+    // positional index: phrase + proximity open only their term buckets
+    val ph = Analytics.queries("q_phrase_search")(spark, sf).collect()
+    assert(ph.nonEmpty && ph.forall(_.getBoolean(2)),
+      "phrase read must be bucket-pruned")
+    val px = Analytics.queries("q_proximity_search")(spark, sf).collect()
+    assert(px.nonEmpty && px.forall(_.getBoolean(2)),
+      "proximity read must be bucket-pruned")
+    // DFP: the kept-file list IS the plan's physical input
+    val (cPath, maxId) = Curation.stageClustered(spark, sf)
+    val keys = (1 to 12).map(i => (maxId / 13) * i)
+    val (rows, kept, total) = graft.ops.VectorOps
+      .readIndexVersionSemi(spark, cPath, 1, "vec_id", keys)
+    assert(rows.inputFiles.length == kept.length && kept.length < total,
+      s"inputFiles=${rows.inputFiles.length} kept=${kept.length} " +
+        s"total=$total")
+    // audit booleans of the new oracled queries
+    def bools(name: String, n: Int): Unit = {
+      val r = Curation.queries(name)(spark, sf).head()
+      for (i <- 0 until n) assert(r.getBoolean(i), s"$name[$i]: $r")
+    }
+    bools("q_join_skipping", 3)
+    bools("q_meta_agg", 3)
+    bools("q_index_merge", 4)
+    bools("q_constraint_commit", 4)
+    bools("q_stream_source", 3)
+    bools("q_column_rename", 4)
+    bools("q_analyze_ndv", 2)
+  }
+
   test("streaming upsert + checkpoint audits hold at sf0.001") {
     val su = Curation.queries("q_stream_index_upsert")(spark, sf).head()
     for (i <- 0 to 2) assert(su.getBoolean(i), s"q_stream_index_upsert[$i]: $su")
