@@ -1504,6 +1504,83 @@ object VectorOps {
     } { identity }
   }
 
+  /** Size-aware OPTIMIZE: binpack only the SMALL files — the nightly
+    * maintenance job every lakehouse runs (Delta OPTIMIZE / Iceberg
+    * binpack rewrite, public design). [[ivfCompactVersioned]] coalesces
+    * every multi-file partition unconditionally; at 100 TB that
+    * re-copies right-sized files forever. Here, per partition, files
+    * under `targetBytes` greedily pack first-fit-decreasing into bins
+    * capped at `targetBytes` (sizes from file-status metadata — no data
+    * read to plan); only bins holding ≥ 2 files rewrite (one coalesced
+    * file each), every file ≥ target and every singleton bin is
+    * RE-LISTED untouched — zero I/O for the data that is already right.
+    * Same snapshot discipline as every rewrite: new files land beside
+    * the old, one manifest create commits, pinned readers undisturbed,
+    * tombstone pointer carried, op:compact dataChange-free in the feed.
+    * Returns (binsRewritten, filesFrom, filesTo, maxBinInputBytes).
+    */
+  def ivfCompactSmall(spark: org.apache.spark.sql.SparkSession,
+                      path: String, fromVersion: Int, toVersion: Int,
+                      targetBytes: Long): (Int, Int, Int, Long) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(targetBytes > 0, "ivfCompactSmall: targetBytes must be > 0")
+    require(!manifestExists(spark, path, toVersion),
+      s"version $toVersion is already committed under $path")
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val from = readManifest(spark, path, fromVersion)
+    val sizes = from.map(f =>
+      f -> fs.getFileStatus(new HPath(path, f)).getLen).toMap
+    val newList = scala.collection.mutable.ArrayBuffer[String]()
+    var bins = 0
+    var maxBinBytes = 0L
+    from.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).foreach {
+      case (part, files) =>
+        val (small, big) = files.partition(f => sizes(f) < targetBytes)
+        newList ++= big
+        // first-fit-decreasing into targetBytes-capped bins
+        val packed = scala.collection.mutable
+          .ArrayBuffer[(scala.collection.mutable.ArrayBuffer[String], Long)]()
+        small.sortBy(f => -sizes(f)).foreach { f =>
+          packed.find(_._2 + sizes(f) <= targetBytes) match {
+            case Some(bin) =>
+              val i = packed.indexOf(bin)
+              bin._1 += f
+              packed(i) = (bin._1, bin._2 + sizes(f))
+            case None =>
+              packed += ((scala.collection.mutable.ArrayBuffer(f), sizes(f)))
+          }
+        }
+        packed.zipWithIndex.foreach { case ((binFiles, binBytes), i) =>
+          if (binFiles.length < 2) newList ++= binFiles // nothing to gain
+          else {
+            val tmp = new HPath(path, s"_rewrite_tmp/$part-bin$i")
+            spark.read.option("mergeSchema", "true")
+              .parquet(binFiles.toSeq.map(f => s"$path/$f"): _*)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val produced = fs.listStatus(tmp).filter(s =>
+              s.isFile && s.getPath.getName.endsWith(".parquet"))
+            require(produced.length == 1,
+              s"coalesce(1) must land one file, got ${produced.length}")
+            val dst = new HPath(path, s"$part/binpack$i-v$toVersion.parquet")
+            require(fs.rename(produced.head.getPath, dst),
+              s"rename to $dst failed")
+            fs.delete(tmp, true)
+            newList += s"$part/${dst.getName}"
+            bins += 1
+            maxBinBytes = math.max(maxBinBytes, binBytes)
+          }
+        }
+    }
+    fs.delete(new HPath(path, "_rewrite_tmp"), true)
+    val carried = readManifestMeta(spark, path, fromVersion)
+      .view.filterKeys(k => k == "deletes" || k == "dv" || k == "colmap")
+      .toMap
+    writeManifest(spark, path, toVersion, newList.sorted.toSeq,
+      carried + ("op" -> "compact"))
+    (bins, from.length, newList.length, maxBinBytes)
+  }
+
   /** [[readIndexVersion]] with parquet schema merging: the pinned
     * version's files may carry DIFFERENT schemas (a later append added a
     * column; older files predate it) and the merged read unions them,

@@ -3544,6 +3544,81 @@ object Curation {
       |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT)
       |    AS max_tomb""".stripMargin
 
+  // ------------------------------------- size-aware OPTIMIZE (binpack)
+
+  /** Staged binpack fixture: the corpus written through a 12-way
+    * round-robin repartition so every centroid directory holds many
+    * deliberately-small files, committed as v1, then ONE
+    * [[VectorOps.ivfCompactSmall]] with a target of an eighth of the
+    * partition's bytes. Returns (path, v2 audit numbers, target).
+    */
+  private[queries] def stageBinpack(s: org.apache.spark.sql.SparkSession,
+                                    dir: String)
+      : (String, (Int, Int, Int, Long), Long) =
+    Staging.cached(s"binpackidx:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val idx = VectorOps.ivfIndexDeterministic(emb, "vec_id", "embedding",
+        nCentroids = 8)
+      val path = tmp.resolve("binpack").toString
+      idx.assigned.repartition(12)
+        .write.partitionBy("centroid").mode("overwrite").parquet(path)
+      VectorOps.writeManifest(s, path, 1, VectorOps.listIndexFiles(s, path),
+        Map("op" -> "append"))
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val total = VectorOps.readManifest(s, path, 1).map(f =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(path, f)).getLen).sum
+      val target = math.max(1L, total / 8)
+      val res = VectorOps.ivfCompactSmall(s, path, 1, 2, target)
+      (path, res, target)
+    }
+
+  /** Size-aware OPTIMIZE — [[VectorOps.ivfCompactSmall]] is the nightly
+    * maintenance job every lakehouse runs (Delta OPTIMIZE / Iceberg
+    * binpack, public design), and the cost contract
+    * [[VectorOps.ivfCompactVersioned]] cannot offer: only files UNDER
+    * the size target pack (first-fit-decreasing into target-capped
+    * bins, sizes from file-status metadata — planning reads no data);
+    * right-sized files are re-listed untouched, so at 100 TB the
+    * nightly job pays for the small-file debris, never for the data
+    * that is already right. Audited:
+    *
+    *  - `parity`: v2 serves exactly v1's rows (symmetric exceptAll) —
+    *    compaction moves bytes, not meaning;
+    *  - `files_reduced`: the small-file count actually collapsed;
+    *  - `bins_bounded`: no bin's INPUT bytes exceeded the target — the
+    *    packer respects the size contract it advertises;
+    *  - `pinned_intact`: v1 still readable, file list untouched;
+    *  - `n_rows` / `sum_ids`: exact content, hash-gated.
+    */
+  private val compactSmallQ: Q = (s, dir) => {
+    val (path, res, target) = stageBinpack(s, dir)
+    val (bins, filesFrom, filesTo, maxBin) = res
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val v2 = VectorOps.readIndexVersion(s, path, 2)
+      .select(col("vec_id"), col("embedding"))
+    val expected = emb.select(col("vec_id"), col("embedding"))
+    val nDiff = v2.exceptAll(expected).unionByName(expected.exceptAll(v2))
+      .agg(count(lit(1)).as("n_diff"))
+    val pinned = VectorOps.readIndexVersion(s, path, 1)
+      .agg(count(lit(1)).as("n_v1"))
+    val stats = expected.agg(count(lit(1)).as("n_rows"),
+      sum(col("vec_id")).cast("long").as("sum_ids"))
+    nDiff.crossJoin(pinned).crossJoin(stats) // 1-row frames
+      .select(
+        (col("n_diff") === 0L).as("parity"),
+        lit(bins > 0 && filesTo < filesFrom).as("files_reduced"),
+        lit(maxBin <= target).as("bins_bounded"),
+        (col("n_v1") === col("n_rows")).as("pinned_intact"),
+        col("n_rows"), col("sum_ids"))
+  }
+  private val compactSmallSql =
+    """SELECT TRUE AS parity, TRUE AS files_reduced, TRUE AS bins_bounded,
+      |  TRUE AS pinned_intact,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+      |FROM embeddings WHERE vec_id <> 0""".stripMargin
+
   // --------------------------------- column mapping (metadata renames)
 
   /** Staged rename fixture: a zero-copy CLONE of the timeline index's
@@ -4046,6 +4121,7 @@ object Curation {
     ("q_analyze_ndv", analyzeNdvQ, Some(analyzeNdvSql)),
     ("q_cdc_asof", cdcAsOfQ, Some(cdcAsOfSql)),
     ("q_column_rename", columnRenameQ, Some(columnRenameSql)),
+    ("q_compact_small", compactSmallQ, Some(compactSmallSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),

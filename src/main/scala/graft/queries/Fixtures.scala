@@ -80,7 +80,9 @@ object Fixtures {
     // IVF build + compaction + two streaming drains of the commit log
     "streamsource" -> ((s, d) => { Curation.stageStreamSource(s, d); () }),
     // weighted-vector rewrite + norm-range shuffle + zone-map harvest
-    "mipsidx" -> ((s, d) => { Curation.stageMips(s, d); () })
+    "mipsidx" -> ((s, d) => { Curation.stageMips(s, d); () }),
+    // IVF build + 96-small-file write + binpack rewrite
+    "binpackidx" -> ((s, d) => { Curation.stageBinpack(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

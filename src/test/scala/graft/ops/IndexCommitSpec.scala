@@ -840,6 +840,55 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("ivfCompactSmall: files over the target and singleton bins are " +
+      "re-listed untouched; small files pack within the target; " +
+      "content and pinned history survive") {
+    val dir = java.nio.file.Files.createTempDirectory("idx_binpack")
+    val path = dir.resolve("index").toString
+    try {
+      import spark.implicits._
+      // controlled sizes: one BIG file (many rows) + several small ones
+      (1L to 2000L).map(i => (i, s"payload-$i")).toDF("vec_id", "tag")
+        .coalesce(1).write.parquet(s"$path/centroid=0")
+      val bigFile = VectorOps.listIndexFiles(spark, path).head
+      (2001L to 2004L).foreach { i =>
+        Seq((i, s"p$i")).toDF("vec_id", "tag")
+          .coalesce(1).write.mode("append").parquet(s"$path/centroid=0")
+      }
+      // a second partition with ONE small file: a singleton bin, nothing
+      // to gain by rewriting it
+      Seq((9001L, "q")).toDF("vec_id", "tag")
+        .coalesce(1).write.parquet(s"$path/centroid=1")
+      VectorOps.writeManifest(spark, path, 1,
+        VectorOps.listIndexFiles(spark, path))
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val sizes = VectorOps.readManifest(spark, path, 1).map(f =>
+        f -> fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(path, f)).getLen).toMap
+      val smalls = sizes.filter(_._1 != bigFile).values
+      val target = smalls.sum + 1 // all four smalls fit one bin
+      assert(sizes(bigFile) > target, "fixture: the big file must be big")
+      val singleton = VectorOps.readManifest(spark, path, 1)
+        .find(_.startsWith("centroid=1")).get
+      val (bins, from, to, maxBin) =
+        VectorOps.ivfCompactSmall(spark, path, 1, 2, target)
+      assert(bins == 1 && from == 6 && to == 3,
+        s"4 smalls -> 1 bin; big + singleton re-listed: $bins/$from/$to")
+      assert(maxBin <= target)
+      val v2 = VectorOps.readManifest(spark, path, 2)
+      assert(v2.contains(bigFile), "over-target file must be untouched")
+      assert(v2.contains(singleton), "singleton bin must be untouched")
+      // content parity and pinned v1
+      assert(VectorOps.readIndexVersion(spark, path, 2).count() == 2005)
+      assert(VectorOps.readIndexVersion(spark, path, 1).count() == 2005)
+      // idempotent second pass: nothing small enough remains in pairs
+      val (bins2, _, to2, _) =
+        VectorOps.ivfCompactSmall(spark, path, 2, 3, target)
+      assert(bins2 == 0 && to2 == 3, "a second pass must be a no-op")
+    } finally rmrf(dir)
+  }
+
   test("renameColumns: metadata-only, composes across renames, refuses " +
       "logical collisions; logical reads subtract carried tombstones") {
     val (dir, path, _) = freshIndex("rename")
