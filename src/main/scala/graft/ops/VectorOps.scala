@@ -1719,7 +1719,27 @@ object VectorOps {
     */
   def ivfVacuum(spark: org.apache.spark.sql.SparkSession, path: String,
                 keepVersions: Seq[Int], minAgeMs: Long = 0L): (Int, Int) = {
-    require(keepVersions.nonEmpty, "ivfVacuum: keepVersions must be non-empty")
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val (orphans, nKept) = vacuumPlan(spark, path, keepVersions, minAgeMs)
+    orphans.foreach(f => fs.delete(new HPath(path, f), false))
+    (orphans.length, nKept)
+  }
+
+  /** DRY RUN of [[ivfVacuum]]: the exact file list a vacuum with these
+    * arguments would delete, and the count it would keep — nothing is
+    * touched. `VACUUM ... DRY RUN` is the first command every operator
+    * runs before the real one (the Delta contract, public), because
+    * vacuum is the single irreversible operation in the layout: a wrong
+    * retention window here is the only way to destroy committed data.
+    * Same resolution cost as the vacuum itself minus the deletes: one
+    * directory walk + the kept manifests (metadata-scale).
+    */
+  def vacuumPlan(spark: org.apache.spark.sql.SparkSession, path: String,
+                 keepVersions: Seq[Int], minAgeMs: Long = 0L)
+      : (Seq[String], Int) = {
+    require(keepVersions.nonEmpty, "vacuum: keepVersions must be non-empty")
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = new HPath(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -1730,8 +1750,7 @@ object VectorOps {
     val orphans = all.filterNot(referenced).filter(f =>
       minAgeMs <= 0L ||
         fs.getFileStatus(new HPath(path, f)).getModificationTime <= cutoff)
-    orphans.foreach(f => fs.delete(new HPath(path, f), false))
-    (orphans.length, all.length - orphans.length)
+    (orphans, all.length - orphans.length)
   }
 
   /** Commit-LOG retention — the metadata sibling of [[ivfVacuum]]:
@@ -2918,6 +2937,45 @@ object VectorOps {
           .map { case (p, l) => s"$p=$l" }.mkString(",")))
   }
 
+  /** DROP a column without touching a byte of data — the second half of
+    * metadata-only ALTER TABLE (Delta drops columns via column mapping,
+    * public design; the bytes stay in the files, readers stop seeing
+    * them, and a later rewrite physically sheds them for free). The
+    * dropped PHYSICAL names ride the manifest header (`coldrop`,
+    * comma-joined) on a version whose file list is the old one; pinned
+    * older versions keep serving the column. Dropping a column that a
+    * rename maps is refused (drop the logical name's physical column —
+    * resolve it first); dropping the MOR id column would break
+    * tombstone subtraction and is the caller's foot-gun to avoid, same
+    * as every physical-keyed sidecar.
+    */
+  def dropColumns(spark: org.apache.spark.sql.SparkSession, path: String,
+                  fromVersion: Int, toVersion: Int,
+                  physCols: Seq[String]): Unit = {
+    require(physCols.nonEmpty, "dropColumns: need at least one column")
+    physCols.foreach(c => require(!c.contains(',') && !c.contains('='),
+      s"dropColumns: names must not contain ',' or '=': $c"))
+    val mapped = columnMapping(spark, path, fromVersion).keySet
+    val clash = physCols.toSet.intersect(mapped)
+    require(clash.isEmpty,
+      s"dropColumns: $clash are renamed columns — drop the physical " +
+        "name after removing its mapping, not both at once")
+    val prior = droppedColumns(spark, path, fromVersion)
+    val carried = readManifestMeta(spark, path, fromVersion)
+      .view.filterKeys(k => k == "deletes" || k == "dv" || k == "colmap")
+      .toMap
+    writeManifest(spark, path, toVersion,
+      readManifest(spark, path, fromVersion),
+      carried ++ Map("op" -> "dropcol",
+        "coldrop" -> (prior ++ physCols).distinct.sorted.mkString(",")))
+  }
+
+  /** The physical columns dropped as of `version` (empty when none). */
+  def droppedColumns(spark: org.apache.spark.sql.SparkSession,
+                     path: String, version: Int): Seq[String] =
+    readManifestMeta(spark, path, version).get("coldrop")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
   /** The column mapping of `version` (physical → logical), empty when
     * the version predates any rename. */
   def columnMapping(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -2940,7 +2998,11 @@ object VectorOps {
                               path: String, version: Int,
                               physIdCol: String): DataFrame = {
     val base = readIndexVersionMor(spark, path, version, physIdCol)
-    columnMapping(spark, path, version).foldLeft(base) {
+    val dropped = droppedColumns(spark, path, version)
+      .filter(base.columns.contains)
+    val undropped =
+      if (dropped.isEmpty) base else base.drop(dropped: _*)
+    columnMapping(spark, path, version).foldLeft(undropped) {
       case (df, (phys, logical)) => df.withColumnRenamed(phys, logical)
     }
   }

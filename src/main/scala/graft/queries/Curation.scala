@@ -3628,7 +3628,7 @@ object Curation {
     * `embedding → vec`. Returns (clonePath, filesMovedByRename).
     */
   private[queries] def stageRename(s: org.apache.spark.sql.SparkSession,
-                                   dir: String): (String, Boolean) =
+                                   dir: String): (String, Boolean, Boolean) =
     Staging.cached(s"renameidx:$dir") { tmp =>
       val src = stageTimeline(s, dir)
       val path = tmp.resolve("renamed").toString
@@ -3637,7 +3637,10 @@ object Curation {
       VectorOps.renameColumns(s, path, 1, 2,
         Map("vec_id" -> "item_id", "embedding" -> "vec"))
       val metadataOnly = VectorOps.readManifest(s, path, 2) == before
-      (path, metadataOnly)
+      // v3: DROP the partition column — rename map must carry through
+      VectorOps.dropColumns(s, path, 2, 3, Seq("centroid"))
+      val dropMetaOnly = VectorOps.readManifest(s, path, 3) == before
+      (path, metadataOnly, dropMetaOnly)
     }
 
   /** Column RENAME without rewriting a byte — the Delta column-mapping
@@ -3661,7 +3664,7 @@ object Curation {
     *    hash-gated.
     */
   private val columnRenameQ: Q = (s, dir) => {
-    val (path, metadataOnly) = stageRename(s, dir)
+    val (path, metadataOnly, _) = stageRename(s, dir)
     val v1Cols = VectorOps.readIndexVersionMor(s, path, 1, "vec_id").columns
     val logical = VectorOps.readIndexVersionLogical(s, path, 2, "vec_id")
     val newSchema = logical.columns.contains("item_id") &&
@@ -3680,6 +3683,46 @@ object Curation {
   private val columnRenameSql =
     """SELECT TRUE AS metadata_only, TRUE AS old_pinned,
       |  TRUE AS new_schema, TRUE AS tombstones_survive,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+      |FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 <> 1""".stripMargin
+
+  /** Column DROP without rewriting a byte — the second half of
+    * metadata-only ALTER TABLE ([[VectorOps.dropColumns]]; Delta drops
+    * columns via column mapping, public design): the dropped physical
+    * names ride the manifest header on a version whose file list is
+    * unchanged — the bytes stay in the files, readers stop seeing them,
+    * and the next rewrite sheds them physically for free. Audited on
+    * the renamed clone (v2 renames, v3 drops the partition column):
+    *
+    *  - `metadata_only`: the drop commit moves zero files;
+    *  - `dropped_gone`: the v3 logical read has no `centroid`;
+    *  - `rename_survives`: the carried column mapping still serves
+    *    `item_id`/`vec` through the drop;
+    *  - `pinned_has`: the v2 logical read, after the drop, still serves
+    *    the column — pinned readers never see drops from the future;
+    *  - `n_rows` / `sum_ids`: exact content through both DDLs.
+    */
+  private val columnDropQ: Q = (s, dir) => {
+    val (path, _, dropMetaOnly) = stageRename(s, dir)
+    val v3 = VectorOps.readIndexVersionLogical(s, path, 3, "vec_id")
+    val v2 = VectorOps.readIndexVersionLogical(s, path, 2, "vec_id")
+    val droppedGone = !v3.columns.contains("centroid")
+    val renameSurvives = v3.columns.contains("item_id") &&
+      v3.columns.contains("vec")
+    val pinnedHas = v2.columns.contains("centroid")
+    v3.agg(count(lit(1)).as("n_rows"),
+        sum(col("item_id")).cast("long").as("sum_ids"))
+      .select( // 1-row frame
+        lit(dropMetaOnly).as("metadata_only"),
+        lit(droppedGone).as("dropped_gone"),
+        lit(renameSurvives).as("rename_survives"),
+        lit(pinnedHas).as("pinned_has"),
+        col("n_rows"), col("sum_ids"))
+  }
+  private val columnDropSql =
+    """SELECT TRUE AS metadata_only, TRUE AS dropped_gone,
+      |  TRUE AS rename_survives, TRUE AS pinned_has,
       |  CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
       |FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 <> 1""".stripMargin
@@ -4122,6 +4165,7 @@ object Curation {
     ("q_cdc_asof", cdcAsOfQ, Some(cdcAsOfSql)),
     ("q_column_rename", columnRenameQ, Some(columnRenameSql)),
     ("q_compact_small", compactSmallQ, Some(compactSmallSql)),
+    ("q_column_drop", columnDropQ, Some(columnDropSql)),
     ("q_index_cdc", indexCdcQ, Some(indexCdcSql)),
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),

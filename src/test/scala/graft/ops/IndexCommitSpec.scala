@@ -920,6 +920,51 @@ class IndexCommitSpec extends SparkSpec {
         VectorOps.renameColumns(spark, path, 4, 5,
           Map("embedding" -> "row_id"))
       }
+      // DROP: a renamed physical is refused (resolve the mapping first)
+      intercept[IllegalArgumentException] {
+        VectorOps.dropColumns(spark, path, 4, 5, Seq("vec_id"))
+      }
+      // dropping an unmapped physical works, accumulates, moves no files
+      VectorOps.dropColumns(spark, path, 4, 5, Seq("embedding"))
+      VectorOps.dropColumns(spark, path, 5, 6, Seq("centroid"))
+      assert(VectorOps.droppedColumns(spark, path, 6) ==
+        Seq("centroid", "embedding"))
+      assert(VectorOps.readManifest(spark, path, 6) ==
+        VectorOps.readManifest(spark, path, 2))
+      val v6 = VectorOps.readIndexVersionLogical(spark, path, 6, "vec_id")
+      assert(v6.columns.contains("row_id") &&
+        !v6.columns.contains("embedding") &&
+        !v6.columns.contains("centroid") &&
+        !v6.columns.contains("vec_id"),
+        s"drops + rename must hide both dropped columns and serve " +
+          s"row_id: ${v6.columns.toSeq}")
+      // the pinned pre-drop version still serves everything
+      assert(VectorOps.readIndexVersionLogical(spark, path, 4, "vec_id")
+        .columns.contains("embedding"))
+    } finally rmrf(dir)
+  }
+
+  test("vacuumPlan: the dry run lists exactly what ivfVacuum would " +
+      "delete and touches nothing") {
+    val (dir, path, cents) = freshIndex("vacplan")
+    try {
+      // land an unreferenced file the appender never committed
+      VectorOps.ivfAppend(embs.filter(col("vec_id") % 5 === 2), cents,
+        path, "vec_id", "embedding")
+      val referenced = VectorOps.readManifest(spark, path, 1).toSet
+      val orphansTruth = VectorOps.listIndexFiles(spark, path)
+        .filterNot(referenced)
+      assert(orphansTruth.nonEmpty)
+      val (planned, kept) = VectorOps.vacuumPlan(spark, path, Seq(1))
+      assert(planned.sorted == orphansTruth.sorted)
+      assert(kept == referenced.size)
+      // nothing was deleted by the dry run
+      assert(VectorOps.listIndexFiles(spark, path).size ==
+        referenced.size + orphansTruth.size)
+      // the real vacuum deletes exactly the planned set
+      val (deleted, kept2) = VectorOps.ivfVacuum(spark, path, Seq(1))
+      assert(deleted == planned.size && kept2 == kept)
+      assert(VectorOps.listIndexFiles(spark, path).toSet == referenced)
     } finally rmrf(dir)
   }
 
