@@ -2774,8 +2774,12 @@ object VectorOps {
     // count from the COMMITTED sidecar (delete-sized), not the corpus
     val nTotal = spark.read.parquet(s"$path/$sidecarRel").count()
     val nPending = pending.map(_.count()).getOrElse(0L)
+    // dvcount rides the header so metadata-only counts stay servable
+    // under DVs (position cardinality is exact — every position kills
+    // exactly one row; the Delta stats-with-DV design)
     writeManifest(spark, path, toVersion, files,
-      Map("op" -> "dv-delete") ++ meta + ("dv" -> sidecarRel))
+      Map("op" -> "dv-delete") ++ meta +
+        ("dv" -> sidecarRel) + ("dvcount" -> nTotal.toString))
     (nTotal - nPending, nTotal)
   }
 
@@ -2838,7 +2842,8 @@ object VectorOps {
     * (zero data files, zero footers opened) or from the fallback scan.
     */
   final case class MetaAgg(nRows: Long, min: Long, max: Long,
-                           servedFromMeta: Boolean)
+                           servedFromMeta: Boolean,
+                           countFromMeta: Boolean)
 
   /** Answer `count(*)` / `min(col)` / `max(col)` for a pinned version
     * WITHOUT opening a single data file — the lakehouse metadata-only
@@ -2868,28 +2873,50 @@ object VectorOps {
               version: Int, colName: String, idCol: String): MetaAgg = {
     val meta = readManifestMeta(spark, path, version)
     val files = readManifest(spark, path, version)
-    val fromMeta: Option[(Long, Long, Long)] =
-      if (meta.contains("deletes") || files.isEmpty) None
+    val hasTomb = meta.contains("deletes")
+    val hasDv = meta.contains("dv")
+    val statsOpt: Option[Map[String, Long]] =
+      try Some(readStats(spark, path, version))
+        .filter(c => files.forall(c.contains))
+      catch { case _: java.io.IOException => None } // sidecar missing
+    // COUNT survives DVs: position cardinality is exact (every position
+    // kills exactly one row) and rides the dvcount header — the Delta
+    // stats-with-DV design. Id tombstones don't (ids may match 0 rows).
+    val dvCount: Option[Long] =
+      if (!hasDv) Some(0L) else meta.get("dvcount").map(_.toLong)
+    val countMeta: Option[Long] =
+      if (hasTomb || files.isEmpty || statsOpt.isEmpty || dvCount.isEmpty)
+        None
+      else Some(files.map(statsOpt.get).sum - dvCount.get)
+    // BOUNDS survive nothing: any delete may have held the extremal row
+    val boundsMeta: Option[(Long, Long)] =
+      if (hasTomb || hasDv || files.isEmpty) None
       else try {
-        val counts = readStats(spark, path, version)
         val zones = readColStats(spark, path, version, colName)
-        val answerable = files.forall { f =>
-          counts.contains(f) && zones.get(f).exists(
-            _ != (Long.MinValue, Long.MaxValue))
-        }
-        if (!answerable) None
-        else Some((files.map(counts).sum,
-          files.map(f => zones(f)._1).min,
+        val ok = files.forall(f => zones.get(f).exists(
+          _ != (Long.MinValue, Long.MaxValue)))
+        if (!ok) None
+        else Some((files.map(f => zones(f)._1).min,
           files.map(f => zones(f)._2).max))
-      } catch { case _: java.io.IOException => None } // sidecar missing
-    fromMeta match {
-      case Some((n, mn, mx)) => MetaAgg(n, mn, mx, servedFromMeta = true)
-      case None =>
-        val r = readIndexVersionMor(spark, path, version, idCol)
-          .agg(count(lit(1)), min(col(colName).cast("long")),
-            max(col(colName).cast("long"))).head()
-        MetaAgg(r.getLong(0), r.getLong(1), r.getLong(2),
-          servedFromMeta = false)
+      } catch { case _: java.io.IOException => None }
+    (countMeta, boundsMeta) match {
+      case (Some(n), Some((mn, mx))) =>
+        MetaAgg(n, mn, mx, servedFromMeta = true, countFromMeta = true)
+      case _ =>
+        // fallback scan with EVERY delete kind applied: DV positions
+        // first (scan-metadata anti-join), then id tombstones
+        val dvApplied = readIndexVersionDv(spark, path, version)
+        val scanned = readDeletes(spark, path, version) match {
+          case None => dvApplied
+          case Some(d) => dvApplied.join(
+            broadcast(d.select(col("vid").as(idCol))), Seq(idCol),
+            "left_anti")
+        }
+        val r = scanned.agg(count(lit(1)), min(col(colName).cast("long")),
+          max(col(colName).cast("long"))).head()
+        val n = countMeta.getOrElse(r.getLong(0))
+        MetaAgg(n, r.getLong(1), r.getLong(2),
+          servedFromMeta = false, countFromMeta = countMeta.isDefined)
     }
   }
 

@@ -3185,6 +3185,9 @@ object Curation {
         element_at(col("embedding"), 1) < lit(0f))
       val (n2New, n2Tot) = VectorOps.commitDeletionVector(s, path,
         fromVersion = 2, toVersion = 3, col("vec_id") % 13 === 4)
+      // row-count stats for v3 (same file list as v1): q_meta_agg's
+      // DV probe serves count(*) = stats − dvcount from metadata
+      VectorOps.writeStats(s, path, 3)
       // position deletes must move ZERO data files — audit both commits
       // here, where all three manifests are at hand
       val logicalCheap =
@@ -3511,8 +3514,12 @@ object Curation {
   private val metaAggQ: Q = (s, dir) => {
     val (cpath, _) = stageClustered(s, dir)
     val tpath = stageTimeline(s, dir)
+    val (dpath, _, _, _, _, _) = stageDvDelete(s, dir)
     val clean = VectorOps.metaAgg(s, cpath, 1, "vec_id", "vec_id")
     val tomb = VectorOps.metaAgg(s, tpath, 3, "vec_id", "vec_id")
+    // DVs: the COUNT stays metadata-served (stats − exact dvcount, the
+    // Delta stats-with-DV design); bounds still fall back
+    val dv = VectorOps.metaAgg(s, dpath, 3, "vec_id", "vec_id")
     val scanParity = VectorOps.readIndexVersionMor(s, cpath, 1, "vec_id")
       .agg(count(lit(1)).as("sn"), min(col("vec_id")).as("smn"),
         max(col("vec_id")).as("smx"))
@@ -3520,16 +3527,18 @@ object Curation {
         col("smx") === clean.max).as("parity_clean"))
     scanParity.select( // 1-row frame
       lit(clean.servedFromMeta).as("served_meta"),
-      lit(!tomb.servedFromMeta).as("fallback_scan"),
+      lit(!tomb.servedFromMeta && !tomb.countFromMeta).as("fallback_scan"),
+      lit(!dv.servedFromMeta && dv.countFromMeta).as("dv_count_meta"),
       col("parity_clean"),
       lit(clean.nRows).as("n_clean"), lit(clean.min).as("min_clean"),
       lit(clean.max).as("max_clean"),
       lit(tomb.nRows).as("n_tomb"), lit(tomb.min).as("min_tomb"),
-      lit(tomb.max).as("max_tomb"))
+      lit(tomb.max).as("max_tomb"),
+      lit(dv.nRows).as("n_dv"))
   }
   private val metaAggSql =
     """SELECT TRUE AS served_meta, TRUE AS fallback_scan,
-      |  TRUE AS parity_clean,
+      |  TRUE AS dv_count_meta, TRUE AS parity_clean,
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS n_clean,
       |  CAST((SELECT min(vec_id) FROM embeddings WHERE vec_id <> 0)
@@ -3542,7 +3551,10 @@ object Curation {
       |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT) AS min_tomb,
       |  CAST((SELECT max(vec_id) FROM embeddings
       |        WHERE vec_id <> 0 AND vec_id % 5 <> 1) AS BIGINT)
-      |    AS max_tomb""".stripMargin
+      |    AS max_tomb,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND embedding[1] >= 0
+      |          AND vec_id % 13 <> 4) AS BIGINT) AS n_dv""".stripMargin
 
   // ------------------------------------- size-aware OPTIMIZE (binpack)
 
