@@ -1358,6 +1358,52 @@ object Curation {
     * reclaim ordering is what makes the whole lifecycle safe under
     * concurrent readers on a rename-free object store.
     */
+  /** VACUUM DRY RUN — [[VectorOps.vacuumPlan]] is the command every
+    * operator runs before the real one (the Delta `VACUUM ... DRY RUN`
+    * contract, public): vacuum is the layout's single irreversible
+    * operation, so the plan must be exact and must touch NOTHING.
+    * Probed read-only against the lifecycle fixture keeping only the
+    * all-partitions-hot upsert version v4 (its copy-on-write rewrite
+    * superseded every pre-upsert file, so the plan carries real debt;
+    * keeping v5 too would reference everything — the restore re-lists
+    * v3's files by design):
+    *
+    *  - `plan_nonempty`: the fixture carries real debt — an empty plan
+    *    proves nothing;
+    *  - `nothing_touched`: the listing before and after the dry run is
+    *    identical;
+    *  - `disjoint_kept`: no planned file is referenced by a kept
+    *    version — the plan would never delete living data;
+    *  - `complete`: planned ∪ referenced is exactly the on-disk set —
+    *    the plan and the keep set partition the tree, nothing falls
+    *    through;
+    *  - `n_head`: the kept HEAD's row count, hash-gated.
+    */
+  private val vacuumDryrunQ: Q = (s, dir) => {
+    val (path, _, _, _) = stageLifecycle(s, dir)
+    val before = VectorOps.listIndexFiles(s, path)
+    val referenced = VectorOps.readManifest(s, path, 4).toSet
+    val (planned, nKept) = VectorOps.vacuumPlan(s, path, Seq(4))
+    val after = VectorOps.listIndexFiles(s, path)
+    VectorOps.readIndexVersionMor(s, path, 4, "vec_id")
+      .agg(count(lit(1)).as("n_head"))
+      .select( // 1-row frame
+        lit(planned.nonEmpty).as("plan_nonempty"),
+        lit(after == before).as("nothing_touched"),
+        lit(planned.toSet.intersect(referenced).isEmpty)
+          .as("disjoint_kept"),
+        lit(planned.toSet ++ referenced == before.toSet &&
+          planned.length + nKept == before.length).as("complete"),
+        col("n_head"))
+  }
+  private val vacuumDryrunSql =
+    """SELECT TRUE AS plan_nonempty, TRUE AS nothing_touched,
+      |  TRUE AS disjoint_kept, TRUE AS complete,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0
+      |          AND (vec_id % 11 = 5 OR vec_id % 7 <> 3))
+      |    AS BIGINT) AS n_head""".stripMargin
+
   private val indexVacuumQ: Q = (s, dir) => {
     val (path, cents, rewritten, filesV2, filesV3, deleted, kept) =
       stageIvfVacuumed(s, dir)
@@ -4204,6 +4250,7 @@ object Curation {
     ("q_concurrent_commit", concurrentCommitQ, Some(concurrentCommitSql)),
     ("q_pq_drift", pqDriftQ, Some(pqDriftSql)),
     ("q_index_vacuum", indexVacuumQ, Some(indexVacuumSql)),
+    ("q_vacuum_dryrun", vacuumDryrunQ, Some(vacuumDryrunSql)),
     ("q_mor_delete", morDeleteQ, Some(morDeleteSql)),
     ("q_index_fsck", indexFsckQ, Some(indexFsckSql)),
     ("q_schema_evolution", schemaEvolutionQ, Some(schemaEvolutionSql)),
