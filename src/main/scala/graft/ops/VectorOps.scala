@@ -804,17 +804,19 @@ object VectorOps {
                     path: String): Option[Int] =
     listVersions(spark, path).lastOption
 
-  /** Read the index at its newest committed version, tombstones applied
-    * ([[readIndexVersionMor]] — HEAD must never serve deleted rows).
-    * The default entry point of a reader that doesn't care about time
-    * travel; pinned readers keep using [[readIndexVersion]] /
-    * [[readIndexVersionMor]] with an explicit version.
+  /** Read the index at its newest committed version, EVERY delete kind
+    * applied ([[readIndexVersionVisible]] — HEAD must never serve
+    * deleted rows, whether an id tombstone or a DV position hides
+    * them). The default entry point of a reader that doesn't care about
+    * time travel; pinned readers keep using [[readIndexVersion]] /
+    * [[readIndexVersionMor]] / [[readIndexVersionVisible]] with an
+    * explicit version.
     */
   def readIndexLatest(spark: org.apache.spark.sql.SparkSession,
                       path: String, idCol: String): DataFrame = {
     val v = latestVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed version under $path"))
-    readIndexVersionMor(spark, path, v, idCol)
+    readIndexVersionVisible(spark, path, v, idCol)
   }
 
   /** The idempotence key of a streaming commit: `{sink}:{batchId}`.
@@ -865,13 +867,14 @@ object VectorOps {
     eligible.maxBy { case (v, t) => (t, v) }._1
   }
 
-  /** Read the index AS OF a timestamp, tombstones applied — the
+  /** Read the index AS OF a timestamp, every delete kind applied — the
     * timestamp sibling of [[readIndexLatest]]:
-    * [[versionAsOf]] → [[readIndexVersionMor]].
+    * [[versionAsOf]] → [[readIndexVersionVisible]].
     */
   def readIndexAsOf(spark: org.apache.spark.sql.SparkSession,
                     path: String, ts: Long, idCol: String): DataFrame =
-    readIndexVersionMor(spark, path, versionAsOf(spark, path, ts), idCol)
+    readIndexVersionVisible(spark, path, versionAsOf(spark, path, ts),
+      idCol)
 
   /** Every streaming batch id ever committed, as namespaced
     * [[batchKey]]s — the replay-idempotence check of [[ivfAppendBatch]]
@@ -1102,6 +1105,117 @@ object VectorOps {
   private def resolveRel(path: String, rel: String): String =
     if (isExternal(rel)) rel else s"$path/$rel"
 
+  /** The manifest-header keys that describe a version's LOGICAL state
+    * beyond its file list — pending deletes of both kinds and the
+    * column-mapping DDL. Every writer that commits a successor version
+    * carries these through [[carriedMeta]] unless it explicitly
+    * CONSUMES one (folds a delete physically, recomputes a mapping):
+    * the single shared list is what makes "a new commit path forgot a
+    * key and silently resurrected deleted rows / dropped columns"
+    * structurally impossible — the exact bug class a per-site
+    * hand-picked `filterKeys` invited.
+    */
+  private[ops] val CarriedKeys: Seq[String] =
+    Seq("deletes", "dv", "dvcount", "colmap", "coldrop")
+
+  /** `fromVersion`'s carried-state headers, minus the keys the calling
+    * writer consumes itself (`except`). */
+  private def carriedMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String, version: Int,
+                          except: Set[String] = Set.empty)
+      : Map[String, String] =
+    readManifestMeta(spark, path, version).view
+      .filterKeys(k => CarriedKeys.contains(k) && !except.contains(k))
+      .toMap
+
+  /** [[carriedMeta]] for cross-root commits (clone / promote): sidecar
+    * POINTER keys absolutize against the source root so the new index
+    * can resolve them; value keys (counts, column mappings) carry
+    * verbatim.
+    */
+  private def carriedMetaAbs(spark: org.apache.spark.sql.SparkSession,
+                             root: String, version: Int)
+      : Map[String, String] = {
+    val m = readManifestMeta(spark, root, version)
+    val pointers = Seq("deletes", "dv").flatMap(k =>
+      m.get(k).map(rel => k -> resolveRel(root, rel)))
+    val verbatim = Seq("dvcount", "colmap", "coldrop").flatMap(k =>
+      m.get(k).map(v => k -> v))
+    (pointers ++ verbatim).toMap
+  }
+
+  /** Split `fromVersion`'s deletion vector across a partition rewrite.
+    * DV sidecars are keyed by (file, pos); a rewrite that copies rows
+    * into NEW files breaks every entry pointing at a rewritten file —
+    * carrying the pointer forward verbatim would silently RESURRECT
+    * those rows in the new version. Here the entries partition exactly:
+    *  - entries whose file lives in a rewritten partition are APPLIED
+    *    physically (the returned transform anti-joins them on scan
+    *    metadata inside the rewrite — the doomed rows never reach the
+    *    new files);
+    *  - entries for untouched files stay valid and re-land as
+    *    `toVersion`'s sidecar (or the pointer carries verbatim when no
+    *    rewritten partition holds a DV entry — the common case, zero
+    *    sidecar I/O).
+    * Returns (metaAdditions, perPartitionTransform). All driver-side
+    * work is delete-sized; the transform's anti-join side broadcasts.
+    */
+  private def splitDvForRewrite(spark: org.apache.spark.sql.SparkSession,
+                                path: String, fromVersion: Int,
+                                toVersion: Int,
+                                rewrittenParts: Set[String])
+      : (Map[String, String], DataFrame => DataFrame) = {
+    val meta = readManifestMeta(spark, path, fromVersion)
+    if (!meta.contains("dv"))
+      return (Map.empty, identity)
+    val verbatim: Map[String, String] =
+      Map("dv" -> meta("dv")) ++ meta.get("dvcount").map("dvcount" -> _)
+    if (rewrittenParts.isEmpty) return (verbatim, identity)
+    val dv = spark.read.parquet(resolveRel(path, meta("dv")))
+      .select(col("file"), col("pos").cast("long").as("pos"))
+    val inPart = substring_index(col("file"), "/", 1)
+      .isin(rewrittenParts.toSeq: _*)
+    val applied = dv.filter(inPart)
+    if (applied.isEmpty) return (verbatim, identity)
+    val b = broadcast(applied.select(col("file").as("__dv_file"),
+      col("pos").as("__dv_pos")))
+    val applier: DataFrame => DataFrame = df => df
+      .withColumn("__dv_file",
+        substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__dv_pos", col("_metadata.row_index").cast("long"))
+      .join(b, Seq("__dv_file", "__dv_pos"), "left_anti")
+      .drop("__dv_file", "__dv_pos")
+    val keptDv = dv.filter(!inPart)
+    val nKept = keptDv.count()
+    if (nKept == 0L) (Map.empty, applier)
+    else {
+      val rel = s"_dv/v$toVersion"
+      keptDv.coalesce(1).write.mode("overwrite").parquet(s"$path/$rel")
+      (Map("dv" -> rel, "dvcount" -> nKept.toString), applier)
+    }
+  }
+
+  /** Fully-VISIBLE read of a pinned version: deletion-vector positions
+    * subtracted first (scan-metadata anti-join, [[readIndexVersionDv]]),
+    * then id tombstones — the read every "what does this version
+    * actually serve" consumer must use. [[readIndexVersionMor]] applies
+    * only tombstones (the id-keyed sidecar its name promises) and stays
+    * the pinned-reader entry point for id-delete-only histories; a path
+    * that computes VISIBILITY (upsert/merge matched counts, HEAD
+    * resolution, metadata-fallback scans) on a version that may carry
+    * EITHER delete kind belongs here.
+    */
+  def readIndexVersionVisible(spark: org.apache.spark.sql.SparkSession,
+                              path: String, version: Int,
+                              idCol: String): DataFrame = {
+    val dvApplied = readIndexVersionDv(spark, path, version)
+    readDeletes(spark, path, version) match {
+      case None => dvApplied
+      case Some(d) => dvApplied.join(
+        broadcast(d.select(col("vid").as(idCol))), Seq(idCol), "left_anti")
+    }
+  }
+
   /** Shallow-clone `srcVersion` of `src` as version 1 of `dst`: one
     * manifest write whose entries reference the SOURCE's data files by
     * absolute URI — zero data bytes copy (the Delta SHALLOW CLONE /
@@ -1118,9 +1232,7 @@ object VectorOps {
                  dst: String, srcVersion: Int): Unit = {
     val abs = readManifest(spark, src, srcVersion)
       .map(f => if (isExternal(f)) f else s"$src/$f")
-    val srcMeta = readManifestMeta(spark, src, srcVersion)
-    val carried = Seq("deletes", "dv").flatMap(k =>
-      srcMeta.get(k).map(rel => k -> resolveRel(src, rel))).toMap
+    val carried = carriedMetaAbs(spark, src, srcVersion)
     writeManifest(spark, dst, 1, abs,
       carried ++ Map("op" -> "clone", "source" -> src,
         "source_version" -> srcVersion.toString))
@@ -1141,9 +1253,7 @@ object VectorOps {
     val entries = readManifest(spark, branch, branchVersion)
       .map(f => if (isExternal(f)) f else s"$branch/$f")
       .map(f => if (f.startsWith(main + "/")) f.drop(main.length + 1) else f)
-    val bMeta = readManifestMeta(spark, branch, branchVersion)
-    val carried = Seq("deletes", "dv").flatMap(k =>
-      bMeta.get(k).map(rel => k -> resolveRel(branch, rel))).toMap
+    val carried = carriedMetaAbs(spark, branch, branchVersion)
     val head = latestVersion(spark, main).getOrElse(
       throw new IllegalStateException(s"no committed version under $main"))
     writeManifest(spark, main, head + 1, entries,
@@ -1188,10 +1298,14 @@ object VectorOps {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/$sidecarRel")
     // op:delete tags the commit for the change feed ([[indexChanges]]):
-    // a logical delete's tombstone delta IS its change set
+    // a logical delete's tombstone delta IS its change set. The OTHER
+    // carried-state keys (a pending DV, column mappings) ride along —
+    // a tombstone delete on top of a DV delete must not resurrect the
+    // DV's rows
     writeManifest(spark, path, toVersion,
       readManifest(spark, path, fromVersion),
-      Map("op" -> "delete") ++ meta + ("deletes" -> sidecarRel))
+      carriedMeta(spark, path, fromVersion, except = Set("deletes")) ++
+        Map("op" -> "delete") ++ meta + ("deletes" -> sidecarRel))
   }
 
   /** The tombstone sidecar of `version`, if its manifest references one.
@@ -1252,10 +1366,14 @@ object VectorOps {
         else latestVersion(spark, path).getOrElse(0)
       val headFiles =
         if (head == 0) Seq.empty else readManifest(spark, path, head)
+      // an append leaves every existing file untouched, so the FULL
+      // carried state stays valid verbatim: tombstones and DV positions
+      // still point at their files, dvcount is unchanged (new files add
+      // no deleted positions), and the column mapping must survive or
+      // an append to a renamed table would silently reset its schema
       val carried =
         if (head == 0) Map.empty[String, String]
-        else readManifestMeta(spark, path, head)
-          .view.filterKeys(_ == "deletes").toMap
+        else carriedMeta(spark, path, head)
       try {
         writeManifest(spark, path, head + 1,
           (headFiles ++ newFiles).sorted, carried ++ meta)
@@ -1382,41 +1500,84 @@ object VectorOps {
     }
   }
 
-  /** Apply pending tombstones PHYSICALLY: rewrite only the partitions
-    * that actually hold deleted rows (the driver learns which from one
-    * id-sized aggregate over the MOR read's complement), land the
-    * filtered files beside the old ones, and commit `toVersion` with the
-    * sidecar folded in and dropped. Cost ∝ the affected partitions'
-    * bytes — a delete touching 3 of 10k partitions rewrites 3. Old
-    * versions keep serving until [[ivfVacuum]]; the new version needs no
-    * anti-join at read time. Returns (partitionsRewritten, rowsDeleted).
+  /** Apply pending deletes of BOTH kinds PHYSICALLY — id tombstones and
+    * deletion-vector positions: rewrite only the partitions that
+    * actually hold doomed rows (tombstone partitions from one id-sized
+    * semi-join aggregate; DV partitions straight from the sidecar's
+    * file names), land the filtered files beside the old ones, and
+    * commit `toVersion` with every delete sidecar folded in and
+    * dropped. Cost ∝ the affected partitions' bytes — a delete touching
+    * 3 of 10k partitions rewrites 3. Old versions keep serving until
+    * [[ivfVacuum]]; the new version needs no subtraction of any kind at
+    * read time. Column mappings (`colmap`/`coldrop`) carry forward —
+    * purging rows must not reset DDL. Returns
+    * (partitionsRewritten, rowsDeleted) with rowsDeleted the EXACT
+    * physical row delta of the rewritten partitions (footer counts
+    * before vs after — metadata-priced, double-count-proof when one row
+    * is doomed by both kinds).
     */
   def applyDeletes(spark: org.apache.spark.sql.SparkSession, path: String,
                    fromVersion: Int, toVersion: Int,
                    idCol: String): (Int, Long) = {
     val delsOpt = readDeletes(spark, path, fromVersion)
-    if (delsOpt.isEmpty) { // nothing pending: the commit is pure metadata
+    val hasDv = readManifestMeta(spark, path, fromVersion).contains("dv")
+    val carried = carriedMeta(spark, path, fromVersion,
+      except = Set("deletes", "dv", "dvcount"))
+    if (delsOpt.isEmpty && !hasDv) { // nothing pending: pure metadata
       writeManifest(spark, path, toVersion,
-        readManifest(spark, path, fromVersion))
+        readManifest(spark, path, fromVersion),
+        carried + ("op" -> "apply"))
       return (0, 0L)
     }
-    val delSet = broadcast(delsOpt.get.select(col("vid").as(idCol)))
-    // which partitions hold doomed rows — one id-sized semi-join aggregate
-    val hotParts = readIndexVersion(spark, path, fromVersion)
-      .join(delSet, Seq(idCol), "left_semi")
-      .groupBy(col("centroid")).agg(count(lit(1)).as("n"))
-      .collect().map(r => s"centroid=${r.get(0)}" -> r.getLong(1)).toMap
+    val tombParts: Set[String] = delsOpt match {
+      case None => Set.empty
+      case Some(d) =>
+        // which partitions hold tombstoned rows — over the PHYSICAL
+        // read (a doomed row is on disk even when a DV already hides it)
+        val delSet = broadcast(d.select(col("vid").as(idCol)))
+        readIndexVersion(spark, path, fromVersion)
+          .join(delSet, Seq(idCol), "left_semi")
+          .select(col("centroid")).distinct()
+          .collect().map(r => s"centroid=${r.get(0)}").toSet
+    }
+    val dvParts: Set[String] =
+      readDeletionVector(spark, path, fromVersion) match {
+        case None => Set.empty
+        case Some(dv) => dv
+          .select(substring_index(col("file"), "/", 1).as("p"))
+          .distinct().collect().map(_.getString(0)).toSet
+      }
+    val hot = tombParts ++ dvParts
+    // hot covers every DV partition, so the split applies ALL positions
+    // physically and carries nothing — asserted, not assumed
+    val (dvMeta, dvApply) =
+      splitDvForRewrite(spark, path, fromVersion, toVersion, hot)
+    require(dvMeta.isEmpty,
+      s"applyDeletes: DV entries survived a full apply: $dvMeta")
+    val tombApply: DataFrame => DataFrame = delsOpt match {
+      case None => identity
+      case Some(d) =>
+        val delSet = broadcast(d.select(col("vid").as(idCol)))
+        df => df.join(delSet, Seq(idCol), "left_anti")
+    }
+    val from = readManifest(spark, path, fromVersion)
+    val hotBefore = from.filter(f => hot.contains(f.takeWhile(_ != '/')))
+    val nBefore = footerCounts(spark, path, hotBefore).values.sum
     val (rewritten, _, _) =
       rewriteVersioned(spark, path, fromVersion, toVersion, "deleted",
-        // tombstones are FOLDED IN here — the new version must not carry
-        // the pointer forward or the anti-join would run twice. op:apply
-        // marks the commit dataChange-free for the change feed: these rows
-        // were reported deleted when the LOGICAL commit landed; the
-        // physical purge must not report them twice
-        carryMeta = Map("op" -> "apply")) {
-        (part, _) => hotParts.contains(part)
-      } { df => df.join(delSet, Seq(idCol), "left_anti") }
-    (rewritten, hotParts.values.sum)
+        // every delete sidecar is FOLDED IN here — the new version must
+        // not carry a pointer forward or the subtraction would run
+        // twice. op:apply marks the commit dataChange-free for the
+        // change feed: these rows were reported deleted when the
+        // LOGICAL commit landed; the physical purge must not report
+        // them twice
+        carryMeta = carried + ("op" -> "apply")) {
+        (part, _) => hot.contains(part)
+      } { df => tombApply(dvApply(df)) }
+    val hotAfter = readManifest(spark, path, toVersion)
+      .filter(f => hot.contains(f.takeWhile(_ != '/')))
+    val nAfter = footerCounts(spark, path, hotAfter).values.sum
+    (rewritten, nBefore - nAfter)
   }
 
   /** Shared write-new/commit core of every versioned rewrite
@@ -1459,6 +1620,7 @@ object VectorOps {
           require(produced.length == 1,
             s"coalesce(1) must land one file, got ${produced.length}")
           val dst = new HPath(path, s"$part/$dstTag-v$toVersion.parquet")
+          fs.delete(dst, false) // crash leftover: toVersion never committed
           require(fs.rename(produced.head.getPath, dst),
             s"rename to $dst failed")
           fs.delete(tmp, true)
@@ -1491,16 +1653,27 @@ object VectorOps {
   def ivfCompactVersioned(spark: org.apache.spark.sql.SparkSession,
                           path: String, fromVersion: Int,
                           toVersion: Int): (Int, Int, Int) = {
-    // compaction moves bytes, not meaning: tombstones still PENDING at
-    // fromVersion stay pending — the pointer rides the new manifest so
-    // MOR readers of the compacted version keep subtracting them
-    val carried = readManifestMeta(spark, path, fromVersion)
-      .view.filterKeys(_ == "deletes").toMap
+    // compaction moves bytes, not meaning: the FULL carried state rides
+    // the new manifest — pending tombstones keep subtracting (id-keyed,
+    // rewrite-proof) and column mappings survive. DV entries are keyed
+    // by (file, pos), which a rewrite breaks, so partitions holding a
+    // DV-referenced file are EXCLUDED from compaction (re-listed
+    // verbatim — the pointer stays exactly valid); they compact after
+    // [[applyDeletes]] folds the DV in, the same deferral Delta's
+    // OPTIMIZE applies to DV-carrying files
+    val carried = carriedMeta(spark, path, fromVersion)
+    val dvParts: Set[String] =
+      readDeletionVector(spark, path, fromVersion) match {
+        case None => Set.empty
+        case Some(dv) => dv
+          .select(substring_index(col("file"), "/", 1).as("p"))
+          .distinct().collect().map(_.getString(0)).toSet
+      }
     // op:compact marks the commit dataChange-free: compaction moves bytes,
     // the change feed must stay silent across it (the Delta CDF design)
     rewriteVersioned(spark, path, fromVersion, toVersion, "compacted",
       carryMeta = carried + ("op" -> "compact")) {
-      (_, files) => files.length > 1
+      (part, files) => files.length > 1 && !dvParts.contains(part)
     } { identity }
   }
 
@@ -1531,12 +1704,26 @@ object VectorOps {
     val from = readManifest(spark, path, fromVersion)
     val sizes = from.map(f =>
       f -> fs.getFileStatus(new HPath(path, f)).getLen).toMap
+    // DV sidecars are keyed by (file, pos) — repacking a DV-referenced
+    // file would copy its raw bytes into a binpack file the sidecar
+    // doesn't name, silently RESURRECTING every DV-deleted row in it.
+    // Those files are excluded from packing (re-listed verbatim, the
+    // carried pointer stays exactly valid); they pack after
+    // [[applyDeletes]] folds the DV in — the Delta OPTIMIZE deferral.
+    val dvFiles: Set[String] =
+      readDeletionVector(spark, path, fromVersion) match {
+        case None => Set.empty
+        case Some(dv) =>
+          dv.select(col("file")).distinct().collect()
+            .map(_.getString(0)).toSet
+      }
     val newList = scala.collection.mutable.ArrayBuffer[String]()
     var bins = 0
     var maxBinBytes = 0L
     from.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).foreach {
       case (part, files) =>
-        val (small, big) = files.partition(f => sizes(f) < targetBytes)
+        val (small, big) = files.partition(f =>
+          sizes(f) < targetBytes && !dvFiles.contains(f))
         newList ++= big
         // first-fit-decreasing into targetBytes-capped bins
         val packed = scala.collection.mutable
@@ -1563,6 +1750,7 @@ object VectorOps {
             require(produced.length == 1,
               s"coalesce(1) must land one file, got ${produced.length}")
             val dst = new HPath(path, s"$part/binpack$i-v$toVersion.parquet")
+            fs.delete(dst, false) // crash leftover: toVersion never committed
             require(fs.rename(produced.head.getPath, dst),
               s"rename to $dst failed")
             fs.delete(tmp, true)
@@ -1573,11 +1761,8 @@ object VectorOps {
         }
     }
     fs.delete(new HPath(path, "_rewrite_tmp"), true)
-    val carried = readManifestMeta(spark, path, fromVersion)
-      .view.filterKeys(k => k == "deletes" || k == "dv" || k == "colmap")
-      .toMap
     writeManifest(spark, path, toVersion, newList.sorted.toSeq,
-      carried + ("op" -> "compact"))
+      carriedMeta(spark, path, fromVersion) + ("op" -> "compact"))
     (bins, from.length, newList.length, maxBinBytes)
   }
 
@@ -1977,8 +2162,9 @@ object VectorOps {
       .groupBy(col("centroid")).agg(count(lit(1)).as("n"))
       .collect().map(r => s"centroid=${r.get(0)}" -> r.getLong(1)).toMap
     // replaced = VISIBLE rows superseded (the caller-facing number;
-    // purging a stale tombstoned row is hygiene, not a replacement)
-    val nReplaced = readIndexVersionMor(spark, path, fromVersion, idCol)
+    // purging a stale tombstoned or DV-deleted row is hygiene, not a
+    // replacement) — visibility applies BOTH delete kinds
+    val nReplaced = readIndexVersionVisible(spark, path, fromVersion, idCol)
       .join(upIds, Seq(idCol), "left_semi").count()
     // pending tombstones carry forward MINUS the upserted ids
     val meta = readDeletes(spark, path, fromVersion) match {
@@ -1993,11 +2179,19 @@ object VectorOps {
           Map("op" -> "upsert", "deletes" -> rel)
         }
     }
+    // a pending DV splits across the rewrite: entries in hot partitions
+    // apply physically (their files are being rewritten anyway), the
+    // rest carry; column mappings ride verbatim
+    val (dvMeta, dvApply) = splitDvForRewrite(spark, path, fromVersion,
+      toVersion, hot.keySet)
+    val ddl = carriedMeta(spark, path, fromVersion,
+      except = Set("deletes", "dv", "dvcount"))
     val (rewritten, _, _) =
       rewriteVersioned(spark, path, fromVersion, toVersion, "upserted",
-        carryMeta = meta ++ extraMeta, extraFiles = newFiles.toSeq) {
+        carryMeta = ddl ++ dvMeta ++ meta ++ extraMeta,
+        extraFiles = newFiles.toSeq) {
         (part, _) => hot.contains(part)
-      } { df => df.join(upIds, Seq(idCol), "left_anti") }
+      } { df => dvApply(df).join(upIds, Seq(idCol), "left_anti") }
     (rewritten, nReplaced, nStaged)
   }
 
@@ -2528,10 +2722,16 @@ object VectorOps {
     val fs = new HPath(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val fromFiles = readManifest(spark, path, fromVersion)
-    val carried = readManifestMeta(spark, path, fromVersion)
-      .view.filterKeys(_ == "deletes").toMap
+    // a recluster rewrites EVERY file, so a pending DV (keyed by file,
+    // pos) cannot carry — it is applied physically here and its pointer
+    // dropped; the rows it named were already reported deleted at their
+    // logical commit, so the dataChange-free op:recluster stays honest.
+    // Id tombstones survive any rewrite and stay pending; column
+    // mappings ride along.
+    val carried = carriedMeta(spark, path, fromVersion,
+      except = Set("dv", "dvcount"))
     val stageRel = s"_staging/recluster_$toVersion"
-    readIndexVersion(spark, path, fromVersion)
+    readIndexVersionDv(spark, path, fromVersion)
       .repartitionByRange(numRanges, col(rangeCol))
       .write.partitionBy("centroid").mode("overwrite")
       .parquet(s"$path/$stageRel")
@@ -2777,8 +2977,13 @@ object VectorOps {
     // dvcount rides the header so metadata-only counts stay servable
     // under DVs (position cardinality is exact — every position kills
     // exactly one row; the Delta stats-with-DV design)
+    // the other carried-state keys (pending id tombstones, column
+    // mappings) ride along — a DV delete on top of a tombstone delete
+    // must not resurrect the tombstoned ids
     writeManifest(spark, path, toVersion, files,
-      Map("op" -> "dv-delete") ++ meta +
+      carriedMeta(spark, path, fromVersion,
+        except = Set("dv", "dvcount")) ++
+        Map("op" -> "dv-delete") ++ meta +
         ("dv" -> sidecarRel) + ("dvcount" -> nTotal.toString))
     (nTotal - nPending, nTotal)
   }
@@ -2827,8 +3032,10 @@ object VectorOps {
       throw new IllegalStateException(s"no committed version under $path"))
     require(restoreTo <= head,
       s"restoreVersion: v$restoreTo is not committed (head is v$head)")
-    val carried = readManifestMeta(spark, path, restoreTo)
-      .view.filterKeys(_ == "deletes").toMap
+    // a restore reproduces restoreTo's WHOLE logical state — its DV,
+    // its column mappings — not just its tombstone pointer: restoring
+    // past a rename must restore the old schema too
+    val carried = carriedMeta(spark, path, restoreTo)
     writeManifest(spark, path, head + 1,
       readManifest(spark, path, restoreTo),
       carried ++ Map("op" -> "restore", "restore_of" -> restoreTo.toString))
@@ -2843,7 +3050,8 @@ object VectorOps {
     */
   final case class MetaAgg(nRows: Long, min: Long, max: Long,
                            servedFromMeta: Boolean,
-                           countFromMeta: Boolean)
+                           countFromMeta: Boolean,
+                           empty: Boolean = false)
 
   /** Answer `count(*)` / `min(col)` / `max(col)` for a pinned version
     * WITHOUT opening a single data file — the lakehouse metadata-only
@@ -2905,18 +3113,19 @@ object VectorOps {
       case _ =>
         // fallback scan with EVERY delete kind applied: DV positions
         // first (scan-metadata anti-join), then id tombstones
-        val dvApplied = readIndexVersionDv(spark, path, version)
-        val scanned = readDeletes(spark, path, version) match {
-          case None => dvApplied
-          case Some(d) => dvApplied.join(
-            broadcast(d.select(col("vid").as(idCol))), Seq(idCol),
-            "left_anti")
-        }
+        val scanned = readIndexVersionVisible(spark, path, version, idCol)
         val r = scanned.agg(count(lit(1)), min(col(colName).cast("long")),
           max(col(colName).cast("long"))).head()
         val n = countMeta.getOrElse(r.getLong(0))
-        MetaAgg(n, r.getLong(1), r.getLong(2),
-          servedFromMeta = false, countFromMeta = countMeta.isDefined)
+        if (r.isNullAt(1) || r.isNullAt(2))
+          // every row deleted (or the column all-null): min/max do not
+          // exist — an explicit empty verdict, never an NPE and never
+          // invented sentinel bounds
+          MetaAgg(n, 0L, 0L, servedFromMeta = false,
+            countFromMeta = countMeta.isDefined, empty = true)
+        else
+          MetaAgg(n, r.getLong(1), r.getLong(2),
+            servedFromMeta = false, countFromMeta = countMeta.isDefined)
     }
   }
 
@@ -2955,13 +3164,12 @@ object VectorOps {
     val logicals = composed.values.toSeq
     require(logicals.distinct.length == logicals.length,
       s"renameColumns: logical-name collision in $composed")
-    val carried = readManifestMeta(spark, path, fromVersion)
-      .view.filterKeys(k => k == "deletes" || k == "dv").toMap
     writeManifest(spark, path, toVersion,
       readManifest(spark, path, fromVersion),
-      carried ++ Map("op" -> "rename",
-        "colmap" -> composed.toSeq.sorted
-          .map { case (p, l) => s"$p=$l" }.mkString(",")))
+      carriedMeta(spark, path, fromVersion, except = Set("colmap")) ++
+        Map("op" -> "rename",
+          "colmap" -> composed.toSeq.sorted
+            .map { case (p, l) => s"$p=$l" }.mkString(",")))
   }
 
   /** DROP a column without touching a byte of data — the second half of
@@ -2988,13 +3196,11 @@ object VectorOps {
       s"dropColumns: $clash are renamed columns — drop the physical " +
         "name after removing its mapping, not both at once")
     val prior = droppedColumns(spark, path, fromVersion)
-    val carried = readManifestMeta(spark, path, fromVersion)
-      .view.filterKeys(k => k == "deletes" || k == "dv" || k == "colmap")
-      .toMap
     writeManifest(spark, path, toVersion,
       readManifest(spark, path, fromVersion),
-      carried ++ Map("op" -> "dropcol",
-        "coldrop" -> (prior ++ physCols).distinct.sorted.mkString(",")))
+      carriedMeta(spark, path, fromVersion, except = Set("coldrop")) ++
+        Map("op" -> "dropcol",
+          "coldrop" -> (prior ++ physCols).distinct.sorted.mkString(",")))
   }
 
   /** The physical columns dropped as of `version` (empty when none). */
@@ -3024,7 +3230,7 @@ object VectorOps {
   def readIndexVersionLogical(spark: org.apache.spark.sql.SparkSession,
                               path: String, version: Int,
                               physIdCol: String): DataFrame = {
-    val base = readIndexVersionMor(spark, path, version, physIdCol)
+    val base = readIndexVersionVisible(spark, path, version, physIdCol)
     val dropped = droppedColumns(spark, path, version)
       .filter(base.columns.contains)
     val undropped =
@@ -3327,7 +3533,9 @@ object VectorOps {
     // land the insert/update rows as new files (nothing visible yet)
     val newFiles = stageAssignedFiles(spark, path, upsRows, centroids,
       idCol, vecCol, s"merge$toVersion", s"_staging/merge_$toVersion")
-    val visible = readIndexVersionMor(spark, path, fromVersion, idCol)
+    // visibility applies BOTH delete kinds — a DV-hidden row must not
+    // count as updated or deleted (it is already gone to every reader)
+    val visible = readIndexVersionVisible(spark, path, fromVersion, idCol)
     val nUpdated = visible.join(upsIds, Seq(idCol), "left_semi").count()
     val nDeleted = visible.join(delIds, Seq(idCol), "left_semi").count()
     val nInserted = upsRows.count() - nUpdated
@@ -3352,11 +3560,20 @@ object VectorOps {
           Map("op" -> "merge", "deletes" -> rel)
         }
     }
+    // a pending DV splits across the rewrite: entries in hot partitions
+    // apply physically, the rest carry — merging on a DV-carrying
+    // version must not resurrect DV-deleted rows in untouched
+    // partitions; column mappings ride verbatim
+    val (dvMeta, dvApply) = splitDvForRewrite(spark, path, fromVersion,
+      toVersion, hot)
+    val ddl = carriedMeta(spark, path, fromVersion,
+      except = Set("deletes", "dv", "dvcount"))
     val (rewritten, _, _) =
       rewriteVersioned(spark, path, fromVersion, toVersion, "merged",
-        carryMeta = meta ++ extraMeta, extraFiles = newFiles) {
+        carryMeta = ddl ++ dvMeta ++ meta ++ extraMeta,
+        extraFiles = newFiles) {
         (part, _) => hot.contains(part)
-      } { df => df.join(touched, Seq(idCol), "left_anti") }
+      } { df => dvApply(df).join(touched, Seq(idCol), "left_anti") }
     fs.delete(new HPath(path, srcRel), true)
     (rewritten, nUpdated, nDeleted, nInserted)
   }

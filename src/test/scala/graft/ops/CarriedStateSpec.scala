@@ -1,0 +1,278 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Carried-state discipline across every versioned writer (the shared
+  * `CarriedKeys` list): a commit path that forgets a manifest-header
+  * key silently resurrects deleted rows (`deletes`/`dv`) or dropped
+  * columns (`coldrop`) — the exact bug class these tests pin shut.
+  * Covers: DV survival through binpack compaction / full compaction /
+  * MERGE / UPSERT (split-and-apply), DV fold-in on recluster and
+  * applyDeletes, DDL carry through renames-after-drops, appends,
+  * restores, and the all-rows-deleted metaAgg probe.
+  */
+class CarriedStateSpec extends SparkSpec {
+
+  private def embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .filter(col("vec_id") =!= 0)
+
+  /** IVF index at v1, returning (tmpDir, indexPath, centroids). */
+  private def freshIndex(tag: String)
+      : (java.nio.file.Path, String, Array[Array[Double]]) = {
+    val idx = VectorOps.ivfIndexDeterministic(embs, "vec_id", "embedding", 4)
+    val dir = java.nio.file.Files.createTempDirectory(s"carry_$tag")
+    val path = dir.resolve("index").toString
+    // 3 writer tasks → ~3 files per centroid dir, so compaction paths
+    // have something to pack
+    idx.assigned.repartition(3)
+      .write.partitionBy("centroid").mode("overwrite").parquet(path)
+    VectorOps.writeManifest(spark, path, 1,
+      VectorOps.listIndexFiles(spark, path))
+    (dir, path, idx.centroids)
+  }
+
+  /** Tiny synthetic (vec_id, x, centroid) table at v1 — for DDL-carry
+    * probes where a second data column matters. */
+  private def freshSynth(tag: String): (java.nio.file.Path, String) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"carrysyn_$tag")
+    val path = dir.resolve("index").toString
+    spark.createDataFrame((1L to 8L).map(i => (i, i * 10, (i % 2).toInt)))
+      .toDF("vec_id", "x", "centroid")
+      .repartition(2).write.partitionBy("centroid").parquet(path)
+    VectorOps.writeManifest(spark, path, 1,
+      VectorOps.listIndexFiles(spark, path))
+    (dir, path)
+  }
+
+  private def rmrf(dir: java.nio.file.Path): Unit =
+    Staging.deleteRecursively(dir)
+
+  // DV confined to centroid=0 so other partitions stay packable
+  private def dvPredCentroid0 = col("centroid") === 0 &&
+    col("vec_id") % 3 === 0
+
+  test("ivfCompactSmall on a DV-carrying version: DV-referenced files " +
+      "are excluded from packing, the pointer stays valid, no row " +
+      "resurrects") {
+    val (dir, path, _) = freshIndex("packdv")
+    try {
+      val (_, nDv) =
+        VectorOps.commitDeletionVector(spark, path, 1, 2, dvPredCentroid0)
+      assert(nDv > 0)
+      val dvFiles = VectorOps.readDeletionVector(spark, path, 2).get
+        .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+      val (bins, _, _, _) =
+        VectorOps.ivfCompactSmall(spark, path, 2, 3, Long.MaxValue)
+      assert(bins > 0, "non-DV partitions must still pack")
+      val v3 = VectorOps.readManifest(spark, path, 3).toSet
+      assert(dvFiles.subsetOf(v3),
+        "every DV-referenced file must be re-listed verbatim")
+      val meta = VectorOps.readManifestMeta(spark, path, 3)
+      assert(meta.get("dv").isDefined && meta.get("dvcount").isDefined)
+      // the deleted rows stay deleted through the compaction
+      assert(VectorOps.readIndexVersionDv(spark, path, 3)
+        .filter(dvPredCentroid0).count() == 0)
+      assert(VectorOps.readIndexVersionDv(spark, path, 3).count() ==
+        embs.count() - nDv)
+    } finally rmrf(dir)
+  }
+
+  test("ivfCompactVersioned on a DV-carrying version: DV partitions " +
+      "are skipped, everything else compacts, no row resurrects") {
+    val (dir, path, _) = freshIndex("compdv")
+    try {
+      val (_, nDv) =
+        VectorOps.commitDeletionVector(spark, path, 1, 2, dvPredCentroid0)
+      val (rewritten, _, _) =
+        VectorOps.ivfCompactVersioned(spark, path, 2, 3)
+      assert(rewritten > 0, "non-DV partitions must still compact")
+      val v3 = VectorOps.readManifest(spark, path, 3)
+      assert(v3.count(_.startsWith("centroid=0/")) ==
+        VectorOps.readManifest(spark, path, 2)
+          .count(_.startsWith("centroid=0/")),
+        "the DV partition must be re-listed verbatim")
+      assert(VectorOps.readIndexVersionDv(spark, path, 3).count() ==
+        embs.count() - nDv)
+      assert(VectorOps.readIndexVersionDv(spark, path, 3)
+        .filter(dvPredCentroid0).count() == 0)
+    } finally rmrf(dir)
+  }
+
+  test("ivfMerge on a DV-carrying version: untouched-partition DV rows " +
+      "stay deleted, counts exclude DV-hidden rows, an upsert of a " +
+      "DV-hidden id resurrects it by intent") {
+    val (dir, path, cents) = freshIndex("mergedv")
+    try {
+      val pred = col("vec_id") % 7 === 1
+      val (_, nDv) = VectorOps.commitDeletionVector(spark, path, 1, 2, pred)
+      val visibleIds = embs.filter(col("vec_id") % 7 === 2)
+        .limit(3).select(col("vec_id")).collect().map(_.getLong(0))
+      val hiddenId = embs.filter(pred).limit(1).head().getLong(0)
+      val source = embs
+        .filter(col("vec_id").isin(visibleIds :+ hiddenId: _*))
+        .withColumn("embedding", transform(col("embedding"),
+          x => -x)) // distinguishable replacement vectors
+      val (_, nUpd, nDel, nIns) = VectorOps.ivfMerge(spark, path, 2, 3,
+        source, lit(false), cents, "vec_id", "embedding")
+      assert(nUpd == visibleIds.length,
+        s"DV-hidden id must not count as updated: $nUpd")
+      assert(nDel == 0 && nIns == 1)
+      val v3 = VectorOps.readIndexVersionVisible(spark, path, 3, "vec_id")
+      assert(v3.filter(col("vec_id") === hiddenId).count() == 1,
+        "upserting a DV-hidden id resurrects it by intent")
+      assert(v3.filter(pred).count() == 1, // only the resurrected one
+        "every other DV-deleted row must stay deleted through the merge")
+      assert(v3.count() == embs.count() - nDv + 1)
+    } finally rmrf(dir)
+  }
+
+  test("ivfUpsert on a DV-carrying version: DV state survives the " +
+      "rewrite, visible-replacement count excludes DV-hidden rows") {
+    val (dir, path, cents) = freshIndex("upsdv")
+    try {
+      val pred = col("vec_id") % 7 === 1
+      val (_, nDv) = VectorOps.commitDeletionVector(spark, path, 1, 2, pred)
+      val upd = embs.filter(col("vec_id") % 7 === 3).limit(2)
+      val (_, nReplaced, nStaged) =
+        VectorOps.ivfUpsert(spark, path, 2, 3, upd, cents,
+          "vec_id", "embedding")
+      assert(nReplaced == 2 && nStaged == 2)
+      val v3 = VectorOps.readIndexVersionVisible(spark, path, 3, "vec_id")
+      assert(v3.filter(pred).count() == 0,
+        "DV-deleted rows must stay deleted through the upsert")
+      assert(v3.count() == embs.count() - nDv)
+    } finally rmrf(dir)
+  }
+
+  test("reclusterVersioned folds the DV in physically: pointer dropped, " +
+      "rows gone from the new files themselves") {
+    val (dir, path, _) = freshIndex("recldv")
+    try {
+      val pred = col("vec_id") % 5 === 2
+      val (_, nDv) = VectorOps.commitDeletionVector(spark, path, 1, 2, pred)
+      VectorOps.reclusterVersioned(spark, path, 2, 3, "vec_id", 4)
+      val meta = VectorOps.readManifestMeta(spark, path, 3)
+      assert(!meta.contains("dv") && !meta.contains("dvcount"))
+      // gone PHYSICALLY — the raw pinned read, no subtraction at all
+      assert(VectorOps.readIndexVersion(spark, path, 3).count() ==
+        embs.count() - nDv)
+      assert(VectorOps.readIndexVersion(spark, path, 3)
+        .filter(pred).count() == 0)
+    } finally rmrf(dir)
+  }
+
+  test("applyDeletes folds BOTH kinds — id tombstones and DV positions " +
+      "— with an exact physical row delta, DDL untouched") {
+    val (dir, path, _) = freshIndex("applyboth")
+    try {
+      val tombIds = embs.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"))
+      VectorOps.commitDeletes(spark, path, 1, 2, tombIds)
+      val pred = col("vec_id") % 7 === 1
+      VectorOps.commitDeletionVector(spark, path, 2, 3, pred)
+      // both pointers pending at v3 (the cross-carry this round added)
+      val m3 = VectorOps.readManifestMeta(spark, path, 3)
+      assert(m3.contains("deletes") && m3.contains("dv"))
+      val (rewritten, nDeleted) =
+        VectorOps.applyDeletes(spark, path, 3, 4, "vec_id")
+      assert(rewritten > 0)
+      val m4 = VectorOps.readManifestMeta(spark, path, 4)
+      assert(!m4.contains("deletes") && !m4.contains("dv") &&
+        !m4.contains("dvcount"))
+      val survivors = embs
+        .filter(!(col("vec_id") % 5 === 0) && !pred).count()
+      assert(VectorOps.readIndexVersion(spark, path, 4).count() ==
+        survivors)
+      assert(nDeleted == embs.count() - survivors)
+    } finally rmrf(dir)
+  }
+
+  test("rename AFTER drop carries coldrop; delete commits carry each " +
+      "other's pointers; appends and restores carry everything") {
+    val (dir, path) = freshSynth("ddl")
+    try {
+      // v2: drop x   v3: rename vec_id -> doc_id (the ADVICE ordering)
+      VectorOps.dropColumns(spark, path, 1, 2, Seq("x"))
+      VectorOps.renameColumns(spark, path, 2, 3, Map("vec_id" -> "doc_id"))
+      assert(VectorOps.droppedColumns(spark, path, 3) == Seq("x"),
+        "rename must not resurrect the dropped column")
+      val logical = VectorOps.readIndexVersionLogical(spark, path, 3,
+        "vec_id")
+      assert(logical.columns.contains("doc_id") &&
+        !logical.columns.contains("x"))
+      // v4: DV delete — must keep colmap AND coldrop
+      VectorOps.commitDeletionVector(spark, path, 3, 4,
+        col("vec_id") === 3L)
+      val m4 = VectorOps.readManifestMeta(spark, path, 4)
+      assert(m4.contains("colmap") && m4.contains("coldrop"))
+      // v5: tombstone delete — must keep the DV pointer
+      VectorOps.commitDeletes(spark, path, 4, 5,
+        spark.createDataFrame(Seq(Tuple1(5L))).toDF("vec_id"))
+      val m5 = VectorOps.readManifestMeta(spark, path, 5)
+      assert(m5.contains("dv") && m5.contains("dvcount") &&
+        m5.contains("colmap") && m5.contains("coldrop"))
+      assert(VectorOps.readIndexVersionLogical(spark, path, 5, "vec_id")
+        .count() == 6) // 8 - DV'd id 3 - tombstoned id 5
+      // v6: append — the OCC carry includes every key
+      spark.createDataFrame(Seq((100L, 0, 0))).toDF("vec_id", "x", "centroid")
+        .coalesce(1).write.parquet(s"$path/_staging/extra")
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$path/_staging/extra"))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      fs.rename(staged,
+        new org.apache.hadoop.fs.Path(s"$path/centroid=0/appended.parquet"))
+      VectorOps.commitFilesOcc(spark, path,
+        Seq("centroid=0/appended.parquet"))
+      val m6 = VectorOps.readManifestMeta(spark, path, 6)
+      assert(m6.contains("dv") && m6.contains("dvcount") &&
+        m6.contains("deletes") && m6.contains("colmap") &&
+        m6.contains("coldrop"))
+      assert(VectorOps.readIndexVersionLogical(spark, path, 6, "vec_id")
+        .count() == 7)
+      // v7: restore to v4 — full logical state of v4, including its DV
+      // and colmap, WITHOUT v5's tombstones
+      VectorOps.restoreVersion(spark, path, 4)
+      val m7 = VectorOps.readManifestMeta(spark, path, 7)
+      assert(m7.contains("dv") && m7.contains("colmap") &&
+        m7.contains("coldrop") && !m7.contains("deletes"))
+      assert(VectorOps.readIndexVersionLogical(spark, path, 7, "vec_id")
+        .count() == 7) // 8 - DV'd id 3
+    } finally rmrf(dir)
+  }
+
+  test("metaAgg on an all-rows-deleted version: explicit empty verdict, " +
+      "never an NPE") {
+    val (dir, path) = freshSynth("empty")
+    try {
+      VectorOps.commitDeletionVector(spark, path, 1, 2, lit(true))
+      val m = VectorOps.metaAgg(spark, path, 2, "x", "vec_id")
+      assert(m.empty && m.nRows == 0L && !m.servedFromMeta)
+    } finally rmrf(dir)
+  }
+
+  test("ivfCompactSmall crash retry: a leftover binpack file at the " +
+      "deterministic destination is reclaimed, not a rename abort") {
+    val (dir, path, _) = freshIndex("crash")
+    try {
+      // simulate a mid-compaction crash: the dst landed, v2 never did
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val parts = VectorOps.readManifest(spark, path, 1)
+        .map(_.takeWhile(_ != '/')).distinct.sorted
+      parts.foreach { p =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          s"$path/$p/binpack0-v2.parquet"), true)
+        out.write(Array[Byte](0, 1, 2)); out.close()
+      }
+      val (bins, _, _, _) =
+        VectorOps.ivfCompactSmall(spark, path, 1, 2, Long.MaxValue)
+      assert(bins > 0)
+      assert(VectorOps.readIndexVersionDv(spark, path, 2).count() ==
+        embs.count(), "retry must serve the REWRITTEN bytes, not the stub")
+    } finally rmrf(dir)
+  }
+}
