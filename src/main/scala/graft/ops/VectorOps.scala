@@ -2424,18 +2424,121 @@ object VectorOps {
     */
   def writeColStats(spark: org.apache.spark.sql.SparkSession, path: String,
                     version: Int, cols: String*): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
     require(cols.nonEmpty, "writeColStats: at least one column")
     val files = readManifest(spark, path, version)
+    commitSidecar(spark, path, f"v$version%05d.colstats",
+      colStatsLines(spark, path, files, cols), s"colstats v$version")
+  }
+
+  /** The zone-map lines for `files` — the pure computation both the
+    * full ([[writeColStats]]) and incremental
+    * ([[writeColStatsIncremental]]) writers emit, exposed so audits can
+    * prove an incremental sidecar byte-identical to a from-scratch
+    * rebuild. Deterministic per (file, col): data files are immutable,
+    * so a line computed at any commit equals the line recomputed later.
+    */
+  def colStatsLines(spark: org.apache.spark.sql.SparkSession, path: String,
+                    files: Seq[String], cols: Seq[String]): Seq[String] = {
     val ranges = cols.map(c => c -> footerMinMax(spark, path, files, c))
-    val p = new HPath(path, f"_manifests/v$version%05d.colstats")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lines = for { (c, byFile) <- ranges; f <- files }
+    for { (c, byFile) <- ranges; f <- files }
       yield { val (mn, mx) = byFile(f); s"$f\t$c\t$mn\t$mx" }
+  }
+
+  /** Atomic sidecar publish under `_manifests/` — the manifest commit
+    * discipline (create-if-absent, duplicate refused). */
+  private def commitSidecar(spark: org.apache.spark.sql.SparkSession,
+                            path: String, name: String,
+                            lines: Seq[String], what: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, s"_manifests/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     atomicCreate(fs, path, p,
       lines.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      s"colstats v$version")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8), what)
+  }
+
+  /** The raw committed lines of a `_manifests/<name>` sidecar, or None
+    * when no such sidecar was ever committed. */
+  def readSidecarLines(spark: org.apache.spark.sql.SparkSession,
+                       path: String, name: String): Option[Seq[String]] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path, s"_manifests/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toIndexedSeq)
+      finally in.close()
+    }
+  }
+
+  /** The newest version < `version` that committed a `<vNNNNN><suffix>`
+    * sidecar — the carry-forward base of every incremental writer. */
+  private def prevSidecarVersion(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, version: Int,
+                                 suffix: String): Option[Int] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = new HPath(path, "_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(spark, path).filter(_ < version).sorted.reverse
+      .find(v => fs.exists(new HPath(path, f"_manifests/v$v%05d$suffix")))
+  }
+
+  /** INCREMENTAL zone-map maintenance — the carry-forward model the KMV
+    * NDV sidecar proved ([[writeNdvSketch]]'s rank-monotonic merge):
+    * instead of re-harvesting every footer of the version's manifest
+    * (O(table) per commit — the one write-path scale-killer in an
+    * otherwise metadata-priced design), only the files ADDED since the
+    * newest earlier sidecar are harvested; every carried file's line is
+    * copied VERBATIM from the previous sidecar (data files are
+    * immutable, so the line cannot have changed), and removed files'
+    * lines simply don't re-land. The committed bytes are IDENTICAL to a
+    * from-scratch [[writeColStats]] — same (col × manifest-order) line
+    * order, same deterministic per-line payload — so readers cannot
+    * tell the difference; only the write cost changes: ∝ the commit's
+    * delta, not the table. Falls back to the full build when no earlier
+    * sidecar exists. Returns (nCarried, nHarvested) in line units —
+    * `nHarvested` is exactly |added files| × |cols| when the previous
+    * sidecar covered the same columns, the audit every caller should
+    * gate on.
+    */
+  def writeColStatsIncremental(spark: org.apache.spark.sql.SparkSession,
+                               path: String, version: Int, cols: String*)
+      : (Int, Int) = {
+    require(cols.nonEmpty, "writeColStatsIncremental: at least one column")
+    val files = readManifest(spark, path, version)
+    prevSidecarVersion(spark, path, version, ".colstats") match {
+      case None =>
+        writeColStats(spark, path, version, cols: _*)
+        (0, files.length * cols.length)
+      case Some(prev) =>
+        val prevByKey: Map[(String, String), String] =
+          readSidecarLines(spark, path, f"v$prev%05d.colstats").get
+            .map { l =>
+              val parts = l.split('\t')
+              require(parts.length == 4, s"malformed colstats line: $l")
+              (parts(0), parts(1)) -> l
+            }.toMap
+        val freshByCol: Map[String, Map[String, (Long, Long)]] =
+          cols.map { c =>
+            val missing = files.filterNot(f => prevByKey.contains((f, c)))
+            c -> (if (missing.isEmpty) Map.empty[String, (Long, Long)]
+                  else footerMinMax(spark, path, missing, c))
+          }.toMap
+        var carried = 0; var harvested = 0
+        val lines = for { c <- cols; f <- files } yield
+          prevByKey.get((f, c)) match {
+            case Some(l) => carried += 1; l
+            case None =>
+              harvested += 1
+              val (mn, mx) = freshByCol(c)(f)
+              s"$f\t$c\t$mn\t$mx"
+          }
+        commitSidecar(spark, path, f"v$version%05d.colstats", lines,
+          s"colstats v$version")
+        (carried, harvested)
+    }
   }
 
   /** The committed zone map of `version` for `colName` — file →
@@ -2606,12 +2709,23 @@ object VectorOps {
   def writeStringStats(spark: org.apache.spark.sql.SparkSession,
                        path: String, version: Int, colName: String,
                        truncateTo: Int = 16): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
     require(truncateTo > 0, "writeStringStats: truncateTo must be positive")
     val files = readManifest(spark, path, version)
+    commitSidecar(spark, path, f"v$version%05d.strstats",
+      stringStatsLines(spark, path, files, colName, truncateTo),
+      s"strstats v$version")
+  }
+
+  /** The string zone-map lines for `files` — the pure computation
+    * shared by the full and incremental writers; deterministic per file
+    * (truncated footer byte bounds over immutable bytes).
+    */
+  def stringStatsLines(spark: org.apache.spark.sql.SparkSession,
+                       path: String, files: Seq[String], colName: String,
+                       truncateTo: Int = 16): Seq[String] = {
     val byFile = footerMinMaxStr(spark, path, files, colName)
     val b64 = java.util.Base64.getEncoder
-    val lines = files.map { f =>
+    files.map { f =>
       byFile(f) match {
         case Some((mn, mx)) =>
           val lower = b64.encodeToString(mn.take(truncateTo))
@@ -2621,12 +2735,76 @@ object VectorOps {
         case None => s"$f\t$colName\t*\t*"
       }
     }
-    val p = new HPath(path, f"_manifests/v$version%05d.strstats")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    atomicCreate(fs, path, p,
-      lines.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      s"strstats v$version")
+  }
+
+  /** INCREMENTAL string-zone-map maintenance — the same carry-forward
+    * model as [[writeColStatsIncremental]] (footer harvest only over
+    * the commit's added files, carried lines verbatim, committed bytes
+    * identical to a full rebuild). Returns (nCarried, nHarvested).
+    * NOTE: keyed (file, col) like colstats, so a sidecar built for one
+    * column carries cleanly only under the same column — a different
+    * `colName` re-harvests everything, loudly visible in the audit.
+    */
+  def writeStringStatsIncremental(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, version: Int,
+                                  colName: String, truncateTo: Int = 16)
+      : (Int, Int) = {
+    val files = readManifest(spark, path, version)
+    prevSidecarVersion(spark, path, version, ".strstats") match {
+      case None =>
+        writeStringStats(spark, path, version, colName, truncateTo)
+        (0, files.length)
+      case Some(prev) =>
+        val prevByKey: Map[(String, String), String] =
+          readSidecarLines(spark, path, f"v$prev%05d.strstats").get
+            .map { l =>
+              val parts = l.split('\t')
+              require(parts.length == 4,
+                s"malformed strstats line: ${l.take(80)}")
+              (parts(0), parts(1)) -> l
+            }.toMap
+        val added = files.filterNot(f => prevByKey.contains((f, colName)))
+        val fresh = stringStatsLines(spark, path, added, colName,
+            truncateTo)
+          .map { l => l.take(l.indexOf('\t')) -> l }.toMap
+        val lines = files.map(f =>
+          prevByKey.getOrElse((f, colName), fresh(f)))
+        commitSidecar(spark, path, f"v$version%05d.strstats", lines,
+          s"strstats v$version")
+        (files.length - added.length, added.length)
+    }
+  }
+
+  /** Post-commit skipping-sidecar maintenance in ONE call — the hook an
+    * append / merge / compact flow runs right after its manifest lands
+    * so every skipping structure (zone maps, blooms, string bounds)
+    * stays fresh at DELTA cost: each sidecar carries the previous
+    * version's lines forward and harvests only the commit's added
+    * files. At 100 TB with daily commits this is the difference between
+    * per-commit maintenance priced by the commit and a nightly
+    * full-table stats job. Returns summed (nCarried, nHarvested) across
+    * the requested sidecars.
+    */
+  def refreshSkippingSidecars(spark: org.apache.spark.sql.SparkSession,
+                              path: String, version: Int,
+                              zoneCols: Seq[String] = Nil,
+                              bloomCols: Seq[String] = Nil,
+                              strCols: Seq[String] = Nil): (Int, Int) = {
+    var carried = 0; var harvested = 0
+    if (zoneCols.nonEmpty) {
+      val (c, h) =
+        writeColStatsIncremental(spark, path, version, zoneCols: _*)
+      carried += c; harvested += h
+    }
+    bloomCols.foreach { bc =>
+      val (c, h) = writeBloomFilterIncremental(spark, path, version, bc)
+      carried += c; harvested += h
+    }
+    strCols.foreach { sc =>
+      val (c, h) = writeStringStatsIncremental(spark, path, version, sc)
+      carried += c; harvested += h
+    }
+    (carried, harvested)
   }
 
   /** The committed string zone map of `version` for `colName`:
@@ -2789,8 +2967,25 @@ object VectorOps {
   def writeBloomFilter(spark: org.apache.spark.sql.SparkSession,
                        path: String, version: Int, colName: String,
                        fpp: Double = 0.001): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
     val files = readManifest(spark, path, version)
+    commitSidecar(spark, path, f"v$version%05d.bloom.$colName",
+      bloomFilterLines(spark, path, files, colName, fpp),
+      s"bloom sidecar v$version.$colName")
+  }
+
+  /** The per-file bloom lines for `files` — the pure computation shared
+    * by [[writeBloomFilter]] (all manifest files) and
+    * [[writeBloomFilterIncremental]] (only a commit's added files):
+    * ONE column-projected scan of exactly `files`, per-partition
+    * partial filters merged by key. Deterministic per file (fixed-seed
+    * hashing, footer-sized filters over immutable bytes), so a line
+    * built at any commit is byte-equal to the same file's line in a
+    * full rebuild.
+    */
+  def bloomFilterLines(spark: org.apache.spark.sql.SparkSession,
+                       path: String, files: Seq[String], colName: String,
+                       fpp: Double = 0.001): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
     val nByFile = footerCounts(spark, path, files)
       .map { case (f, n) => f -> math.max(1L, n) }
     val bcN = spark.sparkContext.broadcast(nByFile)
@@ -2814,19 +3009,52 @@ object VectorOps {
     val merged = partials
       .reduceByKey { (a, b) => a.mergeInPlace(b); a }
       .collect().toMap // one bitmap per file — ~2 bytes/row at fpp 1e-3
-    val lines = files.map { f =>
+    files.map { f =>
       val bf = merged.getOrElse(f, // a file with zero non-null values
         org.apache.spark.util.sketch.BloomFilter.create(1L, fpp))
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       s"$f\t${java.util.Base64.getEncoder.encodeToString(bos.toByteArray)}"
     }
-    val p = new HPath(path, f"_manifests/v$version%05d.bloom.$colName")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    atomicCreate(fs, path, p,
-      lines.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      s"bloom sidecar v$version.$colName")
+  }
+
+  /** INCREMENTAL bloom-sidecar maintenance — same carry-forward model
+    * as [[writeColStatsIncremental]], but the saving is DATA I/O, not
+    * just footers: the full [[writeBloomFilter]] re-reads the indexed
+    * column of EVERY file in the version; here only the files added
+    * since the newest earlier sidecar are scanned (one column-projected
+    * pass over the delta), carried files' lines copy verbatim, removed
+    * files' lines drop. Committed bytes identical to a full rebuild
+    * (manifest-order lines, deterministic per-file filters). Falls back
+    * to the full build when no earlier sidecar exists. Returns
+    * (nCarried, nHarvested) — nHarvested == |added files| is the
+    * only-the-delta-was-scanned audit.
+    */
+  def writeBloomFilterIncremental(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, version: Int,
+                                  colName: String, fpp: Double = 0.001)
+      : (Int, Int) = {
+    val files = readManifest(spark, path, version)
+    prevSidecarVersion(spark, path, version, s".bloom.$colName") match {
+      case None =>
+        writeBloomFilter(spark, path, version, colName, fpp)
+        (0, files.length)
+      case Some(prev) =>
+        val prevByFile: Map[String, String] =
+          readSidecarLines(spark, path, f"v$prev%05d.bloom.$colName").get
+            .map { l =>
+              val i = l.indexOf('\t')
+              require(i > 0, s"malformed bloom line: ${l.take(80)}")
+              l.take(i) -> l
+            }.toMap
+        val added = files.filterNot(prevByFile.contains)
+        val fresh = bloomFilterLines(spark, path, added, colName, fpp)
+          .map { l => l.take(l.indexOf('\t')) -> l }.toMap
+        val lines = files.map(f => prevByFile.getOrElse(f, fresh(f)))
+        commitSidecar(spark, path, f"v$version%05d.bloom.$colName", lines,
+          s"bloom sidecar v$version.$colName")
+        (files.length - added.length, added.length)
+    }
   }
 
   /** The committed bloom sidecar of `version` for `colName` — file →

@@ -3025,6 +3025,124 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings, m WHERE vec_id = mx)
       |    AS BIGINT) AS n_point""".stripMargin
 
+  // ------------------- incremental skipping-sidecar maintenance
+  /** Staged incremental-sidecar fixture — the carry-forward maintenance
+    * model ([[VectorOps.writeColStatsIncremental]] /
+    * [[VectorOps.writeBloomFilterIncremental]]) exercised across the
+    * two commit shapes that matter:
+    *
+    *  v1  base corpus (`vec_id % 10 <> 7`) indexed, 3 writer tasks per
+    *      centroid, FULL colstats + bloom sidecars;
+    *  v2  [[VectorOps.ivfAppendBatch]] of the held-out rows —
+    *      incremental refresh must harvest ONLY the batch's files;
+    *  v3  [[VectorOps.ivfCompactSmall]] binpack — refresh harvests only
+    *      the binpack outputs, carries every re-listed file.
+    *
+    * Returns (path, ((cs2, bl2, cs3, bl3) carried/harvested audits)).
+    */
+  private[queries] def stageStatsInc(s: org.apache.spark.sql.SparkSession,
+                                     dir: String)
+      : (String, ((Int, Int), (Int, Int), (Int, Int), (Int, Int))) =
+    Staging.cached(s"statsinc:$dir") { tmp =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val base = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      val idx = VectorOps.ivfIndexDeterministic(base, "vec_id",
+        "embedding", nCentroids = 4)
+      val path = tmp.resolve("statsinc").toString
+      idx.assigned.repartition(3)
+        .write.partitionBy("centroid").mode("overwrite").parquet(path)
+      VectorOps.writeManifest(s, path, 1,
+        VectorOps.listIndexFiles(s, path), Map("op" -> "append"))
+      VectorOps.writeColStats(s, path, 1, "vec_id")
+      VectorOps.writeBloomFilter(s, path, 1, "vec_id", fpp = 1e-6)
+      VectorOps.ivfAppendBatch(s, batch, idx.centroids, path,
+        "vec_id", "embedding", batchId = 1L)
+      val cs2 = VectorOps.writeColStatsIncremental(s, path, 2, "vec_id")
+      val bl2 = VectorOps.writeBloomFilterIncremental(s, path, 2,
+        "vec_id", fpp = 1e-6)
+      VectorOps.ivfCompactSmall(s, path, 2, 3, Long.MaxValue)
+      val cs3 = VectorOps.writeColStatsIncremental(s, path, 3, "vec_id")
+      val bl3 = VectorOps.writeBloomFilterIncremental(s, path, 3,
+        "vec_id", fpp = 1e-6)
+      (path, (cs2, bl2, cs3, bl3))
+    }
+
+  /** Incremental sidecar maintenance — the write-path fix for the one
+    * r11 scale weakness: a commit that wants fresh file skipping must
+    * no longer pay a full-table bloom scan or full-manifest footer pass;
+    * it harvests its own delta and carries v−1's lines (the KMV NDV
+    * sidecar's proven model, now on all three skipping sidecars).
+    * Audited:
+    *
+    *  - `cs_identical` / `bloom_identical`: the incrementally-built v2
+    *    and v3 sidecars are BYTE-IDENTICAL to a from-scratch rebuild
+    *    (the pure line builders recomputed over the full manifests) —
+    *    readers cannot tell maintenance mode apart;
+    *  - `append_delta_only`: at v2 the audit counts prove every v1 file
+    *    carried and exactly the appended files harvested;
+    *  - `compact_delta_only`: at v3 exactly the binpack outputs
+    *    harvested, every re-listed file carried;
+    *  - `point_parity` / `point_pruned`: the refreshed v3 bloom
+    *    actually SERVES — a point probe on an appended id equals the
+    *    full-scan filter and opens fewer than all files;
+    *  - `n_index_rows` / `n_batch`: exact row accounting, hash-gated.
+    */
+  private val statsIncrementalQ: Q = (s, dir) => {
+    val (path, (cs2, bl2, cs3, bl3)) = stageStatsInc(s, dir)
+    val f1 = VectorOps.readManifest(s, path, 1)
+    val f2 = VectorOps.readManifest(s, path, 2)
+    val f3 = VectorOps.readManifest(s, path, 3)
+    val csIdentical = Seq(2, 3).forall { v =>
+      val files = VectorOps.readManifest(s, path, v)
+      VectorOps.readSidecarLines(s, path, f"v$v%05d.colstats").get ==
+        VectorOps.colStatsLines(s, path, files, Seq("vec_id"))
+    }
+    val blIdentical = Seq(2, 3).forall { v =>
+      val files = VectorOps.readManifest(s, path, v)
+      VectorOps.readSidecarLines(s, path, f"v$v%05d.bloom.vec_id").get ==
+        VectorOps.bloomFilterLines(s, path, files, "vec_id", 1e-6)
+    }
+    val f1set = f1.toSet; val f2set = f2.toSet
+    val appendDelta =
+      cs2 == ((f1.length, f2.length - f1.length)) &&
+        bl2 == ((f1.length, f2.length - f1.length)) &&
+        f1set.subsetOf(f2set)
+    val compactDelta =
+      cs3 == ((f3.count(f2set), f3.count(f => !f2set(f)))) &&
+        bl3 == ((f3.count(f2set), f3.count(f => !f2set(f))))
+    val probeId = Tables.embeddings(s, dir)
+      .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    val (rowsP, keptP, total) =
+      VectorOps.readIndexVersionPoint(s, path, 3, "vec_id", probeId)
+    val pointParity = rowsP.count() == 1L
+    val pointPruned = keptP.nonEmpty && keptP.length < total
+    val nIndex = VectorOps.readIndexVersion(s, path, 3)
+      .agg(count(lit(1)).as("n_index_rows"))
+    val nBatch = Tables.embeddings(s, dir)
+      .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
+      .agg(count(lit(1)).as("n_batch"))
+    nIndex.crossJoin(nBatch) // 1-row frames
+      .select(
+        lit(csIdentical).as("cs_identical"),
+        lit(blIdentical).as("bloom_identical"),
+        lit(appendDelta).as("append_delta_only"),
+        lit(compactDelta).as("compact_delta_only"),
+        lit(pointParity).as("point_parity"),
+        lit(pointPruned).as("point_pruned"),
+        col("n_index_rows"), col("n_batch"))
+  }
+  private val statsIncrementalSql =
+    """SELECT TRUE AS cs_identical, TRUE AS bloom_identical,
+      |  TRUE AS append_delta_only, TRUE AS compact_delta_only,
+      |  TRUE AS point_parity, TRUE AS point_pruned,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_index_rows,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 10 = 7)
+      |    AS BIGINT) AS n_batch""".stripMargin
+
   /** Staged layout-lifecycle fixture — clustering born, destroyed,
     * restored, with fresh skipping sidecars at every step:
     *
@@ -4229,6 +4347,7 @@ object Curation {
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),
     ("q_time_travel", timeTravelQ, Some(timeTravelSql)),
     ("q_bloom_skipping", bloomSkippingQ, Some(bloomSkippingSql)),
+    ("q_stats_incremental", statsIncrementalQ, Some(statsIncrementalSql)),
     ("q_stream_cdc", streamCdcQ, Some(streamCdcSql)),
     ("q_stream_source", streamSourceQ, Some(streamSourceSql)),
     ("q_recluster", reclusterQ, Some(reclusterSql)),

@@ -82,7 +82,9 @@ object Fixtures {
     // weighted-vector rewrite + norm-range shuffle + zone-map harvest
     "mipsidx" -> ((s, d) => { Curation.stageMips(s, d); () }),
     // IVF build + 96-small-file write + binpack rewrite
-    "binpackidx" -> ((s, d) => { Curation.stageBinpack(s, d); () })
+    "binpackidx" -> ((s, d) => { Curation.stageBinpack(s, d); () }),
+    // IVF build + full sidecar pass + append/compact incremental refreshes
+    "statsinc" -> ((s, d) => { Curation.stageStatsInc(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap

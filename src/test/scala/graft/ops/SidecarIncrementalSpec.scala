@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental skipping-sidecar maintenance: carried lines verbatim,
+  * only the commit's added files harvested, committed bytes identical
+  * to a from-scratch rebuild — on all three sidecar kinds, plus the
+  * no-prior-sidecar fallback (a full build, honestly audited as one).
+  */
+class SidecarIncrementalSpec extends SparkSpec {
+
+  /** (vec_id, name, centroid) table at v1, plus one appended file at
+    * v2 — the minimal append-shaped manifest diff. */
+  private def fixture(tag: String)
+      : (java.nio.file.Path, String, Seq[String], Seq[String]) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"sideinc_$tag")
+    val path = dir.resolve("index").toString
+    spark.createDataFrame(
+        (1L to 8L).map(i => (i, s"name_$i", (i % 2).toInt)))
+      .toDF("vec_id", "name", "centroid")
+      .repartition(2).write.partitionBy("centroid").parquet(path)
+    VectorOps.writeManifest(spark, path, 1,
+      VectorOps.listIndexFiles(spark, path))
+    // land one extra file and commit v2 on top
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    spark.createDataFrame(Seq((100L, "zz_extra", 0)))
+      .toDF("vec_id", "name", "centroid")
+      .coalesce(1).write.parquet(s"$path/_staging/extra")
+    val staged = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_staging/extra"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(staged,
+      new org.apache.hadoop.fs.Path(s"$path/centroid=0/appended.parquet"))
+    VectorOps.commitFilesOcc(spark, path, Seq("centroid=0/appended.parquet"))
+    (dir, path, VectorOps.readManifest(spark, path, 1),
+      VectorOps.readManifest(spark, path, 2))
+  }
+
+  private def rmrf(dir: java.nio.file.Path): Unit =
+    Staging.deleteRecursively(dir)
+
+  test("colstats: incremental v2 is byte-identical to a full rebuild, " +
+      "harvesting only the appended file") {
+    val (dir, path, f1, f2) = fixture("cs")
+    try {
+      VectorOps.writeColStats(spark, path, 1, "vec_id")
+      val (carried, harvested) =
+        VectorOps.writeColStatsIncremental(spark, path, 2, "vec_id")
+      assert(carried == f1.length && harvested == f2.length - f1.length)
+      assert(VectorOps.readSidecarLines(spark, path, "v00002.colstats").get
+        == VectorOps.colStatsLines(spark, path, f2, Seq("vec_id")))
+      // the refreshed zone map serves: the appended id prunes correctly
+      val (rows, kept, total) =
+        VectorOps.readIndexVersionPruned(spark, path, 2, "vec_id",
+          100L, 200L)
+      assert(rows.count() == 1 && kept < total)
+    } finally rmrf(dir)
+  }
+
+  test("strstats: incremental v2 byte-identical, delta-only harvest, " +
+      "prefix pruning serves the appended value") {
+    val (dir, path, f1, f2) = fixture("ss")
+    try {
+      VectorOps.writeStringStats(spark, path, 1, "name")
+      val (carried, harvested) =
+        VectorOps.writeStringStatsIncremental(spark, path, 2, "name")
+      assert(carried == f1.length && harvested == f2.length - f1.length)
+      assert(VectorOps.readSidecarLines(spark, path, "v00002.strstats").get
+        == VectorOps.stringStatsLines(spark, path, f2, "name"))
+      val (rows, kept, total) =
+        VectorOps.readIndexVersionPrunedPrefix(spark, path, 2, "name", "zz_")
+      assert(rows.count() == 1 && kept < total)
+    } finally rmrf(dir)
+  }
+
+  test("bloom: no prior sidecar falls back to a full build (audited as " +
+      "all-harvested); a second version then carries incrementally") {
+    val (dir, path, f1, f2) = fixture("bl")
+    try {
+      // v2 has no earlier bloom sidecar — fallback builds it in full
+      val (c0, h0) =
+        VectorOps.writeBloomFilterIncremental(spark, path, 2, "vec_id")
+      assert(c0 == 0 && h0 == f2.length)
+      assert(VectorOps.readSidecarLines(spark, path,
+          "v00002.bloom.vec_id").get
+        == VectorOps.bloomFilterLines(spark, path, f2, "vec_id"))
+      // v3: a pure metadata commit (same files) — everything carries
+      VectorOps.writeManifest(spark, path, 3, f2, Map("op" -> "noop"))
+      val (c1, h1) =
+        VectorOps.writeBloomFilterIncremental(spark, path, 3, "vec_id")
+      assert(c1 == f2.length && h1 == 0)
+      assert(VectorOps.readSidecarLines(spark, path,
+          "v00003.bloom.vec_id").get
+        == VectorOps.readSidecarLines(spark, path,
+          "v00002.bloom.vec_id").get)
+    } finally rmrf(dir)
+  }
+
+  test("refreshSkippingSidecars: one call maintains all requested " +
+      "sidecars at delta cost") {
+    val (dir, path, f1, f2) = fixture("all")
+    try {
+      VectorOps.writeColStats(spark, path, 1, "vec_id")
+      VectorOps.writeStringStats(spark, path, 1, "name")
+      VectorOps.writeBloomFilter(spark, path, 1, "vec_id")
+      val (carried, harvested) = VectorOps.refreshSkippingSidecars(
+        spark, path, 2, zoneCols = Seq("vec_id"),
+        bloomCols = Seq("vec_id"), strCols = Seq("name"))
+      assert(carried == 3 * f1.length &&
+        harvested == 3 * (f2.length - f1.length))
+    } finally rmrf(dir)
+  }
+}
