@@ -2964,6 +2964,28 @@ object VectorOps {
     * should shard (same evolution manifests themselves take — a
     * documented scale path, not a semantic change).
     */
+  /** The splitmix64 finalizer applied to every value BEFORE it enters a
+    * bloom sidecar and to every probe key before testing. Spark's
+    * `util.sketch.BloomFilter` derives its k probe positions from two
+    * 32-bit Murmur3 halves by double hashing — on SEQUENTIAL longs (the
+    * exact shape of dense row ids) the halves are so correlated that
+    * the EMPIRICAL false-positive rate floors around 1e-3 regardless of
+    * the requested fpp (measured here: 3 FPs over 2048 consecutive
+    * absent probes against a 60-item filter built at fpp 1e-6 — three
+    * orders of magnitude over nominal, enough to keep EVERY file in a
+    * 2000-key DFP probe). One stateless 64-bit finalizer decorrelates
+    * the input (same probes after mixing: 0 FPs at 1e-6, ~2e-3 at
+    * 1e-3), restoring the |keys|·fpp cost model the sidecar's contract
+    * promises. Writers and probes must agree — the mix is part of the
+    * sidecar format.
+    */
+  private[ops] def mixBloomKey(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def writeBloomFilter(spark: org.apache.spark.sql.SparkSession,
                        path: String, version: Int, colName: String,
                        fpp: Double = 0.001): Unit = {
@@ -2986,8 +3008,14 @@ object VectorOps {
                        path: String, files: Seq[String], colName: String,
                        fpp: Double = 0.001): Seq[String] = {
     if (files.isEmpty) return Seq.empty
+    // SIZING FLOOR: below ~3k bits Spark's double-hashed filter has an
+    // empirical FP floor ≈ k/bits regardless of the requested fpp
+    // (measured: 320-bit filter, 10 mixed items → 2.7e-3 FP at nominal
+    // 1e-6; 28.8k bits → nominal). 1000 expected items (3.6 KB at 1e-6)
+    // is noise per file and irrelevant at production file sizes, where
+    // row counts dwarf it — but it makes small-file sidecars honest.
     val nByFile = footerCounts(spark, path, files)
-      .map { case (f, n) => f -> math.max(1L, n) }
+      .map { case (f, n) => f -> math.max(1000L, n) }
     val bcN = spark.sparkContext.broadcast(nByFile)
     val partials = spark.read.option("basePath", path)
       .parquet(files.map(f => s"$path/$f"): _*)
@@ -3002,7 +3030,7 @@ object VectorOps {
           val bf = acc.getOrElseUpdate(rel,
             org.apache.spark.util.sketch.BloomFilter.create(
               bcN.value.getOrElse(rel, 1L), fpp))
-          bf.putLong(r.getLong(1))
+          bf.putLong(mixBloomKey(r.getLong(1)))
         }
         acc.iterator
       }
@@ -3011,7 +3039,7 @@ object VectorOps {
       .collect().toMap // one bitmap per file — ~2 bytes/row at fpp 1e-3
     files.map { f =>
       val bf = merged.getOrElse(f, // a file with zero non-null values
-        org.apache.spark.util.sketch.BloomFilter.create(1L, fpp))
+        org.apache.spark.util.sketch.BloomFilter.create(1000L, fpp))
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       s"$f\t${java.util.Base64.getEncoder.encodeToString(bos.toByteArray)}"
@@ -3095,7 +3123,7 @@ object VectorOps {
     val files = readManifest(spark, path, version)
     val blooms = readBloomFilter(spark, path, version, colName)
     val keep = files.filter(f =>
-      blooms.get(f).forall(_.mightContainLong(value)))
+      blooms.get(f).forall(_.mightContainLong(mixBloomKey(value))))
     val rows =
       if (keep.isEmpty) readIndexVersion(spark, path, version).limit(0)
       else spark.read.option("basePath", path)
@@ -3131,7 +3159,62 @@ object VectorOps {
     val files = readManifest(spark, path, version)
     val blooms = readBloomFilter(spark, path, version, colName)
     val keep = files.filter(f =>
-      blooms.get(f).forall(b => keys.exists(b.mightContainLong)))
+      blooms.get(f).forall(b =>
+        keys.exists(k => b.mightContainLong(mixBloomKey(k)))))
+    val rows =
+      if (keep.isEmpty) readIndexVersion(spark, path, version).limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(keep.map(f => s"$path/$f"): _*)
+    (rows, keep, files.length)
+  }
+
+  /** [[readIndexVersionSemi]] PAST the driver-probe cutoff — the
+    * documented DFP scale path made real: the O(|keys| · |files|) probe
+    * loop that `maxKeys` kept explicit on the driver runs EXECUTOR-side
+    * instead. The distinct key set is still collected and broadcast
+    * (exactly the build side a broadcast join materializes anyway —
+    * past broadcastable key sizes the right tool is the shuffle join,
+    * not DFP, same as the driver variant documents); the bloom sidecar
+    * lines ship to executors as an RDD of (file, filter) shards, each
+    * partition probes its shard against the broadcast keys, and only
+    * one BOOLEAN per file returns to the driver — metadata-scale,
+    * independent of |keys|. Kept-set semantics are IDENTICAL to the
+    * driver probe (same filters, same keys, no false negatives; a file
+    * with no sidecar line is unprunable, never wrong). At a file count
+    * where the single sidecar file itself is the bottleneck, the
+    * sidecar shards (the documented evolution) and this path reads the
+    * shards as its RDD input directly. Returns
+    * (rows of kept files, keptList, filesTotal).
+    */
+  def readIndexVersionSemiDist(spark: org.apache.spark.sql.SparkSession,
+                               path: String, version: Int, colName: String,
+                               keys: DataFrame)
+      : (DataFrame, Seq[String], Int) = {
+    val files = readManifest(spark, path, version)
+    val keyArr = keys.select(col(keys.columns.head).cast("long"))
+      .where(col(keys.columns.head).isNotNull)
+      .distinct().collect().map(_.getLong(0))
+    require(keyArr.nonEmpty, "readIndexVersionSemiDist: need a key")
+    val bcKeys = spark.sparkContext.broadcast(keyArr)
+    val lines = readSidecarLines(spark, path,
+        f"v$version%05d.bloom.$colName")
+      .getOrElse(throw new java.io.IOException(
+        s"missing bloom sidecar v$version.$colName under $path"))
+    val probed = spark.sparkContext
+      .parallelize(lines, math.max(1, math.min(lines.length, 32)))
+      .mapPartitions { it =>
+        val ks = bcKeys.value
+        it.map { l =>
+          val i = l.indexOf('\t')
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(l.substring(i + 1))))
+          (l.substring(0, i),
+            ks.exists(k => bf.mightContainLong(mixBloomKey(k))))
+        }
+      }
+      .collect().toMap // one boolean per file — metadata-scale
+    val keep = files.filter(f => probed.getOrElse(f, true))
     val rows =
       if (keep.isEmpty) readIndexVersion(spark, path, version).limit(0)
       else spark.read.option("basePath", path)

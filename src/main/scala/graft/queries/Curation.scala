@@ -4016,6 +4016,76 @@ object Curation {
       |  CAST(sum(vec_id) AS BIGINT) AS sum_match
       |FROM j""".stripMargin
 
+  /** Dynamic file pruning PAST the driver-probe cutoff —
+    * [[VectorOps.readIndexVersionSemiDist]], the scale path
+    * q_join_skipping's Scaladoc documented and r11's verdict asked to
+    * make real: with a dimension too large for the O(|keys|·|files|)
+    * driver loop, the keys broadcast (the build side a broadcast join
+    * collects anyway), the bloom sidecar ships to EXECUTORS as
+    * (file, filter) shards, each shard probes locally, and one boolean
+    * per file returns. Audited:
+    *
+    *  - `driver_refuses`: the driver probe REFUSES this key count at
+    *    the demo cutoff — the distributed path is exercised because it
+    *    must be, not decoratively;
+    *  - `kept_equal`: the distributed kept-file set equals the driver
+    *    probe's (computed with the cutoff raised) EXACTLY — same
+    *    filters, same keys, same semantics;
+    *  - `parity`: the pruned-scan semi-join equals the full-scan
+    *    semi-join exactly;
+    *  - `pruned`: >0 but fewer than all files opened;
+    *  - `n_match` / `sum_match`: exact join cardinality and key sum,
+    *    hash-gated against the oracle.
+    */
+  private val joinSkippingDistQ: Q = (s, dir) => {
+    val (path, maxId) = stageClustered(s, dir)
+    // 2048 keys DENSE in one id band (ids are dense, so a scattered set
+    // would touch every file and prune nothing) — over the demo cutoff
+    // of 1000 the driver probe refuses
+    val keySeq = (1 to 2048).map(i => maxId / 3 + i)
+    val cutoff = 1000
+    val driverRefuses =
+      try {
+        VectorOps.readIndexVersionSemi(s, path, 1, "vec_id", keySeq,
+          maxKeys = cutoff)
+        false
+      } catch { case _: IllegalArgumentException => true }
+    val dim = s.createDataFrame(keySeq.map(Tuple1(_))).toDF("vec_id")
+    val (rows, keptDist, total) =
+      VectorOps.readIndexVersionSemiDist(s, path, 1, "vec_id", dim)
+    val (_, keptDriver, _) =
+      VectorOps.readIndexVersionSemi(s, path, 1, "vec_id", keySeq,
+        maxKeys = keySeq.length)
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val prunedJoin = rows.join(broadcast(dim), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val fullJoin = emb.join(broadcast(dim), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val nDiff = prunedJoin.exceptAll(fullJoin)
+      .unionByName(fullJoin.exceptAll(prunedJoin))
+      .agg(count(lit(1)).as("n_diff"))
+    val stats = fullJoin.agg(count(lit(1)).as("n_match"),
+      sum(col("vec_id")).cast("long").as("sum_match"))
+    nDiff.crossJoin(stats) // 1-row frames
+      .select(
+        lit(driverRefuses).as("driver_refuses"),
+        lit(keptDist == keptDriver).as("kept_equal"),
+        (col("n_diff") === 0L).as("parity"),
+        lit(keptDist.nonEmpty && keptDist.length < total).as("pruned"),
+        col("n_match"), col("sum_match"))
+  }
+  private val joinSkippingDistSql =
+    """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings
+      |           WHERE vec_id <> 0),
+      |keys AS (SELECT mx // 3 + i AS k
+      |         FROM m, generate_series(1, 2048) t(i)),
+      |j AS (SELECT vec_id FROM embeddings JOIN keys ON vec_id = k)
+      |SELECT TRUE AS driver_refuses, TRUE AS kept_equal,
+      |  TRUE AS parity, TRUE AS pruned,
+      |  CAST(count(*) AS BIGINT) AS n_match,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_match
+      |FROM j""".stripMargin
+
   // --------------------------------- norm-bound-pruned exact MIPS top-k
 
   /** Staged MIPS fixture: each vector deterministically weighted by
@@ -4337,6 +4407,7 @@ object Curation {
     ("q_constraint_commit", constraintCommitQ, Some(constraintCommitSql)),
     ("q_mips_prune", mipsPruneQ, Some(mipsPruneSql)),
     ("q_join_skipping", joinSkippingQ, Some(joinSkippingSql)),
+    ("q_join_skipping_dist", joinSkippingDistQ, Some(joinSkippingDistSql)),
     ("q_analyze_ndv", analyzeNdvQ, Some(analyzeNdvSql)),
     ("q_cdc_asof", cdcAsOfQ, Some(cdcAsOfSql)),
     ("q_column_rename", columnRenameQ, Some(columnRenameSql)),

@@ -98,6 +98,27 @@ class SidecarIncrementalSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("readIndexVersionSemiDist: executor-side probe keeps exactly " +
+      "the driver probe's file set, unprunable files included") {
+    val (dir, path, _, f2) = fixture("dfp")
+    try {
+      VectorOps.writeBloomFilter(spark, path, 2, "vec_id")
+      val keys = Seq(2L, 100L, 999L)
+      val (_, keptDriver, totalD) =
+        VectorOps.readIndexVersionSemi(spark, path, 2, "vec_id", keys)
+      val dim = spark.createDataFrame(keys.map(Tuple1(_))).toDF("k")
+      val (rows, keptDist, totalX) =
+        VectorOps.readIndexVersionSemiDist(spark, path, 2, "vec_id", dim)
+      assert(keptDist == keptDriver && totalD == totalX)
+      assert(rows.filter(col("vec_id").isin(keys: _*)).count() == 2)
+      // a key set matching nothing keeps nothing
+      val none = spark.createDataFrame(Seq(Tuple1(987654L))).toDF("k")
+      val (_, keptNone, _) =
+        VectorOps.readIndexVersionSemiDist(spark, path, 2, "vec_id", none)
+      assert(keptNone.isEmpty)
+    } finally rmrf(dir)
+  }
+
   test("refreshSkippingSidecars: one call maintains all requested " +
       "sidecars at delta cost") {
     val (dir, path, f1, f2) = fixture("all")
