@@ -2457,6 +2457,14 @@ object VectorOps {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8), what)
   }
 
+  /** Commit an arbitrary named sidecar under `_manifests/` with the
+    * manifest discipline (atomic create, duplicate refused) — the seam
+    * domain-specific sidecars (retrieval term stats, …) publish
+    * through. */
+  def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
+                   name: String, lines: Seq[String]): Unit =
+    commitSidecar(spark, path, name, lines, s"sidecar $name")
+
   /** The raw committed lines of a `_manifests/<name>` sidecar, or None
     * when no such sidecar was ever committed. */
   def readSidecarLines(spark: org.apache.spark.sql.SparkSession,

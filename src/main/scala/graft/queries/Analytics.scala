@@ -584,8 +584,157 @@ object Analytics {
       VectorOps.writeManifest(s, path, 1,
         VectorOps.listIndexFiles(s, path),
         Map("op" -> "append", "nd" -> nd.toString, "tl" -> tl.toString))
+      // build-time TERM-STATS sidecar — one `tok<TAB>df<TAB>ub_micro`
+      // line per term: df is the term's posting count, ub the MAX
+      // per-posting micro BM25 contribution under this corpus's
+      // constants. The per-term upper bound is what MaxScore-family
+      // disjunctive top-k prunes with (q_bm25_or) — it MUST be
+      // precomputed here: deriving it at query time would score every
+      // posting, the exact work the bound exists to avoid. One extra
+      // pass over the just-written postings (build-time, never
+      // query-time); committed with the manifest discipline.
+      import org.apache.spark.sql.expressions.Window
+      val post = VectorOps.readIndexVersion(s, path, 1)
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("tok"))))
+      val statLines = post
+        .select(col("tok"), col("df"), bm25Micro(nd, tl).as("sc"))
+        .groupBy(col("tok"), col("df")).agg(max(col("sc")).as("ub"))
+        .orderBy(col("tok"))
+        .collect() // one line per vocabulary term — metadata-scale
+        .map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
+        .toSeq
+      VectorOps.writeSidecar(s, path, "v00001.termstats", statLines)
       (path, nd, tl)
     }
+
+  /** The micro-rounded integer BM25 contribution (k1=1.2, b=0.75) of a
+    * posting row carrying `df`/`tf`/`dl` columns — the single formula
+    * q_bm25 / q_inverted_search / q_bm25_or and the term-stats build
+    * all share, so every oracle can recompute it from the raw corpus.
+    */
+  private def bm25Micro(nd: Long, tl: Long): org.apache.spark.sql.Column = {
+    val idf = log((lit(nd).cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl").cast("double") *
+        lit(nd).cast("double") / lit(tl).cast("double"))
+    round(lit(1e6) * idf * col("tf").cast("double") * lit(2.2) / denom)
+      .cast("long")
+  }
+
+  /** DISJUNCTIVE (OR-of-terms) BM25 top-k with MaxScore upper-bound
+    * pruning — the reference's own retrieval shape
+    * (`usda-food-assistant/app.py:55-70`, free-text top-k over a
+    * query's terms) served term-pruned: conjunctive search
+    * (q_inverted_search) intersects posting lists, but an OR query
+    * must UNION them, and the naive union scores every posting of
+    * every query term. The MaxScore family (Turtle & Flood 1995 /
+    * the WAND line, public literature) bounds that: with terms sorted
+    * by their precomputed per-term score ceiling (the termstats
+    * sidecar), a document containing ONLY low-bound terms can never
+    * out-score the running kth-best, so:
+    *
+    *  1. grow an ESSENTIAL prefix of high-bound terms; candidates =
+    *     docs appearing in any prefix posting;
+    *  2. score candidates FULLY (all query terms, restricted to the
+    *     candidate set — suffix postings are only ever probed for
+    *     candidates, never expanded);
+    *  3. stop at the first prefix whose suffix bound-sum is STRICTLY
+    *     below the kth-best candidate score θ — every non-candidate
+    *     scores ≤ the suffix sum < θ, so the top-k is EXACT.
+    *
+    * Integer micro arithmetic end-to-end (θ and the bounds are Longs),
+    * so the stop test is deterministic and the DuckDB oracle's
+    * exhaustive OR replay matches hash-exactly. The driver loop runs at
+    * most |terms| bounded iterations (each one Spark job over the
+    * bucket-pruned postings). Audits: `scored_fewer` — the postings
+    * actually scored (candidate-restricted) were strictly fewer than
+    * the exhaustive union the oracle scores; `n_union` — that union's
+    * exact posting count, hash-gated.
+    */
+  private val bm25OrQ: Q = (s, dir) => {
+    val (path, nd, tl) = stageInvIndex(s, dir)
+    val terms = Seq("dup", "vector", "key", "the")
+    val k = 10
+    // per-term (df, ub) from the committed sidecar — never the postings
+    val stats = VectorOps.readSidecarLines(s, path, "v00001.termstats").get
+      .map(_.split('\t'))
+      .map(a => (a(0), a(1).toLong, a(2).toLong))
+      .filter(t => terms.contains(t._1))
+      .sortBy(t => (-t._3, t._1)) // bound desc, term asc
+    require(stats.length == terms.length,
+      s"q_bm25_or: query terms missing from the term-stats sidecar")
+    val buckets = s.createDataFrame(terms.map(Tuple1(_))).toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(16)).as("b"))
+      .collect().map(_.getLong(0).toInt).distinct.toSeq
+    val dfDim = s.createDataFrame(stats.map(t => (t._1, t._2)))
+      .toDF("tok", "df")
+    val post = VectorOps.readIndexVersion(s, path, 1)
+      .filter(col("centroid").isin(buckets: _*) &&
+        col("tok").isin(terms: _*))
+      .join(broadcast(dfDim), Seq("tok"))
+      .select(col("doc_id"), col("tok"), bm25Micro(nd, tl).as("sc"))
+    val nUnion = post.count()
+    // essential-prefix growth: stop when the suffix bound-sum can no
+    // longer reach the kth-best candidate score
+    var p = 1
+    var done = false
+    var scored: org.apache.spark.sql.DataFrame = null
+    var nScored = 0L
+    while (!done) {
+      val prefix = stats.take(p).map(_._1)
+      val suffixUb = stats.drop(p).map(_._3).sum
+      val cand = post.filter(col("tok").isin(prefix: _*))
+        .select(col("doc_id")).distinct()
+      scored = post.join(cand, Seq("doc_id"), "left_semi")
+      nScored = scored.count()
+      val topScores = scored.groupBy(col("doc_id"))
+        .agg(sum(col("sc")).as("t"))
+        .orderBy(col("t").desc).limit(k)
+        .collect().map(_.getLong(1))
+      val theta =
+        if (topScores.length < k) Long.MinValue else topScores.last
+      done = p == stats.length || suffixUb < theta
+      if (!done) p += 1
+    }
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("bm25_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("bm25_micro"), col("n_terms"),
+        lit(nScored < nUnion).as("scored_fewer"),
+        lit(nUnion).as("n_union"))
+  }
+  private val bm25OrSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+      |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, dl, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+      |  WHERE tok IN ('dup', 'vector', 'key', 'the')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+      |SELECT doc_id,
+      |  CAST(sum(CAST(round(
+      |    CAST(1e6 AS DOUBLE) *
+      |    ln((CAST(nd AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) /
+      |       (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |       + CAST(1.0 AS DOUBLE)) *
+      |    CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+      |    (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |     (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+      |      CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE) / CAST(tl AS DOUBLE))))
+      |    AS BIGINT)) AS BIGINT) AS bm25_micro,
+      |  CAST(count(*) AS BIGINT) AS n_terms,
+      |  TRUE AS scored_fewer,
+      |  CAST((SELECT count(*) FROM tf) AS BIGINT) AS n_union
+      |FROM tf JOIN df USING (tok), st
+      |GROUP BY doc_id
+      |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
 
   /** Conjunctive BM25 retrieval served ENTIRELY from a committed
     * inverted index — the lexical sibling of the IVF serving path: at
@@ -1448,6 +1597,7 @@ object Analytics {
     ("q_time_decay", timeDecayQ, Some(timeDecaySql)),
     ("q_bm25", bm25Q, Some(bm25Sql)),
     ("q_inverted_search", invertedSearchQ, Some(invertedSearchSql)),
+    ("q_bm25_or", bm25OrQ, Some(bm25OrSql)),
     ("q_phrase_search", phraseSearchQ, Some(phraseSearchSql)),
     ("q_proximity_search", proximitySearchQ, Some(proximitySearchSql)),
     ("q_bigram_lm", bigramLmQ, Some(bigramLmSql)),
