@@ -2285,15 +2285,29 @@ object VectorOps {
     * the base corpus (q_cdc_materialize). Same cost model — only each
     * commit's changed files are read.
     *
-    * One documented gap, shared with every file-diff CDC: a LOGICAL
-    * tombstone delete's preimage lives in UNCHANGED files, so its row
-    * arrives with a NULL vec (materializing it would scan the corpus;
-    * commit-time change files are the design that removes the gap, at
-    * the price of writing the feed eagerly on every commit).
+    * A LOGICAL tombstone delete's preimage lives in UNCHANGED files, so
+    * by default its row arrives with a NULL vec (the gap every
+    * file-diff CDC shares). `resolveTombstonePreimages = true` CLOSES
+    * it: the deleted ids — tombstone-sidecar-sized by construction —
+    * are looked up in the PRE-commit snapshot, opened BLOOM-PRUNED when
+    * the prior version committed a bloom sidecar for the id column
+    * (changed-rows-sized I/O: only the files that might hold a deleted
+    * id are read; the full-snapshot fallback without a sidecar is
+    * honest but corpus-priced, which is why delete-heavy feeds should
+    * maintain the bloom sidecar — [[writeBloomFilterIncremental]] makes
+    * that delta-cheap). Under the flag a tombstoned id that matched N
+    * physical rows emits N imaged delete rows (exactly the rows MOR
+    * subtraction kills) and an id matching nothing emits none — a
+    * value-summing IVM view can then consume a delete-only feed
+    * ([[graft.streaming.IndexStream.maintainBucketView]] opts in). The
+    * default stays image-free so id-only consumers never pay the
+    * lookup.
     */
   def indexChangeRows(spark: org.apache.spark.sql.SparkSession, path: String,
                       fromVersion: Int, toVersion: Int, idCol: String,
-                      vecCol: String): DataFrame = {
+                      vecCol: String,
+                      resolveTombstonePreimages: Boolean = false)
+      : DataFrame = {
     require(fromVersion >= 1 && toVersion > fromVersion,
       s"indexChangeRows: need 1 <= from < to, got $fromVersion..$toVersion")
     def emptyIds = spark.range(0).select(col("id").cast("long").as("vid"))
@@ -2340,12 +2354,43 @@ object VectorOps {
         val delP = delRows.join(updIds, Seq("vid"), "left_anti")
           .select(col("vid"), lit("delete").as("change_type"), col("vec"))
         // logical deletes: the tombstone delta, minus ids the file diff
-        // already accounted for; preimage not materialized (see Scaladoc)
-        val tombL = delsB.except(delsA)
+        // already accounted for; preimages resolved from the pre-commit
+        // snapshot only under the flag (see Scaladoc)
+        val tombIds = delsB.except(delsA)
           .except(insRows.select(col("vid")))
           .except(delRows.select(col("vid")))
-          .select(col("vid"), lit("delete").as("change_type"),
-            lit(null).cast("array<double>").as("vec"))
+        val tombL =
+          if (!resolveTombstonePreimages)
+            tombIds.select(col("vid"), lit("delete").as("change_type"),
+              lit(null).cast("array<double>").as("vec"))
+          else {
+            // the driver copy is tombstone-sidecar-sized — it is what
+            // lets the prior snapshot open bloom-pruned instead of full
+            val ids = tombIds.collect().map(_.getLong(0))
+            if (ids.isEmpty)
+              // null (not array()) literal: a zero-element array literal
+              // constant-folds into downstream element_at and throws
+              // under ANSI even on a zero-row frame
+              spark.range(0).select(col("id").cast("long").as("vid"),
+                lit("delete").as("change_type"),
+                lit(null).cast("array<double>").as("vec"))
+            else {
+              val prevFiles = readManifest(spark, path, v - 1)
+              val keep =
+                try {
+                  val blooms = readBloomFilter(spark, path, v - 1, idCol)
+                  prevFiles.filter(f => blooms.get(f).forall(b =>
+                    ids.exists(k => b.mightContainLong(mixBloomKey(k)))))
+                } catch {
+                  // no sidecar: honest full-snapshot fallback
+                  case _: java.io.IOException => prevFiles
+                }
+              rowsOf(keep)
+                .join(broadcast(tombIds), Seq("vid"), "left_semi")
+                .select(col("vid"), lit("delete").as("change_type"),
+                  col("vec"))
+            }
+          }
         Some(post.unionByName(pre).unionByName(ins).unionByName(delP)
           .unionByName(tombL)
           .select(lit(v).as("version"), col("vid"), col("change_type"),

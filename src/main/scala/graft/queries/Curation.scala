@@ -2262,7 +2262,8 @@ object Curation {
     */
   private[queries] def stageStreamCdc(s: org.apache.spark.sql.SparkSession,
                                       dir: String)
-      : (String, String, graft.streaming.IndexStream.ViewDrainResult, Int) =
+      : (String, String, graft.streaming.IndexStream.ViewDrainResult, Int,
+         Boolean) =
     Staging.cached(s"streamcdc:$dir") { tmp =>
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
       val base = emb.filter(col("vec_id") % 11 =!= 5)
@@ -2292,7 +2293,21 @@ object Curation {
         s, inDir, idx.centroids, path, viewPath,
         checkpointDir = Some(tmp.resolve("ckpt").toString),
         checkpointEvery = 2)
-      (path, viewPath, res, nFiles)
+      // a TOMBSTONE-ONLY delete batch consumed by the same maintainer —
+      // the r11 CDC gap: its preimages resolve from the pre-commit
+      // snapshot, bloom-pruned via the id sidecar maintained on the
+      // pre-delete HEAD (delta-cheap by the incremental writer)
+      val preHead = VectorOps.latestVersion(s, path).get
+      VectorOps.writeBloomFilterIncremental(s, path, preHead, "vec_id")
+      val delIds = emb.filter(col("vec_id") % 11 === 3)
+        .select(col("vec_id"))
+      val (dv, _) = VectorOps.commitDeletesBatch(s, path, 9000L, delIds,
+        sink = "rtbf")
+      val delCommitted = !graft.streaming.IndexStream.maintainBucketView(
+        s, path, viewPath, "rtbf", 9000L, dv)
+      val delReplaySkipped = graft.streaming.IndexStream.maintainBucketView(
+        s, path, viewPath, "rtbf", 9000L, dv)
+      (path, viewPath, res, nFiles, delCommitted && delReplaySkipped)
     }
 
   /** Streaming CDC consumer — the loop that CLOSES the change feed: the
@@ -2319,7 +2334,7 @@ object Curation {
     * equality is what a correctness oracle can gate.
     */
   private val streamCdcQ: Q = (s, dir) => {
-    val (path, viewPath, res, nFiles) = stageStreamCdc(s, dir)
+    val (path, viewPath, res, nFiles, delConsumed) = stageStreamCdc(s, dir)
     val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
     val viewHead = VectorOps.latestVersion(s, viewPath).get
     val maintained = VectorOps.readIndexVersion(s, viewPath, viewHead)
@@ -2329,25 +2344,31 @@ object Curation {
     val nDiff = maintained.exceptAll(recomputed)
       .unionByName(recomputed.exceptAll(maintained))
       .agg(count(lit(1)).as("n_diff"))
+    // + 1 on both heads: the tombstone-only delete batch and its view
+    // consumption (the r11 CDC-preimage gap, closed)
     val microBatched = res.index.nCommitted == nFiles &&
       res.nViewCommitted == nFiles && nFiles >= 2 &&
       res.index.nSkipped == 0 && res.nViewSkipped == 0 &&
-      viewHead == 1 + nFiles && res.index.finalVersion == 1 + nFiles
+      viewHead == 2 + nFiles &&
+      VectorOps.latestVersion(s, path).get == 2 + nFiles
     val audit = nDiff.select(
       (col("n_diff") === 0L).as("ivm_exact"),
-      lit(microBatched).as("micro_batched"))
-    emb.select(pmod(col("vec_id"), lit(10L)).as("bucket"))
+      lit(microBatched).as("micro_batched"),
+      lit(delConsumed).as("delete_consumed"))
+    emb.filter(col("vec_id") % 11 =!= 3) // the rtbf batch deleted these
+      .select(pmod(col("vec_id"), lit(10L)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
       .crossJoin(audit) // 1-row audit frame
       .select(col("bucket"), col("n_rows"), col("ivm_exact"),
-        col("micro_batched"))
+        col("micro_batched"), col("delete_consumed"))
       .orderBy(col("bucket"))
   }
   private val streamCdcSql =
     """SELECT CAST(vec_id % 10 AS BIGINT) AS bucket,
       |  CAST(count(*) AS BIGINT) AS n_rows,
-      |  TRUE AS ivm_exact, TRUE AS micro_batched
-      |FROM embeddings WHERE vec_id <> 0
+      |  TRUE AS ivm_exact, TRUE AS micro_batched,
+      |  TRUE AS delete_consumed
+      |FROM embeddings WHERE vec_id <> 0 AND vec_id % 11 <> 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------- the index as a streaming source

@@ -221,10 +221,12 @@ object IndexStream {
     * idempotence as the index sinks: a replayed (sink, batchId) whose
     * view version already committed is skipped, so the crash window
     * between index commit and view commit heals on redelivery.
-    * Tombstone-only deletes (null preimage — the documented
-    * [[graft.ops.VectorOps.indexChangeRows]] gap) are not consumable by
-    * a value-summing view; the upsert feed this consumer serves never
-    * produces them. Returns true when skipped as a replay.
+    * Tombstone-only deletes are consumable too: the feed resolves their
+    * preimages from the pre-commit snapshot
+    * (`resolveTombstonePreimages` — bloom-pruned, changed-rows-sized
+    * when the prior version maintains an id bloom sidecar), so a
+    * right-to-be-forgotten delete queue maintains the same view the
+    * upsert stream does. Returns true when skipped as a replay.
     */
   def maintainBucketView(spark: SparkSession, indexPath: String,
                          viewPath: String, sink: String, batchId: Long,
@@ -240,7 +242,8 @@ object IndexStream {
     val prior = VectorOps.readIndexVersion(spark, viewPath, head)
       .select(col("bucket"), col("n"), col("s"))
     val ch = VectorOps.indexChangeRows(spark, indexPath,
-      indexVersion - 1, indexVersion, "vec_id", "embedding")
+      indexVersion - 1, indexVersion, "vec_id", "embedding",
+      resolveTombstonePreimages = true)
     val sgn = when(col("change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val delta = ch.select(pmod(col("vid"), lit(10L)).as("bucket"),

@@ -244,6 +244,30 @@ class CarriedStateSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("indexChangeRows resolves tombstone preimages from the " +
+      "pre-commit snapshot under the flag; the default stays image-free") {
+    val (dir, path, _) = freshIndex("cdcpre")
+    try {
+      VectorOps.writeBloomFilter(spark, path, 1, "vec_id")
+      val doomed = embs.filter(col("vec_id") % 9 === 4)
+      VectorOps.commitDeletes(spark, path, 1, 2,
+        doomed.select(col("vec_id")))
+      val ch = VectorOps.indexChangeRows(spark, path, 1, 2,
+        "vec_id", "embedding", resolveTombstonePreimages = true)
+      val got = ch.filter(col("change_type") === "delete")
+        .select(col("vid"), col("vec"))
+      val expected = doomed.select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("vec"))
+      assert(got.exceptAll(expected).unionByName(expected.exceptAll(got))
+        .count() == 0, "every delete row must carry its true preimage")
+      // the image-free default contract is unchanged
+      val defCh = VectorOps.indexChangeRows(spark, path, 1, 2,
+        "vec_id", "embedding")
+      assert(defCh.filter(col("change_type") === "delete" &&
+        col("vec").isNotNull).count() == 0)
+    } finally rmrf(dir)
+  }
+
   test("metaAgg on an all-rows-deleted version: explicit empty verdict, " +
       "never an NPE") {
     val (dir, path) = freshSynth("empty")
