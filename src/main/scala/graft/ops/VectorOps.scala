@@ -1116,7 +1116,7 @@ object VectorOps {
     * hand-picked `filterKeys` invited.
     */
   private[ops] val CarriedKeys: Seq[String] =
-    Seq("deletes", "dv", "dvcount", "colmap", "coldrop")
+    Seq("deletes", "dv", "dvcount", "colmap", "coldrop", "checks")
 
   /** `fromVersion`'s carried-state headers, minus the keys the calling
     * writer consumes itself (`except`). */
@@ -1139,7 +1139,7 @@ object VectorOps {
     val m = readManifestMeta(spark, root, version)
     val pointers = Seq("deletes", "dv").flatMap(k =>
       m.get(k).map(rel => k -> resolveRel(root, rel)))
-    val verbatim = Seq("dvcount", "colmap", "coldrop").flatMap(k =>
+    val verbatim = Seq("dvcount", "colmap", "coldrop", "checks").flatMap(k =>
       m.get(k).map(v => k -> v))
     (pointers ++ verbatim).toMap
   }
@@ -1358,6 +1358,12 @@ object VectorOps {
                      assumeHead: Option[Int] = None,
                      maxAttempts: Int = 10): OccCommit = {
     require(newFiles.nonEmpty, "commitFilesOcc: newFiles must be non-empty")
+    // table checks enforce on every APPEND too — validated once against
+    // the head visible at entry (a concurrent setTableChecks racing an
+    // append is the rewrite-vs-append race class OCC already documents)
+    (assumeHead.orElse(latestVersion(spark, path)))
+      .foreach(h => enforceTableChecks(spark, path, h, newFiles,
+        "append commit"))
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -1603,6 +1609,7 @@ object VectorOps {
       spark.sparkContext.hadoopConfiguration)
     val from = readManifest(spark, path, fromVersion)
     val newList = scala.collection.mutable.ArrayBuffer[String]()
+    val freshFiles = scala.collection.mutable.ArrayBuffer[String]()
     var rewritten = 0
     from.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).foreach {
       case (part, files) =>
@@ -1625,10 +1632,17 @@ object VectorOps {
             s"rename to $dst failed")
           fs.delete(tmp, true)
           newList += s"$part/${dst.getName}"
+          freshFiles += s"$part/${dst.getName}"
           rewritten += 1
         } else newList ++= files
     }
     fs.delete(new HPath(path, "_rewrite_tmp"), true)
+    // the ONE constraint seam every rewrite-class writer (upsert, merge,
+    // compaction, physical delete apply) passes through: validate only
+    // the files this commit CREATED (rewritten outputs + staged extras —
+    // never the re-listed corpus), refuse pre-manifest
+    enforceTableChecks(spark, path, fromVersion,
+      (freshFiles ++ extraFiles).toSeq, s"commit of v$toVersion")
     // extraFiles: already-landed data files committed ATOMICALLY with the
     // rewrite (the upsert's appended rows — replace-old and insert-new
     // must be one version or a reader between them sees the id vanish)
@@ -1761,6 +1775,11 @@ object VectorOps {
         }
     }
     fs.delete(new HPath(path, "_rewrite_tmp"), true)
+    // same constraint seam as rewriteVersioned: only the binpack outputs
+    // validate, refusal pre-manifest
+    enforceTableChecks(spark, path, fromVersion,
+      newList.toSeq.filterNot(from.contains),
+      s"binpack commit of v$toVersion")
     writeManifest(spark, path, toVersion, newList.sorted.toSeq,
       carriedMeta(spark, path, fromVersion) + ("op" -> "compact"))
     (bins, from.length, newList.length, maxBinBytes)
@@ -2984,6 +3003,10 @@ object VectorOps {
         }
       }
     fs.delete(new HPath(path, stageRel), true)
+    // same constraint seam as every rewrite: the re-clustered output is
+    // this commit's new files, validated pre-manifest
+    enforceTableChecks(spark, path, fromVersion, newFiles.toSeq,
+      s"recluster commit of v$toVersion")
     writeManifest(spark, path, toVersion, newFiles.sorted.toSeq,
       carried + ("op" -> "recluster"))
     (fromFiles.length, newFiles.length)
@@ -3728,6 +3751,79 @@ object VectorOps {
     val r = staged.agg(aggs.head, aggs.tail: _*).head()
     constraints.zipWithIndex
       .map { case ((name, _), i) => name -> r.getLong(i) }.toMap
+  }
+
+  /** Register TABLE-LEVEL CHECK constraints as versioned metadata — the
+    * Delta table-property model (public design): one metadata-only
+    * commit carries the named SQL predicates in the `checks` manifest
+    * header (base64 over `name<TAB>expr` lines — header values must be
+    * newline-free), and because `checks` is in [[CarriedKeys]] EVERY
+    * later writer inherits and enforces them with no per-writer wiring —
+    * the uniformity that makes "this writer forgot to validate"
+    * structurally impossible. Enforce-on-write semantics (Delta's
+    * behavior adding a constraint without validation): registering does
+    * NOT scan history; existing violating rows surface the moment any
+    * rewrite tries to re-commit them. An empty `checks` unsets.
+    * Expressions reference PHYSICAL column names (the staged files'
+    * schema), like every physical-keyed sidecar.
+    */
+  def setTableChecks(spark: org.apache.spark.sql.SparkSession, path: String,
+                     fromVersion: Int, toVersion: Int,
+                     checks: Seq[(String, String)]): Unit = {
+    checks.foreach { case (n, e) =>
+      require(!n.contains('\t') && !n.contains('\n') && !e.contains('\n'),
+        s"setTableChecks: no tabs in names / newlines anywhere: $n") }
+    val carried = carriedMeta(spark, path, fromVersion,
+      except = Set("checks"))
+    val meta =
+      if (checks.isEmpty) carried + ("op" -> "setcheck")
+      else carried + ("op" -> "setcheck") + ("checks" ->
+        java.util.Base64.getEncoder.encodeToString(
+          checks.map { case (n, e) => s"$n\t$e" }.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    writeManifest(spark, path, toVersion,
+      readManifest(spark, path, fromVersion), meta)
+  }
+
+  /** The table's CHECK constraints as of `version` (name → parsed
+    * Column), empty when none are registered. */
+  def tableChecks(spark: org.apache.spark.sql.SparkSession, path: String,
+                  version: Int): Seq[(String, Column)] =
+    readManifestMeta(spark, path, version).get("checks") match {
+      case None => Seq.empty
+      case Some(b64) =>
+        new String(java.util.Base64.getDecoder.decode(b64),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split('\n').toSeq.filter(_.nonEmpty).map { l =>
+            val i = l.indexOf('\t')
+            require(i > 0, s"malformed checks entry: ${l.take(80)}")
+            l.take(i) -> expr(l.drop(i + 1))
+          }
+    }
+
+  /** Enforce `fromVersion`'s table checks over `newFiles` (the files a
+    * writer is ABOUT to commit — staged batches, rewritten partitions,
+    * binpack outputs; never the untouched re-listed corpus) and refuse
+    * loudly on any violation. The single validation seam every
+    * versioned writer runs pre-manifest: cost ∝ the new files' bytes,
+    * zero when the table has no checks. Refusal leaves the new files
+    * unreferenced and invisible (no manifest lists them; vacuum
+    * reclaims them like any crashed write).
+    */
+  private def enforceTableChecks(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, fromVersion: Int,
+                                 newFiles: Seq[String],
+                                 what: String): Unit = {
+    if (newFiles.isEmpty) return
+    val checks = tableChecks(spark, path, fromVersion)
+    if (checks.isEmpty) return
+    val violations = checkConstraints(spark, path, newFiles, checks)
+      .filter(_._2 > 0L)
+    if (violations.nonEmpty)
+      throw new IllegalStateException(
+        s"$what refused — CHECK constraint violations: " +
+          violations.toSeq.sortBy(_._1)
+            .map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
   }
 
   /** [[commitFilesOcc]] gated by CHECK constraints — the write-side

@@ -4287,6 +4287,97 @@ object Curation {
       |  CAST((SELECT sum(vec_id) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS sum_head""".stripMargin
 
+  // ------------------------- table checks enforced on the MERGE path
+
+  /** Staged table-checks-on-merge fixture over the `vec_id % 50 = 1`
+    * slice (small by construction — the probe is about enforcement, not
+    * scale):
+    *
+    *  v1  2-centroid index over the slice
+    *  v2  [[VectorOps.setTableChecks]] — id_positive + 64-d vector,
+    *      carried metadata from here on (the CarriedKeys member)
+    *  ×   a MERGE whose staged source violates id_positive — REFUSED
+    *      pre-manifest (v3 stays free, staged files unreferenced)
+    *  v3  a valid three-clause MERGE (re-embed %3=0, delete-clause
+    *      %7=2, one fresh insert) — lands, checks header carried
+    *
+    * Returns (path, refusedCleanly, (rewritten, nUpd, nDel, nIns)).
+    */
+  private[queries] def stageCheckMerge(s: org.apache.spark.sql.SparkSession,
+                                       dir: String)
+      : (String, Boolean, (Int, Long, Long, Long)) =
+    Staging.cached(s"checkmerge:$dir") { tmp =>
+      val slice = Tables.embeddings(s, dir)
+        .filter(col("vec_id") =!= 0 && col("vec_id") % 50 === 1)
+      val idx = VectorOps.ivfIndexDeterministic(slice, "vec_id",
+        "embedding", nCentroids = 2)
+      val path = tmp.resolve("checkmerge").toString
+      VectorOps.ivfWrite(idx, path)
+      VectorOps.writeManifest(s, path, 1,
+        VectorOps.listIndexFiles(s, path), Map("op" -> "append"))
+      VectorOps.setTableChecks(s, path, 1, 2, Seq(
+        "id_positive" -> "vec_id > 0",
+        "vec_64d" -> "size(embedding) = 64"))
+      val bad = slice.limit(1)
+        .select((-col("vec_id")).as("vec_id"), col("embedding"))
+      val refused =
+        try {
+          VectorOps.ivfMerge(s, path, 2, 3, bad, lit(false),
+            idx.centroids, "vec_id", "embedding")
+          false
+        } catch { case _: IllegalStateException => true }
+      val refusedCleanly = refused && !VectorOps.manifestExists(s, path, 3)
+      val mx = slice.agg(max(col("vec_id"))).head().getLong(0)
+      val src = slice.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+        .unionByName(slice.filter(col("vec_id") === mx)
+          .select((col("vec_id") + 50L).as("vec_id"), col("embedding")))
+      // the id guard keeps the fresh insert out of the delete clause
+      // (unmatched ∧ delete is a no-op, which would flip n_ins to 0)
+      val res = VectorOps.ivfMerge(s, path, 2, 3, src,
+        col("vec_id") % 7 === 2 && col("vec_id") <= mx,
+        idx.centroids, "vec_id", "embedding")
+      (path, refusedCleanly, (res._1, res._2, res._3, res._4))
+    }
+
+  /** Table-level CHECK constraints enforced on the MERGE path — the r11
+    * unification item: constraints registered ONCE as carried metadata
+    * ([[VectorOps.setTableChecks]]) gate EVERY writer through the shared
+    * pre-manifest seam, so a merge can no longer commit rows an append
+    * would refuse. Audited: `refused_pre_manifest` (the violating merge
+    * threw and left no manifest), `checks_carried` (the landing merge's
+    * version still carries the header for the next writer), and the
+    * exact three-clause counts + head count, hash-gated.
+    */
+  private val constraintMergeQ: Q = (s, dir) => {
+    val (path, refusedCleanly, (_, nU, nD, nI)) = stageCheckMerge(s, dir)
+    val checksCarried =
+      VectorOps.readManifestMeta(s, path, 3).contains("checks")
+    VectorOps.readIndexLatest(s, path, "vec_id")
+      .agg(count(lit(1)).as("n_head"))
+      .select( // 1-row frame
+        lit(refusedCleanly).as("refused_pre_manifest"),
+        lit(checksCarried).as("checks_carried"),
+        lit(nU).as("n_upd"), lit(nD).as("n_del"), lit(nI).as("n_ins"),
+        col("n_head"))
+  }
+  private val constraintMergeSql =
+    """WITH sl AS (SELECT vec_id FROM embeddings
+      |            WHERE vec_id <> 0 AND vec_id % 50 = 1)
+      |SELECT TRUE AS refused_pre_manifest, TRUE AS checks_carried,
+      |  CAST((SELECT count(*) FROM sl
+      |        WHERE vec_id % 3 = 0 AND vec_id % 7 <> 2)
+      |    AS BIGINT) AS n_upd,
+      |  CAST((SELECT count(*) FROM sl
+      |        WHERE vec_id % 3 = 0 AND vec_id % 7 = 2)
+      |    AS BIGINT) AS n_del,
+      |  CAST(1 AS BIGINT) AS n_ins,
+      |  CAST((SELECT count(*) FROM sl) -
+      |       (SELECT count(*) FROM sl
+      |        WHERE vec_id % 3 = 0 AND vec_id % 7 = 2) + 1
+      |    AS BIGINT) AS n_head""".stripMargin
+
   // ----------------------------------------------- three-clause MERGE
 
   /** Staged MERGE fixture:
@@ -4426,6 +4517,7 @@ object Curation {
     ("q_index_merge", indexMergeQ, Some(indexMergeSql)),
     ("q_meta_agg", metaAggQ, Some(metaAggSql)),
     ("q_constraint_commit", constraintCommitQ, Some(constraintCommitSql)),
+    ("q_constraint_merge", constraintMergeQ, Some(constraintMergeSql)),
     ("q_mips_prune", mipsPruneQ, Some(mipsPruneSql)),
     ("q_join_skipping", joinSkippingQ, Some(joinSkippingSql)),
     ("q_join_skipping_dist", joinSkippingDistQ, Some(joinSkippingDistSql)),

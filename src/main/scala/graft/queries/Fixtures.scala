@@ -84,7 +84,9 @@ object Fixtures {
     // IVF build + 96-small-file write + binpack rewrite
     "binpackidx" -> ((s, d) => { Curation.stageBinpack(s, d); () }),
     // IVF build + full sidecar pass + append/compact incremental refreshes
-    "statsinc" -> ((s, d) => { Curation.stageStatsInc(s, d); () })
+    "statsinc" -> ((s, d) => { Curation.stageStatsInc(s, d); () }),
+    // small-slice IVF build + refused merge + landing three-clause merge
+    "checkmerge" -> ((s, d) => { Curation.stageCheckMerge(s, d); () })
   )
 
   /** Staging keys that deliberately stay OUT of warmup priming: cheap
