@@ -1423,7 +1423,9 @@ object VectorOps {
                      path: String, idCol: String, vecCol: String,
                      batchId: Long,
                      assumeHead: Option[Int] = None,
-                     sink: String = ""): (Int, Boolean, Int) = {
+                     sink: String = "",
+                     extraMeta: Map[String, String] = Map.empty)
+      : (Int, Boolean, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
     require(sink.isEmpty || sink.matches("[A-Za-z0-9_-]+"),
       s"sink name must be filesystem-safe ([A-Za-z0-9_-]+): $sink")
@@ -1460,7 +1462,8 @@ object VectorOps {
         }
       }
     fs.delete(new HPath(path, stageRel), true)
-    val meta = Map("batch" -> batchId.toString, "op" -> "append") ++
+    val meta = extraMeta ++
+      Map("batch" -> batchId.toString, "op" -> "append") ++
       (if (sink.isEmpty) Map.empty else Map("sink" -> sink))
     val c = commitFilesOcc(spark, path, newFiles.toSeq, meta, assumeHead)
     (c.version, false, c.attempts)
@@ -1477,14 +1480,16 @@ object VectorOps {
     */
   def commitDeletesBatch(spark: org.apache.spark.sql.SparkSession,
                          path: String, batchId: Long,
-                         ids: DataFrame, sink: String = ""): (Int, Boolean) = {
+                         ids: DataFrame, sink: String = "",
+                         extraMeta: Map[String, String] = Map.empty)
+      : (Int, Boolean) = {
     if (committedBatchKeys(spark, path).contains(batchKey(sink, batchId)))
       return (latestVersion(spark, path).get, true)
     val head = latestVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"streaming deletes need an initial committed version under $path"))
     commitDeletes(spark, path, head, head + 1, ids,
-      Map("batch" -> batchId.toString) ++
+      extraMeta ++ Map("batch" -> batchId.toString) ++
         (if (sink.isEmpty) Map.empty else Map("sink" -> sink)))
     (head + 1, false)
   }
@@ -2230,7 +2235,9 @@ object VectorOps {
   def ivfUpsertBatch(spark: org.apache.spark.sql.SparkSession,
                      batch: DataFrame, centroids: Array[Array[Double]],
                      path: String, idCol: String, vecCol: String,
-                     batchId: Long, sink: String = ""): (Int, Boolean, Long) = {
+                     batchId: Long, sink: String = "",
+                     extraMeta: Map[String, String] = Map.empty)
+      : (Int, Boolean, Long) = {
     if (committedBatchKeys(spark, path).contains(batchKey(sink, batchId)))
       return (latestVersion(spark, path).get, true, 0L)
     val head = latestVersion(spark, path).getOrElse(
@@ -2238,7 +2245,7 @@ object VectorOps {
         s"streaming upserts need an initial committed version under $path"))
     val (_, nReplaced, _) = ivfUpsert(spark, path, head, head + 1, batch,
       centroids, idCol, vecCol,
-      extraMeta = Map("batch" -> batchId.toString) ++
+      extraMeta = extraMeta ++ Map("batch" -> batchId.toString) ++
         (if (sink.isEmpty) Map.empty else Map("sink" -> sink)))
     (head + 1, false, nReplaced)
   }

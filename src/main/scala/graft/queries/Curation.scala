@@ -804,9 +804,68 @@ object Curation {
         .count(f => f.isFile && f.getName.endsWith(".parquet"))
       val drain = graft.streaming.IndexStream.runStreamIvfAppend(
         s, inDir, idx.centroids, path,
-        checkpointDir = Some(tmp.resolve("ckpt").toString))
+        checkpointDir = Some(tmp.resolve("ckpt").toString),
+        // deterministic batch-keyed commit clock: batch b lands at
+        // ts = 1000·(b+1) — streamed commits timestamp-resolve like
+        // any batch commit (q_stream_time_travel)
+        tsOfBatch = Some(b => 1000L * (b + 1)))
       (path, idx.centroids, drain, nStaged)
     }
+
+  /** Timestamp travel over a STREAMED index — the r11 gap: the
+    * streaming sinks committed without a `ts` header, so streamed
+    * indexes weren't timestamp-resolvable. Each sink now stamps a
+    * deterministic caller-supplied batch-keyed clock (replay stamps the
+    * same ts; wall-clock inside the sink would make reruns resolve
+    * differently). Probed over the streamivf drain (batch b at
+    * ts 1000·(b+1)):
+    *
+    *  - `before_first_errors`: a probe before the first stamped commit
+    *    refuses loudly ("the table before it existed" is an error, not
+    *    an empty read — the v1 base commit predates timestamping and is
+    *    deliberately not ts-resolvable);
+    *  - `mid_resolves_first` / `tie_resolves_exact` /
+    *    `beyond_resolves_head`: between-commit probes resolve to the
+    *    newest version at-or-before, exact-ts probes to that commit,
+    *    beyond-head probes to HEAD;
+    *  - `monotone`: row counts along the three probes never decrease
+    *    (append-only stream);
+    *  - `n_base` / `n_full`: exact corpus accounting, hash-gated.
+    */
+  private val streamTimeTravelQ: Q = (s, dir) => {
+    val (path, _, drain, nStaged) = stageStreamIvf(s, dir)
+    val beforeFirstErrors =
+      try { VectorOps.versionAsOf(s, path, 500L); false }
+      catch { case _: IllegalStateException => true }
+    val midResolvesFirst = VectorOps.versionAsOf(s, path, 1500L) == 2
+    val tieResolvesExact = nStaged < 2 ||
+      VectorOps.versionAsOf(s, path, 2000L) == 3
+    val beyondResolvesHead =
+      VectorOps.versionAsOf(s, path, 1000L * nStaged + 500L) ==
+        drain.finalVersion
+    val counts = Seq(1500L, 2000L, 1000L * nStaged + 500L)
+      .map(ts => VectorOps.readIndexAsOf(s, path, ts, "vec_id").count())
+    val monotone = counts.zip(counts.tail).forall { case (a, b) => a <= b }
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    emb.agg(
+        count(lit(1)).as("n_full"),
+        count(when(col("vec_id") % 5 =!= 2, 1)).as("n_base"))
+      .select( // 1-row frame
+        lit(beforeFirstErrors).as("before_first_errors"),
+        lit(midResolvesFirst).as("mid_resolves_first"),
+        lit(tieResolvesExact).as("tie_resolves_exact"),
+        lit(beyondResolvesHead).as("beyond_resolves_head"),
+        lit(monotone && counts.last == emb.count()).as("monotone"),
+        col("n_base"), col("n_full"))
+  }
+  private val streamTimeTravelSql =
+    """SELECT TRUE AS before_first_errors, TRUE AS mid_resolves_first,
+      |  TRUE AS tie_resolves_exact, TRUE AS beyond_resolves_head,
+      |  TRUE AS monotone,
+      |  CAST((SELECT count(*) FROM embeddings
+      |        WHERE vec_id <> 0 AND vec_id % 5 <> 2) AS BIGINT) AS n_base,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_full""".stripMargin
 
   /** Streaming index maintenance — q_ivf_append's contract driven from a
     * REAL micro-batch stream instead of one batch call: the new slice
@@ -4530,6 +4589,7 @@ object Curation {
     ("q_index_restore", indexRestoreQ, Some(indexRestoreSql)),
     ("q_file_skipping", fileSkippingQ, Some(fileSkippingSql)),
     ("q_time_travel", timeTravelQ, Some(timeTravelSql)),
+    ("q_stream_time_travel", streamTimeTravelQ, Some(streamTimeTravelSql)),
     ("q_bloom_skipping", bloomSkippingQ, Some(bloomSkippingSql)),
     ("q_stats_incremental", statsIncrementalQ, Some(statsIncrementalSql)),
     ("q_stream_cdc", streamCdcQ, Some(streamCdcSql)),

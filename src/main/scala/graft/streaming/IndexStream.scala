@@ -110,7 +110,8 @@ object IndexStream {
                        checkpointDir: Option[String] = None,
                        queryName: String = "graft_stream_delete",
                        afterCommit: Long => Unit = _ => (),
-                       checkpointEvery: Int = 0)
+                       checkpointEvery: Int = 0,
+                       tsOfBatch: Option[Long => Long] = None)
       : DrainResult = {
     val raw = spark.readStream
       .schema(tombstoneRawSchema)
@@ -124,7 +125,9 @@ object IndexStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (v, skipped) = graft.ops.VectorOps.commitDeletesBatch(
-          spark, indexPath, batchId, batch, sink = sinkId(checkpointDir, queryName))
+          spark, indexPath, batchId, batch,
+          sink = sinkId(checkpointDir, queryName),
+          extraMeta = tsMeta(tsOfBatch, batchId))
         if (skipped) nSkipped.incrementAndGet(): Unit
         else {
           nCommitted.incrementAndGet()
@@ -152,6 +155,21 @@ object IndexStream {
     if (every > 0 && version % every == 0)
       graft.ops.VectorOps.writeBatchIdCheckpoint(spark, indexPath, version)
 
+  /** The per-batch commit-timestamp header: every sink stamps
+    * `ts = tsOfBatch(batchId)` so streamed commits are
+    * timestamp-resolvable ([[graft.ops.VectorOps.versionAsOf]]) like
+    * any batch commit. The clock is CALLER-SUPPLIED and keyed by the
+    * batch id — deterministic under replay (a redelivered batch stamps
+    * the same ts; wall-clock inside the sink would make reruns resolve
+    * differently), and callers must keep it non-decreasing in batchId
+    * (versionAsOf's contract). None = unstamped commits, the
+    * pre-timestamping behavior.
+    */
+  private def tsMeta(tsOfBatch: Option[Long => Long],
+                     batchId: Long): Map[String, String] =
+    tsOfBatch.map(f => Map("ts" -> f(batchId).toString))
+      .getOrElse(Map.empty)
+
   /** Drain a directory of embedding parquet files as micro-batches
     * (AvailableNow, one file per trigger), committing each batch as a
     * new index version under the frozen coarse `centroids` — the
@@ -168,7 +186,8 @@ object IndexStream {
                          checkpointDir: Option[String] = None,
                          queryName: String = "graft_stream_ivf",
                          afterCommit: Long => Unit = _ => (),
-                         checkpointEvery: Int = 0)
+                         checkpointEvery: Int = 0,
+                         tsOfBatch: Option[Long => Long] = None)
       : DrainResult = {
     val raw = spark.readStream
       .schema(embeddingsRawSchema)
@@ -182,7 +201,8 @@ object IndexStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (v, skipped, _) = graft.ops.VectorOps.ivfAppendBatch(
           spark, batch, centroids, indexPath, "vec_id", "embedding", batchId,
-          sink = sinkId(checkpointDir, queryName))
+          sink = sinkId(checkpointDir, queryName),
+          extraMeta = tsMeta(tsOfBatch, batchId))
         if (skipped) nSkipped.incrementAndGet(): Unit
         else {
           nCommitted.incrementAndGet()
@@ -289,7 +309,8 @@ object IndexStream {
                                checkpointDir: Option[String] = None,
                                queryName: String = "graft_stream_cdc",
                                afterIndexCommit: Long => Unit = _ => (),
-                               checkpointEvery: Int = 0)
+                               checkpointEvery: Int = 0,
+                               tsOfBatch: Option[Long => Long] = None)
       : ViewDrainResult = {
     val raw = spark.readStream
       .schema(embeddingsRawSchema)
@@ -306,7 +327,7 @@ object IndexStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (v, skipped, _) = graft.ops.VectorOps.ivfUpsertBatch(
           spark, batch, centroids, indexPath, "vec_id", "embedding", batchId,
-          sink = sink)
+          sink = sink, extraMeta = tsMeta(tsOfBatch, batchId))
         if (skipped) nSkipped.incrementAndGet(): Unit
         else {
           nCommitted.incrementAndGet()
@@ -450,7 +471,8 @@ object IndexStream {
                        checkpointDir: Option[String] = None,
                        queryName: String = "graft_stream_upsert",
                        afterCommit: Long => Unit = _ => (),
-                       checkpointEvery: Int = 0)
+                       checkpointEvery: Int = 0,
+                       tsOfBatch: Option[Long => Long] = None)
       : DrainResult = {
     val raw = spark.readStream
       .schema(embeddingsRawSchema)
@@ -464,7 +486,8 @@ object IndexStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (v, skipped, _) = graft.ops.VectorOps.ivfUpsertBatch(
           spark, batch, centroids, indexPath, "vec_id", "embedding", batchId,
-          sink = sinkId(checkpointDir, queryName))
+          sink = sinkId(checkpointDir, queryName),
+          extraMeta = tsMeta(tsOfBatch, batchId))
         if (skipped) nSkipped.incrementAndGet(): Unit
         else {
           nCommitted.incrementAndGet()
