@@ -1105,6 +1105,25 @@ object VectorOps {
   private def resolveRel(path: String, rel: String): String =
     if (isExternal(rel)) rel else s"$path/$rel"
 
+  /** Refuse a rewrite over a manifest carrying EXTERNAL
+    * (clone-inherited, absolute-URI) entries. Every rewrite path groups
+    * entries by their first path segment and lands outputs beside the
+    * old files under THIS root — on an absolute entry that grouping is
+    * silently wrong (the scheme prefix becomes the "partition") and the
+    * rewrite would corrupt the clone's view of its source's bytes.
+    * Loud refusal is the honest semantics: localize the clone first
+    * (re-materialize its inherited files under its own root), then
+    * compact/recluster/apply freely. Appends, metadata commits and
+    * every read path remain clone-safe — only physical rewrites carry
+    * this restriction.
+    */
+  private def requireLocalEntries(files: Seq[String], what: String): Unit =
+    files.find(isExternal).foreach(f =>
+      throw new IllegalArgumentException(
+        s"$what: manifest carries external (clone-inherited) entries " +
+          s"(e.g. ${f.take(120)}) — physical rewrites assume " +
+          "root-relative paths; localize the clone before rewriting"))
+
   /** The manifest-header keys that describe a version's LOGICAL state
     * beyond its file list — pending deletes of both kinds and the
     * column-mapping DDL. Every writer that commits a successor version
@@ -1613,6 +1632,7 @@ object VectorOps {
     val fs = new HPath(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val from = readManifest(spark, path, fromVersion)
+    requireLocalEntries(from, s"rewrite to v$toVersion")
     val newList = scala.collection.mutable.ArrayBuffer[String]()
     val freshFiles = scala.collection.mutable.ArrayBuffer[String]()
     var rewritten = 0
@@ -1721,6 +1741,7 @@ object VectorOps {
     val fs = new HPath(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val from = readManifest(spark, path, fromVersion)
+    requireLocalEntries(from, s"binpack to v$toVersion")
     val sizes = from.map(f =>
       f -> fs.getFileStatus(new HPath(path, f)).getLen).toMap
     // DV sidecars are keyed by (file, pos) — repacking a DV-referenced
@@ -1982,7 +2003,7 @@ object VectorOps {
     * forever (the Delta log-retention + checkpoint design). Dropped
     * versions stop being time-travelable by design; reads of them fail
     * loudly at manifest resolution. Returns (filesDeleted, filesKept)
-    * over the `_manifests`/`_deletes`/`_staging` trees.
+    * over the `_manifests`/`_deletes`/`_dv`/`_staging` trees.
     */
   def vacuumLog(spark: org.apache.spark.sql.SparkSession, path: String,
                 keepVersions: Seq[Int], minAgeMs: Long = 0L): (Int, Int) = {
@@ -1999,13 +2020,22 @@ object VectorOps {
     val keep = keepVersions.toSet
     val keptDeleteRels = keepVersions.flatMap(v =>
       readManifestMeta(spark, path, v).get("deletes")).toSet
+    // local DV sidecars still referenced by a kept manifest; external
+    // (clone-inherited) pointers live under the SOURCE root and are not
+    // this root's business, same as external data files
+    val keptDvRels = keepVersions.flatMap(v =>
+      readManifestMeta(spark, path, v).get("dv")).toSet
     var deleted = 0; var kept = 0
-    // manifests + per-version sidecars
+    // manifests + per-version sidecars — every v-prefixed sidecar kind
+    // this engine writes (missing one here is a slow log leak: the
+    // strstats/ndv/termstats sidecars of dropped versions lived forever
+    // before r12)
     val mdir = new HPath(path, "_manifests")
     val tmpCutoff = System.currentTimeMillis() - minAgeMs
     if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
       val n = st.getPath.getName
-      val vOpt = "^v(\\d+)\\.(manifest|stats|colstats|batchids|bloom\\.[a-zA-Z0-9_]+)$".r
+      val vOpt = ("^v(\\d+)\\.(manifest|stats|colstats|strstats|batchids|" +
+          "termstats|bloom\\.[a-zA-Z0-9_]+|ndv\\.[a-zA-Z0-9_]+)$").r
         .findFirstMatchIn(n).map(_.group(1).toInt)
       vOpt match {
         case Some(v) if !keep.contains(v) &&
@@ -2029,6 +2059,14 @@ object VectorOps {
     if (fs.exists(ddir)) fs.listStatus(ddir).foreach { st =>
       val rel = s"_deletes/${st.getPath.getName}"
       if (keptDeleteRels.contains(rel)) kept += 1
+      else { fs.delete(st.getPath, true); deleted += 1 }
+    }
+    // deletion-vector sidecars: same kept-pointer rule (before r12 the
+    // _dv/ dirs of dropped versions were never reclaimed)
+    val dvdir = new HPath(path, "_dv")
+    if (fs.exists(dvdir)) fs.listStatus(dvdir).foreach { st =>
+      val rel = s"_dv/${st.getPath.getName}"
+      if (keptDvRels.contains(rel)) kept += 1
       else { fs.delete(st.getPath, true); deleted += 1 }
     }
     // staging leftovers from crashed, never-recovered appends
@@ -2979,6 +3017,7 @@ object VectorOps {
     val fs = new HPath(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val fromFiles = readManifest(spark, path, fromVersion)
+    requireLocalEntries(fromFiles, s"recluster to v$toVersion")
     // a recluster rewrites EVERY file, so a pending DV (keyed by file,
     // pos) cannot carry — it is applied physically here and its pointer
     // dropped; the rows it named were already reported deleted at their

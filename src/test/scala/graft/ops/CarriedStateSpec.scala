@@ -278,6 +278,56 @@ class CarriedStateSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("vacuumLog reclaims dropped versions' DV sidecars and every " +
+      "v-prefixed sidecar kind; kept pointers survive") {
+    val (dir, path) = freshSynth("vac")
+    try {
+      VectorOps.commitDeletionVector(spark, path, 1, 2,
+        col("vec_id") === 2L) // _dv/v2
+      VectorOps.commitDeletionVector(spark, path, 2, 3,
+        col("vec_id") === 4L) // _dv/v3 (cumulative); v2's sidecar droppable
+      VectorOps.writeStringStats(spark, path, 1, "name")
+      VectorOps.writeNdvSketch(spark, path, 1, "vec_id")
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def exists(rel: String) =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/$rel"))
+      assert(exists("_dv/v2") && exists("_dv/v3"))
+      VectorOps.vacuumLog(spark, path, keepVersions = Seq(3))
+      assert(!exists("_dv/v2"), "dropped version's DV sidecar must go")
+      assert(exists("_dv/v3"), "kept manifest's DV pointer must survive")
+      assert(!exists("_manifests/v00001.strstats") &&
+        !exists("_manifests/v00001.ndv.vec_id"),
+        "dropped versions' strstats/ndv sidecars must go")
+      // the kept version still reads with its DV applied
+      assert(VectorOps.readIndexVersionDv(spark, path, 3).count() == 6)
+    } finally rmrf(dir)
+  }
+
+  test("physical rewrites refuse a manifest with external " +
+      "(clone-inherited) entries — loud, never a silent mis-group") {
+    val (srcDir, srcPath) = freshSynth("extsrc")
+    val dstDir = java.nio.file.Files.createTempDirectory("carry_extdst")
+    try {
+      val dst = dstDir.resolve("clone").toString
+      VectorOps.cloneIndex(spark, srcPath, dst, 1)
+      val ex = intercept[IllegalArgumentException] {
+        VectorOps.ivfCompactSmall(spark, dst, 1, 2, Long.MaxValue)
+      }
+      assert(ex.getMessage.contains("external"))
+      intercept[IllegalArgumentException] {
+        VectorOps.reclusterVersioned(spark, dst, 1, 2, "vec_id", 2)
+      }
+      intercept[IllegalArgumentException] {
+        VectorOps.ivfCompactVersioned(spark, dst, 1, 2)
+      }
+      assert(!VectorOps.manifestExists(spark, dst, 2))
+      // reads on the clone stay fine
+      assert(VectorOps.readIndexVersionMor(spark, dst, 1, "vec_id")
+        .count() == 8)
+    } finally { rmrf(srcDir); rmrf(dstDir) }
+  }
+
   test("ivfCompactSmall crash retry: a leftover binpack file at the " +
       "deterministic destination is reclaimed, not a rename abort") {
     val (dir, path, _) = freshIndex("crash")
