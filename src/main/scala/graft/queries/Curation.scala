@@ -3122,7 +3122,8 @@ object Curation {
     */
   private[queries] def stageStatsInc(s: org.apache.spark.sql.SparkSession,
                                      dir: String)
-      : (String, ((Int, Int), (Int, Int), (Int, Int), (Int, Int))) =
+      : (String, ((Int, Int), (Int, Int), (Int, Int), (Int, Int),
+                  (Int, Int), (Int, Int))) =
     Staging.cached(s"statsinc:$dir") { tmp =>
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
       val base = emb.filter(col("vec_id") % 10 =!= 7)
@@ -3145,7 +3146,18 @@ object Curation {
       val cs3 = VectorOps.writeColStatsIncremental(s, path, 3, "vec_id")
       val bl3 = VectorOps.writeBloomFilterIncremental(s, path, 3,
         "vec_id", fpp = 1e-6)
-      (path, (cs2, bl2, cs3, bl3))
+      // v4: a MERGE (2 re-embedded rows) — the rewrite-class commit
+      // flow; the refresh harvests only the merge's new files (the
+      // rewritten hot partitions + its staged upsert files)
+      val mergeSrc = base.orderBy(col("vec_id")).limit(2)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      VectorOps.ivfMerge(s, path, 3, 4, mergeSrc, lit(false),
+        idx.centroids, "vec_id", "embedding")
+      val cs4 = VectorOps.writeColStatsIncremental(s, path, 4, "vec_id")
+      val bl4 = VectorOps.writeBloomFilterIncremental(s, path, 4,
+        "vec_id", fpp = 1e-6)
+      (path, (cs2, bl2, cs3, bl3, cs4, bl4))
     }
 
   /** Incremental sidecar maintenance — the write-path fix for the one
@@ -3169,21 +3181,22 @@ object Curation {
     *  - `n_index_rows` / `n_batch`: exact row accounting, hash-gated.
     */
   private val statsIncrementalQ: Q = (s, dir) => {
-    val (path, (cs2, bl2, cs3, bl3)) = stageStatsInc(s, dir)
+    val (path, (cs2, bl2, cs3, bl3, cs4, bl4)) = stageStatsInc(s, dir)
     val f1 = VectorOps.readManifest(s, path, 1)
     val f2 = VectorOps.readManifest(s, path, 2)
     val f3 = VectorOps.readManifest(s, path, 3)
-    val csIdentical = Seq(2, 3).forall { v =>
+    val f4 = VectorOps.readManifest(s, path, 4)
+    val csIdentical = Seq(2, 3, 4).forall { v =>
       val files = VectorOps.readManifest(s, path, v)
       VectorOps.readSidecarLines(s, path, f"v$v%05d.colstats").get ==
         VectorOps.colStatsLines(s, path, files, Seq("vec_id"))
     }
-    val blIdentical = Seq(2, 3).forall { v =>
+    val blIdentical = Seq(2, 3, 4).forall { v =>
       val files = VectorOps.readManifest(s, path, v)
       VectorOps.readSidecarLines(s, path, f"v$v%05d.bloom.vec_id").get ==
         VectorOps.bloomFilterLines(s, path, files, "vec_id", 1e-6)
     }
-    val f1set = f1.toSet; val f2set = f2.toSet
+    val f1set = f1.toSet; val f2set = f2.toSet; val f3set = f3.toSet
     val appendDelta =
       cs2 == ((f1.length, f2.length - f1.length)) &&
         bl2 == ((f1.length, f2.length - f1.length)) &&
@@ -3191,14 +3204,18 @@ object Curation {
     val compactDelta =
       cs3 == ((f3.count(f2set), f3.count(f => !f2set(f)))) &&
         bl3 == ((f3.count(f2set), f3.count(f => !f2set(f))))
+    val mergeDelta =
+      cs4 == ((f4.count(f3set), f4.count(f => !f3set(f)))) &&
+        bl4 == ((f4.count(f3set), f4.count(f => !f3set(f)))) &&
+        f4.exists(f => !f3set(f)) // the merge actually created files
     val probeId = Tables.embeddings(s, dir)
       .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
       .agg(max(col("vec_id"))).head().getLong(0)
     val (rowsP, keptP, total) =
-      VectorOps.readIndexVersionPoint(s, path, 3, "vec_id", probeId)
+      VectorOps.readIndexVersionPoint(s, path, 4, "vec_id", probeId)
     val pointParity = rowsP.count() == 1L
     val pointPruned = keptP.nonEmpty && keptP.length < total
-    val nIndex = VectorOps.readIndexVersion(s, path, 3)
+    val nIndex = VectorOps.readIndexVersion(s, path, 4)
       .agg(count(lit(1)).as("n_index_rows"))
     val nBatch = Tables.embeddings(s, dir)
       .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
@@ -3209,6 +3226,7 @@ object Curation {
         lit(blIdentical).as("bloom_identical"),
         lit(appendDelta).as("append_delta_only"),
         lit(compactDelta).as("compact_delta_only"),
+        lit(mergeDelta).as("merge_delta_only"),
         lit(pointParity).as("point_parity"),
         lit(pointPruned).as("point_pruned"),
         col("n_index_rows"), col("n_batch"))
@@ -3216,6 +3234,7 @@ object Curation {
   private val statsIncrementalSql =
     """SELECT TRUE AS cs_identical, TRUE AS bloom_identical,
       |  TRUE AS append_delta_only, TRUE AS compact_delta_only,
+      |  TRUE AS merge_delta_only,
       |  TRUE AS point_parity, TRUE AS point_pruned,
       |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
       |    AS BIGINT) AS n_index_rows,
