@@ -1257,6 +1257,72 @@ object VectorOps {
         "source_version" -> srcVersion.toString))
   }
 
+  /** MATERIALIZE a shallow clone — the op the physical-rewrite refusal
+    * names: copy every EXTERNAL entry's bytes under this root (a
+    * straight byte copy that PRESERVES the `centroid=K/file` name, so
+    * (file, pos)-keyed DV sidecars stay valid without remapping) and
+    * commit a new version whose manifest is fully local. External
+    * delete-sidecar pointers localize too (copied under this root's
+    * `_deletes/` / `_dv/`). After this commit the clone compacts,
+    * re-clusters and applies deletes like any native index, and the
+    * SOURCE's retention can no longer strand it — the Delta
+    * clone-then-materialize pattern. Cost ∝ the inherited bytes, paid
+    * once; already-local entries cost nothing (re-listed). Crash-safe
+    * like every commit: copies land under deterministic names
+    * (overwrite on retry), nothing is visible until the manifest
+    * create. Name collisions between an inherited entry and a local
+    * one (or two inherited roots) are refused loudly. Returns
+    * (nCopied, nAlreadyLocal).
+    */
+  def localizeClone(spark: org.apache.spark.sql.SparkSession, path: String,
+                    fromVersion: Int, toVersion: Int): (Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath, FileUtil}
+    require(!manifestExists(spark, path, toVersion),
+      s"version $toVersion is already committed under $path")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstFs = new HPath(path).getFileSystem(conf)
+    val files = readManifest(spark, path, fromVersion)
+    val planned = files.map { f =>
+      if (isExternal(f)) f -> f.split('/').takeRight(2).mkString("/")
+      else f -> f
+    }
+    val rels = planned.map(_._2)
+    require(rels.distinct.length == rels.length,
+      s"localizeClone: inherited entries collide on local names under " +
+        s"$path — rename at the source or re-cluster instead")
+    var copied = 0; var local = 0
+    planned.foreach { case (src, rel) =>
+      if (src == rel) local += 1
+      else {
+        val sp = new HPath(src)
+        val dp = new HPath(path, rel)
+        dstFs.mkdirs(dp.getParent)
+        dstFs.delete(dp, false) // crash leftover: toVersion never committed
+        require(FileUtil.copy(sp.getFileSystem(conf), sp, dstFs, dp,
+          /* deleteSource = */ false, /* overwrite = */ true, conf),
+          s"localizeClone: copy of $src failed")
+        copied += 1
+      }
+    }
+    // sidecar pointers: external ones copy under this root and remap
+    val meta = carriedMeta(spark, path, fromVersion).map {
+      case (k @ ("deletes" | "dv"), rel) if isExternal(rel) =>
+        val localRel =
+          if (k == "deletes") s"_deletes/v$toVersion" else s"_dv/v$toVersion"
+        val sp = new HPath(rel)
+        val dp = new HPath(path, localRel)
+        dstFs.delete(dp, true) // crash leftover
+        require(FileUtil.copy(sp.getFileSystem(conf), sp, dstFs, dp,
+          false, true, conf),
+          s"localizeClone: sidecar copy of $rel failed")
+        k -> localRel
+      case kv => kv
+    }
+    writeManifest(spark, path, toVersion, rels.sorted,
+      meta + ("op" -> "localize"))
+    (copied, local)
+  }
+
   /** Publish a branch version back to `main` — the metadata-only merge
     * of the write-audit-publish pattern (Iceberg WAP / Delta shallow
     * clone promotion, public literature): commit, as main's next
@@ -2390,7 +2456,10 @@ object VectorOps {
         .getOrElse(emptyIds)
     val steps = ((fromVersion + 1) to toVersion).flatMap { v =>
       val op = readManifestMeta(spark, path, v).getOrElse("op", "")
-      if (op == "compact" || op == "apply" || op == "recluster") None
+      // dataChange-free maintenance commits: bytes move, meaning doesn't
+      // (localize copies inherited bytes under the clone root verbatim)
+      if (op == "compact" || op == "apply" || op == "recluster" ||
+          op == "localize") None
       else {
         val a = readManifest(spark, path, v - 1).toSet
         val b = readManifest(spark, path, v).toSet

@@ -3105,6 +3105,88 @@ object Curation {
       |  CAST((SELECT count(*) FROM embeddings, m WHERE vec_id = mx)
       |    AS BIGINT) AS n_point""".stripMargin
 
+  // ------------------------------------------- clone materialization
+  /** Staged clone-localization fixture: shallow-clone the
+    * range-clustered index (metadata-only), MATERIALIZE it
+    * ([[VectorOps.localizeClone]] — one byte copy of the inherited
+    * files under the clone root, names preserved), then binpack the
+    * now-local clone. Cheap: the copy is fixture-sized and its heavy
+    * dependency `clustered` is primed separately (the renameidx
+    * precedent). Returns (srcPath, dstPath, refusedBeforeLocalize,
+    * (nCopied, nAlreadyLocal), binsPacked).
+    */
+  private[queries] def stageLocalize(s: org.apache.spark.sql.SparkSession,
+                                     dir: String)
+      : (String, String, Boolean, (Int, Int), Int) =
+    Staging.cached(s"localize:$dir") { tmp =>
+      val (src, _) = stageClustered(s, dir)
+      val dst = tmp.resolve("localclone").toString
+      VectorOps.cloneIndex(s, src, dst, 1)
+      val refused =
+        try {
+          VectorOps.ivfCompactSmall(s, dst, 1, 2, Long.MaxValue)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val audit = VectorOps.localizeClone(s, dst, 1, 2)
+      val (bins, _, _, _) =
+        VectorOps.ivfCompactSmall(s, dst, 2, 3, Long.MaxValue)
+      (src, dst, refused, audit, bins)
+    }
+
+  /** Clone materialization — the op that turns a zero-copy branch into
+    * a self-contained index: a shallow clone serves reads instantly
+    * but (r12) physical rewrites REFUSE its external entries (the
+    * partition grouping assumes root-relative names — a silent
+    * mis-group would corrupt the clone's view of its source's bytes).
+    * [[VectorOps.localizeClone]] copies the inherited bytes under the
+    * clone root ONCE (names preserved, so position-keyed sidecars stay
+    * valid; external delete/DV pointers copy and remap), after which
+    * the clone compacts like any native index and the source's
+    * retention can no longer strand it. Audited:
+    *
+    *  - `refused_before`: the binpack on the fresh clone refused
+    *    loudly — the materialize exists because it must;
+    *  - `all_copied`: every entry was inherited and copied (the clone
+    *    had nothing local), counts from the localize audit;
+    *  - `compacted`: the binpack on the localized clone packed bins;
+    *  - `parity`: the compacted clone's content equals the source
+    *    version EXACTLY (symmetric exceptAll);
+    *  - `src_intact`: every source data file still exists — localize
+    *    copies, never moves;
+    *  - `n_rows` / `sum_ids`: exact accounting, hash-gated.
+    */
+  private val cloneLocalizeQ: Q = (s, dir) => {
+    val (src, dst, refused, (copied, local), bins) = stageLocalize(s, dir)
+    val srcRows = VectorOps.readIndexVersion(s, src, 1)
+      .select(col("vec_id"), col("embedding"))
+    val dstRows = VectorOps.readIndexVersion(s, dst, 3)
+      .select(col("vec_id"), col("embedding"))
+    val nDiff = dstRows.exceptAll(srcRows)
+      .unionByName(srcRows.exceptAll(dstRows))
+      .agg(count(lit(1)).as("n_diff"))
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    val srcIntact = VectorOps.readManifest(s, src, 1).forall(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$src/$f")))
+    val stats = srcRows.agg(count(lit(1)).as("n_rows"),
+      sum(col("vec_id")).cast("long").as("sum_ids"))
+    nDiff.crossJoin(stats) // 1-row frames
+      .select(
+        lit(refused).as("refused_before"),
+        lit(copied > 0 && local == 0).as("all_copied"),
+        lit(bins > 0).as("compacted"),
+        (col("n_diff") === 0L).as("parity"),
+        lit(srcIntact).as("src_intact"),
+        col("n_rows"), col("sum_ids"))
+  }
+  private val cloneLocalizeSql =
+    """SELECT TRUE AS refused_before, TRUE AS all_copied,
+      |  TRUE AS compacted, TRUE AS parity, TRUE AS src_intact,
+      |  CAST((SELECT count(*) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS n_rows,
+      |  CAST((SELECT sum(vec_id) FROM embeddings WHERE vec_id <> 0)
+      |    AS BIGINT) AS sum_ids""".stripMargin
+
   // ------------------- incremental skipping-sidecar maintenance
   /** Staged incremental-sidecar fixture — the carry-forward maintenance
     * model ([[VectorOps.writeColStatsIncremental]] /
@@ -4590,6 +4672,7 @@ object Curation {
     ("q_deletion_vector", dvDeleteQ, Some(dvDeleteSql)),
     ("q_prefix_skipping", prefixSkippingQ, Some(prefixSkippingSql)),
     ("q_index_clone", indexCloneQ, Some(indexCloneSql)),
+    ("q_clone_localize", cloneLocalizeQ, Some(cloneLocalizeSql)),
     ("q_index_wap", indexWapQ, Some(indexWapSql)),
     ("q_index_upsert", indexUpsertQ, Some(indexUpsertSql)),
     ("q_index_merge", indexMergeQ, Some(indexMergeSql)),

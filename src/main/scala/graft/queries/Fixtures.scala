@@ -106,9 +106,12 @@ object Fixtures {
     "upsert", "ivmagg",              // small SCD/IVM parquet dirs
     "strcluster",                    // one range-shuffle write of the
                                      // 5000-row documents table
-    "renameidx")                     // zero-copy clone + metadata rename
+    "renameidx",                     // zero-copy clone + metadata rename
                                      // (its heavy dependency 'timetravel'
                                      // is primed separately)
+    "localize")                      // clone + one fixture-sized byte copy
+                                     // + binpack (heavy dep 'clustered'
+                                     // primed separately)
 
   /** Names of the primed fixtures, in prime order (tested: every heavy
     * index stager must be listed here or its first timed rep pays the

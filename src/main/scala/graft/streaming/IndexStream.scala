@@ -428,7 +428,7 @@ object IndexStream {
           val removed = prev.filterNot(files.toSet)
           val sidecarChanged = Seq("deletes", "dv").exists(k =>
             meta.get(k) != prevMeta.get(k))
-          if (Set("compact", "recluster", "apply").contains(op))
+          if (Set("compact", "recluster", "apply", "localize").contains(op))
             nIgnored.incrementAndGet(): Unit // bytes moved, meaning didn't
           else if (removed.isEmpty && !sidecarChanged) {
             if (added.nonEmpty) {

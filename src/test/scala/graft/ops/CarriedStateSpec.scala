@@ -328,6 +328,36 @@ class CarriedStateSpec extends SparkSpec {
     } finally { rmrf(srcDir); rmrf(dstDir) }
   }
 
+  test("localizeClone materializes inherited bytes and sidecars; " +
+      "rewrites then work; the source stays untouched") {
+    val (srcDir, srcPath) = freshSynth("locsrc")
+    val dstDir = java.nio.file.Files.createTempDirectory("carry_locdst")
+    try {
+      // a DV on the source so the clone inherits an EXTERNAL dv pointer
+      VectorOps.commitDeletionVector(spark, srcPath, 1, 2,
+        col("vec_id") === 3L)
+      val dst = dstDir.resolve("clone").toString
+      VectorOps.cloneIndex(spark, srcPath, dst, 2)
+      intercept[IllegalArgumentException] {
+        VectorOps.ivfCompactVersioned(spark, dst, 1, 2)
+      }
+      val (copied, local) = VectorOps.localizeClone(spark, dst, 1, 2)
+      assert(copied > 0 && local == 0)
+      val m2 = VectorOps.readManifestMeta(spark, dst, 2)
+      assert(m2("dv").startsWith("_dv/"),
+        "the external DV pointer must localize")
+      assert(VectorOps.readManifest(spark, dst, 2).forall(f =>
+        !f.contains(":")), "every entry must be local after localize")
+      // the deleted row stays deleted (names preserved → DV keys valid)
+      assert(VectorOps.readIndexVersionDv(spark, dst, 2).count() == 7)
+      // physical rewrites now work — and fold the DV per compaction rules
+      val (rewritten, _, _) = VectorOps.ivfCompactVersioned(spark, dst, 2, 3)
+      assert(VectorOps.readIndexVersionDv(spark, dst, 3).count() == 7)
+      // the source is untouched: still serves its own version
+      assert(VectorOps.readIndexVersionDv(spark, srcPath, 2).count() == 7)
+    } finally { rmrf(srcDir); rmrf(dstDir) }
+  }
+
   test("ivfCompactSmall crash retry: a leftover binpack file at the " +
       "deterministic destination is reclaimed, not a rename abort") {
     val (dir, path, _) = freshIndex("crash")
