@@ -1318,6 +1318,12 @@ object VectorOps {
         k -> localRel
       case kv => kv
     }
+    // same constraint seam as every rewrite-class commit: the copied
+    // files are this commit's new files (enforce-on-write surfaces
+    // inherited rows that violate a check registered on the clone)
+    enforceTableChecks(spark, path, fromVersion,
+      planned.collect { case (src, rel) if src != rel => rel },
+      s"localize commit of v$toVersion")
     writeManifest(spark, path, toVersion, rels.sorted,
       meta + ("op" -> "localize"))
     (copied, local)
