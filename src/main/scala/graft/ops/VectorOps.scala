@@ -1767,25 +1767,23 @@ object VectorOps {
     // compaction moves bytes, not meaning: the FULL carried state rides
     // the new manifest — pending tombstones keep subtracting (id-keyed,
     // rewrite-proof) and column mappings survive. DV entries are keyed
-    // by (file, pos), which a rewrite breaks, so partitions holding a
-    // DV-referenced file are EXCLUDED from compaction (re-listed
-    // verbatim — the pointer stays exactly valid); they compact after
-    // [[applyDeletes]] folds the DV in, the same deferral Delta's
-    // OPTIMIZE applies to DV-carrying files
-    val carried = carriedMeta(spark, path, fromVersion)
-    val dvParts: Set[String] =
-      readDeletionVector(spark, path, fromVersion) match {
-        case None => Set.empty
-        case Some(dv) => dv
-          .select(substring_index(col("file"), "/", 1).as("p"))
-          .distinct().collect().map(_.getString(0)).toSet
-      }
+    // by (file, pos), which a rewrite breaks; they are APPLIED
+    // physically inside the partitions being rewritten (the Delta
+    // OPTIMIZE behavior — purging already-reported-deleted rows is
+    // dataChange-free) and the remaining entries re-land via the split
+    val multiFileParts = readManifest(spark, path, fromVersion)
+      .groupBy(_.takeWhile(_ != '/'))
+      .collect { case (part, files) if files.length > 1 => part }.toSet
+    val (dvMeta, dvApply) = splitDvForRewrite(spark, path, fromVersion,
+      toVersion, multiFileParts)
+    val carried = carriedMeta(spark, path, fromVersion,
+      except = Set("dv", "dvcount"))
     // op:compact marks the commit dataChange-free: compaction moves bytes,
     // the change feed must stay silent across it (the Delta CDF design)
     rewriteVersioned(spark, path, fromVersion, toVersion, "compacted",
-      carryMeta = carried + ("op" -> "compact")) {
-      (part, files) => files.length > 1 && !dvParts.contains(part)
-    } { identity }
+      carryMeta = carried ++ dvMeta + ("op" -> "compact")) {
+      (part, files) => files.length > 1
+    } { dvApply }
   }
 
   /** Size-aware OPTIMIZE: binpack only the SMALL files — the nightly
@@ -1817,25 +1815,29 @@ object VectorOps {
     val sizes = from.map(f =>
       f -> fs.getFileStatus(new HPath(path, f)).getLen).toMap
     // DV sidecars are keyed by (file, pos) — repacking a DV-referenced
-    // file would copy its raw bytes into a binpack file the sidecar
-    // doesn't name, silently RESURRECTING every DV-deleted row in it.
-    // Those files are excluded from packing (re-listed verbatim, the
-    // carried pointer stays exactly valid); they pack after
-    // [[applyDeletes]] folds the DV in — the Delta OPTIMIZE deferral.
-    val dvFiles: Set[String] =
-      readDeletionVector(spark, path, fromVersion) match {
-        case None => Set.empty
-        case Some(dv) =>
-          dv.select(col("file")).distinct().collect()
-            .map(_.getString(0)).toSet
-      }
+    // file verbatim would copy its raw bytes into a binpack file the
+    // sidecar doesn't name, silently RESURRECTING every DV-deleted row.
+    // Instead the positions are APPLIED while packing (the Delta
+    // OPTIMIZE behavior — purging already-reported-deleted rows is
+    // dataChange-free): bins holding a DV-referenced file anti-join the
+    // file's positions on scan metadata during the rewrite, and only
+    // the entries of RE-LISTED files re-land in the new version's
+    // sidecar (pointer carried verbatim when nothing it names packed).
+    val dvOpt = readDeletionVector(spark, path, fromVersion)
+      .map(_.select(col("file"), col("pos").cast("long").as("pos")))
+    val dvFiles: Set[String] = dvOpt match {
+      case None => Set.empty
+      case Some(dv) =>
+        dv.select(col("file")).distinct().collect()
+          .map(_.getString(0)).toSet
+    }
+    val packedInputs = scala.collection.mutable.HashSet[String]()
     val newList = scala.collection.mutable.ArrayBuffer[String]()
     var bins = 0
     var maxBinBytes = 0L
     from.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1).foreach {
       case (part, files) =>
-        val (small, big) = files.partition(f =>
-          sizes(f) < targetBytes && !dvFiles.contains(f))
+        val (small, big) = files.partition(f => sizes(f) < targetBytes)
         newList ++= big
         // first-fit-decreasing into targetBytes-capped bins
         val packed = scala.collection.mutable
@@ -1854,8 +1856,23 @@ object VectorOps {
           if (binFiles.length < 2) newList ++= binFiles // nothing to gain
           else {
             val tmp = new HPath(path, s"_rewrite_tmp/$part-bin$i")
-            spark.read.option("mergeSchema", "true")
+            val base = spark.read.option("mergeSchema", "true")
               .parquet(binFiles.toSeq.map(f => s"$path/$f"): _*)
+            val cleaned =
+              if (dvOpt.isEmpty || !binFiles.exists(dvFiles)) base
+              else base
+                .withColumn("__dv_file",
+                  substring_index(col("_metadata.file_path"), "/", -2))
+                .withColumn("__dv_pos",
+                  col("_metadata.row_index").cast("long"))
+                .join(broadcast(dvOpt.get
+                    .filter(col("file").isin(binFiles.toSeq: _*))
+                    .select(col("file").as("__dv_file"),
+                      col("pos").as("__dv_pos"))),
+                  Seq("__dv_file", "__dv_pos"), "left_anti")
+                .drop("__dv_file", "__dv_pos")
+            packedInputs ++= binFiles
+            cleaned
               .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
             val produced = fs.listStatus(tmp).filter(s =>
               s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -1878,8 +1895,30 @@ object VectorOps {
     enforceTableChecks(spark, path, fromVersion,
       newList.toSeq.filterNot(from.contains),
       s"binpack commit of v$toVersion")
+    // the DV splits at FILE granularity: entries of packed files were
+    // applied physically above; entries of re-listed files stay valid
+    // and re-land (or the pointer carries verbatim when nothing it
+    // names packed)
+    val dvMeta: Map[String, String] = dvOpt match {
+      case None => Map.empty
+      case Some(_) if !dvFiles.exists(packedInputs) =>
+        carriedMeta(spark, path, fromVersion).view
+          .filterKeys(k => k == "dv" || k == "dvcount").toMap
+      case Some(dv) =>
+        val keptDv = dv.filter(
+          !col("file").isin(packedInputs.toSeq: _*))
+        val nKept = keptDv.count()
+        if (nKept == 0L) Map.empty
+        else {
+          val rel = s"_dv/v$toVersion"
+          keptDv.coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/$rel")
+          Map("dv" -> rel, "dvcount" -> nKept.toString)
+        }
+    }
     writeManifest(spark, path, toVersion, newList.sorted.toSeq,
-      carriedMeta(spark, path, fromVersion) + ("op" -> "compact"))
+      carriedMeta(spark, path, fromVersion,
+        except = Set("dv", "dvcount")) ++ dvMeta + ("op" -> "compact"))
     (bins, from.length, newList.length, maxBinBytes)
   }
 

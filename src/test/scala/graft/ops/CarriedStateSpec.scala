@@ -53,49 +53,64 @@ class CarriedStateSpec extends SparkSpec {
   private def dvPredCentroid0 = col("centroid") === 0 &&
     col("vec_id") % 3 === 0
 
-  test("ivfCompactSmall on a DV-carrying version: DV-referenced files " +
-      "are excluded from packing, the pointer stays valid, no row " +
-      "resurrects") {
+  test("ivfCompactSmall on a DV-carrying version: positions are APPLIED " +
+      "while packing (the Delta OPTIMIZE behavior) — rows gone from the " +
+      "packed bytes themselves, pointer dropped when fully applied") {
     val (dir, path, _) = freshIndex("packdv")
     try {
       val (_, nDv) =
         VectorOps.commitDeletionVector(spark, path, 1, 2, dvPredCentroid0)
       assert(nDv > 0)
-      val dvFiles = VectorOps.readDeletionVector(spark, path, 2).get
-        .select(col("file")).distinct().collect().map(_.getString(0)).toSet
       val (bins, _, _, _) =
         VectorOps.ivfCompactSmall(spark, path, 2, 3, Long.MaxValue)
-      assert(bins > 0, "non-DV partitions must still pack")
-      val v3 = VectorOps.readManifest(spark, path, 3).toSet
-      assert(dvFiles.subsetOf(v3),
-        "every DV-referenced file must be re-listed verbatim")
+      assert(bins > 0)
+      // everything packed → every DV entry applied → no pointer left
       val meta = VectorOps.readManifestMeta(spark, path, 3)
-      assert(meta.get("dv").isDefined && meta.get("dvcount").isDefined)
-      // the deleted rows stay deleted through the compaction
-      assert(VectorOps.readIndexVersionDv(spark, path, 3)
+      assert(!meta.contains("dv") && !meta.contains("dvcount"))
+      // gone PHYSICALLY — the raw pinned read, no subtraction at all
+      assert(VectorOps.readIndexVersion(spark, path, 3)
         .filter(dvPredCentroid0).count() == 0)
+      assert(VectorOps.readIndexVersion(spark, path, 3).count() ==
+        embs.count() - nDv)
+      // pinned v2 still serves the pre-purge bytes MoR-style
+      assert(VectorOps.readIndexVersionDv(spark, path, 2).count() ==
+        embs.count() - nDv)
+    } finally rmrf(dir)
+  }
+
+  test("ivfCompactSmall with a DV file too big to pack: its entries " +
+      "re-land in the new version's sidecar and stay subtracted") {
+    val (dir, path, _) = freshIndex("packdvkeep")
+    try {
+      val (_, nDv) =
+        VectorOps.commitDeletionVector(spark, path, 1, 2, dvPredCentroid0)
+      // targetBytes below every file size → nothing packs, everything
+      // re-lists → the pointer must carry verbatim
+      val (bins, nFrom, nTo, _) =
+        VectorOps.ivfCompactSmall(spark, path, 2, 3, 1L)
+      assert(bins == 0 && nFrom == nTo)
+      val meta = VectorOps.readManifestMeta(spark, path, 3)
+      assert(meta.contains("dv") && meta.contains("dvcount"))
       assert(VectorOps.readIndexVersionDv(spark, path, 3).count() ==
         embs.count() - nDv)
     } finally rmrf(dir)
   }
 
-  test("ivfCompactVersioned on a DV-carrying version: DV partitions " +
-      "are skipped, everything else compacts, no row resurrects") {
+  test("ivfCompactVersioned on a DV-carrying version: positions applied " +
+      "in the rewritten partitions, remainder split correctly") {
     val (dir, path, _) = freshIndex("compdv")
     try {
       val (_, nDv) =
         VectorOps.commitDeletionVector(spark, path, 1, 2, dvPredCentroid0)
       val (rewritten, _, _) =
         VectorOps.ivfCompactVersioned(spark, path, 2, 3)
-      assert(rewritten > 0, "non-DV partitions must still compact")
-      val v3 = VectorOps.readManifest(spark, path, 3)
-      assert(v3.count(_.startsWith("centroid=0/")) ==
-        VectorOps.readManifest(spark, path, 2)
-          .count(_.startsWith("centroid=0/")),
-        "the DV partition must be re-listed verbatim")
-      assert(VectorOps.readIndexVersionDv(spark, path, 3).count() ==
+      assert(rewritten > 0)
+      // all partitions were multi-file → DV fully applied, pointer gone
+      val meta = VectorOps.readManifestMeta(spark, path, 3)
+      assert(!meta.contains("dv") && !meta.contains("dvcount"))
+      assert(VectorOps.readIndexVersion(spark, path, 3).count() ==
         embs.count() - nDv)
-      assert(VectorOps.readIndexVersionDv(spark, path, 3)
+      assert(VectorOps.readIndexVersion(spark, path, 3)
         .filter(dvPredCentroid0).count() == 0)
     } finally rmrf(dir)
   }
