@@ -1187,11 +1187,22 @@ object VectorOps {
     val meta = readManifestMeta(spark, path, fromVersion)
     if (!meta.contains("dv"))
       return (Map.empty, identity)
+    // a ZERO-entry DV is no DV (ADVICE r12): a legal degenerate history
+    // (zero-match predicate committed before the writer learned to skip
+    // the header) must stay physically applicable — carrying the empty
+    // pointer verbatim would trip applyDeletes' full-apply assertion
+    if (meta.get("dvcount").contains("0"))
+      return (Map.empty, identity)
     val verbatim: Map[String, String] =
       Map("dv" -> meta("dv")) ++ meta.get("dvcount").map("dvcount" -> _)
-    if (rewrittenParts.isEmpty) return (verbatim, identity)
+    if (rewrittenParts.isEmpty && meta.contains("dvcount"))
+      return (verbatim, identity) // dvcount > 0, checked above
     val dv = spark.read.parquet(resolveRel(path, meta("dv")))
       .select(col("file"), col("pos").cast("long").as("pos"))
+    // no dvcount header (foreign writer): the emptiness check needs the
+    // (delete-sized) read we just paid anyway
+    if (dv.isEmpty) return (Map.empty, identity)
+    if (rewrittenParts.isEmpty) return (verbatim, identity)
     val inPart = substring_index(col("file"), "/", 1)
       .isin(rewrittenParts.toSeq: _*)
     val applied = dv.filter(inPart)
@@ -1449,12 +1460,21 @@ object VectorOps {
                      assumeHead: Option[Int] = None,
                      maxAttempts: Int = 10): OccCommit = {
     require(newFiles.nonEmpty, "commitFilesOcc: newFiles must be non-empty")
-    // table checks enforce on every APPEND too — validated once against
-    // the head visible at entry (a concurrent setTableChecks racing an
-    // append is the rewrite-vs-append race class OCC already documents)
+    // table checks enforce on every APPEND too — validated against the
+    // head visible at entry, and RE-validated inside the retry loop
+    // whenever a conflict-resolved head carries a DIFFERENT `checks`
+    // header (ADVICE r12: carrying the new head's header without
+    // re-running it would land an append CLAIMING constraints it never
+    // enforced). `validatedChecks` tracks the header the staged files
+    // were last proven against; re-validation is the rare case (checks
+    // are usually absent or unchanged across a conflict), so the common
+    // retry stays metadata-priced.
+    var validatedChecks: Option[String] = None
     (assumeHead.orElse(latestVersion(spark, path)))
-      .foreach(h => enforceTableChecks(spark, path, h, newFiles,
-        "append commit"))
+      .foreach { h =>
+        enforceTableChecks(spark, path, h, newFiles, "append commit")
+        validatedChecks = readManifestMeta(spark, path, h).get("checks")
+      }
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -1471,6 +1491,11 @@ object VectorOps {
       val carried =
         if (head == 0) Map.empty[String, String]
         else carriedMeta(spark, path, head)
+      if (carried.get("checks") != validatedChecks) {
+        enforceTableChecks(spark, path, head, newFiles,
+          s"append commit (post-conflict revalidation, attempt $attempt)")
+        validatedChecks = carried.get("checks")
+      }
       try {
         writeManifest(spark, path, head + 1,
           (headFiles ++ newFiles).sorted, carried ++ meta)
@@ -2937,13 +2962,30 @@ object VectorOps {
     * unprunable, never wrong. Same footer-pass-at-commit /
     * one-sidecar-at-plan-time economics as [[writeColStats]].
     */
+  /** The format header every string-stats sidecar leads with (ADVICE
+    * r12): records the `truncateTo` the bounds were built under, so the
+    * incremental writer detects a parameter change and rebuilds instead
+    * of carrying lines whose truncation differs — which would silently
+    * break the byte-identical-to-full-rebuild contract the audits gate
+    * on. Deterministic per truncateTo.
+    */
+  def stringStatsSidecarHeader(truncateTo: Int): String =
+    s"#strstats\tv2\ttruncate=$truncateTo"
+
+  private def strStatsHeaderTruncate(lines: Seq[String]): Option[String] =
+    lines.headOption.collect {
+      case h if h.startsWith("#strstats\tv2\ttruncate=") =>
+        h.drop("#strstats\tv2\ttruncate=".length)
+    }
+
   def writeStringStats(spark: org.apache.spark.sql.SparkSession,
                        path: String, version: Int, colName: String,
                        truncateTo: Int = 16): Unit = {
     require(truncateTo > 0, "writeStringStats: truncateTo must be positive")
     val files = readManifest(spark, path, version)
     commitSidecar(spark, path, f"v$version%05d.strstats",
-      stringStatsLines(spark, path, files, colName, truncateTo),
+      stringStatsSidecarHeader(truncateTo) +:
+        stringStatsLines(spark, path, files, colName, truncateTo),
       s"strstats v$version")
   }
 
@@ -2986,20 +3028,30 @@ object VectorOps {
         writeStringStats(spark, path, version, colName, truncateTo)
         (0, files.length)
       case Some(prev) =>
-        val prevByKey: Map[(String, String), String] =
+        val prevLines =
           readSidecarLines(spark, path, f"v$prev%05d.strstats").get
-            .map { l =>
-              val parts = l.split('\t')
-              require(parts.length == 4,
-                s"malformed strstats line: ${l.take(80)}")
-              (parts(0), parts(1)) -> l
-            }.toMap
+        // carry only under the SAME truncation (ADVICE r12): lines built
+        // at a different truncateTo would silently violate the
+        // byte-identical-to-full-rebuild contract — rebuild instead
+        if (!strStatsHeaderTruncate(prevLines)
+            .contains(truncateTo.toString)) {
+          writeStringStats(spark, path, version, colName, truncateTo)
+          return (0, files.length)
+        }
+        val prevByKey: Map[(String, String), String] = prevLines
+          .filterNot(_.startsWith("#"))
+          .map { l =>
+            val parts = l.split('\t')
+            require(parts.length == 4,
+              s"malformed strstats line: ${l.take(80)}")
+            (parts(0), parts(1)) -> l
+          }.toMap
         val added = files.filterNot(f => prevByKey.contains((f, colName)))
         val fresh = stringStatsLines(spark, path, added, colName,
             truncateTo)
           .map { l => l.take(l.indexOf('\t')) -> l }.toMap
-        val lines = files.map(f =>
-          prevByKey.getOrElse((f, colName), fresh(f)))
+        val lines = stringStatsSidecarHeader(truncateTo) +:
+          files.map(f => prevByKey.getOrElse((f, colName), fresh(f)))
         commitSidecar(spark, path, f"v$version%05d.strstats", lines,
           s"strstats v$version")
         (files.length - added.length, added.length)
@@ -3052,7 +3104,7 @@ object VectorOps {
     val b64 = java.util.Base64.getDecoder
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#")) // format header
       .flatMap { l =>
         val parts = l.split('\t')
         require(parts.length == 4, s"malformed strstats line: ${l.take(80)}")
@@ -3222,12 +3274,39 @@ object VectorOps {
     z ^ (z >>> 31)
   }
 
+  /** The `#`-prefixed FORMAT HEADER every bloom sidecar leads with
+    * (ADVICE r12): `v2` names the key treatment (splitmix64-mixed keys
+    * + the 1000-item sizing floor) and the header records the build
+    * `fpp`, so (a) a reader can never probe a pre-mix sidecar with
+    * mixed keys — that combination yields FALSE NEGATIVES, i.e.
+    * silently wrong pruning — and (b) the incremental writer can detect
+    * a parameter change and rebuild instead of carrying lines built
+    * under different sizing. Deterministic for a given fpp, so the
+    * byte-identical-to-full-rebuild contract survives: same fpp → same
+    * header → same bytes.
+    */
+  def bloomSidecarHeader(fpp: Double): String = s"#bloom\tv2\tfpp=$fpp"
+
+  /** Parse a bloom sidecar's header line; None for a pre-header (v1)
+    * sidecar. */
+  private def bloomHeaderFpp(lines: Seq[String]): Option[String] =
+    lines.headOption.collect {
+      case h if h.startsWith("#bloom\tv2\tfpp=") => h.drop("#bloom\tv2\tfpp=".length)
+    }
+
+  private def requireBloomV2(lines: Seq[String], what: String): Unit =
+    require(bloomHeaderFpp(lines).isDefined,
+      s"$what: missing or unrecognized '#bloom v2' format header — this " +
+        "sidecar predates splitmix64 key mixing; probing it with mixed " +
+        "keys would yield false negatives (silently wrong pruning). " +
+        "Rebuild it with writeBloomFilter.")
+
   def writeBloomFilter(spark: org.apache.spark.sql.SparkSession,
                        path: String, version: Int, colName: String,
                        fpp: Double = 0.001): Unit = {
     val files = readManifest(spark, path, version)
     commitSidecar(spark, path, f"v$version%05d.bloom.$colName",
-      bloomFilterLines(spark, path, files, colName, fpp),
+      bloomSidecarHeader(fpp) +: bloomFilterLines(spark, path, files, colName, fpp),
       s"bloom sidecar v$version.$colName")
   }
 
@@ -3304,17 +3383,30 @@ object VectorOps {
         writeBloomFilter(spark, path, version, colName, fpp)
         (0, files.length)
       case Some(prev) =>
-        val prevByFile: Map[String, String] =
+        val prevLines =
           readSidecarLines(spark, path, f"v$prev%05d.bloom.$colName").get
-            .map { l =>
-              val i = l.indexOf('\t')
-              require(i > 0, s"malformed bloom line: ${l.take(80)}")
-              l.take(i) -> l
-            }.toMap
+        // carry ONLY under identical build parameters (ADVICE r12): a
+        // prior sidecar with a different fpp — or a pre-header (v1,
+        // unmixed-key) sidecar — would break both the documented
+        // byte-identical-to-full-rebuild contract and, for v1, probe
+        // correctness itself. Parameter drift falls back to a full
+        // rebuild, honestly audited as all-harvested.
+        if (!bloomHeaderFpp(prevLines).contains(fpp.toString)) {
+          writeBloomFilter(spark, path, version, colName, fpp)
+          return (0, files.length)
+        }
+        val prevByFile: Map[String, String] = prevLines
+          .filterNot(_.startsWith("#"))
+          .map { l =>
+            val i = l.indexOf('\t')
+            require(i > 0, s"malformed bloom line: ${l.take(80)}")
+            l.take(i) -> l
+          }.toMap
         val added = files.filterNot(prevByFile.contains)
         val fresh = bloomFilterLines(spark, path, added, colName, fpp)
           .map { l => l.take(l.indexOf('\t')) -> l }.toMap
-        val lines = files.map(f => prevByFile.getOrElse(f, fresh(f)))
+        val lines = bloomSidecarHeader(fpp) +:
+          files.map(f => prevByFile.getOrElse(f, fresh(f)))
         commitSidecar(spark, path, f"v$version%05d.bloom.$colName", lines,
           s"bloom sidecar v$version.$colName")
         (files.length - added.length, added.length)
@@ -3327,12 +3419,12 @@ object VectorOps {
   def readBloomFilter(spark: org.apache.spark.sql.SparkSession,
                       path: String, version: Int, colName: String)
       : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val p = new HPath(path, f"_manifests/v$version%05d.bloom.$colName")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty)
+    val lines = readSidecarLines(spark, path,
+        f"v$version%05d.bloom.$colName")
+      .getOrElse(throw new java.io.IOException(
+        s"missing bloom sidecar v$version.$colName under $path"))
+    requireBloomV2(lines, s"bloom sidecar v$version.$colName")
+    lines.filterNot(_.startsWith("#"))
       .map { l =>
         val i = l.indexOf('\t')
         require(i > 0, s"malformed bloom line: ${l.take(80)}")
@@ -3340,7 +3432,6 @@ object VectorOps {
           new java.io.ByteArrayInputStream(
             java.util.Base64.getDecoder.decode(l.drop(i + 1))))
       }.toMap
-    finally in.close()
   }
 
   /** Read a pinned version with POINT-LOOKUP file skipping: only files
@@ -3432,10 +3523,12 @@ object VectorOps {
       .distinct().collect().map(_.getLong(0))
     require(keyArr.nonEmpty, "readIndexVersionSemiDist: need a key")
     val bcKeys = spark.sparkContext.broadcast(keyArr)
-    val lines = readSidecarLines(spark, path,
+    val rawLines = readSidecarLines(spark, path,
         f"v$version%05d.bloom.$colName")
       .getOrElse(throw new java.io.IOException(
         s"missing bloom sidecar v$version.$colName under $path"))
+    requireBloomV2(rawLines, s"bloom sidecar v$version.$colName")
+    val lines = rawLines.filterNot(_.startsWith("#"))
     val probed = spark.sparkContext
       .parallelize(lines, math.max(1, math.min(lines.length, 32)))
       .mapPartitions { it =>
@@ -3521,6 +3614,19 @@ object VectorOps {
     // count from the COMMITTED sidecar (delete-sized), not the corpus
     val nTotal = spark.read.parquet(s"$path/$sidecarRel").count()
     val nPending = pending.map(_.count()).getOrElse(0L)
+    val carried = carriedMeta(spark, path, fromVersion,
+      except = Set("dv", "dvcount"))
+    if (nTotal == 0L) {
+      // zero-match predicate over a no-pending history (ADVICE r12): an
+      // EMPTY DV pointer is not a DV — committing it would leave a
+      // version applyDeletes can never fully apply (the empty sidecar
+      // carries verbatim through every rewrite split). The commit still
+      // lands (the caller asked for a version), just with no dv header;
+      // the empty sidecar dir stays unreferenced and invisible.
+      writeManifest(spark, path, toVersion, files,
+        carried ++ Map("op" -> "dv-delete") ++ meta)
+      return (0L, 0L)
+    }
     // dvcount rides the header so metadata-only counts stay servable
     // under DVs (position cardinality is exact — every position kills
     // exactly one row; the Delta stats-with-DV design)
@@ -3528,9 +3634,7 @@ object VectorOps {
     // mappings) ride along — a DV delete on top of a tombstone delete
     // must not resurrect the tombstoned ids
     writeManifest(spark, path, toVersion, files,
-      carriedMeta(spark, path, fromVersion,
-        except = Set("dv", "dvcount")) ++
-        Map("op" -> "dv-delete") ++ meta +
+      carried ++ Map("op" -> "dv-delete") ++ meta +
         ("dv" -> sidecarRel) + ("dvcount" -> nTotal.toString))
     (nTotal - nPending, nTotal)
   }

@@ -3276,7 +3276,8 @@ object Curation {
     val blIdentical = Seq(2, 3, 4).forall { v =>
       val files = VectorOps.readManifest(s, path, v)
       VectorOps.readSidecarLines(s, path, f"v$v%05d.bloom.vec_id").get ==
-        VectorOps.bloomFilterLines(s, path, files, "vec_id", 1e-6)
+        VectorOps.bloomSidecarHeader(1e-6) +:
+          VectorOps.bloomFilterLines(s, path, files, "vec_id", 1e-6)
     }
     val f1set = f1.toSet; val f2set = f2.toSet; val f3set = f3.toSet
     val appendDelta =

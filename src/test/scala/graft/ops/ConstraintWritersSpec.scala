@@ -85,6 +85,46 @@ class ConstraintWritersSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("append: an OCC retry RE-validates when the conflict-resolved " +
+      "head carries a different checks header (ADVICE r12 — the commit " +
+      "must never carry a header it did not enforce)") {
+    val (dir, path, _) = freshIndex("occ")
+    try {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def stage(name: String, df: org.apache.spark.sql.DataFrame): String = {
+        df.withColumn("centroid", lit(0))
+          .coalesce(1).write.parquet(s"$path/_staging/$name")
+        val staged = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$path/_staging/$name"))
+          .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+        fs.rename(staged,
+          new org.apache.hadoop.fs.Path(s"$path/centroid=0/$name.parquet"))
+        s"centroid=0/$name.parquet"
+      }
+      // assumeHead=1 validates at entry against v1 (NO checks yet); the
+      // first create conflicts with the setcheck commit at v2, and the
+      // retry resolves a head whose checks header differs — the staged
+      // violation must be caught HERE, not carried silently
+      val bad = stage("occbad", negIds(embs))
+      val ex = intercept[IllegalStateException] {
+        VectorOps.commitFilesOcc(spark, path, Seq(bad),
+          assumeHead = Some(1))
+      }
+      assert(ex.getMessage.contains("id_positive") &&
+        ex.getMessage.contains("post-conflict"))
+      assert(!VectorOps.manifestExists(spark, path, 3))
+      // a VALID batch through the same race revalidates and lands,
+      // carrying the checks header it actually enforced
+      val good = stage("occgood",
+        embs.limit(2).select(col("vec_id"), col("embedding")))
+      val c = VectorOps.commitFilesOcc(spark, path, Seq(good),
+        assumeHead = Some(1))
+      assert(c.version == 3 && c.attempts == 2)
+      assert(VectorOps.readManifestMeta(spark, path, 3).contains("checks"))
+    } finally rmrf(dir)
+  }
+
   test("compaction and recluster enforce too: a check the existing " +
       "rows violate blocks every rewrite until it is unset " +
       "(enforce-on-write, the Delta model)") {

@@ -122,4 +122,53 @@ class DeletionVectorSpec extends SparkSpec {
         .count() == 0)
     } finally rmrf(dir)
   }
+
+  test("a zero-match predicate commits NO dv header (ADVICE r12), and " +
+      "physical apply stays possible on the resulting history") {
+    val (dir, path) = freshIndex("empty")
+    try {
+      val (nNew, nTot) = VectorOps.commitDeletionVector(spark, path, 1, 2,
+        col("vec_id") === -999999L)
+      assert(nNew == 0L && nTot == 0L)
+      val meta = VectorOps.readManifestMeta(spark, path, 2)
+      assert(!meta.contains("dv") && !meta.contains("dvcount"))
+      // the version still landed and serves everything
+      assert(VectorOps.readIndexVersionDv(spark, path, 2).count() ==
+        embs.count())
+      // the degenerate history is fully applyable — this is exactly the
+      // call the empty pointer used to wedge (require(dvMeta.isEmpty))
+      val (rewritten, deleted) =
+        VectorOps.applyDeletes(spark, path, 2, 3, "vec_id")
+      assert(rewritten == 0 && deleted == 0L)
+      assert(VectorOps.readIndexVersionDv(spark, path, 3).count() ==
+        embs.count())
+    } finally rmrf(dir)
+  }
+
+  test("a LEGACY empty dv pointer (written by pre-fix code) is treated " +
+      "as absent by the rewrite split — compaction and apply both land") {
+    val (dir, path) = freshIndex("legacy")
+    try {
+      // hand-write the degenerate history: a dv header pointing at a
+      // ZERO-entry sidecar, dvcount 0 — what commitDeletionVector used
+      // to produce on a zero-match predicate
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("file", StringType),
+        StructField("pos", LongType)))
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1).write.parquet(s"$path/_dv/v2")
+      VectorOps.writeManifest(spark, path, 2,
+        VectorOps.readManifest(spark, path, 1),
+        Map("op" -> "dv-delete", "dv" -> "_dv/v2", "dvcount" -> "0"))
+      val (rewritten, deleted) =
+        VectorOps.applyDeletes(spark, path, 2, 3, "vec_id")
+      assert(rewritten == 0 && deleted == 0L)
+      // the empty pointer did NOT carry into v3
+      val meta3 = VectorOps.readManifestMeta(spark, path, 3)
+      assert(!meta3.contains("dv"))
+      assert(VectorOps.readIndexVersionDv(spark, path, 3).count() ==
+        embs.count())
+    } finally rmrf(dir)
+  }
 }

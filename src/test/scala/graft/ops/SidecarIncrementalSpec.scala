@@ -68,7 +68,8 @@ class SidecarIncrementalSpec extends SparkSpec {
         VectorOps.writeStringStatsIncremental(spark, path, 2, "name")
       assert(carried == f1.length && harvested == f2.length - f1.length)
       assert(VectorOps.readSidecarLines(spark, path, "v00002.strstats").get
-        == VectorOps.stringStatsLines(spark, path, f2, "name"))
+        == VectorOps.stringStatsSidecarHeader(16) +:
+          VectorOps.stringStatsLines(spark, path, f2, "name"))
       val (rows, kept, total) =
         VectorOps.readIndexVersionPrunedPrefix(spark, path, 2, "name", "zz_")
       assert(rows.count() == 1 && kept < total)
@@ -85,7 +86,8 @@ class SidecarIncrementalSpec extends SparkSpec {
       assert(c0 == 0 && h0 == f2.length)
       assert(VectorOps.readSidecarLines(spark, path,
           "v00002.bloom.vec_id").get
-        == VectorOps.bloomFilterLines(spark, path, f2, "vec_id"))
+        == VectorOps.bloomSidecarHeader(0.001) +:
+          VectorOps.bloomFilterLines(spark, path, f2, "vec_id"))
       // v3: a pure metadata commit (same files) — everything carries
       VectorOps.writeManifest(spark, path, 3, f2, Map("op" -> "noop"))
       val (c1, h1) =
@@ -116,6 +118,59 @@ class SidecarIncrementalSpec extends SparkSpec {
       val (_, keptNone, _) =
         VectorOps.readIndexVersionSemiDist(spark, path, 2, "vec_id", none)
       assert(keptNone.isEmpty)
+    } finally rmrf(dir)
+  }
+
+  test("bloom: a DIFFERENT fpp than the carried sidecar's triggers a " +
+      "full rebuild (ADVICE r12 — parameters ride the format header)") {
+    val (dir, path, _, f2) = fixture("fpp")
+    try {
+      VectorOps.writeBloomFilter(spark, path, 1, "vec_id", fpp = 0.001)
+      // requesting fpp 1e-6 must NOT carry 0.001-sized filters
+      val (c, h) = VectorOps.writeBloomFilterIncremental(
+        spark, path, 2, "vec_id", fpp = 1e-6)
+      assert(c == 0 && h == f2.length)
+      assert(VectorOps.readSidecarLines(spark, path,
+          "v00002.bloom.vec_id").get
+        == VectorOps.bloomSidecarHeader(1e-6) +:
+          VectorOps.bloomFilterLines(spark, path, f2, "vec_id", 1e-6))
+    } finally rmrf(dir)
+  }
+
+  test("bloom: a pre-header (v1-format) sidecar is REFUSED by readers " +
+      "and rebuilt, never carried, by the incremental writer") {
+    val (dir, path, _, f2) = fixture("v1fmt")
+    try {
+      // hand-write a headerless sidecar: unmixed-key-era format
+      VectorOps.writeSidecar(spark, path, "v00001.bloom.vec_id",
+        VectorOps.bloomFilterLines(spark, path, f2, "vec_id"))
+      val ex = intercept[IllegalArgumentException] {
+        VectorOps.readBloomFilter(spark, path, 1, "vec_id")
+      }
+      assert(ex.getMessage.contains("format header"))
+      val (c, h) = VectorOps.writeBloomFilterIncremental(
+        spark, path, 2, "vec_id")
+      assert(c == 0 && h == f2.length) // rebuilt, not carried
+      assert(VectorOps.readBloomFilter(spark, path, 2, "vec_id")
+        .size == f2.length)
+    } finally rmrf(dir)
+  }
+
+  test("strstats: a DIFFERENT truncateTo than the carried sidecar's " +
+      "triggers a full rebuild") {
+    val (dir, path, _, f2) = fixture("trunc")
+    try {
+      VectorOps.writeStringStats(spark, path, 1, "name", truncateTo = 16)
+      val (c, h) = VectorOps.writeStringStatsIncremental(
+        spark, path, 2, "name", truncateTo = 4)
+      assert(c == 0 && h == f2.length)
+      assert(VectorOps.readSidecarLines(spark, path, "v00002.strstats").get
+        == VectorOps.stringStatsSidecarHeader(4) +:
+          VectorOps.stringStatsLines(spark, path, f2, "name", 4))
+      // the truncated bounds still serve prefix pruning
+      val (rows, kept, total) =
+        VectorOps.readIndexVersionPrunedPrefix(spark, path, 2, "name", "zz_")
+      assert(rows.count() == 1 && kept < total)
     } finally rmrf(dir)
   }
 
