@@ -116,7 +116,10 @@ object Bench {
                             = Map.empty,
                           calibration: Option[(Double, Double)] = None,
                           repsMap: collection.Map[String, Seq[Double]]
-                            = Map.empty)
+                            = Map.empty,
+                          gcMsByQuery: collection.Map[String, Long]
+                            = Map.empty,
+                          scaling: Option[String] = None)
       : String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -164,7 +167,18 @@ object Bench {
         s"\"" + k + "\":" + rs.map(r => math.round(r * 1000) / 1000.0)
           .mkString("[", ",", "]")
       }.mkString(""","reps":{""", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson$retriedJson$sentJson$calJson$jvmJson$repsJson,"sf":"$sfDir"}"""
+    // per-query GC attribution, GC-heavy queries only (>500 ms across
+    // the query's reps): the in-artifact evidence separating "this query
+    // is slow" from "this query ran during a GC storm" (r12 item 1)
+    val gcJson = {
+      val heavy = gcMsByQuery.filter(_._2 > 500L)
+      if (heavy.isEmpty) ""
+      else heavy.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString(""","gc_ms_by_query":{""", ",", "}")
+    }
+    // cross-SF scaling block (r12 item 6), prebuilt by main
+    val scalingJson = scaling.map(s => s""","scaling":$s""").getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"absorbed":$absJson$retriedJson$sentJson$calJson$jvmJson$repsJson$gcJson$scalingJson,"sf":"$sfDir"}"""
   }
 
   /** Fixed-cost host-speed probe: a deterministic, registry- and
@@ -231,6 +245,64 @@ object Bench {
     }
   }
 
+  /** The newest history run at a DIFFERENT scale factor than `sfDir` —
+    * the baseline of the cross-SF scaling audit (r12 verdict item 6).
+    * Returns (thatSfDir, its per-query seconds). */
+  private[graft] def parseHistoryOtherSf(lines: Seq[String], sfDir: String)
+      : Option[(String, Map[String, Double])] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.reverseIterator.flatMap { l =>
+      try {
+        val n = mapper.readTree(l)
+        val sf = n.path("sf").asText()
+        if (sf.nonEmpty && sf != sfDir && n.has("queries"))
+          Some(sf -> n.get("queries").properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble())
+            .filter(_._2 > 0).toMap)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.nextOption()
+  }
+
+  /** The numeric scale factor embedded in an sf dir path ("…/sf0.01" →
+    * 0.01); None when the path carries no sf token. */
+  private[graft] def sfOf(sfDir: String): Option[Double] =
+    "sf([0-9]*\\.?[0-9]+)".r.findFirstMatchIn(sfDir)
+      .flatMap(m => m.group(1).toDoubleOption)
+
+  /** The `scaling` artifact block: per-query time ratios of THIS run
+    * against the newest history run at a different SF, flagging every
+    * query whose ratio exceeds the DATA ratio (superlinear — e.g. >10×
+    * time at 10× data) with >1 s absolute growth (sub-second queries
+    * ratio-flag on pure jitter otherwise). The cheap empirical check of
+    * every "scale-safe" claim: a quadratic operator cannot hide its
+    * exponent from two SFs. Only computed when this run's SF is the
+    * LARGER one — ratios of a downscale run mean nothing.
+    */
+  private[graft] def scalingBlock(results: Seq[(String, Double)],
+                                  sfDir: String,
+                                  baseline: Option[(String, Map[String, Double])])
+      : Option[String] =
+    for {
+      (baseSfDir, baseQ) <- baseline
+      thisSf <- sfOf(sfDir)
+      baseSf <- sfOf(baseSfDir)
+      if thisSf > baseSf && baseSf > 0
+    } yield {
+      val dataRatio = thisSf / baseSf
+      val ratios = results.collect {
+        case (n, t) if t > 0 && baseQ.get(n).exists(_ > 0) =>
+          n -> math.round(t / baseQ(n) * 100) / 100.0
+      }
+      val flagged = ratios.filter { case (n, r) =>
+        r > dataRatio && results.toMap(n) - baseQ(n) > 1.0 }
+      def m(xs: Seq[(String, Double)]) = xs
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"baseline_sf":"$baseSfDir","data_ratio":$dataRatio,"flagged":${m(flagged)},"ratios":${m(ratios)}}"""
+    }
+
   /** Queries whose measured min is a history OUTLIER: above `factor`× the
     * history median AND more than `minDeltaSec` absolute above it (the
     * absolute floor keeps sub-100 ms queries from retrying on pure
@@ -293,7 +365,57 @@ object Bench {
     // or C2 compilation stops and late queries run partly interpreted —
     // a false flag in the END snapshot means raise ReservedCodeCacheSize
     val ok = codeMax <= 0 || code < codeMax * 8L / 10L
-    s"""{"code_cache_mb":${mb(code)},"code_cache_max_mb":${mb(codeMax)},"code_cache_ok":$ok,"metaspace_mb":${mb(meta)},"heap_mb":${mb(heap)}}"""
+    // cumulative GC totals + spark-local shuffle/block dir footprint:
+    // the two accumulation suspects behind the r12 official run's
+    // in-session degradation (q_approx_distinct 3.3→9.3→23.7 s inside
+    // one rep loop) — their start/end DELTAS are the direct evidence
+    // for (or against) cleaner-debt pressure, in the artifact itself
+    val (gcCount, gcMs) = gcTotals()
+    val (sDirs, sFiles, sMb) = sparkLocalDirFootprint()
+    s"""{"code_cache_mb":${mb(code)},"code_cache_max_mb":${mb(codeMax)},"code_cache_ok":$ok,"metaspace_mb":${mb(meta)},"heap_mb":${mb(heap)},"gc_count":$gcCount,"gc_ms":$gcMs,"local_dirs":$sDirs,"local_files":$sFiles,"local_mb":$sMb}"""
+  }
+
+  /** Cumulative (collections, milliseconds) across all collectors. */
+  private def gcTotals(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    (beans.map(b => math.max(b.getCollectionCount, 0L)).sum,
+      beans.map(b => math.max(b.getCollectionTime, 0L)).sum)
+  }
+
+  /** (dirCount, fileCount, MB) under this JVM's spark-local block
+    * manager dirs (`blockmgr-*` below java.io.tmpdir / spark.local.dir):
+    * shuffle files the ContextCleaner has not reclaimed yet. A walk over
+    * metadata only — no file contents touched.
+    */
+  private def sparkLocalDirFootprint(): (Int, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val roots = (sys.props.get("spark.local.dir").toSeq ++
+        sys.env.get("SPARK_LOCAL_DIRS").toSeq.flatMap(_.split(",")) :+
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      .map(_.trim).filter(_.nonEmpty).distinct
+    var dirs = 0; var files = 0L; var bytes = 0L
+    roots.foreach { r =>
+      val root = java.nio.file.Paths.get(r)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val kids =
+          try java.nio.file.Files.list(root).iterator().asScala.toSeq
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        kids.filter(_.getFileName.toString.startsWith("blockmgr-"))
+          .foreach { bm =>
+            dirs += 1
+            try {
+              val stream = java.nio.file.Files.walk(bm)
+              try stream.iterator().asScala.foreach { p =>
+                val f = p.toFile
+                if (f.isFile) { files += 1; bytes += f.length() }
+              } finally stream.close()
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+      }
+    }
+    (dirs, files, bytes / (1024 * 1024))
   }
 
   /** The fixed interference-probe query: mid-pack cost (~1 s at sf0.1),
@@ -352,21 +474,28 @@ object Bench {
           hygieneEvery: Int = 0,
           cancelAllOnTimeout: Boolean = true)
       : (Seq[(String, Double)], Map[String, String], Map[String, Int],
-         Map[String, Seq[Double]]) = {
+         Map[String, Seq[Double]], Map[String, Long]) = {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val absorbed = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val repsByQuery =
       scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val gcMsByQuery =
+      scala.collection.mutable.LinkedHashMap[String, Long]()
     queries.zipWithIndex.foreach { case (name, idx) =>
       // session hygiene between queries (sentinel-inflation mitigation):
-      // drop cached relations and nudge class-unload GC so query #200
-      // runs on the same session shape as query #1. Cheap (<100 ms) next
-      // to any rep; staged fixtures live on disk, so clearCache is safe.
+      // drop cached relations and nudge class-unload + ContextCleaner GC
+      // so query #200 runs on the same session shape as query #1. Cheap
+      // (<100 ms) next to any rep; staged fixtures live on disk, so
+      // clearCache is safe. Spark's shuffle files and broadcasts are
+      // reclaimed by the ContextCleaner only AFTER their dependency
+      // objects are GC'd — without the nudge, hundreds of queries of
+      // cleaner debt accumulate in the block dirs (the r12 suspect).
       if (hygieneEvery > 0 && idx > 0 && idx % hygieneEvery == 0) {
         try { spark.catalog.clearCache(); System.gc() }
         catch { case scala.util.control.NonFatal(_) => () }
       }
+      val gcMsBefore = gcTotals()._2
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var stop = false
       var rep = 1
@@ -408,10 +537,12 @@ object Bench {
       // staging artifacts stay detectable without polluting the total.
       results += name -> (if (times.isEmpty) -1.0 else lowerMedian(times.toSeq))
       repsByQuery(name) = times.toSeq
+      gcMsByQuery(name) = gcTotals()._2 - gcMsBefore
       onQuery(summaryLine(results.toSeq, errors, absorbed, sfDir,
         repsMap = repsByQuery))
     }
-    (results.toSeq, errors.toMap, absorbed.toMap, repsByQuery.toMap)
+    (results.toSeq, errors.toMap, absorbed.toMap, repsByQuery.toMap,
+      gcMsByQuery.toMap)
   }
 
   /** The lower median: sorted middle element (exact middle for odd
@@ -438,6 +569,10 @@ object Bench {
       // the 128 MB default split makes every scan single-threaded
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "64k")
+      // shuffle files / broadcasts are reclaimed only after their
+      // dependency objects are GC'd; 300+ sequential queries outrun the
+      // 30 min default badly (r12 item 1 — cleaner-debt accumulation)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -511,8 +646,11 @@ object Bench {
     val sentFirst =
       if (doSentinel) timeSentinel(spark, runToNoop, DefaultRepTimeoutMs, "first")
       else None
-    val (results, errors, absorbed, repsByQuery) = run(spark, names,
-      runToNoop, sfDir, onQuery = persist, hygieneEvery = 25)
+    // hygiene EVERY query (was 25 — r12 item 1: the official run showed
+    // in-session degradation the 25-query cadence did not contain; the
+    // per-query clearCache+GC is untimed and <100 ms against a rep)
+    val (results, errors, absorbed, repsByQuery, gcByQuery) = run(spark,
+      names, runToNoop, sfDir, onQuery = persist, hygieneEvery = 1)
     val latePrimed = graft.ops.Staging.missedKeys.drop(missesAtPrimeEnd)
       .map(_.takeWhile(_ != ':'))
       .filter(graft.queries.Fixtures.primedFixtureNames.contains)
@@ -604,10 +742,23 @@ object Bench {
     // calibration end probe LAST — after retries and recovery, so the
     // pair brackets everything the total was measured under
     val calEnd = if (args.isEmpty) Some(timeCalibration(spark)) else None
+    // cross-SF scaling audit (r12 item 6): ratios against the newest
+    // history run at a smaller SF, superlinear queries flagged
+    val scaling =
+      if (args.nonEmpty) None
+      else try {
+        val p = java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          scalingBlock(recoveredResults, sfDir, parseHistoryOtherSf(
+            java.nio.file.Files.readAllLines(p).asScala.toSeq, sfDir))
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     val line = summaryLine(recoveredResults, finalErrors, absorbed, sfDir,
       sentFirst.zip(sentLast),
       Some(s"""{"start":$jvmStart,"end":${jvmSnapshot()}}"""),
-      retried, calStart.zip(calEnd), repsByQuery)
+      retried, calStart.zip(calEnd), repsByQuery, gcByQuery, scaling)
     println(line)
     // Also persist the full line to the repo root: the driver's BENCH
     // tail window truncates long per-query maps, which makes exact

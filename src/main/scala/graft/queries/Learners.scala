@@ -254,8 +254,9 @@ object Learners {
     * algorithm (the prune is lossless by support monotonicity: every
     * sub-pair of a frequent triple is frequent). The ORACLE pays the
     * naive 3-way join instead — the engine's lattice path must
-    * reproduce it exactly. F2 semi-joins broadcast at these sizes; at
-    * 100 TB they fall back to shuffle semi-joins on the same keys.
+    * reproduce it exactly. F2 semi-joins broadcast at these sizes; past
+    * [[graft.ops.Hints]]' row gate the SAME joins plan SHUFFLE_HASH on
+    * the same keys — enforced in code, plan-locked in HintsSpec.
     */
   private val aprioriQ: Q = (s, dir) => {
     val cp = Tables.orders(s, dir)
@@ -276,9 +277,15 @@ object Learners {
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)),
           |    y -> x * 4294967296L + y)))""".stripMargin)).as("pk"))
-    val f2 = bp.groupBy(col("pk")).agg(count(lit(1)).as("co"))
-      .filter(col("co") >= 2).select(col("pk"))
-    val bf2 = bp.join(broadcast(f2), Seq("pk"), "left_semi")
+    // F2 is DATA-SIZED (307k keys at sf0.1, growing with the basket
+    // fan-out) — the broadcast is size-GATED, not hard-hinted: past the
+    // row bound the same semi-joins degrade to SHUFFLE_HASH on the same
+    // keys instead of OOM'ing the build (r12 verdict item 2; the gate
+    // also materializes F2 once for its two consumers)
+    val f2 = graft.ops.Hints.sizeGatedBroadcast(
+      bp.groupBy(col("pk")).agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2).select(col("pk")))
+    val bf2 = bp.join(f2, Seq("pk"), "left_semi")
       .select(col("cust"), expr("pk div 4294967296").as("p1"),
         pmod(col("pk"), lit(4294967296L)).as("p2"))
     bf2.as("a")
@@ -287,7 +294,7 @@ object Learners {
       .select(col("a.cust").as("cust"), col("a.p1").as("p1"),
         col("a.p2").as("p2"), col("b.p2").as("p3"))
       // Apriori check on the third sub-pair before any counting
-      .join(broadcast(f2),
+      .join(f2,
         col("p2") * 4294967296L + col("p3") === col("pk"), "left_semi")
       .groupBy(col("p1"), col("p2"), col("p3"))
       .agg(count(lit(1)).as("support"))

@@ -125,7 +125,8 @@ object Nonparam {
     val f = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select(col("o_orderkey"),
         col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
+      // customer scales with the corpus — size-gated, not hard-hinted
+      .join(graft.ops.Hints.sizeGatedBroadcast(Tables.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("segment"),

@@ -905,20 +905,23 @@ object Registry {
     */
   private val approxDistinct: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
-    // sketches in one pass; each exact distinct in its OWN single-column
-    // agg (pruned scan, map-side partial distinct) — putting two
-    // countDistincts in one agg would Expand every row ×3 through the
-    // shuffle, tripling shuffled bytes for no benefit
+    // ONE pruned scan per column, sketch + exact together: an agg with a
+    // SINGLE distinct column plans as two-level hash aggregation with
+    // the HLL sketch riding the same pass (PartialMerge) — no Expand.
+    // Only MIXING distinct columns in one agg Expands every row per
+    // distinct group (×2 shuffle), and splitting sketch from exact (the
+    // r12 shape) pays a third scan for nothing: 3 scans → 2.
     // rsd 0.01 (not the 0.05 default): rsd is a standard deviation, not a
     // hard bound — at sf0.001 the default sketch drifted 5.4% on 1473
     // distinct orderkeys and flipped the boolean. A 1%-sigma sketch keeps
     // the 5% claim a 5-sigma statement at every SF for a few KB more.
-    val approx = li.agg(
+    val o = li.agg(
       approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("a_o"),
-      approx_count_distinct(col("l_partkey"), rsd = 0.01).as("a_p"))
-    val exactO = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
-    val exactP = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    approx.crossJoin(exactO).crossJoin(exactP) // all 1-row frames
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+    val p = li.agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.01).as("a_p"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+    o.crossJoin(p) // 1-row frames
       .select(col("exact_orders"), col("exact_parts"),
         (abs(col("a_o") - col("exact_orders")).cast("double")
           / col("exact_orders") <= 0.05).as("orders_within_5pct"),
@@ -1583,8 +1586,11 @@ object Registry {
     val open = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "F")
     val branded = latest.join(open.select("o_orderkey"),
       col("l_orderkey") === col("o_orderkey"), "left_semi")
-    // dim label via broadcast (J5a): supplier → nation name
-    val dim = broadcast(Tables.supplier(s, dir)
+    // dim label via broadcast (J5a): supplier → nation name. nation is
+    // FIXED-size (25 rows, hard broadcast is always right); supplier
+    // scales with the corpus, so its broadcast is size-GATED — past the
+    // row bound the label join degrades to shuffle-hash
+    val dim = graft.ops.Hints.sizeGatedBroadcast(Tables.supplier(s, dir)
       .join(broadcast(Tables.nation(s, dir)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name")))

@@ -105,7 +105,7 @@ object Temporal {
     * pair generated once); the per-wedge term lands in integer ppm
     * (round(1e6/ln(deg))) BEFORE the pair sum, so scores are exact
     * integers at any partitioning, and existing edges leave via one
-    * broadcast anti-join. Cost is Σ_w deg(w)² — the
+    * size-gated broadcast anti-join. Cost is Σ_w deg(w)² — the
     * same bound triangle counting pays; at 100 TB the standard hub
     * mitigations (degree cap + exact re-score of survivors) bolt onto
     * the same plan, and the top-k is a partial-agg ORDER BY LIMIT, not
@@ -143,8 +143,10 @@ object Temporal {
       .groupBy(col("pk")).agg(sum(col("term_ppm")).as("aa_ppm"))
       .select(expr("pk div 4294967296").as("u"),
         pmod(col("pk"), lit(4294967296L)).as("v"), col("aa_ppm"))
-    // the edge set packs into the same key space → broadcast anti-join
-    scored.join(broadcast(e.select(
+    // the edge set packs into the same key space → size-GATED broadcast
+    // anti-join (the edge set is data-sized; past the row gate the same
+    // anti-join degrades to SHUFFLE_HASH — r12 verdict item 2)
+    scored.join(graft.ops.Hints.sizeGatedBroadcast(e.select(
         (col("u") * 4294967296L + col("v")).as("ek"))),
         col("u") * 4294967296L + col("v") === col("ek"), "left_anti")
       .orderBy(col("aa_ppm").desc, col("u"), col("v"))

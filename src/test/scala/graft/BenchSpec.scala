@@ -18,7 +18,7 @@ class BenchSpec extends SparkSpec {
         spark.range(100).write.format("noop").mode("overwrite").save()
     }
     val summaries = scala.collection.mutable.ArrayBuffer[String]()
-    val (results, errors, absorbed, _) = Bench.run(spark,
+    val (results, errors, absorbed, _, _) = Bench.run(spark,
       Seq("q_fast_a", "q_wedged", "q_fast_b"), runOne, "spec_sf",
       // wide enough that a cold-JIT fast query can't trip it (a 3 s cap
       // flaked once when this suite ran first in the JVM; 8 s flaked
@@ -56,7 +56,7 @@ class BenchSpec extends SparkSpec {
     val runOne: String => Unit = _ =>
       spark.range(10).write.format("noop").mode("overwrite").save()
     val summaries = scala.collection.mutable.ArrayBuffer[String]()
-    val (results, _, _, repsMap) = Bench.run(spark, Seq("q_med"), runOne,
+    val (results, _, _, repsMap, _) = Bench.run(spark, Seq("q_med"), runOne,
       "spec_sf", timeoutMs = 30000, reps = 3,
       onQuery = s => summaries += s, cancelAllOnTimeout = false)
     val reps = repsMap("q_med")
@@ -72,7 +72,7 @@ class BenchSpec extends SparkSpec {
       case "q_boom" => throw new RuntimeException("boom")
       case _ => spark.range(10).write.format("noop").mode("overwrite").save()
     }
-    val (results, errors, absorbed, _) = Bench.run(spark, Seq("q_boom", "q_ok"), runOne,
+    val (results, errors, absorbed, _, _) = Bench.run(spark, Seq("q_boom", "q_ok"), runOne,
       "spec_sf", timeoutMs = 30000, reps = 2)
     assert(results.toMap.apply("q_boom") == -1.0)
     assert(errors("q_boom").contains("boom"))
@@ -102,7 +102,7 @@ class BenchSpec extends SparkSpec {
     // alone has exceeded a 6 s grace (observed flake when run
     // concurrently with ContractSpec's Spark jobs), and 20 s flaked
     // once more at r9 on a 3-5x-degraded host.
-    val (results, errors, absorbed, _) = Bench.run(spark,
+    val (results, errors, absorbed, _, _) = Bench.run(spark,
       Seq("q_flaky_late", "q_flaky_first", "q_ok"), runOne, "spec_sf",
       timeoutMs = 30000, reps = 3, onQuery = s => summaries += s,
       cancelAllOnTimeout = false)
@@ -249,7 +249,7 @@ class BenchSpec extends SparkSpec {
         throw new RuntimeException("boom on rep 2")
       spark.range(10).write.format("noop").mode("overwrite").save()
     }
-    val (results, errors, absorbed, _) = Bench.run(spark,
+    val (results, errors, absorbed, _, _) = Bench.run(spark,
       Seq("q_late_boom", "q_ok"), runOne, "spec_sf",
       timeoutMs = 30000, reps = 3)
     assert(results.toMap.apply("q_late_boom") > 0,
