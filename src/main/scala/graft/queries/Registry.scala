@@ -905,23 +905,26 @@ object Registry {
     */
   private val approxDistinct: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
-    // ONE pruned scan per column, sketch + exact together: an agg with a
-    // SINGLE distinct column plans as two-level hash aggregation with
-    // the HLL sketch riding the same pass (PartialMerge) — no Expand.
-    // Only MIXING distinct columns in one agg Expands every row per
-    // distinct group (×2 shuffle), and splitting sketch from exact (the
-    // r12 shape) pays a third scan for nothing: 3 scans → 2.
+    // TWO pruned scans (was 3 in r12): sketches in one agg, BOTH exact
+    // distincts in one multi-distinct agg — Spark Expands ×2 there, but
+    // partial distinct applies AFTER the Expand, so the shuffle carries
+    // the same distinct keys the two separate r12 jobs carried while
+    // scanning once. The tempting third shape — sketch + exact for one
+    // column in ONE agg — is a trap: the distinct rewrite evaluates the
+    // non-distinct HLL in the aggregate KEYED BY the distinct column,
+    // i.e. one 2^14-register sketch buffer per 150k groups (measured 3x
+    // slower + GB-scale buffer churn at sf0.1).
     // rsd 0.01 (not the 0.05 default): rsd is a standard deviation, not a
     // hard bound — at sf0.001 the default sketch drifted 5.4% on 1473
     // distinct orderkeys and flipped the boolean. A 1%-sigma sketch keeps
     // the 5% claim a 5-sigma statement at every SF for a few KB more.
-    val o = li.agg(
+    val approx = li.agg(
       approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("a_o"),
-      countDistinct(col("l_orderkey")).as("exact_orders"))
-    val p = li.agg(
-      approx_count_distinct(col("l_partkey"), rsd = 0.01).as("a_p"),
+      approx_count_distinct(col("l_partkey"), rsd = 0.01).as("a_p"))
+    val exact = li.agg(
+      countDistinct(col("l_orderkey")).as("exact_orders"),
       countDistinct(col("l_partkey")).as("exact_parts"))
-    o.crossJoin(p) // 1-row frames
+    approx.crossJoin(exact) // 1-row frames
       .select(col("exact_orders"), col("exact_parts"),
         (abs(col("a_o") - col("exact_orders")).cast("double")
           / col("exact_orders") <= 0.05).as("orders_within_5pct"),

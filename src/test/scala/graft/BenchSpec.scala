@@ -150,6 +150,44 @@ class BenchSpec extends SparkSpec {
     assert(Bench.parseHistoryMedians(mixed, "/d/sf0.1").apply("q_a") == 5.5)
   }
 
+  test("scaling block: ratios against the newest other-SF run, " +
+      "superlinear queries flagged, downscale baselines only") {
+    val lines = Seq(
+      """{"queries":{"q_lin":0.2,"q_quad":0.3,"q_tiny":0.01},"sf":"/d/sf0.01"}""",
+      """{"queries":{"q_lin":0.3,"q_quad":0.2,"q_tiny":0.02},"sf":"/d/sf0.01"}""",
+      """{"queries":{"q_lin":9.9},"sf":"/d/sf0.1"}""") // same sf: not a baseline
+    val base = Bench.parseHistoryOtherSf(lines, "/d/sf0.1")
+    assert(base.exists(_._1 == "/d/sf0.01"))
+    assert(base.get._2("q_quad") == 0.2) // NEWEST other-sf entry wins
+    assert(Bench.sfOf("/root/testdata/sf0.1").contains(0.1))
+    assert(Bench.sfOf("/d/no-token").isEmpty)
+    val results = Seq(
+      "q_lin" -> 2.4,   // 8x at 10x data: linear-ish, unflagged
+      "q_quad" -> 8.0,  // 40x: superlinear, flagged
+      "q_tiny" -> 0.3,  // 15x but only +0.28s absolute: jitter, skip
+      "q_new" -> 1.0)   // no baseline: no ratio
+    val block = Bench.scalingBlock(results, "/d/sf0.1", base).get
+    assert(block.contains(""""baseline_sf":"/d/sf0.01""""), block)
+    assert(block.contains(""""data_ratio":10.0"""), block)
+    assert(block.contains(""""flagged":{"q_quad":40.0}"""), block)
+    assert(block.contains(""""q_lin":8.0""") && !block.contains("q_new"),
+      block)
+    // a run at the SMALLER sf must not emit inverted ratios
+    assert(Bench.scalingBlock(results, "/d/sf0.01",
+      Some("/d/sf0.1" -> Map("q_lin" -> 9.9))).isEmpty)
+    // and the block rides the summary line
+    val line = Bench.summaryLine(results, Map.empty, Map.empty, "/d/sf0.1",
+      scaling = Some(block))
+    assert(line.contains(""","scaling":{"baseline_sf""""), line)
+  }
+
+  test("gc_ms_by_query: only GC-heavy queries ride the summary") {
+    val line = Bench.summaryLine(Seq("q_a" -> 1.0), Map.empty, Map.empty,
+      "/d/sf0.1", gcMsByQuery = Map("q_a" -> 1200L, "q_b" -> 30L))
+    assert(line.contains(""""gc_ms_by_query":{"q_a":1200}"""), line)
+    assert(!line.contains("q_b"), line)
+  }
+
   test("second-chance rule: isOutlier drives both selection and retry " +
       "exhaustion; budget is bounded") {
     // initial selection and the keep-retrying predicate are the SAME
