@@ -619,6 +619,93 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[minHashNearDups]] with a BAND-BUCKET SIZE CAP — the skew guard
+    * the banded join needs at 100 TB (r12 verdict item 4): one
+    * degenerate bucket (empty/template text → identical signatures →
+    * every band of every such doc collides) turns the (band, bucket)
+    * self-join into an O(m²) stall on a single reducer. Here buckets
+    * larger than `maxBucket` rows leave the pair join entirely and
+    * their rows route through a LINEAR overflow path — never dropped:
+    *
+    *  - rows of an over-cap bucket group by their FULL signature; each
+    *    identical-signature group emits STAR candidates around its min
+    *    id (one row per member — the group IS the degenerate mass, and
+    *    a clique over it is output-sized, not candidate-sized);
+    *  - distinct-signature group EXEMPLARS within the same over-cap
+    *    bucket still pair all-vs-all (bounded by the distinct-signature
+    *    count, which is what the bucket's size SHOULD have been — the
+    *    blowup generator is identical signatures, which the grouping
+    *    linearizes);
+    *  - every candidate — star or exemplar — passes the same exact
+    *    Jaccard verify as the normal path.
+    *
+    * Contract: pair-level output within an identical-signature class is
+    * the verified STAR, not the clique — DOWNSTREAM DEDUP DECISIONS
+    * (connected components → keep-one-per-cluster) are unchanged, which
+    * is the recall that matters, and is what q_lsh_bucket_cap gates.
+    * Returns (verifiedPairs, cappedBuckets(band, bucket, n)) — the
+    * second frame is the loud overflow accounting.
+    */
+  def minHashNearDupsCapped(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                            threshold: Double = 0.8, maxBucket: Int = 1000)
+      : (DataFrame, DataFrame) = {
+    require(k % bands == 0,
+      s"minHashNearDupsCapped: k=$k must be divisible by bands=$bands")
+    require(maxBucket >= 2,
+      s"minHashNearDupsCapped: maxBucket=$maxBucket must be >= 2")
+    val rows = k / bands
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // signatures materialized once: band keys, overflow grouping, and
+    // nothing else recomputes the per-doc minhash
+    val sigs = spread.select(col(idCol).as("id"),
+        minHashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+      .localCheckpoint()
+    // narrow (id, band, bucket) rows — signatures stay OUT of the band
+    // join exactly as in the uncapped path; only overflow rows (rare by
+    // definition) pull their signature back by id
+    val bandKeys = sigs
+      .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val sizes = bandKeys.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val cappedBuckets = sizes.filter(col("n") > maxBucket)
+    val keyed = bandKeys.join(sizes, Seq("band", "bucket"))
+    val normal = keyed.filter(col("n") <= maxBucket)
+      .select(col("band"), col("bucket"), col("id"))
+    val over = keyed.filter(col("n") > maxBucket)
+      .select(col("band"), col("bucket"), col("id"))
+      .join(sigs, Seq("id"))
+    val candNormal = normal.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(normal.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    // linear star per identical-signature group: each member keyed back
+    // to its group min — no collect of the degenerate mass into one row
+    val mins = over.groupBy(col("band"), col("bucket"), col("sig"))
+      .agg(min(col("id")).as("id_a")).localCheckpoint()
+    val candStar = over.join(mins, Seq("band", "bucket", "sig"))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+    val candCross = mins.select(col("band"), col("bucket"), col("id_a").as("ra"))
+      .join(mins.select(col("band"), col("bucket"), col("id_a").as("rb")),
+        Seq("band", "bucket"))
+      .filter(col("ra") < col("rb"))
+      .select(col("ra").as("id_a"), col("rb").as("id_b"))
+    val candidates = candNormal.unionByName(candStar).unionByName(candCross)
+      .dropDuplicates("id_a", "id_b")
+    val shing = spread.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    val verified = candidates
+      .join(shing.select(col("id").as("id_a"), col("sh").as("sa")), Seq("id_a"))
+      .join(shing.select(col("id").as("id_b"), col("sh").as("sb")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sa"), col("sb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (verified, cappedBuckets)
+  }
+
   /** Cross-corpus near-duplicate join: near-dups of `probe` documents
     * AGAINST `corpus` documents (never probe×probe or corpus×corpus) —
     * the asymmetric sibling of [[minHashNearDups]] a pipeline runs when

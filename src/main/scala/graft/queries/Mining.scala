@@ -1399,9 +1399,106 @@ object Mining {
        |FROM j GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  // ----------------------- LSH band-bucket skew cap (r12 item 4)
+  /** q_lsh_bucket_cap — the degenerate-bucket guard for the banded
+    * MinHash join ([[TextOps.minHashNearDupsCapped]]), gated on a
+    * corpus WITH an injected degenerate class: the documents table (even
+    * ids — the gate's subject is the cap, not corpus size) plus 64
+    * byte-identical short docs (ids 10M+). All 64 share one MinHash
+    * signature, so every one of the 16 bands produces one 64-row bucket
+    * — exactly the empty-text/template skew that stalls an uncapped
+    * (band, bucket) self-join at scale. With maxBucket = 32 (above the
+    * base corpus's observed max of 14 at sf0.1, far below 64) the row
+    * gates:
+    *
+    *  - `n_capped_buckets` = 16, `n_overflow_rows` = 16 × 64 = 1024 —
+    *    the cap ENGAGED, and only on the injected class (oracle
+    *    constants; a base bucket tripping the cap would break both);
+    *  - `n_pairs_capped` = basePairs + 63 (the degenerate class
+    *    linearized to its verified star) vs `n_pairs_uncapped` =
+    *    basePairs + C(64,2) = basePairs + 2016, with basePairs
+    *    recomputed by DuckDB as the EXACT all-pairs Jaccard count —
+    *    base-corpus pair recall is exactly 1 under the cap, and the
+    *    2016-row clique never materializes;
+    *  - `clusters_equal`: connected components over capped pairs equal
+    *    components over uncapped pairs — the dedup DECISION (keep one
+    *    per cluster) is unchanged, which is the recall that matters;
+    *  - `n_clusters`: hash-gated against DuckDB's recursive-CTE
+    *    transitive closure over the exact pair graph.
+    */
+  private val lshBucketCapQ: Q = (s, dir) => {
+    val degens = s.range(64).select(
+      (lit(10000000L) + col("id")).as("doc_id"),
+      lit("zz zz zz zz").as("text"))
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 2 === 0) // half corpus: the gate's subject
+      .select(col("doc_id"), col("text"))   // is the cap, not corpus size
+      .unionByName(degens)
+    val (cappedRaw, cappedBuckets) = TextOps.minHashNearDupsCapped(
+      docs, "doc_id", "text", shingleN = 3, k = 32, bands = 16,
+      threshold = 0.5, maxBucket = 32)
+    val capped = cappedRaw.localCheckpoint()
+    val uncapped = TextOps.minHashNearDups(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.5).localCheckpoint()
+    val ccCapped = Dedup.connectedComponentsAuto(capped, "id_a", "id_b")
+      .localCheckpoint()
+    val ccUncapped = Dedup.connectedComponentsAuto(uncapped, "id_a", "id_b")
+    val clustersEqual = ccCapped.exceptAll(ccUncapped)
+      .unionByName(ccUncapped.exceptAll(ccCapped)).isEmpty
+    val overflowRows = cappedBuckets.agg(
+      coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    s.range(1).select(
+      lit(cappedBuckets.count()).as("n_capped_buckets"),
+      lit(overflowRows).as("n_overflow_rows"),
+      lit(capped.count()).as("n_pairs_capped"),
+      lit(uncapped.count()).as("n_pairs_uncapped"),
+      lit(clustersEqual).as("clusters_equal"),
+      lit(ccCapped.select(col("cluster")).distinct().count())
+        .as("n_clusters"))
+  }
+  private val lshBucketCapSql =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT CAST(10000000 + t AS BIGINT) AS doc_id,
+      |         'zz zz zz zz' AS text
+      |  FROM (SELECT unnest(range(64)) AS t)),
+      |tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM docs),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+2], ' ')
+      |               for i in range(1, len(toks) - 1)]
+      |    END) AS sh FROM tok),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5),
+      |basep AS (SELECT count(*) AS n FROM pairs
+      |          WHERE id_a < 10000000 AND id_b < 10000000),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+      |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      |SELECT CAST(16 AS BIGINT) AS n_capped_buckets,
+      |  CAST(1024 AS BIGINT) AS n_overflow_rows,
+      |  CAST((SELECT n FROM basep) + 63 AS BIGINT) AS n_pairs_capped,
+      |  CAST((SELECT n FROM basep) + 2016 AS BIGINT) AS n_pairs_uncapped,
+      |  TRUE AS clusters_equal,
+      |  CAST((SELECT count(DISTINCT cluster) FROM cl) AS BIGINT)
+      |    AS n_clusters""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("q_lsh_bucket_cap", lshBucketCapQ, Some(lshBucketCapSql)),
     ("q_simjoin_prefix", simjoinPrefixQ, Some(simjoinPrefixSql)),
     ("q_containment_join", containmentJoinQ, Some(containmentJoinSql)),
     ("q_label_prop", labelPropQ, Some(labelPropSql)),

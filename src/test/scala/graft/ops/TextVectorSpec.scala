@@ -157,6 +157,42 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.head().getDouble(2) == 1.0)
   }
 
+  test("minHashNearDupsCapped: a degenerate identical-signature class " +
+      "linearizes to its verified star; normal pairs untouched; capped " +
+      "buckets accounted; cluster decisions equal the uncapped run") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "completely different content about databases and distributed query engines"))
+    val degen = (100L to 139L).map(i => (i, "zz zz zz zz"))
+    val docs = (base ++ degen).toDF("doc_id", "text")
+    val (pairs, cappedBuckets) = TextOps.minHashNearDupsCapped(docs,
+      "doc_id", "text", shingleN = 3, k = 32, bands = 16,
+      threshold = 0.5, maxBucket = 8)
+    val got = pairs.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // normal path: the near-identical base pair; overflow path: the
+    // 39-pair star around the degenerate class's min id — NOT the
+    // 780-pair clique
+    val star = (101L to 139L).map(i => (100L, i)).toSet
+    assert(got == star + ((1L, 2L)), s"got=${got.take(10)}")
+    // every band of the degenerate class overflowed, loudly
+    val cb = cappedBuckets.collect()
+    assert(cb.length == 16 && cb.forall(_.getLong(2) == 40L))
+    // the dedup DECISION matches the uncapped run: same components
+    val un = TextOps.minHashNearDups(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+    val ccC = Dedup.connectedComponentsAuto(pairs, "id_a", "id_b")
+    val ccU = Dedup.connectedComponentsAuto(un, "id_a", "id_b")
+    assert(ccC.exceptAll(ccU).unionByName(ccU.exceptAll(ccC)).isEmpty)
+    // cross-signature exemplars within one over-cap bucket still pair:
+    // two DISTINCT degenerate classes colliding nowhere else stay
+    // discoverable through their reps when they share a bucket — here
+    // they don't share one, so just assert the residual path is empty
+    // and nothing beyond star+normal leaked through
+    assert(pairs.count() == 40L)
+  }
+
   test("LSH near-dups ≡ brute-force all-pairs at registry params (recall 1 on fixture)") {
     // the q_minhash_lsh oracle (exact all-pairs Jaccard in DuckDB) is only
     // valid if the banding misses nothing — assert that on real fixture
