@@ -48,10 +48,22 @@ object Fixtures {
     // writes + footer harvests) and were missing here, so the official
     // r10 bench recorded q_file_skipping at 47.3 s (steady-state 0.34 s)
     "lifecycle" -> ((s, d) => { Curation.stageLifecycle(s, d); () }),
+    // the derived change feeds over it (r12 item 5): staged once so CDC
+    // query reps measure feed CONSUMPTION, not repeated derivation
+    "lifecyclefeed" -> ((s, d) => {
+      Curation.lifecycleFeed(s, d, 1, 3); Curation.lifecycleFeed(s, d, 3, 5)
+      Curation.lifecycleFeed(s, d, 1, 5); ()
+    }),
+    "lifecyclefeedrows" -> ((s, d) => {
+      Curation.lifecycleFeedRows(s, d, 3, 4); ()
+    }),
     "clustered" -> ((s, d) => { Curation.stageClustered(s, d); () }),
     "zonerect" -> ((s, d) => { Curation.stageZoneRect(s, d); () }),
     "timetravel" -> ((s, d) => { Curation.stageTimeline(s, d); () }),
     "streamcdc" -> ((s, d) => { Curation.stageStreamCdc(s, d); () }),
+    // sink-vs-compactor interleave: an IVF build + 3-batch drain with a
+    // mid-drain binpack + a full redelivery drain (r12 item 7)
+    "streamrace" -> ((s, d) => { Curation.stageStreamRace(s, d); () }),
     // not an index build, but a 4-round iterated training job (~5 s at
     // sf0.1) that is fixture prep for q_bpe_encode's timed reps
     "bpemerges" -> ((s, d) => { Analytics.stageBpeMerges(s, d); () }),

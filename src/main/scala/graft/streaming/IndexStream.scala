@@ -86,6 +86,13 @@ object IndexStream {
       "ck" + h.take(8).map("%02x".format(_)).mkString
     }.getOrElse(queryName)
 
+  /** The sink id a CHECKPOINTED drain at `checkpointDir` uses — exposed
+    * so redelivery probes can run a checkpoint-free drain under the SAME
+    * idempotence namespace (batchIds restart at 0 with no checkpoint,
+    * exactly reproducing an at-least-once full redelivery). */
+  def replaySinkIdOf(checkpointDir: String): String =
+    sinkId(Some(checkpointDir), "")
+
   /** Drain a directory of tombstone-id parquet files as micro-batches
     * (AvailableNow, one file per trigger), committing each as a LOGICAL
     * delete version on the manifest-pinned index at `indexPath` —

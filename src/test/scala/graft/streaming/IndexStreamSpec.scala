@@ -209,6 +209,87 @@ class IndexStreamSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("a COMPACTION interleaved between micro-batches (r12 item 7): " +
+      "later batches land on the compacted head, the maintained view " +
+      "still equals the recompute, and replay skips across the " +
+      "compaction boundary") {
+    val (dir, path, cents, _, ckpt) = fixture("race")
+    try {
+      val viewPath = dir.resolve("view").toString
+      VectorOps.commitSnapshotVersion(spark, viewPath, 1, "init",
+        IndexStream.bucketStats(VectorOps.readIndexVersion(spark, path, 1),
+          "vec_id", "embedding"),
+        Map("op" -> "viewinit"))
+      val inDir = dir.resolve("reembeds").toString
+      val isUpd = col("vec_id") % 5 =!= 2 && col("vec_id") % 11 === 2
+      embs.filter(isUpd)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+        .unionByName(embs.filter(col("vec_id") % 5 === 2)
+          .select(col("vec_id"), col("embedding")))
+        .repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(inDir)
+      // the maintenance job fires right after the FIRST batch's index
+      // commit — inside the window before that batch's view commit and
+      // before the next micro-batch. foreachBatch serializes the sink
+      // side, so "concurrent" on an object store means exactly this
+      // interleaving; a true version-number race is the OCC/duplicate-
+      // refusal seam q_concurrent_commit drives.
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val compactedAt = new java.util.concurrent.atomic.AtomicInteger(-1)
+      val res = IndexStream.runStreamUpsertsWithView(spark, inDir, cents,
+        path, viewPath, checkpointDir = Some(ckpt),
+        queryName = "spec_compact_race",
+        afterIndexCommit = _ =>
+          if (fired.compareAndSet(false, true)) {
+            val h = VectorOps.latestVersion(spark, path).get
+            VectorOps.ivfCompactSmall(spark, path, h, h + 1, Long.MaxValue)
+            compactedAt.set(h + 1): Unit
+          })
+      // 3 batches + 1 compaction commit; the compaction sits strictly
+      // inside the batch version sequence
+      assert(res.index.nCommitted == 3 && res.index.nSkipped == 0)
+      assert(VectorOps.latestVersion(spark, path).contains(5))
+      assert(compactedAt.get == 3,
+        s"compaction expected at v3 (after batch-0's v2): $compactedAt")
+      assert(VectorOps.readManifestMeta(spark, path, 3)
+        .get("op").contains("compact"))
+      // the view consumed each BATCH version — never the compaction —
+      // and equals the recompute bit-exactly
+      assert(res.nViewCommitted == 3 && res.nViewSkipped == 0)
+      val viewHead = VectorOps.latestVersion(spark, viewPath).get
+      val maintained = VectorOps.readIndexVersion(spark, viewPath, viewHead)
+        .select(col("bucket"), col("n"), col("s"))
+      val recomputed = IndexStream.bucketStats(
+        VectorOps.readIndexLatest(spark, path, "vec_id"),
+        "vec_id", "embedding")
+      assert(maintained.exceptAll(recomputed)
+        .union(recomputed.exceptAll(maintained)).count() == 0,
+        "maintained view must equal the recompute across the compaction")
+      // content: upserts replaced, inserts landed, nothing resurrected
+      // from pre-compaction files
+      val head = VectorOps.readIndexLatest(spark, path, "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      val expect = embs.filter(isUpd)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+        .unionByName(embs.filter(!isUpd)
+          .select(col("vec_id"), col("embedding")))
+      assert(head.exceptAll(expect).union(expect.exceptAll(head))
+        .count() == 0)
+      // replay across the compaction boundary: batch keys survive a
+      // rewrite commit (carriedMeta never carries `batch`, and the
+      // original manifests still name theirs). A checkpoint-free drain
+      // under the SAME sink id redelivers batchIds 0..2 from scratch —
+      // every one must be recognized and skipped on both tables
+      val re = IndexStream.runStreamUpsertsWithView(spark, inDir, cents,
+        path, viewPath, checkpointDir = None,
+        queryName = IndexStream.sinkId(Some(ckpt), "unused"))
+      assert(re.index.nCommitted == 0 && re.index.nSkipped == 3 &&
+        re.nViewCommitted == 0 && re.nViewSkipped == 3, re.toString)
+    } finally rmrf(dir)
+  }
+
   test("two sibling streams on ONE index (append feed + delete queue, " +
       "separate checkpoints) never collide on batch ids: the second " +
       "stream's batch 0,1,2 are commits, not false replays") {
