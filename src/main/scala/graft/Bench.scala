@@ -654,11 +654,16 @@ object Bench {
     val sentFirst =
       if (doSentinel) timeSentinel(spark, runToNoop, DefaultRepTimeoutMs, "first")
       else None
-    // hygiene EVERY query (was 25 — r12 item 1: the official run showed
-    // in-session degradation the 25-query cadence did not contain; the
-    // per-query clearCache+GC is untimed and <100 ms against a rep)
+    // hygiene EVERY query by default (was 25 — r12 item 1: the official
+    // run showed in-session degradation the 25-query cadence did not
+    // contain). Untimed; measured ~0.5-1 s/query of wall on a warm
+    // session, bought back by the cleaner keeping shuffle dirs flat.
+    // Env-tunable for A/B forensics.
+    val hygieneEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HYGIENE", "1").toInt
     val (results, errors, absorbed, repsByQuery, gcByQuery) = run(spark,
-      names, runToNoop, sfDir, onQuery = persist, hygieneEvery = 1)
+      names, runToNoop, sfDir, onQuery = persist,
+      hygieneEvery = hygieneEvery)
     val latePrimed = graft.ops.Staging.missedKeys.drop(missesAtPrimeEnd)
       .map(_.takeWhile(_ != ':'))
       .filter(graft.queries.Fixtures.primedFixtureNames.contains)

@@ -614,12 +614,23 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Window [row_number()")) >= 2, p)
   }
 
-  test("approx-distinct pairs sketches with exact counts without an Expand") {
+  test("approx-distinct: TWO lineitem scans total (sketch agg + one " +
+      "multi-distinct exact agg); the HLL never evaluates per-group") {
     val p = Registry.queries("q_approx_distinct")(spark, sf)
       .queryExecution.executedPlan.toString
-    // two countDistincts in one agg would Expand every row ×3 through
-    // the shuffle; the split-agg shape must keep the plan Expand-free
-    assert(!p.contains("Expand"), p)
+    // r13 shape: both exact distincts share ONE scan through the
+    // multi-distinct Expand (partial distinct applies post-Expand, so
+    // shuffled keys are unchanged) and the sketches share another —
+    // 2 scans, down from r12's 3
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 2, p)
+    // the 3x-slower trap (sketch+exact in one agg): the distinct
+    // rewrite evaluates the HLL under an aggregate KEYED by the
+    // distinct column — one 2^14-register buffer per group. The sketch
+    // partials must sit under the GLOBAL (keys=[]) aggregate only.
+    assert("HashAggregate\\(keys=\\[\\], functions=\\[partial_approx_count_distinct"
+      .r.findAllIn(p).nonEmpty, p)
+    assert(!"keys=\\[[^\\]]+\\], functions=\\[[^\\]]*approx_count_distinct"
+      .r.findAllIn(p).hasNext, "HLL evaluated per-group — the trap shape")
   }
 
   test("shingle dedup takes the per-gram min as a map-side-combinable aggregate (no window)") {
@@ -922,12 +933,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("Partial"), p.take(2000))
   }
 
-  test("shipping priority: dim broadcasts, filters reach both scans, top-k has no sort") {
+  test("shipping priority: size-gated customer dim broadcasts " +
+      "(materialized once, never re-scanned), fact filter reaches the " +
+      "scan, top-k has no sort") {
     val p = miPlan("q_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not total-sort")
-    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must reach the scan")
     assert(p.contains("GreaterThan(l_shipdate"), "date filter must reach the fact scan")
+    // the customer side is the GATE's materialization: the segment
+    // filter pushed down inside the gate's own job (generic pushdown is
+    // plan-locked above), and THIS plan must broadcast the checkpointed
+    // snapshot rather than re-scanning the customer parquet
+    assert(!p.contains("customer.parquet"),
+      "gated dim must enter as the materialized snapshot, not a re-scan")
   }
 
   test("feature hashing: no join anywhere — one combinable count to a single exchange") {
