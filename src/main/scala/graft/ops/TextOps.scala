@@ -717,24 +717,57 @@ object TextOps {
     * shared (band, bucket) equi-key — and the same exact
     * verify-per-candidate. At 100 TB the corpus side's band keys are
     * computed once and reused per batch; only (id, band, bucket) rows
-    * ever shuffle.
+    * ever shuffle. `maxBucket` is the cross-side sibling of
+    * [[minHashNearDupsCapped]]'s skew guard: an over-cap CORPUS bucket
+    * (degenerate template class — it would multiply EVERY probe batch)
+    * collapses to one exemplar per full signature before the cross
+    * join; see the in-body contract.
     */
   def minHashCrossNearDups(probe: DataFrame, corpus: DataFrame,
                            idCol: String, textCol: String,
                            shingleN: Int = 3, k: Int = 32, bands: Int = 16,
-                           threshold: Double = 0.5): DataFrame = {
+                           threshold: Double = 0.5,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0,
       s"minHashCrossNearDups: k=$k must be divisible by bands=$bands")
     val rows = k / bands
-    def bandKeys(df: DataFrame, as: String) = df
+    // (id, band, bucket, sig) per side; sig rides only into the overflow
+    // path (narrow rows feed the cross join, as in the uncapped shape)
+    def sigs(df: DataFrame, as: String) = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as(as),
-        lshBands(minHashSignature(shingles(col(textCol), shingleN), k), bands, rows)
-          .as("bands"))
-      .select(col(as), explode(col("bands")).as("bk"))
+        minHashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+      .localCheckpoint()
+    val pSigs = sigs(probe, "id_new")
+    val cSigs = sigs(corpus, "id_old")
+    def bandKeys(sg: DataFrame, as: String) = sg
+      .select(col(as), explode(lshBands(col("sig"), bands, rows)).as("bk"))
       .select(col(as), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val candidates = bandKeys(probe, "id_new")
-      .join(bandKeys(corpus, "id_old"), Seq("band", "bucket"))
+    val pKeys = bandKeys(pSigs, "id_new")
+    val cKeys = bandKeys(cSigs, "id_old")
+    // the cross-bucket blowup is |probe bucket| × |corpus bucket|: cap
+    // the CORPUS side (the big, reused side — a degenerate template
+    // class there multiplies EVERY probe batch), same contract as
+    // [[minHashNearDupsCapped]]: over-cap corpus buckets collapse to
+    // one exemplar per FULL SIGNATURE — probe rows still pair with
+    // every distinct corpus signature class in the bucket, so a probe
+    // matching a degenerate class is still FOUND (against the class
+    // exemplar; identical-signature members are interchangeable at
+    // decision level, and the per-side star of minHashNearDupsCapped
+    // recovers member identity when needed). Rows are never dropped.
+    val cSizes = cKeys.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val cKeyed = cKeys.join(cSizes, Seq("band", "bucket"))
+    val cNormal = cKeyed.filter(col("n") <= maxBucket)
+      .select(col("band"), col("bucket"), col("id_old"))
+    val cOverflow = cKeyed.filter(col("n") > maxBucket)
+      .select(col("band"), col("bucket"), col("id_old"))
+      .join(cSigs, Seq("id_old"))
+      .groupBy(col("band"), col("bucket"), col("sig"))
+      .agg(min(col("id_old")).as("id_old"))
+      .select(col("band"), col("bucket"), col("id_old"))
+    val candidates = pKeys
+      .join(cNormal.unionByName(cOverflow), Seq("band", "bucket"))
       .select(col("id_new"), col("id_old"))
       .dropDuplicates("id_new", "id_old")
     def shing(df: DataFrame, as: String, sas: String) = df

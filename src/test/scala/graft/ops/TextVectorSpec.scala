@@ -193,6 +193,35 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.count() == 40L)
   }
 
+  test("minHashCrossNearDups bucket cap: a degenerate CORPUS class " +
+      "collapses to one exemplar per signature; probes still find it; " +
+      "non-degenerate pairs and the uncapped run are unchanged") {
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "zz zz zz zz"), // probes the degenerate class
+      (3L, "completely different content about databases and engines"))
+      .toDF("doc_id", "text")
+    val corpus = (Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank now")) ++
+      (100L to 139L).map(i => (i, "zz zz zz zz"))) // 40-doc template class
+      .toDF("doc_id", "text")
+    val capped = TextOps.minHashCrossNearDups(probe, corpus,
+      "doc_id", "text", shingleN = 3, k = 32, bands = 16,
+      threshold = 0.5, maxBucket = 8)
+      .select("id_new", "id_old")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe 1 matches corpus 10 through NORMAL buckets; probe 2 matches
+    // the degenerate class through its EXEMPLAR only (min id 100) — one
+    // verified pair instead of 40, nothing dropped
+    assert(capped == Set((1L, 10L), (2L, 100L)), capped.toString)
+    // uncapped finds the full 40-wide fan (decision identical, 40x rows)
+    val un = TextOps.minHashCrossNearDups(probe, corpus,
+      "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+      .select("id_new", "id_old")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(un == Set((1L, 10L)) ++ (100L to 139L).map(i => (2L, i)).toSet)
+  }
+
   test("LSH near-dups ≡ brute-force all-pairs at registry params (recall 1 on fixture)") {
     // the q_minhash_lsh oracle (exact all-pairs Jaccard in DuckDB) is only
     // valid if the banding misses nothing — assert that on real fixture
